@@ -1,0 +1,292 @@
+"""Aggregation family: basic/statistical aggs, distinct counts, exact and
+approximate sketches, percentiles, rollup/cube/grouping sets, pivot.
+
+Reference parity: group-by count (R19, ``voice_classifier.py:107``),
+count-distinct classes (R33, ``:193``), confusion-matrix pivot (R44,
+``:321-323`` — the pivot itself lives in operators/ml.py).
+
+Scale notes: every ``groupBy().agg`` here compiles to partial (map-side)
++ final hash aggregation — at 100 TB the shuffle carries only the
+per-group partial states, not rows. ``approx_count_distinct`` (HLL) and
+``percentile_approx`` (KLL-ish quantile sketch) are the sketch path:
+mergeable state, single pass, bounded memory — the only viable shapes
+for distinct-count / quantiles at 100 TB (exact variants are kept for
+oracle checkability at test SF).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+@query(
+    "agg_stats_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*)                                              AS n,
+               ROUND(MIN(l_extendedprice), 2)                        AS min_price,
+               ROUND(MAX(l_extendedprice), 2)                        AS max_price,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4)                AS sd_price,
+               ROUND(VAR_SAMP(l_quantity), 4)                        AS var_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4)     AS covar_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*)                  AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) (R33 generalized). Catalyst
+    expands multiple distinct aggregates via a single expand+two-phase
+    aggregate, not N scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketch values are engine-specific; rows-only check.
+    tags=("aggregate", "sketch"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch — the 100 TB path for
+    distinct counts (mergeable, single-pass, ~KB of state per group
+    instead of a distinct shuffle of all keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_linestatus,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_price,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price,
+               ROUND(QUANTILE_CONT(l_quantity, 0.25), 4)     AS p25_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (matches QUANTILE_CONT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_percentile_approx",
+    oracle=None,  # sketch-based; engine-specific values → rows-only.
+    tags=("aggregate", "sketch"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles — single-pass mergeable sketch; the shape
+    used at 100 TB where exact sort-based percentiles are infeasible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_price"),
+    )
+
+
+@query(
+    "agg_collect_first_last",
+    oracle="""
+        SELECT o_orderpriority,
+               MIN(o_orderkey)  AS first_key,
+               MAX(o_orderkey)  AS last_key,
+               COUNT(*)         AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def agg_collect_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first/last per group (min/max on the key —
+    ``first()``/``last()`` without ordering are nondeterministic under a
+    shuffle, so the engine's canonical form uses min/max; collect_list/
+    collect_set exemplars live in tests where order can be controlled)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*)                  AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "grouping"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag, status), (flag), ()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "grouping"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping sets. Compiles to Expand + single agg —
+    one shuffle regardless of the number of grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    tags=("aggregate", "grouping"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front door (the DataFrame API
+    has no direct grouping-sets builder; SQL text is the idiomatic
+    Spark route and goes through the same Expand plan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_pivot_status",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — the R44 confusion-matrix shape
+    (``voice_classifier.py:321-323``) on relational data. Pivot values
+    are given explicitly: at scale, letting Spark discover pivot values
+    costs an extra distinct scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 3
+    """,
+    tags=("aggregate",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )

@@ -1,0 +1,446 @@
+"""Relational core: projections, filters, every join flavor, set ops.
+
+Reference parity: the reference's only relational moves are a
+scalar-predicate filter (``/root/reference/src/voice_classifier.py:103``),
+a key dedup (``:104``) and a nested-loop interval join (``:126-134``).
+Here each family is generalized to its idiomatic Spark form over the
+driver tables; the interval/range join pattern (R24) appears as
+``join_range_bands`` (broadcast non-equi join) — the 100 TB variant
+bucket-joins instead (see operators/reference_pipeline.py).
+
+Scale notes:
+* Dimension sides of joins (region/nation/supplier, inline band dims) are
+  explicitly ``broadcast()``-hinted — at 100 TB the fact side never
+  shuffles for these joins.
+* Fact-fact joins (orders ⋈ lineitem) rely on sort-merge + AQE; both
+  sides are pre-partitioned on the join key by the shuffle, and AQE
+  handles skew splitting.
+* Filters are plain Column predicates on the scan → Catalyst pushes them
+  into the parquet reader (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Flagship: pricing summary (scan → filter → agg → sort in one query).
+# Exercises predicate pushdown, partial aggregation, and a tiny final sort.
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+               ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+               COUNT(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "aggregate", "flagship"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter predicate family (R17 generalized): AND/OR/NOT, BETWEEN, IN,
+# LIKE, IS NULL. All predicates sit directly on the scan → pushdown.
+# --------------------------------------------------------------------------
+@query(
+    "filter_predicates",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_returnflag, l_linestatus
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND l_returnflag IN ('A', 'R')
+          AND NOT (l_linestatus = 'O')
+          AND (l_discount < 0.02 OR l_tax > 0.06)
+          AND l_extendedprice IS NOT NULL
+    """,
+    tags=("relational", "filter"),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate filter; every conjunct is pushdown-eligible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~(F.col("l_linestatus") == "O")
+        & ((F.col("l_discount") < 0.02) | (F.col("l_tax") > 0.06))
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus",
+    )
+
+
+@query(
+    "filter_like_null",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_name LIKE '%1%' AND c_mktsegment IS NOT NULL
+          AND c_acctbal >= 0
+    """,
+    tags=("relational", "filter"),
+)
+def filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + null-check predicates."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_name").like("%1%")
+        & F.col("c_mktsegment").isNotNull()
+        & (F.col("c_acctbal") >= 0)
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "case_when_tiers",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END              AS price_tier,
+               COUNT(*)                          AS n_orders,
+               ROUND(SUM(o_totalprice), 2)       AS total
+        FROM orders
+        GROUP BY 1
+        ORDER BY price_tier
+    """,
+    tags=("relational", "projection"),
+)
+def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN projection feeding an aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.select(tier.alias("price_tier"), "o_totalprice")
+        .groupBy("price_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("price_tier")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family. Dim joins broadcast; fact-fact joins sort-merge under AQE.
+# --------------------------------------------------------------------------
+@query(
+    "join_inner_revenue_by_nation",
+    oracle="""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*)                                          AS n_items
+        FROM customer
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        JOIN orders   ON o_custkey   = c_custkey
+        JOIN lineitem ON l_orderkey  = o_orderkey
+        WHERE r_name IN ('AMERICA', 'ASIA')
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    tags=("relational", "join", "aggregate"),
+)
+def join_inner_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way inner join (TPC-H Q5 shape): broadcast dims, shuffle facts."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name").isin("AMERICA", "ASIA"))),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               COUNT(o_orderkey)                       AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("relational", "join"),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_daily",
+    oracle="""
+        WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+                    FROM orders GROUP BY 1),
+             sd AS (SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+                    FROM lineitem GROUP BY 1)
+        SELECT CAST(COALESCE(od.d, sd.d) AS VARCHAR) AS day,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_ships, 0)  AS n_ships
+        FROM od FULL OUTER JOIN sd ON od.d = sd.d
+    """,
+    tags=("relational", "join"),
+)
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated daily series."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sd = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    return (
+        od.join(sd, od.d == sd.d, "full_outer")
+        .select(
+            F.coalesce(od.d, sd.d).cast("string").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        )
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("relational", "join"),
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS; no duplication of the left side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("relational", "join"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross_region_status",
+    oracle="""
+        SELECT r_name, s.o_orderstatus AS status
+        FROM region
+        CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("relational", "join"),
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (broadcast NLJ)."""
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return r.select("r_name").crossJoin(F.broadcast(s))
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+        SELECT band, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        JOIN (VALUES ('low', 0.0, 60000.0),
+                     ('mid', 60000.0, 180000.0),
+                     ('high', 180000.0, 1e18)) AS bands(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+        ORDER BY band
+    """,
+    tags=("relational", "join", "range-join"),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast band dimension — the
+    R24 interval-join pattern (``/root/reference/src/voice_classifier.py:126-134``)
+    in its Spark-native form: BroadcastNestedLoopJoin over a tiny dim.
+    At 100 TB with a large dim, bucket both sides by floor(x/Δ) to turn
+    this into an equi-join + residual predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 60000.0), ("mid", 60000.0, 180000.0), ("high", 180000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "join_self_same_day_pairs",
+    oracle="""
+        SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+        FROM orders a
+        JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND CAST(a.o_orderdate AS DATE) = CAST(b.o_orderdate AS DATE)
+         AND a.o_orderkey < b.o_orderkey
+    """,
+    tags=("relational", "join"),
+)
+def join_self_same_day_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi-join with residual inequality predicate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(F.col("a.o_orderkey").alias("k1"), F.col("b.o_orderkey").alias("k2"))
+
+
+# --------------------------------------------------------------------------
+# Set operations + distinct (R18 generalized).
+# --------------------------------------------------------------------------
+@query(
+    "set_union_segments",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    tags=("relational", "setop"),
+)
+def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect_segments",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    """,
+    tags=("relational", "setop"),
+)
+def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except_segments",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    """,
+    tags=("relational", "setop"),
+)
+def set_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "distinct_flag_status",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("relational", "setop", "dedup"),
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates (R18: the reference's discarded
+    ``drop_duplicates(subset='speaker')`` at voice_classifier.py:104,
+    here actually applied)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()

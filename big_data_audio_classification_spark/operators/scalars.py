@@ -1,0 +1,253 @@
+"""Scalar-function exemplars: string, date/time, math, JSON, array.
+
+Reference parity: string concat (R1, lorem join), date_format naming
+(R10, ``data_generator.py:6-7``), log10/floor/round/pmod math
+(R15/R6/R17/R3), array ops on waveforms (R6 slice, R7 flatten, R46
+array argmax). All expressions here are built-in ``pyspark.sql.functions``
+— JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_name)                                   AS name_upper,
+               LOWER(c_mktsegment)                             AS seg_lower,
+               SUBSTRING(c_name, 1, 8)                         AS name_prefix,
+               LENGTH(c_name)                                  AS name_len,
+               CONCAT_WS('|', c_name, c_mktsegment)            AS name_seg,
+               REGEXP_EXTRACT(c_name, '([0-9]+)', 1)           AS name_digits,
+               REPLACE(c_name, '#', '-')                       AS name_dash,
+               TRIM(CONCAT(' ', c_name, ' '))                  AS name_trim
+        FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (R1's concat_ws and friends)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               YEAR(o_orderdate)                                    AS yr,
+               MONTH(o_orderdate)                                   AS mon,
+               DAYOFMONTH(o_orderdate)                              AS dom,
+               STRFTIME(o_orderdate, '%Y-%m-%d')                    AS order_day,
+               STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')  AS due_day,
+               DATEDIFF('day', CAST(o_orderdate AS DATE),
+                        DATE '2002-01-01')                          AS days_to_2002,
+               STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start
+        FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery (R10's date_format naming generalized).
+    Timestamp-valued outputs are formatted to strings so the DuckDB
+    oracle compares text, not TZ-dependent instants."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_day"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_day"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@query(
+    "scalar_math_functions",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 0)                       AS price_round,
+               FLOOR(l_quantity)                               AS qty_floor,
+               CEIL(l_discount * 100)                          AS disc_pct_ceil,
+               ABS(l_quantity - 25)                            AS qty_dev,
+               MOD(l_orderkey, 7)                              AS key_mod7,
+               ROUND(SQRT(l_extendedprice), 4)                 AS price_sqrt,
+               ROUND(LOG10(l_extendedprice + 1), 6)            AS price_log10,
+               ROUND(POWER(l_quantity, 2), 2)                  AS qty_sq,
+               GREATEST(l_discount, l_tax)                     AS max_rate,
+               LEAST(l_discount, l_tax)                        AS min_rate
+        FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: round/floor/ceil (R6/R17), pmod (R3), log10 (R15's
+    dB math), greatest/least (R15's -80 dB floor)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_mod7"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events
+    """,
+    tags=("scalar", "json", "events"),
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over ``events.props`` (mandated: SURVEY §1.2;
+    at scale prefer ``from_json`` with an explicit schema once per column
+    instead of repeated path probes)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "scalar_json_from_json_agg",
+    oracle="""
+        SELECT event_type,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scalar", "json", "events"),
+)
+def scalar_json_from_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse (from_json with explicit schema — the scalable
+    parse-once form) feeding an aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k DOUBLE").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "array_embedding_stats",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                         AS dim,
+               ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6)                 AS first_elem,
+               ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE))) / len(embedding), 6)    AS mean_elem
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "embeddings"),
+)
+def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over embedding vectors: size, element access,
+    higher-order aggregate/transform (R46's array math family). All
+    JVM-side — no Python UDF for vector norms."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_norm = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    mean = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq_norm, 4).alias("sq_norm"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_elem"),
+        F.round(mean, 6).alias("mean_elem"),
+    )
+
+
+@query(
+    "array_explode_tokens",
+    oracle="""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 100)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 30
+    """,
+    tags=("scalar", "array", "documents"),
+)
+def array_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode + count: the word-count shape (generalizes R1's
+    sentence assembly in reverse)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(30)
+    )
+
+
+@query(
+    "array_sequence_slice",
+    oracle="""
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(embedding[1:8],
+                     x -> CAST(x AS DOUBLE))), 4) AS head_sum,
+               len(embedding[9:]) AS tail_len
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "embeddings"),
+)
+def array_sequence_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array slice (R6's truncate-to-whole-second as a slice) + tail."""
+    em = load_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 8)
+    tail = F.slice(F.col("embedding"), 9, F.size("embedding") - F.lit(8))
+    return em.select(
+        "vec_id",
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
+        ).alias("head_sum"),
+        F.size(tail).alias("tail_len"),
+    )

@@ -1,0 +1,219 @@
+"""Window-function family: ranking, lag/lead, running aggregates, top-k.
+
+Reference parity: the generator's running cumulative duration (R7,
+``/root/reference/src/data_generator.py:14,20-21``) is the canonical
+running-sum window; the phrase-boundary ``lag`` (R23,
+``voice_classifier.py:125``) and global time sort (R43, ``:305``)
+generalize to the lag/lead and ordering exemplars here.
+
+Scale notes: every window here is ``partitionBy(key).orderBy(...)`` —
+one hash shuffle on the partition key, then a per-partition sort; no
+global sort. Unpartitioned global windows (a single ordered partition)
+are avoided everywhere except tiny inputs — at 100 TB a global window is
+a single-task bottleneck. Frames are explicit ``rowsBetween`` (the
+default RANGE frame with ties is both slower and subtly different).
+Top-k per group = row_number + filter: shuffles once and never
+materializes a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+@query(
+    "window_running_spend",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per customer (R7's cumulative-seconds
+    pattern, data_generator.py:20-21). Deterministic tie-break on the
+    unique key keeps the cumsum well-defined under ordering ties."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               ROW_NUMBER()   OVER w AS rn,
+               RANK()         OVER w AS rnk,
+               DENSE_RANK()   OVER w AS drnk,
+               NTILE(4)       OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile / percent_rank."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "window_lag_lead_events",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(value, 2) AS value,
+               ROUND(LAG(value)  OVER w, 2) AS prev_value,
+               ROUND(LEAD(value) OVER w, 2) AS next_value,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS micros_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "events"),
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with event-time deltas (R23's phrase-boundary lag,
+    voice_classifier.py:125, generalized to per-user event streams)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "micros_since_prev"
+        ),
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey)  OVER w AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an explicit full-partition frame
+    (the default frame would make last_value ≡ current row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).dropDuplicates()
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+        SELECT user_id, event_id,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+        FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row moving average per user."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("ma3")
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the scalable top-k-per-group shape
+    (one shuffle, per-partition sort, no global sort; AQE handles skewed
+    customers)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "global_topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    tags=("window", "topk", "sort"),
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k via orderBy + limit — Catalyst compiles this to
+    TakeOrderedAndProject: per-partition heap top-k then a k-row merge
+    on one task. O(k) driver memory at any scale, unlike a global sort
+    (R43's ``sort_values`` made scale-safe)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(20)

@@ -1,0 +1,10 @@
+"""Imports every operator module so their ``@query`` registrations run.
+
+``registry.all_queries()`` imports this module exactly once; add new
+operator modules here as they are built.
+"""
+
+import big_data_audio_classification_spark.operators.relational  # noqa: F401
+import big_data_audio_classification_spark.operators.aggregates  # noqa: F401
+import big_data_audio_classification_spark.operators.windows  # noqa: F401
+import big_data_audio_classification_spark.operators.scalars  # noqa: F401

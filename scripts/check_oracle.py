@@ -1,0 +1,151 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and (when an oracle exists) the
+paired SQL on DuckDB over the same parquet, then compares:
+row count, column names/order-insensitive values (sorted by column name,
+rows sorted), with a small float tolerance.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from big_data_audio_classification_spark.registry import all_queries
+from big_data_audio_classification_spark.session import get_spark
+from big_data_audio_classification_spark.sources.catalog import TABLES
+
+FLOAT_RTOL = 1e-9
+FLOAT_ATOL = 1e-9
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        if isinstance(b, float) and math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, float(b), rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
+    if isinstance(b, float) and isinstance(a, int):
+        return math.isclose(float(a), b, rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def _sort_key(row):
+    return tuple(
+        (v is None, str(type(v).__name__), str(v)) for v in row
+    )
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
+        return problems
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in spark_rows), key=_sort_key
+    )
+    d = sorted(
+        (tuple(_norm(r[i]) for i in dorder) for r in duck_rows), key=_sort_key
+    )
+    bad = 0
+    for i, (sr, dr) in enumerate(zip(s, d)):
+        if not _values_equal(sr, dr):
+            if bad < 3:
+                problems.append(f"row {i}: spark={sr} duck={dr}")
+            bad += 1
+    if bad:
+        problems.append(f"{bad} mismatched rows of {len(s)}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    qs = all_queries()
+    if filters:
+        qs = {n: q for n, q in qs.items() if any(f in n for f in filters)}
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, q in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if q.oracle is None:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            if len(spark_rows) == 0:
+                print(f"      WARNING {name} returned 0 rows")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if problems:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            n_pass += 1
+            print(f"PASS  {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+        + (f"  failures: {failures}" if failures else "")
+    )
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

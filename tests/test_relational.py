@@ -1,0 +1,70 @@
+"""Contract smoke + semantics tests for the relational core."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators import relational, windows
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_pricing_summary_smoke(spark, sf_dir):
+    rows = relational.pricing_summary(spark, sf_dir).collect()
+    assert len(rows) > 0
+    cols = set(rows[0].asDict())
+    assert {"l_returnflag", "sum_qty", "avg_price", "count_order"} <= cols
+    # every group's avg*count ≈ sum (internal consistency)
+    for r in rows:
+        assert abs(r.avg_qty * r.count_order - r.sum_qty) / max(r.sum_qty, 1) < 1e-3
+
+
+def test_semi_plus_anti_partition_customers(spark, sf_dir):
+    """semi(with F-orders) and anti(no orders) are disjoint; anti+having
+    orders = all customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = c.count()
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without = relational.join_anti_customers_without_orders(spark, sf_dir).count()
+    assert with_orders + without == n_cust
+
+
+def test_left_join_keeps_all_customers(spark, sf_dir):
+    out = relational.join_left_order_counts(spark, sf_dir)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert out.count() == n_cust
+
+
+def test_range_join_partitions_orders(spark, sf_dir):
+    out = relational.join_range_bands(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in out) == n_orders  # bands tile the domain
+
+
+def test_set_algebra(spark, sf_dir):
+    """|A ∪ B| = |A| + |B| - |A ∩ B| over the segment key sets."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    union = a.union(b).distinct().count()
+    inter = a.intersect(b).count()
+    assert union == a.count() + b.count() - inter
+    assert relational.set_except_segments(spark, sf_dir).count() == a.count() - inter
+
+
+def test_topk_per_group_bound(spark, sf_dir):
+    out = windows.topk_orders_per_customer(spark, sf_dir)
+    per_group = out.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert per_group <= 3
+
+
+def test_running_sum_matches_group_total(spark, sf_dir):
+    """Window cumsum's final value per key == groupBy sum (SURVEY §5.3
+    property: window-sum vs group-sum consistency)."""
+    o = load_table(spark, sf_dir, "orders")
+    cum = windows.window_running_spend(spark, sf_dir)
+    final = cum.groupBy("o_custkey").agg(F.max("running_spend").alias("w"))
+    direct = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("g"))
+    joined = final.join(direct, "o_custkey")
+    bad = joined.filter(F.abs(F.col("w") - F.col("g")) > 0.011).count()
+    assert bad == 0
