@@ -1,0 +1,296 @@
+"""Deduplication family for LLM-training-data pipelines (mandated
+surface, SURVEY §2.B): exact hash dedup, MinHash + LSH banding,
+SimHash, and n-gram Jaccard near-dup.
+
+Everything here is built from deterministic, engine-portable hashing
+(md5 hex → integer) so every stage — including MinHash signatures and
+SimHash fingerprints — is bit-for-bit reproducible in the DuckDB oracle.
+An MLlib ``MinHashLSH`` variant lives in operators/similarity.py for the
+approxSimilarityJoin API surface (rows-only check: MLlib's internal
+hash seeds are engine-specific).
+
+Scale notes (the whole point of these algorithms):
+* Exact dedup: groupBy(sha256(text)) — one shuffle keyed by digest; at
+  100 TB shuffle carries 32-byte keys + doc ids, never the text.
+* MinHash/LSH: per-doc signature is a bounded-size agg (k mins); the
+  O(n²) pair explosion is avoided by joining only docs sharing an LSH
+  band bucket — the equi-join on (band_id, band_hash) shuffles each doc
+  signature b times, not n² pairs.
+* SimHash: per-doc 32-bit fingerprint via one token-explode + groupBy;
+  near-dup candidates = equal fingerprint (or banded prefix equality).
+* Jaccard verification runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+# MinHash parameters: k permutations in b bands of r rows (k = b*r).
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+_MERSENNE = 2147483647  # 2^31 - 1
+# Deterministic affine-permutation coefficients (public textbook scheme:
+# h_j(x) = (a_j * x + b_j) mod p). Fixed small odd multipliers keep the
+# 64-bit products overflow-free in both engines.
+_A = [2 * j + 3 for j in range(MINHASH_K)]
+_B = [7919 * (j + 1) % _MERSENNE for j in range(MINHASH_K)]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empties removed — identical semantics to the
+    oracle's string_split + filter."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 → bigint.
+    md5 is identical across engines, unlike xxhash/murmur defaults."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SQL_TOKHASH = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id)  AS keep_doc_id,
+               COUNT(*)     AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup", "documents"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: keep the smallest doc_id per
+    sha256(text) group. Digest-keyed shuffle — text never moves."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, m0..m{k-1}) MinHash signature per document.
+
+    One explode + one groupBy: the k permutations are k aggregate
+    expressions over the same exploded tokens, not k passes."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    hv = toks.select(id_col, token_hash(F.col("tok")).alias("hv"))
+    mins = [
+        F.min((F.col("hv") * _A[j] + _B[j]) % _MERSENNE).alias(f"m{j}")
+        for j in range(MINHASH_K)
+    ]
+    return hv.groupBy(id_col).agg(*mins)
+
+
+def _minhash_sql(inner: str = "documents") -> str:
+    mins = ",\n               ".join(
+        f"MIN((hv * {_A[j]} + {_B[j]}) % {_MERSENNE}) AS m{j}"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM {inner}
+        ),
+        h AS (SELECT doc_id, {_SQL_TOKHASH} AS hv FROM toks)
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    """
+
+
+@query("dedup_minhash_signatures", oracle=_minhash_sql(), tags=("dedup", "minhash"))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signatures (k=16 affine permutations over
+    portable 32-bit token hashes) — exactly reproduced by the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signature(d, "doc_id", "text")
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (b bands × r rows) and emit candidate pairs
+    sharing any band. The unpivot-to-bands + self-equi-join is the
+    scalable shape: shuffle keyed by (band_id, band_hash)."""
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{b * LSH_ROWS + r}")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    band_exprs = ", ".join(
+        "CONCAT_WS('_', "
+        + ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    unions = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM sig_bands"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH sig AS ({_minhash_sql()}),
+        sig_bands AS (SELECT doc_id, {band_exprs} FROM sig),
+        bands AS (
+            {unions}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_lsh_pairs_sql(), tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any of 4 bands of 4
+    minhashes (≈ Jaccard ≳ 0.7 with high probability)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signature(d, "doc_id", "text"))
+
+
+def _simhash_bits() -> list[Column]:
+    return [
+        F.sum(
+            F.when((F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents
+        ),
+        h AS (SELECT doc_id, {_SQL_TOKHASH} AS hv FROM toks),
+        bits AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, {recombine} AS simhash
+        FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql(), tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (Charikar scheme: sign of
+    per-bit weighted sums over token hashes). Near-dups differ in few
+    bits; candidate generation at scale = equality on fingerprint or on
+    banded prefixes. One explode + one groupBy with 32 sum aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", token_hash(F.col("tok")).alias("hv"))
+    bits = hv.groupBy("doc_id").agg(*_simhash_bits())
+    fingerprint = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bits.select("doc_id", fingerprint.alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, source,
+                   list_distinct(
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                   ) AS grams
+            FROM (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        FROM g a JOIN g b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.grams) > 0 AND len(b.grams) > 0
+    """,
+    tags=("dedup", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity over candidate pairs blocked by
+    ``source``. Blocking keeps the pair space linear-ish; at 100 TB the
+    blocking key would be an LSH band (see dedup_minhash_lsh_pairs) —
+    the verify-with-true-Jaccard stage is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    g = d.select("doc_id", "source", grams.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,240 @@
+"""Text-analysis operators for LLM-data pipelines (mandated surface,
+SURVEY §2.B): token counting, quality scoring, language-ID heuristic,
+document fingerprinting (rolling hash).
+
+All pure built-in expressions (split/filter/transform/aggregate) —
+JVM-side, codegen'd, zero Python in the hot path; every operator has an
+exact DuckDB oracle.
+
+Scale notes: each operator is embarrassingly parallel per document (no
+shuffle at all until a final aggregate); the only shuffles in this file
+are the small groupBy rollups. A 100 TB corpus streams through map
+stages with whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from big_data_audio_classification_spark.operators.dedup import (
+    _SQL_TOKENS,
+    token_hash,
+    tokens_col,
+)
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker lexicons for the language-ID heuristic. The corpus is synthetic
+# (shared vocabulary), so the discriminative power is illustrative — the
+# operator shape (per-language marker scores → deterministic argmax) is
+# what an n-gram language identifier does at scale.
+LANG_MARKERS = {
+    "en": ("the", "a", "value", "data"),
+    "es": ("order", "part", "row"),
+    "fr": ("query", "window", "merge"),
+    "de": ("spark", "stream", "batch"),
+    "zh": ("table", "scan", "hash"),
+}
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len(toks)                                   AS n_tokens,
+               len(list_distinct(toks))                    AS n_distinct,
+               ROUND(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                     / len(toks), 6)                       AS avg_token_len,
+               n_chars
+        FROM (SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks FROM documents)
+        WHERE len(toks) > 0
+    """,
+    tags=("text", "documents"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, distinct-token count,
+    mean token length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    avg_len = (
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / F.size(toks)
+    )
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("toks"),
+            "n_chars",
+        )
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+            F.round(
+                F.aggregate(
+                    F.col("toks"), F.lit(0.0), lambda a, t: a + F.length(t).cast("double")
+                )
+                / F.size("toks"),
+                6,
+            ).alias("avg_token_len"),
+            "n_chars",
+        )
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id, n_chars,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, t -> t IN {STOPWORDS!r})) AS n_stop,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+               ROUND(ttr, 6)                               AS type_token_ratio,
+               ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64, 1.0) * 0.4
+                     + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0) * 0.3
+                     + ttr * 0.3, 6)                       AS quality
+        FROM m
+    """,
+    tags=("text", "documents"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length score + stopword-density score
+    + type/token ratio, combined with fixed weights (the shape of a
+    C4/Gopher-style quality filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", "n_chars", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_tokens = F.size("toks").cast("double")
+    n_stop = _count_in(F.col("toks"), STOPWORDS).cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = (
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + F.least(n_stop / n_tokens * 5, F.lit(1.0)) * 0.3
+        + ttr * 0.3
+    )
+    return base.select(
+        "doc_id",
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    scores = ",\n                   ".join(
+        f"len(list_filter(toks, t -> t IN {LANG_MARKERS[lang]!r})) AS s_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    langs = sorted(LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{la} = {greatest} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   {scores}
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, lang AS lang_true, {case} AS lang_pred
+        FROM s
+    """
+
+
+@query("text_langid_heuristic", oracle=_langid_sql(), tags=("text", "langid"))
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID: per-language marker counts →
+    deterministic argmax (ties broken by alphabetical language order,
+    identical in the oracle's CASE ordering)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", F.col("lang").alias("lang_true"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    langs = sorted(LANG_MARKERS)
+    scored = base.select(
+        "doc_id",
+        "lang_true",
+        *[_count_in(F.col("toks"), LANG_MARKERS[la]).alias(f"s_{la}") for la in langs],
+    )
+    best = F.greatest(*[F.col(f"s_{la}") for la in langs])
+    # WHEN chain in alphabetical order — earliest language wins ties,
+    # matching the oracle's CASE ordering.
+    pred = None
+    for la in langs:
+        if pred is None:
+            pred = F.when(F.col(f"s_{la}") == best, la)
+        else:
+            pred = pred.when(F.col(f"s_{la}") == best, la)
+    return scored.select("doc_id", "lang_true", pred.alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint_rolling",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_SQL_TOKENS},
+                           tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))),
+                   (acc, h) -> (acc * 31 + h) % 2147483647
+               ) AS fingerprint
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint over the
+    token stream: acc ← (acc·31 + h(tok)) mod p. Distinguishes
+    reorderings that set-based (MinHash) fingerprints collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    fp = F.aggregate(
+        F.transform(toks, token_hash),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % 2147483647,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "text_lang_source_rollup",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*)                 AS n_docs,
+               ROUND(AVG(n_chars), 4)   AS avg_chars,
+               MIN(n_chars)             AS min_chars,
+               MAX(n_chars)             AS max_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+    """,
+    tags=("text", "aggregate"),
+)
+def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -8,3 +8,6 @@ import big_data_audio_classification_spark.operators.relational  # noqa: F401
 import big_data_audio_classification_spark.operators.aggregates  # noqa: F401
 import big_data_audio_classification_spark.operators.windows  # noqa: F401
 import big_data_audio_classification_spark.operators.scalars  # noqa: F401
+import big_data_audio_classification_spark.operators.dedup  # noqa: F401
+import big_data_audio_classification_spark.operators.text  # noqa: F401
+import big_data_audio_classification_spark.streaming.events  # noqa: F401

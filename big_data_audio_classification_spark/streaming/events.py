@@ -1,0 +1,207 @@
+"""Event-time windowing over the ``events`` table.
+
+Batch and streaming share the same ``window()`` / ``session_window()``
+expressions (SURVEY §2.B "Streaming"): the functions here run in batch
+mode so the DuckDB oracle can score them; ``streaming.jobs`` wires the
+identical expressions into ``readStream``/``writeStream`` with
+watermarks (tested in tests/test_streaming.py — the driver's oracle
+cannot run a stream).
+
+Scale notes: tumbling/sliding window aggregation is a plain hash
+aggregate keyed by (window, key) — partial aggregation map-side, one
+shuffle. Session windows need per-key ordered merging; Spark's native
+``session_window`` does this with a per-key sort inside the aggregate —
+the shuffle is still only keyed by user, no global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+        SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start,
+               event_type,
+               COUNT(*)             AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("events", "window-time"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (epoch-aligned, matching
+    DuckDB ``time_bucket``). Window start is emitted as epoch micros —
+    integer-exact for the oracle hash, TZ-proof."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+        WITH b AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, value FROM events
+        ),
+        w AS (
+            SELECT b5 AS ws, value FROM b
+            UNION ALL
+            SELECT b5 - INTERVAL '5 minutes' AS ws, value FROM b
+        )
+        SELECT epoch_us(ws)         AS window_start,
+               COUNT(*)             AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM w
+        GROUP BY ws
+    """,
+    tags=("events", "window-time"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands in
+    exactly two windows. The oracle materializes the same two-window
+    assignment explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev IS NULL
+                             OR ts - prev >= INTERVAL '30 minutes' THEN 1
+                        ELSE 0 END AS new_sess
+            FROM o
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM f
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts))    AS session_start,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM s
+        GROUP BY user_id, sess_id
+    """,
+    tags=("events", "window-time", "session"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via native
+    ``session_window``. Oracle = gaps-and-islands SQL: a new session
+    starts when the gap to the previous event is >= the gap timeout
+    (Spark merges events while next.start < current.end = ts + gap)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_dedup_by_id",
+    oracle="""
+        SELECT event_id, COUNT(*) AS n
+        FROM (SELECT DISTINCT event_id, user_id, event_type FROM events)
+        GROUP BY event_id
+        HAVING COUNT(*) > 1
+    """,
+    tags=("events", "dedup"),
+)
+def events_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup sanity: after dropDuplicates on the natural key the
+    id is unique (streaming analog: dropDuplicates under watermark,
+    exercised in tests/test_streaming.py). Empty result == no dup keys."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "event_type")
+        .dropDuplicates()
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# True streaming constructions (not oracle-checkable; driven by tests).
+# ---------------------------------------------------------------------------
+def stream_tumbling_counts(events_stream: DataFrame) -> DataFrame:
+    """readStream → watermark → tumbling agg. Late events beyond 15 min
+    are dropped; state for closed windows is evicted — bounded state at
+    any scale."""
+    return (
+        events_stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Native session windows under watermark."""
+    return (
+        events_stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def stream_dedup(events_stream: DataFrame) -> DataFrame:
+    """Stateful exact dedup by event_id under watermark — state is
+    evicted once the watermark passes, keeping memory bounded on an
+    unbounded stream."""
+    return events_stream.withWatermark("ts", "15 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
