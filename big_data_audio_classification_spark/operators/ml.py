@@ -1,0 +1,365 @@
+"""Reference-parity ML pipeline operators, re-expressed Spark-first.
+
+Reference mapping (SURVEY §2.A):
+* R21 PCA(k=4): sklearn PCA at ``/root/reference/src/voice_classifier.py:54,121-123``
+  → ``StandardScaler(withMean=True)`` + ``pyspark.ml.feature.PCA`` (MLlib
+  PCA does not mean-center; the scaler restores sklearn parity).
+* R26 mutual-information feature scoring: ``mutual_info_classif`` at
+  ``voice_classifier.py:150-153`` → discretize + plug-in MI estimate as
+  pure DataFrame aggregates (fully oracle-checkable here).
+* R28 label encoding: ``LabelEncoder`` (alphabetical) at
+  ``voice_classifier.py:173-174`` → ``StringIndexer(stringOrderType=
+  "alphabetAsc")`` (the default frequencyDesc would break parity).
+* R31 seeded split: ``train_test_split(random_state=42)`` at ``:187-188``
+  → ``randomSplit(seed=42)``; split membership differs by RNG, so checks
+  are statistical (rows-only + tests), never row-wise.
+* R35/R36 CNN training: over a length-2 feature "sequence" the Conv1D
+  stack degenerates to an MLP → ``MultilayerPerceptronClassifier``
+  (documented divergence, SURVEY §7 hard parts).
+* R44/R45/R46 confusion matrix / per-class PRF / argmax:
+  ``voice_classifier.py:321-332,343-347`` → groupBy().pivot(), agg
+  arithmetic, and array argmax — all oracle-checkable.
+
+Scale notes: MLlib PCA computes the Gramian with a tree-aggregate (one
+pass, no N×N materialization); StringIndexer's label inventory is a
+distinct-agg; MI is two groupBys over binned data. The only local-memory
+object is the k×k covariance / label dictionary — all fine at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.functions.vector import to_double
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+MI_BINS = 8
+MI_DIMS = 4  # score the first 4 embedding dimensions (R26 scores 4 PCs)
+
+
+@query(
+    "ml_label_encode",
+    oracle="""
+        WITH codes AS (
+            SELECT lang, DENSE_RANK() OVER (ORDER BY lang) - 1 AS lang_code
+            FROM (SELECT DISTINCT lang FROM documents)
+        )
+        SELECT d.doc_id, d.lang, c.lang_code
+        FROM documents d JOIN codes c ON d.lang = c.lang
+    """,
+    tags=("ml", "encoding"),
+)
+def ml_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R28: StringIndexer(alphabetAsc) ≡ sklearn LabelEncoder's
+    alphabetical codes; oracle reproduces via DENSE_RANK."""
+    from pyspark.ml.feature import StringIndexer
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = StringIndexer(
+        inputCol="lang", outputCol="lang_code_d", stringOrderType="alphabetAsc"
+    )
+    out = idx.fit(d).transform(d)
+    return out.select(
+        "doc_id", "lang", F.col("lang_code_d").cast("bigint").alias("lang_code")
+    )
+
+
+@query(
+    "ml_confusion_matrix",
+    oracle="""
+        SELECT label,
+               COUNT(CASE WHEN vec_id % 3 = 0 THEN 1 END) AS pred_0,
+               COUNT(CASE WHEN vec_id % 3 = 1 THEN 1 END) AS pred_1,
+               COUNT(CASE WHEN vec_id % 3 = 2 THEN 1 END) AS pred_2
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("ml", "report"),
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R44 confusion-matrix pivot (voice_classifier.py:321-323) with a
+    deterministic stand-in predictor so the oracle can reproduce it;
+    the trained-model variant is ml_mlp_train_eval (rows-only)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return (
+        em.select("label", F.pmod("vec_id", F.lit(3)).alias("pred"))
+        .groupBy("label")
+        .pivot("pred", [0, 1, 2])
+        .count()
+        .na.fill(0)
+        .select(
+            "label",
+            F.col("0").alias("pred_0"),
+            F.col("1").alias("pred_1"),
+            F.col("2").alias("pred_2"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "ml_classification_report",
+    oracle="""
+        WITH p AS (SELECT label AS truth, vec_id % 3 AS pred FROM embeddings),
+        cls AS (SELECT DISTINCT truth AS class FROM p),
+        stats AS (
+            SELECT class,
+                   (SELECT COUNT(*) FROM p WHERE truth = class AND pred = class) AS tp,
+                   (SELECT COUNT(*) FROM p WHERE pred = class AND truth <> class) AS fp,
+                   (SELECT COUNT(*) FROM p WHERE truth = class AND pred <> class) AS fn
+            FROM cls
+        )
+        SELECT class,
+               ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+               ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+               ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 6) AS f1,
+               tp + fn AS support
+        FROM stats
+        ORDER BY class
+    """,
+    tags=("ml", "report"),
+)
+def ml_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R45 per-class precision/recall/F1/support as pure aggregates
+    (voice_classifier.py:328-332) — no sklearn, one pass over the
+    prediction table + a tiny per-class reduce."""
+    em = load_table(spark, sf_dir, "embeddings")
+    p = em.select(
+        F.col("label").alias("truth"), F.pmod("vec_id", F.lit(3)).alias("pred")
+    )
+    per_class = p.groupBy(F.col("truth").alias("class")).agg(
+        F.sum(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0)).alias("tp"),
+        F.count(F.lit(1)).alias("support"),
+    )
+    pred_counts = p.groupBy(F.col("pred").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = per_class.join(pred_counts, "class", "left").na.fill({"n_pred": 0})
+    tp = F.col("tp").cast("double")
+    fp = (F.col("n_pred") - F.col("tp")).cast("double")
+    fn = (F.col("support") - F.col("tp")).cast("double")
+    return j.select(
+        "class",
+        F.round(tp / F.nullif(tp + fp, F.lit(0.0)), 6).alias("precision"),
+        F.round(tp / F.nullif(tp + fn, F.lit(0.0)), 6).alias("recall"),
+        F.round(2 * tp / F.nullif(2 * tp + fp + fn, F.lit(0.0)), 6).alias("f1"),
+        F.col("support"),
+    ).orderBy("class")
+
+
+def _mi_sql() -> str:
+    dims = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(MI_DIMS)
+    )
+    per_dim = "\n            UNION ALL\n            ".join(
+        f"SELECT {i} AS dim, x{i} AS x, label FROM base" for i in range(MI_DIMS)
+    )
+    return f"""
+        WITH base AS (SELECT {dims}, label FROM embeddings),
+        long AS (
+            {per_dim}
+        ),
+        edges AS (
+            SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM long GROUP BY dim
+        ),
+        binned AS (
+            SELECT l.dim, l.label,
+                   LEAST(CAST(FLOOR((l.x - e.lo) / ((e.hi - e.lo) / {MI_BINS})) AS BIGINT),
+                         {MI_BINS - 1}) AS bin
+            FROM long l JOIN edges e ON l.dim = e.dim
+        ),
+        joint AS (SELECT dim, bin, label, COUNT(*) AS n_bl FROM binned GROUP BY 1, 2, 3),
+        margx AS (SELECT dim, bin, SUM(n_bl) AS n_b FROM joint GROUP BY 1, 2),
+        margy AS (SELECT dim, label, SUM(n_bl) AS n_l FROM joint GROUP BY 1, 2),
+        tot  AS (SELECT dim, SUM(n_bl) AS n FROM joint GROUP BY 1)
+        SELECT j.dim,
+               ROUND(SUM((CAST(n_bl AS DOUBLE) / n)
+                         * LN(CAST(n_bl AS DOUBLE) * n
+                              / (CAST(n_b AS DOUBLE) * CAST(n_l AS DOUBLE)))), 6) AS mi
+        FROM joint j
+        JOIN margx USING (dim, bin)
+        JOIN margy USING (dim, label)
+        JOIN tot USING (dim)
+        GROUP BY j.dim
+        ORDER BY j.dim
+    """
+
+
+@query("ml_mutual_information", oracle=_mi_sql(), tags=("ml", "feature-selection"))
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26 mutual-information feature scoring (voice_classifier.py:150-153)
+    as a plug-in estimator over equal-width bins: MI(dim; label) =
+    Σ p(b,l)·ln(p(b,l)/(p(b)p(l))). The sklearn k-NN estimator is not
+    reproducible distributively; the binned plug-in is (documented
+    divergence, SURVEY §7) — and is exactly SQL-checkable.
+    Shape: unpivot dims → global min/max per dim (tiny agg, broadcast
+    back) → bin → three groupBys. All shuffles carry bin counts only."""
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.select(
+        "label",
+        *[
+            F.element_at(to_double(F.col("embedding")), i + 1).alias(f"x{i}")
+            for i in range(MI_DIMS)
+        ],
+    )
+    long = base.unpivot(
+        ids=["label"],
+        values=[f"x{i}" for i in range(MI_DIMS)],
+        variableColumnName="dim_name",
+        valueColumnName="x",
+    ).select(
+        F.substring("dim_name", 2, 10).cast("int").alias("dim"), "label", "x"
+    )
+    edges = long.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = long.join(F.broadcast(edges), "dim").select(
+        "dim",
+        "label",
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / MI_BINS))
+            .cast("bigint"),
+            F.lit(MI_BINS - 1),
+        ).alias("bin"),
+    )
+    joint = binned.groupBy("dim", "bin", "label").agg(F.count(F.lit(1)).alias("n_bl"))
+    margx = joint.groupBy("dim", "bin").agg(F.sum("n_bl").alias("n_b"))
+    margy = joint.groupBy("dim", "label").agg(F.sum("n_bl").alias("n_l"))
+    tot = joint.groupBy("dim").agg(F.sum("n_bl").alias("n"))
+    j = (
+        joint.join(margx, ["dim", "bin"])
+        .join(margy, ["dim", "label"])
+        .join(tot, ["dim"])
+    )
+    p_bl = F.col("n_bl").cast("double") / F.col("n")
+    term = p_bl * F.log(
+        F.col("n_bl").cast("double") * F.col("n")
+        / (F.col("n_b").cast("double") * F.col("n_l").cast("double"))
+    )
+    return (
+        j.groupBy("dim").agg(F.round(F.sum(term), 6).alias("mi")).orderBy("dim")
+    )
+
+
+@query(
+    "ml_best_feature_by_mi",
+    oracle=f"""
+        WITH mi AS ({_mi_sql()})
+        SELECT dim AS best_dim FROM mi
+        ORDER BY mi DESC, dim
+        LIMIT 1
+    """,
+    tags=("ml", "feature-selection"),
+)
+def ml_best_feature_by_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26's argmax selection (``index(max(...))``,
+    voice_classifier.py:153): sort-limit-1 over the MI score table."""
+    mi = ml_mutual_information(spark, sf_dir)
+    return (
+        mi.orderBy(F.col("mi").desc(), F.col("dim"))
+        .limit(1)
+        .select(F.col("dim").alias("best_dim"))
+    )
+
+
+@query(
+    "ml_argmax_probability",
+    oracle="""
+        SELECT vec_id,
+               CAST(list_position(probs, list_max(probs)) - 1 AS BIGINT) AS pred
+        FROM (SELECT vec_id,
+                     list_transform(embedding[1:3], x -> ABS(CAST(x AS DOUBLE))) AS probs
+              FROM embeddings)
+    """,
+    tags=("ml", "inference"),
+)
+def ml_argmax_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R46 argmax over a probability-like vector
+    (``np.argmax``, voice_classifier.py:343-347) as pure array ops:
+    array_position(arr, array_max(arr)) - 1."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probs = F.transform(
+        F.slice(F.col("embedding"), 1, 3), lambda x: F.abs(x.cast("double"))
+    )
+    return em.select(
+        "vec_id",
+        (F.array_position(probs, F.array_max(probs)) - 1).cast("bigint").alias("pred"),
+    )
+
+
+@query("ml_pca_embeddings", oracle=None, tags=("ml", "pca", "mllib"))
+def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21: mean-centered PCA(k=4) over embeddings.
+    StandardScaler(withMean=True, withStd=False) + PCA reproduces
+    sklearn's centering semantics (MLlib PCA alone does not center —
+    SURVEY §2.A R21 caveat). Rows-only: component signs are
+    basis-indeterminate. Numeric parity vs a numpy SVD oracle is
+    asserted sign-invariantly in tests/test_ml.py."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, StandardScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(to_double(F.col("embedding"))).alias("raw")
+    )
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(
+                inputCol="raw", outputCol="centered", withMean=True, withStd=False
+            ),
+            PCA(k=4, inputCol="centered", outputCol="pc"),
+        ]
+    )
+    out = pipe.fit(em).transform(em)
+    pc = vector_to_array("pc")
+    return out.select(
+        "vec_id",
+        "label",
+        *[F.round(F.element_at(pc, i + 1), 6).alias(f"pc{i}") for i in range(4)],
+    )
+
+
+@query("ml_train_test_split", oracle=None, tags=("ml", "split"))
+def ml_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R31: seeded 80/20 randomSplit. Split membership necessarily
+    differs from sklearn's RNG → statistical contract only: per-split
+    counts and per-label balance (asserted in tests/test_ml.py)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    train, test = em.randomSplit([0.8, 0.2], seed=42)
+    return (
+        train.select(F.lit("train").alias("split"), "label")
+        .union(test.select(F.lit("test").alias("split"), "label"))
+        .groupBy("split", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("ml_mlp_train_eval", oracle=None, tags=("ml", "train", "mllib"))
+def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R35/R36 stand-in: MultilayerPerceptronClassifier on the embedding
+    features (Conv1D over a length-2 sequence ≡ MLP — SURVEY §2.A R35).
+    Returns holdout accuracy + logloss (R37's evaluate). Rows-only:
+    training is iterative/seeded, not SQL-expressible."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(to_double(F.col("embedding"))).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    dim = len(em.first()["features"])
+    n_classes = em.select("label").distinct().count()
+    train, test = em.randomSplit([0.8, 0.2], seed=42)
+    mlp = MultilayerPerceptronClassifier(
+        layers=[dim, 32, n_classes], maxIter=60, seed=42, blockSize=64
+    )
+    model = mlp.fit(train)
+    preds = model.transform(test)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(preds)
+    ll = MulticlassClassificationEvaluator(metricName="logLoss").evaluate(preds)
+    return spark.createDataFrame(
+        [(round(acc, 4), round(ll, 4), train.count(), test.count())],
+        "accuracy double, logloss double, n_train long, n_test long",
+    )

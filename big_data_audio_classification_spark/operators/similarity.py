@@ -1,0 +1,211 @@
+"""Similarity search over the ``embeddings`` table (mandated surface,
+SURVEY §2.B): brute-force cosine top-k (exact baseline), IVF-style
+coarse quantization (the scale path), and MLlib LSH variants
+(BucketedRandomProjection for cosine/L2, MinHashLSH for Jaccard).
+
+Scale notes:
+* Brute force is O(Q×N) — correct baseline and oracle-checkable; viable
+  at 100 TB only when Q is small and broadcast (which is exactly how
+  it's written: queries broadcast, candidates streamed, per-query top-k
+  via window).
+* IVF: assign every vector to its nearest coarse centroid (broadcast
+  centroids), then search only within the probed cell — the N in
+  O(Q×N) drops by the cell count. Assignment is a map-only stage.
+* MLlib LSH: hash-bucket join (``approxSimilarityJoin``) — the fully
+  distributed ANN path; rows-only check (MLlib's random hyperplanes are
+  seed-dependent engine internals).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_audio_classification_spark.functions.vector import (
+    cosine,
+    l2_dist_sq,
+    to_double,
+)
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 10
+IVF_CELLS = 8  # vec_id < 8 are the demo coarse centroids
+
+_SQL_COSINE = """
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (SQRT(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(list_sum(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_SQL_COSINE}, 6) AS cos_sim
+            FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "embeddings"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set, stream
+    candidates, per-query top-k via window. The exact baseline every
+    ANN variant is measured against."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = em.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(to_double(F.col("q_emb")), to_double(F.col("embedding"))), 6)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+@query(
+    "sim_ivf_assign",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+                   WHERE vec_id < {IVF_CELLS}),
+        d AS (
+            SELECT b.vec_id, a.cell_id,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+            FROM c a CROSS JOIN embeddings b
+        )
+        SELECT vec_id, cell_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cell_id) AS rn FROM d)
+        WHERE rn = 1
+    """,
+    tags=("similarity", "embeddings", "ivf"),
+)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid assignment (broadcast
+    centroids, map-only scoring, argmin via window). Downstream ANN
+    probes only matching cells — the O(N)→O(N/cells) scale move."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
+    scored = em.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+
+
+@query(
+    "sim_neardup_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_SQL_COSINE}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.label = b.label
+          AND ROUND({_SQL_COSINE}, 6) >= 0.25
+    """,
+    tags=("similarity", "dedup", "embeddings"),
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (at scale
+    the block key is an LSH bucket; the verify stage is identical)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.alias("a")
+    b = em.alias("b")
+    cs = F.round(
+        cosine(to_double(F.col("a.embedding")), to_double(F.col("b.embedding"))), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cs.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+
+
+@query("sim_brp_lsh_ann", oracle=None, tags=("similarity", "lsh", "mllib"))
+def sim_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH approx nearest neighbors — the
+    distributed ANN path. Rows-only (hyperplanes are seeded MLlib
+    internals). Returns neighbors of query vec_id=0 within L2 radius."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(to_double(F.col("embedding"))).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = brp.fit(em)
+    key = em.filter(F.col("vec_id") == 0).first()["features"]
+    out = model.approxNearestNeighbors(em, key, TOP_K + 1)
+    return out.select(
+        "vec_id", F.round(F.col("distCol"), 6).alias("l2_dist")
+    ).filter(F.col("vec_id") != 0)
+
+
+@query("sim_minhash_mllib_join", oracle=None, tags=("similarity", "lsh", "mllib", "documents"))
+def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH approxSimilarityJoin over token sets — the
+    built-in near-dup join surface (rows-only; MLlib hash seeds).
+    Complements the portable hand-rolled MinHash in operators/dedup.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from big_data_audio_classification_spark.operators.dedup import tokens_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 16, binary=True)
+    feat = tf.transform(d)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )

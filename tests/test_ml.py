@@ -1,0 +1,74 @@
+"""Golden-parity and statistical tests for the ML operators (SURVEY §5.2
+items 2 and 4). sklearn is unavailable in this container, so oracles are
+pure numpy (same math sklearn uses: centered SVD for PCA)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators import ml
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_pca_matches_numpy_svd_sign_invariant(spark, sf_dir):
+    """R21 parity: Spark StandardScaler+PCA == numpy centered SVD up to
+    per-component sign (SURVEY §7: sign-indeterminate comparison)."""
+    out = ml.ml_pca_embeddings(spark, sf_dir).orderBy("vec_id").collect()
+    em = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in em], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    # principal axes = right singular vectors of the centered matrix
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    expected = Xc @ vt[:4].T
+    got = np.array([[r[f"pc{i}"] for i in range(4)] for r in out])
+    for comp in range(4):
+        same = np.allclose(got[:, comp], expected[:, comp], atol=1e-4)
+        flipped = np.allclose(got[:, comp], -expected[:, comp], atol=1e-4)
+        assert same or flipped, f"component {comp} mismatch beyond sign"
+
+
+def test_label_encode_alphabetical(spark, sf_dir):
+    """R28 parity: codes are 0..k-1 in alphabetical label order."""
+    rows = ml.ml_label_encode(spark, sf_dir).select("lang", "lang_code").distinct().collect()
+    mapping = {r.lang: r.lang_code for r in rows}
+    assert mapping == {la: i for i, la in enumerate(sorted(mapping))}
+
+
+def test_split_statistics(spark, sf_dir):
+    """R31: seeded split is ~80/20 and label-balanced (statistical, not
+    row-wise — SURVEY §5.2 item 4)."""
+    rows = ml.ml_train_test_split(spark, sf_dir).collect()
+    n_train = sum(r.n for r in rows if r.split == "train")
+    n_test = sum(r.n for r in rows if r.split == "test")
+    frac = n_train / (n_train + n_test)
+    assert 0.72 <= frac <= 0.88
+    # determinism: same seed, same split
+    rows2 = ml.ml_train_test_split(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_mutual_information_nonnegative_and_bounded(spark, sf_dir):
+    """MI is ≥ 0 and ≤ ln(min(bins, classes)) by definition."""
+    em = load_table(spark, sf_dir, "embeddings")
+    n_classes = em.select("label").distinct().count()
+    bound = float(np.log(min(ml.MI_BINS, n_classes))) + 1e-9
+    for r in ml.ml_mutual_information(spark, sf_dir).collect():
+        assert -1e-9 <= r.mi <= bound
+
+
+def test_confusion_matrix_row_sums(spark, sf_dir):
+    """Confusion rows sum to per-class support."""
+    cm = ml.ml_confusion_matrix(spark, sf_dir).collect()
+    em = load_table(spark, sf_dir, "embeddings")
+    support = {r.label: r.n for r in em.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    for r in cm:
+        assert r.pred_0 + r.pred_1 + r.pred_2 == support[r.label]
+
+
+def test_report_f1_consistency(spark, sf_dir):
+    """f1 == harmonic mean of reported precision/recall."""
+    for r in ml.ml_classification_report(spark, sf_dir).collect():
+        if r.precision and r.recall and (r.precision + r.recall) > 0:
+            f1 = 2 * r.precision * r.recall / (r.precision + r.recall)
+            assert abs(f1 - r.f1) < 1e-4

@@ -1,0 +1,52 @@
+"""Scale-design assertions: the physical plans Catalyst produces are the
+plans we want at 100 TB (pushdown, pruning, broadcast, no Python UDFs in
+relational paths)."""
+
+from __future__ import annotations
+
+from big_data_audio_classification_spark.operators import relational, scalars
+from big_data_audio_classification_spark.plans import introspect
+
+
+def test_filters_pushed_to_parquet_scan(spark, sf_dir):
+    df = relational.filter_predicates(spark, sf_dir)
+    assert introspect.has_pushed_filters(df)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = relational.filter_like_null(spark, sf_dir)
+    cols = introspect.pruned_columns(df)
+    # only the 4 referenced columns are read, not all 5 customer columns
+    assert set(cols) == {"c_custkey", "c_name", "c_mktsegment", "c_acctbal"}
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = relational.join_inner_revenue_by_nation(spark, sf_dir)
+    assert introspect.uses_broadcast_join(df)
+
+
+def test_range_join_is_broadcast_nlj(spark, sf_dir):
+    df = relational.join_range_bands(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in introspect.formatted_plan(df)
+
+
+def test_no_python_udf_in_relational_plans(spark, sf_dir):
+    for fn in [
+        relational.pricing_summary,
+        relational.join_inner_revenue_by_nation,
+        scalars.array_embedding_stats,
+        scalars.scalar_math_functions,
+    ]:
+        df = fn(spark, sf_dir)
+        assert not introspect.has_python_udf(df), f"{fn.__name__} fell to Python"
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir):
+    # AQE re-plans at runtime and reports 0 codegen subtrees statically;
+    # inspect the non-adaptive plan to assert the codegen pipeline shape.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = relational.pricing_summary(spark, sf_dir)
+        assert introspect.codegen_stage_count(df) >= 2  # scan+partial agg, final agg
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

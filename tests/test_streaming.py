@@ -1,0 +1,97 @@
+"""Structured Streaming tests: the true streaming path (readStream →
+watermark → windowed agg / stateful dedup → memory sink), which the
+batch oracle cannot score (SURVEY §5.2: non-SQL-expressible ops get
+engine-side tests instead)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.streaming.events import (
+    stream_dedup,
+    stream_sessionize,
+    stream_tumbling_counts,
+)
+
+BASE = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _event_rows():
+    rows = []
+    for i in range(100):
+        rows.append(
+            (
+                i,
+                BASE + timedelta(minutes=i % 50),
+                i % 7,
+                ["click", "view", "error"][i % 3],
+                float(i),
+                '{"k": %d}' % i,
+            )
+        )
+    # duplicate event ids to exercise dedup
+    rows += rows[:10]
+    return rows
+
+
+def _run_to_completion(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup_sink" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(60):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    return q
+
+
+def _memory_stream(spark, tmp_path):
+    """File-based streaming source over a one-batch parquet drop."""
+    rows = _event_rows()
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events_stream")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def test_stream_tumbling_counts(spark, tmp_path):
+    src = _memory_stream(spark, tmp_path)
+    _run_to_completion(stream_tumbling_counts(src), "tumbling_sink")
+    out = spark.sql("select * from tumbling_sink").collect()
+    assert len(out) > 0
+    # total event count preserved across windows
+    assert sum(r.n for r in out) == 110
+
+
+def test_stream_dedup_removes_duplicate_ids(spark, tmp_path):
+    src = _memory_stream(spark, tmp_path)
+    q = (
+        stream_dedup(src)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_sink").collect()
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids)) == 100  # 110 in, 100 unique out
+
+
+def test_stream_sessionize(spark, tmp_path):
+    src = _memory_stream(spark, tmp_path)
+    _run_to_completion(stream_sessionize(src), "session_sink")
+    out = spark.sql("select * from session_sink").collect()
+    assert len(out) > 0
+    assert sum(r.n_events for r in out) == 110
