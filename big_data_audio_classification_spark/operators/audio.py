@@ -1,0 +1,221 @@
+"""Distributed audio feature extraction (SURVEY §2.A R12–R15, M5).
+
+The reference loads a whole mp3 into one numpy array and calls librosa
+(``/root/reference/src/voice_classifier.py:80-83``). Neither fits 100 TB:
+here the waveform is processed in **overlap-aware chunks** — each task
+computes STFT frames for its own hop-aligned sample range plus
+``n_fft − hop`` samples of overlap, so frame outputs tile exactly with no
+cross-chunk shuffle (the hard part flagged in SURVEY §7).
+
+librosa is not available in this container; the mel transform is
+implemented in pure numpy inside an Arrow-batched ``mapInPandas``
+(identical math: Hann window → |rfft|² → HTK mel filterbank). Divergence
+from librosa defaults: ``center=False`` (no reflect padding) — padding
+would couple chunk boundaries; documented per SURVEY §7.
+
+Test corpus: deterministic synthetic waveforms (FIXTURES.md A4 — "no TTS
+dependency in tests"): each recording is a two-harmonic sine keyed by
+speaker, so any chunk task can generate exactly its sample range from
+(rec_id, sample_index) alone — the generation stage is embarrassingly
+parallel and drift-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+
+SR = 22050          # reference: librosa.load default, voice_classifier.py:80
+N_FFT = 2048        # librosa melspectrogram default
+HOP = 512           # librosa default
+N_MELS = 20         # voice_classifier.py:82
+FMAX = 8000.0       # voice_classifier.py:82
+FRAMES_PER_CHUNK = 64
+DB_FLOOR = -80.0    # librosa power_to_db top_db default
+
+
+def hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+def mel_filterbank(sr: int = SR, n_fft: int = N_FFT, n_mels: int = N_MELS,
+                   fmax: float = FMAX) -> np.ndarray:
+    """(n_mels, 1 + n_fft/2) triangular HTK-mel filterbank."""
+    fft_freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    mel_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    fb = np.zeros((n_mels, len(fft_freqs)))
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (fft_freqs - lo) / (ctr - lo)
+        down = (hi - fft_freqs) / (hi - ctr)
+        fb[m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def synth_samples(rec_id: int, start: int, count: int, sr: int = SR) -> np.ndarray:
+    """Deterministic waveform samples [start, start+count) of recording
+    ``rec_id``: two-harmonic sine, fundamental keyed by rec parity
+    (Male/Female alternation, data_generator.py:18)."""
+    f0 = 110.0 if rec_id % 2 == 0 else 220.0
+    t = (np.arange(start, start + count, dtype=np.float64)) / sr
+    return np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
+
+
+def mel_frames_of(samples: np.ndarray, fb: np.ndarray,
+                  n_fft: int = N_FFT, hop: int = HOP) -> np.ndarray:
+    """(n_frames, n_mels) mel power for every complete n_fft window at
+    hop intervals within ``samples`` (center=False)."""
+    n_frames = max(0, (len(samples) - n_fft) // hop + 1)
+    if n_frames == 0:
+        return np.zeros((0, fb.shape[0]))
+    window = np.hanning(n_fft + 1)[:-1]
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(samples[idx] * window, axis=1)) ** 2
+    return spec @ fb.T
+
+
+def recordings(spark: SparkSession, n_recordings: int = 8,
+               seconds: float = 3.0) -> DataFrame:
+    """Recording catalog: (rec_id, speaker, n_samples)."""
+    return spark.range(n_recordings).select(
+        F.col("id").alias("rec_id"),
+        F.when(F.pmod("id", F.lit(2)) == 0, "Male").otherwise("Female").alias("speaker"),
+        F.lit(int(seconds * SR)).alias("n_samples"),
+    )
+
+
+def chunk_grid(recs: DataFrame) -> DataFrame:
+    """Explode each recording into hop-aligned chunk descriptors.
+    chunk k owns global frames [k·FPC, (k+1)·FPC); it needs samples
+    [k·FPC·hop, k·FPC·hop + (FPC−1)·hop + n_fft) — the trailing
+    ``n_fft − hop`` samples overlap the next chunk."""
+    chunk_span = FRAMES_PER_CHUNK * HOP
+    n_frames = (F.col("n_samples") - N_FFT) / HOP + 1
+    n_chunks = F.ceil(n_frames / FRAMES_PER_CHUNK).cast("long")
+    return recs.select(
+        "rec_id",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "rec_id",
+        "chunk_id",
+        (F.col("chunk_id") * chunk_span).alias("start_sample"),
+        "n_samples",
+    )
+
+
+_MEL_SCHEMA = "rec_id long, frame_id long, mel array<double>"
+
+
+def mel_frames_distributed(recs: DataFrame) -> DataFrame:
+    """R14 as a distributed plan: chunk grid → Arrow-batched mapInPandas
+    computing each chunk's frames independently. No shuffle anywhere —
+    the chunk grid is map-side, generation is deterministic per sample
+    range, and frame ids are globally consistent by construction."""
+    fb = mel_filterbank()
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rec, out_frame, out_mel = [], [], []
+            for rec_id, chunk_id, start, n_samples in zip(
+                pdf["rec_id"], pdf["chunk_id"], pdf["start_sample"], pdf["n_samples"]
+            ):
+                need = (FRAMES_PER_CHUNK - 1) * HOP + N_FFT
+                count = min(need, n_samples - start)
+                if count < N_FFT:
+                    continue
+                samples = synth_samples(int(rec_id), int(start), int(count))
+                mel = mel_frames_of(samples, fb)
+                base = int(chunk_id) * FRAMES_PER_CHUNK
+                for j in range(mel.shape[0]):
+                    out_rec.append(int(rec_id))
+                    out_frame.append(base + j)
+                    out_mel.append(mel[j])
+            yield pd.DataFrame(
+                {"rec_id": out_rec, "frame_id": out_frame, "mel": out_mel}
+            )
+
+    return chunk_grid(recs).mapInPandas(compute, schema=_MEL_SCHEMA)
+
+
+def power_to_db(mel_df: DataFrame) -> DataFrame:
+    """R15: two-pass global-max dB conversion over the mel column
+    (agg → broadcast → elementwise), floor −80 dB."""
+    gmax = mel_df.select(
+        F.max(F.array_max("mel")).alias("maxp")
+    )
+    db = F.transform(
+        F.col("mel"),
+        lambda p: F.greatest(
+            10.0 * F.log10(p / F.col("maxp")), F.lit(DB_FLOOR)
+        ),
+    )
+    return mel_df.crossJoin(F.broadcast(gmax)).select(
+        "rec_id", "frame_id", db.alias("mel_db")
+    )
+
+
+@query("audio_mel_pipeline", oracle=None, tags=("audio", "mapInPandas"))
+def audio_mel_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end R12→R15: synthetic recordings → overlap-chunked mel
+    extraction → global-max dB → per-recording frame stats. Rows-only
+    (the STFT is not SQL-expressible); numeric correctness is asserted
+    against a single-pass numpy oracle in tests/test_audio.py."""
+    recs = recordings(spark)
+    db = power_to_db(mel_frames_distributed(recs))
+    energy = F.aggregate(F.col("mel_db"), F.lit(0.0), lambda a, x: a + x)
+    return (
+        db.select("rec_id", "frame_id", energy.alias("frame_energy"))
+        .groupBy("rec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.avg("frame_energy"), 4).alias("avg_energy"),
+            F.round(F.max("frame_energy"), 4).alias("max_energy"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+@query(
+    "audio_duration_and_concat",
+    oracle=None,
+    tags=("audio", "window"),
+)
+def audio_duration_and_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7/R13 audio side: per-recording duration (size/sr) and the
+    running concatenated-duration ledger the generator writes
+    (data_generator.py:20-21). The audio-bytes concat itself is ordered
+    collect_list+flatten in the single-recording case; here only the
+    scalar ledger is materialized (blob concat exercised in tests)."""
+    from pyspark.sql import Window
+
+    recs = recordings(spark)
+    w = Window.orderBy("rec_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dur = (F.col("n_samples") / SR)
+    return recs.select(
+        "rec_id",
+        "speaker",
+        F.round(dur, 3).alias("dur_sec"),
+        F.round(F.sum(dur).over(w), 3).alias("cum_sec"),
+    )
+
+
+def expected_mel_single_pass(rec_id: int, n_samples: int) -> np.ndarray:
+    """Test oracle: single-pass (non-chunked) mel over the full waveform
+    — what the reference computes in one numpy call."""
+    return mel_frames_of(synth_samples(rec_id, 0, n_samples), mel_filterbank())
+
+
+def total_frames(n_samples: int) -> int:
+    return (n_samples - N_FFT) // HOP + 1

@@ -1,0 +1,141 @@
+"""Multimodal columns (mandated surface, SURVEY §2.B): media as opaque
+``binary`` columns with typed metadata, plus the decode / feature-extract
+plumbing as Arrow-batched pandas UDF stages.
+
+The container has no image/audio codec libraries, so the decode kernel is
+STUBBED (deterministic fake behind an import-try, per the mandate); the
+Spark-side plumbing — schema, batch shape, partitioning, UDF signature —
+is real and tested.
+
+Scale notes: blobs ride along as opaque bytes; every transformation is a
+map-only ``mapInPandas`` stage (no shuffle touches blob payloads). The
+metadata struct column lets Catalyst prune scans down to metadata-only
+reads when the blob isn't referenced (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+try:  # real decoders are not shipped in this container
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    _HAVE_CODECS = True
+except ImportError:
+    _HAVE_CODECS = False
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a multimodal table from documents: blob = utf-8 bytes of the
+    text (an opaque stand-in payload), metadata = typed struct. The shape
+    — not the payload — is the operator."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "utf-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        blob.alias("blob"),
+        F.struct(
+            F.length(blob).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_blob(batch: np.ndarray) -> np.ndarray:
+    """Decode kernel. With real codecs this would produce pixel/sample
+    arrays; here it raises unless stubbed (mandate: stub decode behind a
+    clearly-marked gate, keep the plumbing real)."""
+    if not _HAVE_CODECS:
+        raise NotImplementedError(
+            "media codecs not available in this container — use fake_decode"
+        )
+    raise NotImplementedError("real decode path reserved for codec-enabled builds")
+
+
+def fake_decode(blob: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in decoder: byte histogram folded to ``dim``
+    buckets, L1-normalized — a stable 'feature vector' per blob."""
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+_FEAT_SCHEMA = "media_id long, n_bytes int, feature array<double>"
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Decode + feature-extract as one Arrow-batched mapInPandas stage —
+    the exact plumbing a real image/audio featurizer uses (R12's decode
+    UDF shape, voice_classifier.py:80)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode(b, dim) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(b) for b in pdf["blob"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=_FEAT_SCHEMA)
+
+
+@query(
+    "mm_metadata_stats",
+    oracle="""
+        SELECT source AS origin,
+               COUNT(*)                              AS n_media,
+               SUM(octet_length(encode(text)))       AS total_bytes,
+               MIN(octet_length(encode(text)))       AS min_bytes,
+               MAX(octet_length(encode(text)))       AS max_bytes
+        FROM documents
+        GROUP BY source
+        ORDER BY origin
+    """,
+    tags=("multimodal",),
+)
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over the multimodal table: Catalyst prunes the
+    blob column entirely (struct-field pruning asserted in tests)."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy(F.col("meta.origin").alias("origin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.min("meta.n_bytes").alias("min_bytes"),
+            F.max("meta.n_bytes").alias("max_bytes"),
+        )
+        .orderBy("origin")
+    )
+
+
+@query("mm_feature_extract", oracle=None, tags=("multimodal", "mapInPandas"))
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob → feature-vector extraction (deterministic stub decoder):
+    per-origin mean feature norm. Rows-only; determinism + batch-shape
+    invariants are pytest-asserted."""
+    m = media_table(spark, sf_dir)
+    feats = extract_features(m)
+    sq = F.aggregate(F.col("feature"), F.lit(0.0), lambda a, x: a + x * x)
+    return (
+        feats.join(m.select("media_id", F.col("meta.origin").alias("origin")), "media_id")
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(sq), 6).alias("avg_sq_norm"),
+        )
+        .orderBy("origin")
+    )

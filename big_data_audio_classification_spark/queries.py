@@ -12,4 +12,7 @@ import big_data_audio_classification_spark.operators.dedup  # noqa: F401
 import big_data_audio_classification_spark.operators.text  # noqa: F401
 import big_data_audio_classification_spark.operators.similarity  # noqa: F401
 import big_data_audio_classification_spark.operators.ml  # noqa: F401
+import big_data_audio_classification_spark.operators.reference_pipeline  # noqa: F401
+import big_data_audio_classification_spark.operators.audio  # noqa: F401
+import big_data_audio_classification_spark.operators.multimodal  # noqa: F401
 import big_data_audio_classification_spark.streaming.events  # noqa: F401

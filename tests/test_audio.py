@@ -1,0 +1,90 @@
+"""Golden parity for the distributed audio layer: the overlap-chunked
+mapInPandas mel extraction must equal a single-pass numpy STFT over the
+full waveform (SURVEY §7: 'distributed overlap-chunked STFT correctness
+at chunk edges' is the named hard part)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators import audio, multimodal
+
+
+def test_chunked_mel_equals_single_pass(spark):
+    recs = audio.recordings(spark, n_recordings=2, seconds=2.0)
+    out = (
+        audio.mel_frames_distributed(recs)
+        .orderBy("rec_id", "frame_id")
+        .collect()
+    )
+    n_samples = int(2.0 * audio.SR)
+    for rec_id in (0, 1):
+        got = np.array([r.mel for r in out if r.rec_id == rec_id])
+        exp = audio.expected_mel_single_pass(rec_id, n_samples)
+        assert got.shape == exp.shape, f"rec {rec_id}: {got.shape} vs {exp.shape}"
+        assert np.allclose(got, exp, rtol=1e-10, atol=1e-10)
+
+
+def test_frame_count_matches_formula(spark):
+    recs = audio.recordings(spark, n_recordings=3, seconds=1.5)
+    n = int(1.5 * audio.SR)
+    per_rec = (
+        audio.mel_frames_distributed(recs)
+        .groupBy("rec_id")
+        .count()
+        .collect()
+    )
+    for r in per_rec:
+        assert r["count"] == audio.total_frames(n)
+
+
+def test_power_to_db_bounds_and_max(spark):
+    recs = audio.recordings(spark, n_recordings=2, seconds=1.0)
+    db = audio.power_to_db(audio.mel_frames_distributed(recs))
+    rows = db.select(
+        F.array_max("mel_db").alias("mx"), F.array_min("mel_db").alias("mn")
+    ).collect()
+    global_max = max(r.mx for r in rows)
+    assert abs(global_max) < 1e-9  # ref=max → peak is exactly 0 dB
+    assert all(r.mn >= audio.DB_FLOOR - 1e-9 for r in rows)
+
+
+def test_blob_concat_ordered(spark):
+    """R7 audio concat: ordered collect_list + flatten reassembles the
+    byte stream (single-group fan-in, data_generator.py:14,20)."""
+    rows = [(i, bytes([i] * 3)) for i in range(5)]
+    df = spark.createDataFrame(rows, "seq int, chunk binary")
+    out = (
+        df.orderBy("seq")
+        .agg(F.concat(*[]).alias("x") if False else F.collect_list("chunk").alias("chunks"))
+        .select(F.concat_ws("", F.transform("chunks", lambda c: F.base64(c))).alias("b64"))
+        .first()
+    )
+    import base64
+
+    expected = "".join(base64.b64encode(bytes([i] * 3)).decode() for i in range(5))
+    assert out.b64 == expected
+
+
+def test_fake_decode_deterministic_and_normalized():
+    f1 = multimodal.fake_decode(b"hello world")
+    f2 = multimodal.fake_decode(b"hello world")
+    assert np.array_equal(f1, f2)
+    assert abs(f1.sum() - 1.0) < 1e-12
+
+
+def test_feature_extract_batch_shape(spark, sf_dir):
+    m = multimodal.media_table(spark, sf_dir)
+    feats = multimodal.extract_features(m, dim=16)
+    rows = feats.limit(10).collect()
+    assert all(len(r.feature) == 16 for r in rows)
+    assert feats.count() == m.count()
+
+
+def test_real_decode_is_gated():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_blob(np.array([1, 2]))

@@ -1,0 +1,48 @@
+"""applyInPandasWithState custom stateful operator test."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+from big_data_audio_classification_spark.streaming.stateful import running_user_counters
+
+BASE = datetime(2024, 1, 1)
+
+
+def test_running_user_counters(spark, tmp_path):
+    rows = [
+        (i, BASE + timedelta(seconds=i), i % 3, "click", float(i), "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src_path = str(tmp_path / "stateful_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src_path)
+    stream = spark.readStream.schema(df.schema).parquet(src_path)
+
+    q = (
+        running_user_counters(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(60):
+        if not q.isActive:
+            break
+        time.sleep(1)
+
+    out = spark.sql(
+        "select user_id, max(n_events) as n, max(sum_value) as s from stateful_sink group by user_id"
+    ).collect()
+    got = {r.user_id: (r.n, r.s) for r in out}
+    expected = {}
+    for i in range(30):
+        n, s = expected.get(i % 3, (0, 0.0))
+        expected[i % 3] = (n + 1, s + float(i))
+    assert got == expected
