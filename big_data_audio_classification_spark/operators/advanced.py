@@ -1,0 +1,396 @@
+"""Advanced operator exemplars: as-of join, map-type functions, multiset
+ops, Python UDTF, pandas UDAF (GROUPED_AGG), grouped applyInPandas, file
+sinks, and partition-local sort.
+
+These close the SURVEY.md §2.B gaps the core modules don't cover. The
+reference has no analog for any of them (its only join is the nested-loop
+interval join at ``/root/reference/src/voice_classifier.py:126-134``);
+each is the idiomatic Spark construction of a capability the driver's
+table set exercises.
+
+Scale notes:
+* The as-of join uses the union + ordered-window carry-forward pattern —
+  one shuffle on the key, no row explosion. The naive alternative
+  (non-equi join then keep latest) multiplies rows before pruning and
+  dies at 100 TB when a hot key has millions of matches.
+* The pandas UDAF / applyInPandas exemplars keep Python off the hot path
+  for everything except the per-group kernel; Arrow batches both ways.
+* Sinks write partitioned parquet — at scale, `partitionBy` on a
+  low-cardinality column gives partition pruning to every downstream
+  reader. `sortWithinPartitions` feeds parquet row-group locality
+  without a global sort's range-exchange.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+# Scratch dir for sink round-trips (inside the repo, gitignored).
+_SCRATCH = "/root/repo/.scratch"
+
+
+# --------------------------------------------------------------------------
+# As-of (time-ordered) join: for each purchase event, the latest click by
+# the same user at-or-before the purchase timestamp.
+# --------------------------------------------------------------------------
+@query(
+    "join_asof_purchase_click",
+    oracle="""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id, ts
+                   FROM events WHERE event_type = 'click'),
+             j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+                          c.ts AS click_ts,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY p.purchase_id
+                              ORDER BY c.ts DESC, c.click_id DESC) AS rn
+                   FROM p LEFT JOIN c
+                     ON c.user_id = p.user_id AND c.ts <= p.ts)
+        SELECT purchase_id, user_id, click_id,
+               CAST(click_ts AS VARCHAR) AS click_ts
+        FROM j WHERE rn = 1
+    """,
+    tags=("relational", "join", "asof"),
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left as-of join via union + ordered-window carry-forward.
+
+    Tag both streams, union them, and carry the last-seen click forward
+    within each user's timeline; rows tagged as purchases then hold the
+    as-of match. One shuffle (partitionBy user), zero row explosion —
+    the scalable form of what DuckDB spells ``ASOF JOIN``. Ties at equal
+    ts sort clicks first (``<=`` semantics) then by event_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.col("event_id").alias("click_id_src"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("click_id_src"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("click_id_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "purchase_id",
+        "user_id",
+        F.last("click_id_src", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .cast("string")
+        .alias("click_ts"),
+        "is_click",
+    )
+    return carried.filter(F.col("is_click") == 0).select(
+        "purchase_id", "user_id", "click_id", "click_ts"
+    )
+
+
+# --------------------------------------------------------------------------
+# Map-type functions over events.props JSON.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_map_functions",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT)     AS k_value,
+               CAST(LEN(json_keys(props)) AS INT)                    AS n_keys,
+               ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',')     AS keys_sorted
+        FROM events
+    """,
+    tags=("scalar", "map", "events"),
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json → map, element_at, map_keys, size."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").cast("long").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset set-ops + union-by-name.
+# --------------------------------------------------------------------------
+@query(
+    "set_intersectall_flags",
+    oracle="""
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 25
+        INTERSECT ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.03
+    """,
+    tags=("relational", "setop"),
+)
+def set_intersectall_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiplicity-preserving intersection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") <= 25).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_discount") > 0.03).select("l_returnflag", "l_linestatus")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_exceptall_flags",
+    oracle="""
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 25
+        EXCEPT ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 10
+    """,
+    tags=("relational", "setop"),
+)
+def set_exceptall_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiplicity-preserving difference (per-value count
+    in the result = count(a) − count(b), here strictly positive)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") <= 25).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") <= 10).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+        SELECT c_custkey AS acct_key, c_acctbal AS balance, 'customer' AS side
+        FROM customer WHERE c_acctbal > 9000
+        UNION ALL BY NAME
+        SELECT 'supplier' AS side, s_acctbal AS balance, s_suppkey AS acct_key
+        FROM supplier WHERE s_acctbal > 9000
+    """,
+    tags=("relational", "setop"),
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName — position-independent union of differently-ordered
+    projections."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("acct_key"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("customer").alias("side"),
+    )
+    b = s.filter(F.col("s_acctbal") > 9000).select(
+        F.lit("supplier").alias("side"),
+        F.col("s_acctbal").alias("balance"),
+        F.col("s_suppkey").alias("acct_key"),
+    )
+    return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark ≥3.5): lateral table function splitting documents
+# into (pos, word) rows.
+# --------------------------------------------------------------------------
+@query(
+    "udtf_split_words",
+    oracle="""
+        SELECT doc_id,
+               UNNEST(string_split(text, ' '))                       AS word,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+        FROM documents
+        WHERE doc_id < 50
+    """,
+    tags=("udtf", "text", "documents"),
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join — one input row fans out to N rows.
+
+    Splits on single spaces (same semantics as DuckDB ``string_split``:
+    empty tokens preserved). At scale a UDTF runs Arrow-batched per
+    partition; for pure splitting prefer built-in posexplode(split()) —
+    this exemplar exists to exercise the UDTF surface itself.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield w, i + 1
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM udtf_docs_in d, LATERAL split_words(d.text) s
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Pandas UDAF (GROUPED_AGG): quantity-weighted average price per flag.
+# --------------------------------------------------------------------------
+@query(
+    "agg_pandas_udaf_weighted",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                   AS weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "udaf", "pandas"),
+)
+def agg_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — a custom aggregate with map-side Arrow
+    batching. (Expressible as SUM/SUM built-ins; registered to exercise
+    the UDAF surface.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+                "weighted_avg_price"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped applyInPandas: per-group z-score (population stddev).
+# --------------------------------------------------------------------------
+@query(
+    "grouped_zscore_applyinpandas",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                     / STDDEV_POP(o_totalprice) OVER w, 4) AS zscore
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus)
+    """,
+    tags=("udaf", "pandas", "grouped-map"),
+)
+def grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: whole-group pandas kernel per key.
+
+    NOTE: o_orderstatus has 3 values → 3 fat groups; fine here, but at
+    100 TB a grouped-map needs high-cardinality keys (or a window
+    function, which this one should be — see the oracle). Registered to
+    exercise the applyInPandas surface.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=0)
+        pdf = pdf.assign(zscore=((pdf["o_totalprice"] - mu) / sd).round(4))
+        return pdf[["o_orderkey", "o_orderstatus", "zscore"]]
+
+    return o.groupBy("o_orderstatus").applyInPandas(
+        zscore, schema="o_orderkey long, o_orderstatus string, zscore double"
+    )
+
+
+# --------------------------------------------------------------------------
+# File sinks: partitioned parquet round-trip, CSV round-trip.
+# --------------------------------------------------------------------------
+@query(
+    "sink_parquet_partitioned_roundtrip",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        WHERE l_quantity > 30
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sink", "parquet"),
+)
+def sink_parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write `partitionBy(l_returnflag)` parquet, read it back, aggregate.
+
+    The read-back scan gets partition pruning on l_returnflag for free —
+    the layout every 100 TB fact table should have on its hottest
+    filter column.
+    """
+    path = os.path.join(_SCRATCH, "sink_parquet_roundtrip")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
+    li.select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+    """,
+    tags=("sink", "csv"),
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header CSV sink + schema-declared CSV scan (R8/R16)."""
+    path = os.path.join(_SCRATCH, "sink_csv_roundtrip")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.csv(
+        path, header=True, schema="r_regionkey long, r_name string"
+    )
+
+
+# --------------------------------------------------------------------------
+# Partition-local sort: repartition by key + sortWithinPartitions.
+# --------------------------------------------------------------------------
+@query(
+    "repartition_sortwithin",
+    oracle="""
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS VARCHAR) AS od
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("relational", "sort", "partitioning"),
+)
+def repartition_sortwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition(key) + sortWithinPartitions — cluster-and-sort layout
+    without a global range exchange. Content equals the plain select
+    (the oracle compares order-insensitively); the point is the physical
+    layout: co-located keys, locally time-sorted — the write-side prep
+    for bucketed tables and merge-friendly parquet.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        o.repartition(8, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate")
+        .select(
+            "o_orderkey", "o_custkey", F.col("o_orderdate").cast("string").alias("od")
+        )
+    )
