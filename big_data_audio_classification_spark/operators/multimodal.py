@@ -5,7 +5,13 @@ plumbing as Arrow-batched pandas UDF stages.
 The container has no image/audio codec libraries, so the decode kernel is
 STUBBED (deterministic fake behind an import-try, per the mandate); the
 Spark-side plumbing — schema, batch shape, partitioning, UDF signature —
-is real and tested.
+is real and tested. The same gate covers the reference's side-effecting
+media codecs: R4 TTS synthesis (``/root/reference/src/tts.py:4-16``) and
+R9 resample+encode sink (``/root/reference/src/data_generator.py:26-27``)
+would be ``mapInPandas`` stages exactly shaped like ``extract_features``
+below, with pyttsx3/ffmpeg inside the kernel (peripheral per SURVEY §2.A;
+R11 temp-file lifecycle and R47 plot rendering are non-goals — no
+tmp-file or viz surface exists in a lazy distributed plan).
 
 Scale notes: blobs ride along as opaque bytes; every transformation is a
 map-only ``mapInPandas`` stage (no shuffle touches blob payloads). The
