@@ -205,3 +205,13 @@ def stream_dedup(events_stream: DataFrame) -> DataFrame:
     return events_stream.withWatermark("ts", "15 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_static_enrich(events_stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream against a static
+    dimension. Spark re-plans the static side per micro-batch; with a
+    small dim the join is a broadcast hash join inside every batch — no
+    streaming state at all (unlike stream-stream joins)."""
+    return events_stream.join(F.broadcast(user_dim), "user_id", "left").select(
+        "event_id", "ts", "user_id", "segment", "event_type", "value"
+    )

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from big_data_audio_classification_spark.streaming.events import (
     stream_dedup,
     stream_sessionize,
+    stream_static_enrich,
     stream_tumbling_counts,
 )
 
@@ -95,3 +96,27 @@ def test_stream_sessionize(spark, tmp_path):
     out = spark.sql("select * from session_sink").collect()
     assert len(out) > 0
     assert sum(r.n_events for r in out) == 110
+
+
+def test_stream_static_join_enriches(spark, tmp_path):
+    src = _memory_stream(spark, tmp_path)
+    user_dim = spark.createDataFrame(
+        [(u, "vip" if u % 2 == 0 else "std") for u in range(5)],
+        "user_id long, segment string",
+    )
+    q = (
+        stream_static_enrich(src, user_dim)
+        .writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from enrich_sink").collect()
+    assert len(out) == 110  # left join preserves every event
+    for r in out:
+        if r.user_id < 5:
+            assert r.segment == ("vip" if r.user_id % 2 == 0 else "std")
+        else:
+            assert r.segment is None
