@@ -1,0 +1,161 @@
+"""Scale patterns: the shuffle-shaping techniques that keep plans
+healthy at 100 TB, each demonstrated as an oracle-checked query whose
+RESULT equals the naive form — the technique changes the physical plan,
+never the answer.
+
+* Two-phase distinct — COUNT(DISTINCT x) per skewed key: phase 1
+  dedups on (key, x) (the shuffle key carries x, so one hot key spreads
+  over many partitions), phase 2 counts per key. Spark's planner does
+  this rewrite itself via `expand`; writing it explicitly keeps the
+  intent visible and composes with >1 distinct column.
+* Salted join — a skewed fact key joined to a dim: the fact side gets a
+  random-ish salt, the dim side is exploded ×SALTS, the join key becomes
+  (key, salt) so one hot key lands on SALTS partitions instead of one.
+  AQE's skew-join split handles sort-merge skew automatically; explicit
+  salting is the portable form (works for any join type, any engine
+  version, and for aggregation skew too).
+* Bucketed co-located join — both fact tables written `bucketBy(N, key)`:
+  the join reads bucket-aligned files and needs NO exchange on either
+  side — the one-time write cost amortizes over every downstream join
+  on that key (asserted shuffle-free in tests/test_scale_patterns.py).
+
+The reference has no analog (single-process pandas never shuffles —
+SURVEY §4.2); these are the engine's own 100 TB design surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+SALTS = 8
+BUCKETS = 8
+
+
+@query(
+    "skew_twophase_distinct",
+    oracle="""
+        SELECT user_id,
+               COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k,
+               COUNT(DISTINCT event_type)                        AS n_types
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("scale", "aggregate", "skew"),
+)
+def skew_twophase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key COUNT(DISTINCT) as explicit dedup-then-count. events has
+    ~15 users over 10k+ rows — every key is hot; phase 1's shuffle key
+    (user_id, value) spreads each user across partitions, phase 2
+    reduces tiny per-key sets."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").alias("k_value"),
+        "event_type",
+    )
+    ks = (
+        e.select("user_id", "k_value").distinct()
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_distinct_k"))
+    )
+    types = (
+        e.select("user_id", "event_type").distinct()
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    return ks.join(types, "user_id").orderBy("user_id")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 'vip' ELSE 'std' END AS segment
+            FROM events
+        )
+        SELECT segment,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events e JOIN dim USING (user_id)
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    tags=("scale", "join", "skew"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the fact side salts its hot key, the dim side
+    is exploded ×SALTS, the join runs on (user_id, salt). Result is
+    identical to the unsalted join; the point is that each hot user's
+    rows now occupy SALTS shuffle partitions instead of one."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.pmod("user_id", F.lit(2)) == 0, "vip").otherwise("std").alias("segment"),
+    )
+    fact = e.select("user_id", "value", F.pmod("event_id", F.lit(SALTS)).alias("salt"))
+    dim_exploded = dim.select(
+        "user_id", "segment", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1))).alias("salt")
+    )
+    return (
+        fact.join(dim_exploded, ["user_id", "salt"])
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*)                  AS n_orders,
+               COUNT(DISTINCT c_custkey) AS n_customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("scale", "join", "bucketing"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join over tables written ``bucketBy(BUCKETS, key)``: both sides
+    pre-hash-partitioned on disk, so the sort-merge join needs no
+    exchange (asserted in tests with broadcast disabled). The write is
+    the one-time cost every repeated fact-fact join amortizes."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_orders", "bkt_customer"):
+        # a stale managed-table dir from a previous session blocks
+        # saveAsTable even in overwrite mode — drop both table and dir
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        o.write.mode("overwrite").format("parquet")
+        .bucketBy(BUCKETS, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        c.write.mode("overwrite").format("parquet")
+        .bucketBy(BUCKETS, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("bkt_customer")
+    )
+    ob, cb = spark.table("bkt_orders"), spark.table("bkt_customer")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )

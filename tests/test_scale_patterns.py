@@ -1,0 +1,63 @@
+"""Plan-shape + equivalence tests for the scale patterns."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators import scale_patterns
+from big_data_audio_classification_spark.plans.introspect import formatted_plan
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting changes the shuffle, never the answer."""
+    salted = scale_patterns.skew_salted_join(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    dim = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.pmod("user_id", F.lit(2)) == 0, "vip").otherwise("std").alias("segment"),
+    )
+    plain = (
+        e.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_twophase_distinct_equals_count_distinct(spark, sf_dir):
+    out = scale_patterns.skew_twophase_distinct(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    direct = (
+        e.groupBy("user_id")
+        .agg(
+            F.countDistinct(F.get_json_object("props", "$.k")).alias("n_distinct_k"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert out == direct
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """With broadcast disabled, the bucket-aligned SMJ still needs no
+    shuffle exchange on either side."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        scale_patterns.bucketed_colocated_join(spark, sf_dir).collect()
+        ob, cb = spark.table("bkt_orders"), spark.table("bkt_customer")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey).select(
+            "o_orderkey", "c_mktsegment"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
