@@ -22,15 +22,25 @@ HEADLINE = [
     "join_inner_revenue_by_nation",
     "join_left_order_counts",
     "join_range_bands",
+    "join_asof_purchase_click",
     "agg_stats_by_flag",
     "agg_count_distinct",
     "agg_percentiles",
     "agg_cube",
     "window_running_spend",
+    "window_lag_lead_events",
     "topk_orders_per_customer",
     "scalar_math_functions",
     "scalar_json_from_json_agg",
+    "scalar_map_functions",
     "array_embedding_stats",
+    "events_session_window",
+    "dedup_exact_hash",
+    "dedup_minhash_keep_first",
+    "text_quality_score",
+    "sim_cosine_topk",
+    "skew_twophase_distinct",
+    "grouped_zscore_applyinpandas",
 ]
 
 

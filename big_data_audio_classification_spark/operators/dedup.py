@@ -294,3 +294,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+def _keep_first_sql() -> str:
+    band_exprs = ", ".join(
+        "CONCAT_WS('_', "
+        + ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    unions = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM sig_bands"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH sig AS ({_minhash_sql()}),
+        sig_bands AS (SELECT doc_id, {band_exprs} FROM sig),
+        bands AS (
+            {unions}
+        ),
+        bucket_min AS (
+            SELECT band_id, band_hash, MIN(doc_id) AS rep
+            FROM bands GROUP BY 1, 2
+        )
+        SELECT b.doc_id,
+               MIN(m.rep)                 AS rep,
+               (MIN(m.rep) = b.doc_id)    AS is_kept
+        FROM bands b
+        JOIN bucket_min m USING (band_id, band_hash)
+        GROUP BY b.doc_id
+    """
+
+
+@query("dedup_minhash_keep_first", oracle=_keep_first_sql(), tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output LSH dedup — the 100 TB shape.
+
+    ``dedup_minhash_lsh_pairs`` materializes every candidate pair, which
+    is inherently quadratic inside hot buckets (this corpus has ~2k-doc
+    buckets → ~13M pairs at sf0.1). Production dedup doesn't need the
+    pairs: per bucket keep the MIN doc_id as representative, then per
+    doc take the min representative across its bands. Output is one row
+    per document — two groupBys and a band-keyed join, no pair
+    explosion. (One-pass bucket-min, not full connected components:
+    transitive chains longer than one hop keep their own bucket rep —
+    the standard first-sweep; iterate to a fixpoint for full CC.)"""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", "text")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    bucket_min = bands.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("rep")
+    )
+    return (
+        bands.join(bucket_min, ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("rep"))
+        .select("doc_id", "rep", (F.col("rep") == F.col("doc_id")).alias("is_kept"))
+    )

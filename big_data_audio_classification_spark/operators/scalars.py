@@ -251,3 +251,33 @@ def array_sequence_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_sum"),
         F.size(tail).alias("tail_len"),
     )
+
+
+@query(
+    "scalar_string_distance",
+    oracle="""
+        SELECT c_custkey,
+               levenshtein(c_name, translate(c_name, '0', 'O')) AS lev_o,
+               levenshtein(c_name, reverse(c_name))             AS lev_rev,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0')        AS padded_key,
+               split_part(c_name, '#', 2)                       AS name_num,
+               repeat(c_mktsegment, 2)                          AS seg_twice
+        FROM customer
+    """,
+    tags=("scalar", "string", "fuzzy"),
+)
+def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance + structural string functions (SURVEY §2.B string
+    family: levenshtein/translate/reverse/lpad/split_part/repeat). At
+    scale levenshtein appears inside blocked fuzzy-dedup joins (see
+    operators/dedup.py for the blocking patterns); here it's the scalar
+    surface itself."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.translate("c_name", "0", "O")).alias("lev_o"),
+        F.levenshtein("c_name", F.reverse("c_name")).alias("lev_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
+    )
