@@ -444,3 +444,37 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     here actually applied)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+@query(
+    "sql_frontdoor_revenue",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*)                     AS n_orders,
+               ROUND(SUM(o_totalprice), 2)  AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("relational", "sql"),
+)
+def sql_frontdoor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: the identical ANSI text the oracle
+    runs, executed via ``spark.sql`` over the catalog's temp views —
+    same Catalyst plan as the DataFrame form (SQL and DataFrame APIs
+    are two parsers over one optimizer)."""
+    from big_data_audio_classification_spark.sources.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*)                     AS n_orders,
+               ROUND(SUM(o_totalprice), 2)  AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

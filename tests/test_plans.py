@@ -50,3 +50,37 @@ def test_flagship_stays_in_codegen(spark, sf_dir):
         assert introspect.codegen_stage_count(df) >= 2  # scan+partial agg, final agg
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of join shuffles exactly once (the per-user
+    window exchange) — no join-shaped row explosion in the plan."""
+    from big_data_audio_classification_spark.operators import advanced
+
+    df = advanced.join_asof_purchase_click(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "Join" not in plan  # no physical join operator at all
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(exchanges) <= 2  # one per union branch pre-AQE, merged at runtime
+
+
+def test_ivf_topk_joins_on_cell_not_cross(spark, sf_dir):
+    """The IVF search's candidate pairing is an equi-join on cell_id;
+    the only nested-loop joins are the tiny broadcast centroid scans."""
+    from big_data_audio_classification_spark.operators import similarity
+
+    df = similarity.sim_ivf_topk(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_exact_dedup_plan_is_single_agg(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import dedup
+
+    df = dedup.dedup_exact_hash(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    # exactly one digest-keyed shuffle (partial agg → exchange → final)
+    assert sum("hashpartitioning" in l for l in plan.splitlines()) == 1
+    assert not introspect.has_python_udf(df)
