@@ -238,3 +238,76 @@ def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+TFIDF_DOCS = 100  # score terms for this doc subset; df/N over the full corpus
+TFIDF_TOP = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks WHERE doc_id < {TFIDF_DOCS}
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tok,
+               ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok
+        ) <= {TFIDF_TOP}
+    """,
+    tags=("text", "tfidf", "documents"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure DataFrame aggs: tf per (doc, term), df per term
+    over the full corpus, score = tf·ln(N/df), top-3 terms per doc.
+
+    Scale shape: two groupBys (term-keyed df is tiny and broadcast back
+    onto tf), one scalar N broadcast, one per-doc top-k window. The
+    MLlib HashingTF/IDF pair gives the same scores with hashed term ids
+    when term-string fidelity isn't needed. Ranking uses the ROUNDED
+    score (+ term tiebreak) so cross-engine double ULPs can't flip the
+    top-k boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    tf = (
+        toks.filter(F.col("doc_id") < TFIDF_DOCS)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .drop("rn")
+    )
