@@ -51,3 +51,53 @@ def running_user_counters(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4.x transformWithStateInPandas: the successor stateful API —
+# typed state handles (value/list/map state, timers) instead of a single
+# tuple, and per-key Arrow iteration.
+# ---------------------------------------------------------------------------
+try:  # Spark >= 4.0, and a working protobuf (the TWS state server
+    # speaks protobuf to the Python worker — absent/broken protobuf
+    # fails at stream start, so gate on it here)
+    from google.protobuf import descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMaxProcessor(StatefulProcessor):
+        """Per-user running maximum with O(1) ValueState per key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mx = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._mx.get()[0] if self._mx.exists() else float("-inf")
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = float(pdf["value"].max())
+                if batch_max > mx:
+                    mx = batch_max
+            self._mx.update((mx,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "max_value": [mx], "batch_rows": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_max(events_stream: DataFrame) -> DataFrame:
+        """Stream → per-user running max via transformWithStateInPandas."""
+        return events_stream.groupBy("user_id").transformWithStateInPandas(
+            RunningMaxProcessor(),
+            outputStructType="user_id long, max_value double, batch_rows long",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_TWS = False

@@ -46,3 +46,36 @@ def test_running_user_counters(spark, tmp_path):
         n, s = expected.get(i % 3, (0, 0.0))
         expected[i % 3] = (n + 1, s + float(i))
     assert got == expected
+
+
+def test_transform_with_state_running_max(spark, tmp_path):
+    from big_data_audio_classification_spark.streaming import stateful
+
+    if not stateful.HAS_TWS:
+        import pytest
+
+        pytest.skip("transformWithStateInPandas unavailable")
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(minutes=i), i % 3, "click", float(i), "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    path = str(tmp_path / "tws_stream")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        stateful.running_user_max(src)
+        .writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.user_id: r.max_value for r in spark.sql("select * from tws_sink").collect()}
+    # per-user max of value = max event id with that residue
+    for u in range(3):
+        assert out[u] == max(float(i) for i in range(30) if i % 3 == u)
