@@ -145,3 +145,32 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin")
     )
+
+
+@query(
+    "mm_maparrow_bytelen",
+    oracle="""
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
+    tags=("multimodal", "mapInArrow"),
+)
+def mm_maparrow_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy UDF surface: the kernel receives
+    raw ``pyarrow.RecordBatch``es (no pandas conversion), the right
+    boundary for codec-style byte work on multimodal blobs. Kernel here
+    computes blob byte lengths; the shape (batch in → batch out, schema
+    declared) is what a real decoder uses."""
+    import pyarrow as pa
+
+    def bytelen(batches):
+        for batch in batches:
+            ids = batch.column("media_id")
+            lens = pa.array(
+                [len(b) for b in batch.column("blob").to_pylist()], type=pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays([ids, lens], ["media_id", "n_bytes"])
+
+    m = media_table(spark, sf_dir).select("media_id", "blob")
+    return m.mapInArrow(bytelen, schema="media_id long, n_bytes int")
