@@ -364,3 +364,69 @@ def dedup_minhash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rep").alias("rep"))
         .select("doc_id", "rep", (F.col("rep") == F.col("doc_id")).alias("is_kept"))
     )
+
+
+CC_MAX_ITERS = 20
+
+
+@query("dedup_connected_components", oracle=None, tags=("dedup", "minhash", "lsh", "iterative"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive dedup: connected components over the LSH bucket
+    graph by iterated min-label propagation (pointer jumping).
+
+    ``dedup_minhash_keep_first`` is one sweep — a doc chained to its
+    component's minimum only through other docs' buckets keeps a
+    non-minimal rep. Here labels iterate THROUGH THE BUCKET GRAPH until
+    fixpoint: each round, every bucket takes the min rep of its member
+    docs, then every doc takes the min over its buckets (and its own
+    rep). Label flows one graph hop per round → O(diameter) rounds,
+    each two keyed shuffles (bucket, then doc) — the standard
+    label-propagation CC pattern (iterative, hence rows-only: SQL can't
+    express the loop).
+
+    The loop is driver-side CONTROL only (a count per round); all DATA
+    movement stays distributed. Each round materializes via localCheckpoint
+    to cut the growing lineage — at 100 TB, unbounded lineage re-execution
+    is the classic iterative-algorithm failure mode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", "text")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    bands = bands.localCheckpoint()  # reused every round
+    reps = bands.groupBy("doc_id").agg(F.min("doc_id").alias("rep")).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        # bucket label = min rep of member docs; doc label = min over
+        # its buckets and its own current rep — one graph hop per round
+        bucket_rep = (
+            bands.join(reps, "doc_id")
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("rep").alias("b_rep"))
+        )
+        proposed = (
+            bands.join(bucket_rep, ["band_id", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.min("b_rep").alias("p_rep"))
+        )
+        merged = reps.join(proposed, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("rep"), F.coalesce("p_rep", F.col("rep"))).alias("new_rep"),
+            "rep",
+        )
+        changed = merged.filter(F.col("new_rep") != F.col("rep")).count()
+        reps = merged.select("doc_id", F.col("new_rep").alias("rep")).localCheckpoint()
+        if changed == 0:
+            break
+    return reps.select("doc_id", F.col("rep").alias("component"))

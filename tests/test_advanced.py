@@ -121,3 +121,39 @@ def test_sortwithin_partition_local_order(spark, sf_dir):
         .collect()
     )
     assert all(parts)
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """Spark CC over the LSH bucket graph == Python union-find on the
+    same candidate pairs, with min-doc_id component labels."""
+    from big_data_audio_classification_spark.operators import dedup
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup.dedup_minhash_lsh_pairs(spark, sf_dir).collect()
+    ]
+    docs = [
+        r.doc_id
+        for r in dedup.dedup_minhash_signatures(spark, sf_dir)
+        .select("doc_id")
+        .collect()
+    ]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in docs}
+
+    got = {
+        r.doc_id: r.component
+        for r in dedup.dedup_connected_components(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -120,3 +120,25 @@ def test_stream_static_join_enriches(spark, tmp_path):
             assert r.segment == ("vip" if r.user_id % 2 == 0 else "std")
         else:
             assert r.segment is None
+
+
+def test_foreachbatch_sink(spark, tmp_path):
+    """foreachBatch: arbitrary batch-DataFrame sink (here: parquet with
+    epoch column) — the escape hatch for sinks Spark lacks natively."""
+    src = _memory_stream(spark, tmp_path)
+    out_dir = str(tmp_path / "fb_out")
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 110
+    assert "epoch" in back.columns
