@@ -311,3 +311,76 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP)
         .drop("rn")
     )
+
+
+@query("text_mllib_pipeline", oracle=None, tags=("text", "mllib", "pipeline"))
+def text_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib text-feature pipeline (SURVEY §2.B text table):
+    RegexTokenizer → StopWordsRemover → NGram(2) → CountVectorizer.
+    Per-doc output: token/bigram counts + nonzero feature count.
+    Rows-only (vocabulary index order is an MLlib internal); invariants
+    (nnz ≤ n_bigrams ≤ n_tokens−1) are pytest-asserted.
+
+    Scale: every stage is a map-only transform; CountVectorizer.fit is
+    one distributed term-count agg + a driver-side top-vocabSize
+    selection — the only global state is the (bounded) vocabulary."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (
+        CountVectorizer,
+        NGram,
+        RegexTokenizer,
+        StopWordsRemover,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="toks", pattern="\\s+"),
+            StopWordsRemover(inputCol="toks", outputCol="kept"),
+            NGram(n=2, inputCol="kept", outputCol="bigrams"),
+            CountVectorizer(inputCol="bigrams", outputCol="features", vocabSize=1000),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+
+    def nnz(v):
+        return int(v.numNonzeros())
+
+    from pyspark.sql.types import IntegerType
+
+    nnz_udf = F.udf(nnz, IntegerType())  # tiny metadata column, not a hot path
+    return out.select(
+        "doc_id",
+        F.size("kept").alias("n_tokens"),
+        F.size("bigrams").alias("n_bigrams"),
+        nnz_udf("features").alias("nnz"),
+    )
+
+
+@query("text_word2vec", oracle=None, tags=("text", "mllib", "embedding"))
+def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec (seeded) over whitespace tokens: learned term embeddings
+    for the similarity/near-dup stack when no external embedding column
+    exists. Returns per-source mean document-vector norm (bounded
+    output). Rows-only: SGD training is not SQL-expressible."""
+    from pyspark.ml.feature import Word2Vec
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    )
+    w2v = Word2Vec(
+        vectorSize=16, minCount=2, seed=42, inputCol="toks", outputCol="docvec",
+        maxIter=1, numPartitions=1,
+    )
+    out = w2v.fit(d).transform(d)
+    from pyspark.ml.functions import vector_to_array
+
+    sq = F.aggregate(vector_to_array("docvec"), F.lit(0.0), lambda a, x: a + x * x)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.sqrt(sq)), 4).alias("avg_vec_norm"),
+        )
+        .orderBy("source")
+    )

@@ -72,3 +72,16 @@ def test_report_f1_consistency(spark, sf_dir):
         if r.precision and r.recall and (r.precision + r.recall) > 0:
             f1 = 2 * r.precision * r.recall / (r.precision + r.recall)
             assert abs(f1 - r.f1) < 1e-4
+
+
+def test_text_mllib_pipeline_invariants(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import text
+    import pyspark.sql.functions as F
+
+    out = text.text_mllib_pipeline(spark, sf_dir)
+    bad = out.filter(
+        (F.col("nnz") > F.col("n_bigrams"))
+        | (F.col("n_bigrams") > F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+    ).count()
+    assert bad == 0
+    assert out.count() > 0
