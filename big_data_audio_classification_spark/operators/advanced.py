@@ -35,7 +35,9 @@ from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
 
 # Scratch dir for sink round-trips (inside the repo, gitignored).
-_SCRATCH = "/root/repo/.scratch"
+# Process-unique: a concurrently running test suite / oracle gate must
+# not overwrite each other's sink outputs mid-read.
+_SCRATCH = f"/root/repo/.scratch/pid{os.getpid()}"
 
 
 # --------------------------------------------------------------------------

@@ -48,7 +48,9 @@ from big_data_audio_classification_spark.functions.vector import to_double
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
 
-_SCRATCH = "/root/repo/.scratch"
+# process-unique: concurrent gate/test runs must not clash on the
+# saved-model directory (overwrite-during-load is a transient corruption)
+_SCRATCH = f"/root/repo/.scratch/pid{os.getpid()}"
 N_DIMS = 4
 
 

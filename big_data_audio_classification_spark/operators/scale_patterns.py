@@ -25,6 +25,8 @@ SURVEY §4.2); these are the engine's own 100 TB design surface.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,6 +35,10 @@ from big_data_audio_classification_spark.sources.catalog import load_table
 
 SALTS = 8
 BUCKETS = 8
+# process-unique bucket-table names: concurrent gate/test runs share the
+# metastore-less session catalog namespace and warehouse dir
+_BKT_ORDERS = f"bkt_orders_{os.getpid()}"
+_BKT_CUSTOMER = f"bkt_customer_{os.getpid()}"
 
 
 @query(
@@ -134,7 +140,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("bkt_orders", "bkt_customer"):
+    for t in (_BKT_ORDERS, _BKT_CUSTOMER):
         # a stale managed-table dir from a previous session blocks
         # saveAsTable even in overwrite mode — drop both table and dir
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -142,14 +148,14 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         o.write.mode("overwrite").format("parquet")
         .bucketBy(BUCKETS, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(_BKT_ORDERS)
     )
     (
         c.write.mode("overwrite").format("parquet")
         .bucketBy(BUCKETS, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("bkt_customer")
+        .saveAsTable(_BKT_CUSTOMER)
     )
-    ob, cb = spark.table("bkt_orders"), spark.table("bkt_customer")
+    ob, cb = spark.table(_BKT_ORDERS), spark.table(_BKT_CUSTOMER)
     return (
         ob.join(cb, ob.o_custkey == cb.c_custkey)
         .groupBy("o_orderstatus")

@@ -52,7 +52,8 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         scale_patterns.bucketed_colocated_join(spark, sf_dir).collect()
-        ob, cb = spark.table("bkt_orders"), spark.table("bkt_customer")
+        ob = spark.table(scale_patterns._BKT_ORDERS)
+        cb = spark.table(scale_patterns._BKT_CUSTOMER)
         joined = ob.join(cb, ob.o_custkey == cb.c_custkey).select(
             "o_orderkey", "c_mktsegment"
         )
