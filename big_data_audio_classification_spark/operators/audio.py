@@ -219,3 +219,135 @@ def expected_mel_single_pass(rec_id: int, n_samples: int) -> np.ndarray:
 
 def total_frames(n_samples: int) -> int:
     return (n_samples - N_FFT) // HOP + 1
+
+
+@query("ref_e2e_train", oracle=None, tags=("reference", "audio", "ml", "pipeline"))
+def ref_e2e_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full training lifecycle (R48,
+    ``/root/reference/src/voice_classifier.py:45-62``) as ONE lazy Spark
+    plan over the synthetic audio corpus:
+
+    recordings → overlap-chunked mel (R14) → global-max dB (R15) →
+    StandardScaler(withMean)+PCA(k=4) (R21) → binned-MI component select
+    (R26) → (Time, X) features (R22/R27) → StringIndexer (R28) →
+    randomSplit(seed=42) (R31) → MLP [2,50,50,50,k] (R35/R36, the
+    Conv1D stack's MLP equivalent) → holdout accuracy/logloss (R37) +
+    confusion counts (R44).
+
+    Rows-only (training is iterative); separability is pytest-asserted
+    (two-harmonic corpora at 110/220 Hz are linearly separable in mel
+    space, so holdout accuracy must be high)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import PCA, StandardScaler, StringIndexer, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    recs = recordings(spark)
+    db = power_to_db(mel_frames_distributed(recs))
+    # materialize once: every downstream action (PCA fit, MI argmax,
+    # split counts, MLP iterations, evaluation) would otherwise re-run
+    # the whole mapInPandas feature extraction
+    labeled = (
+        db.join(recs.select("rec_id", "speaker"), "rec_id")
+        .select(
+            "rec_id",
+            "speaker",
+            (F.col("frame_id") * HOP / SR).alias("t"),
+            *[F.col("mel_db")[i].alias(f"f{i}") for i in range(N_MELS)],
+        )
+        .localCheckpoint()
+    )
+
+    # PCA(4) over the 20 mel-dB dims, mean-centered for sklearn parity
+    pca_pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=[f"f{i}" for i in range(N_MELS)], outputCol="mel_vec"
+            ),
+            StandardScaler(
+                inputCol="mel_vec", outputCol="centered", withMean=True, withStd=False
+            ),
+            PCA(k=4, inputCol="centered", outputCol="pc_vec"),
+        ]
+    )
+    pcs = pca_pipe.fit(labeled).transform(labeled)
+    pc = vector_to_array("pc_vec")
+    frames_pc = pcs.select(
+        "speaker", "t", *[pc[i].alias(f"pc{i}") for i in range(4)]
+    ).localCheckpoint()
+
+    # R26: binned plug-in MI of each pc vs speaker; argmax selects X
+    long = frames_pc.unpivot(
+        ids=["speaker"], values=[f"pc{i}" for i in range(4)],
+        variableColumnName="dim", valueColumnName="x",
+    )
+    edges = long.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = long.join(F.broadcast(edges), "dim").select(
+        "dim", "speaker",
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 8))
+            .cast("bigint"),
+            F.lit(7),
+        ).alias("bin"),
+    )
+    joint = binned.groupBy("dim", "bin", "speaker").agg(F.count(F.lit(1)).alias("nbl"))
+    margx = joint.groupBy("dim", "bin").agg(F.sum("nbl").alias("nb"))
+    margy = joint.groupBy("dim", "speaker").agg(F.sum("nbl").alias("nl"))
+    tot = joint.groupBy("dim").agg(F.sum("nbl").alias("n"))
+    mi = (
+        joint.join(margx, ["dim", "bin"]).join(margy, ["dim", "speaker"]).join(tot, "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(
+                (F.col("nbl") / F.col("n"))
+                * F.log(F.col("nbl") * F.col("n") / (F.col("nb") * F.col("nl")))
+            ).alias("mi")
+        )
+    )
+    best = mi.orderBy(F.col("mi").desc(), "dim").first()["dim"]  # e.g. 'pc2'
+
+    # R27: (Time, X, speaker); R28/R31/R35-R37/R44 below
+    ts = frames_pc.select("t", F.col(best).alias("x"), "speaker")
+    model_pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["t", "x"], outputCol="features"),
+            StringIndexer(
+                inputCol="speaker", outputCol="label", stringOrderType="alphabetAsc"
+            ),
+            MultilayerPerceptronClassifier(
+                layers=[2, 50, 50, 50, 2], maxIter=30, seed=42, blockSize=50
+            ),
+        ]
+    )
+    train, test = ts.randomSplit([0.8, 0.2], seed=42)
+    model = model_pipe.fit(train)
+    preds = model.transform(test)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(preds)
+    ll = MulticlassClassificationEvaluator(metricName="logLoss").evaluate(preds)
+    conf = (
+        preds.groupBy("label")
+        .pivot("prediction", [0.0, 1.0])
+        .count()
+        .na.fill(0)
+        .orderBy("label")
+        .collect()
+    )
+    flat = {f"c{int(r.label)}{int(p)}": r[str(p)] for r in conf for p in (0.0, 1.0)}
+    return spark.createDataFrame(
+        [
+            (
+                best,
+                round(acc, 4),
+                round(ll, 4),
+                train.count(),
+                test.count(),
+                flat.get("c00", 0),
+                flat.get("c01", 0),
+                flat.get("c10", 0),
+                flat.get("c11", 0),
+            )
+        ],
+        "best_component string, accuracy double, logloss double, n_train long, "
+        "n_test long, c00 long, c01 long, c10 long, c11 long",
+    )

@@ -227,3 +227,65 @@ def ref_power_to_db(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(10.0 * F.log10(F.col("power") / F.col("maxp")), F.lit(-80.0)), 6
         ).alias("db"),
     )
+
+
+BUCKET_SECONDS = 4.0  # Δ for the bucketed interval join
+
+
+@query(
+    "ref_interval_join_bucketed",
+    oracle=f"""
+        WITH seg AS ({_SEGMENTS_SQL}),
+        bounds AS (
+            SELECT speaker, seconds AS e,
+                   COALESCE(LAG(seconds) OVER (ORDER BY id), 0.0) AS s
+            FROM seg
+        ),
+        f AS ({_FRAMES_SQL})
+        SELECT f.frame_id, f.t, b.speaker
+        FROM f JOIN bounds b ON f.t >= b.s AND f.t < b.e
+    """,
+    tags=("reference", "range-join", "scale"),
+)
+def ref_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24's interval join as the 100 TB plan promised in
+    ``ref_interval_join``'s docstring: bucket both sides by
+    ``floor(t/Δ)``, equi-join on the bucket, keep the residual range
+    predicate. Intervals explode into every bucket they cover
+    (``sequence(floor(s/Δ), floor((e−ulp)/Δ))``), so each frame meets
+    only the handful of intervals sharing its bucket — a shuffle
+    equi-join instead of a broadcast nested loop. Same rows as the NLJ
+    form; the ORACLE is literally the same SQL as ``ref_interval_join``.
+
+    Δ trades replication (intervals span e−s ≤ 9 s → ≤ 3 buckets at
+    Δ=4 s) against per-bucket candidate count — at real scale pick Δ on
+    the order of the median interval length."""
+    seg = segments(spark)
+    w = Window.orderBy("id")
+    bounds = seg.select(
+        "speaker",
+        F.col("seconds").alias("e"),
+        F.coalesce(F.lag("seconds").over(w), F.lit(0.0)).alias("s"),
+    )
+    # explode each interval into the Δ-buckets it covers; half-open end
+    # (e - tiny ulp) keeps an interval ending exactly on a boundary out
+    # of the next bucket
+    buckets = bounds.select(
+        "speaker",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / BUCKET_SECONDS).cast("long"),
+                F.floor((F.col("e") - F.lit(1e-9)) / BUCKET_SECONDS).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    f = frames(spark).withColumn(
+        "bkt", F.floor(F.col("t") / BUCKET_SECONDS).cast("long")
+    )
+    return (
+        f.join(buckets, "bkt")  # equi-join on the bucket key
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))  # residual
+        .select("frame_id", "t", "speaker")
+    )

@@ -88,3 +88,22 @@ def test_real_decode_is_gated():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_blob(np.array([1, 2]))
+
+
+def test_ref_e2e_train_separates_speakers(spark, sf_dir):
+    """End-to-end R48 pipeline: the two-harmonic corpus is separable in
+    mel space, so the trained model must classify the holdout nearly
+    perfectly and the split must cover every frame."""
+    from big_data_audio_classification_spark.operators.audio import (
+        recordings,
+        ref_e2e_train,
+        total_frames,
+    )
+
+    row = ref_e2e_train(spark, sf_dir).first()
+    n_frames = sum(
+        total_frames(r.n_samples) for r in recordings(spark).collect()
+    )
+    assert row.n_train + row.n_test == n_frames
+    assert row.accuracy >= 0.95
+    assert row.c01 + row.c10 <= 0.05 * row.n_test  # off-diagonal ≈ 0
