@@ -384,3 +384,38 @@ def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 1.0, "zh": 0.1}
+
+
+@query("text_stratified_sample", oracle=None, tags=("text", "sampling", "documents"))
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) downsampling via ``sampleBy`` — the
+    corpus-rebalancing move every training-data pipeline makes (cap the
+    dominant language, keep the rare ones). Seeded Bernoulli sampling is
+    engine-RNG-specific → rows-only; per-stratum rate tolerance is
+    pytest-asserted. Map-only at any scale: each row draws against its
+    stratum's fraction, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = d.sampleBy("lang", fractions=SAMPLE_FRACTIONS, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@query("text_freq_items", oracle=None, tags=("text", "sketch", "documents"))
+def text_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (``freqItems``, Karp et al. streaming
+    sketch) over (lang, source) — single-pass, mergeable, fixed memory:
+    the sketch answer to "which values dominate?" at 100 TB where exact
+    top-k needs a full groupBy. Rows-only: sketch contents depend on
+    partition merge order."""
+    d = load_table(spark, sf_dir, "documents")
+    fi = d.stat.freqItems(["lang", "source"], support=0.1)
+    return fi.select(
+        F.sort_array("lang_freqItems").alias("frequent_langs"),
+        F.sort_array("source_freqItems").alias("frequent_sources"),
+    )

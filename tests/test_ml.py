@@ -85,3 +85,28 @@ def test_text_mllib_pipeline_invariants(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.count() > 0
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Per-stratum sampled counts within tolerance of fraction·N."""
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.operators import text
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r.lang: r.n_sampled for r in text.text_stratified_sample(spark, sf_dir).collect()}
+    for lang, frac in text.SAMPLE_FRACTIONS.items():
+        n = totals.get(lang, 0)
+        if n == 0:
+            continue
+        expect = frac * n
+        # Bernoulli sampling: allow 4 sigma
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(lang, 0) - expect) <= 4 * sigma + 1
