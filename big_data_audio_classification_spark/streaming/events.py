@@ -207,6 +207,27 @@ def stream_dedup(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_rate_counts(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
+    """Built-in ``rate-micro-batch`` source → modulo-bucketed counts.
+
+    The rate source is Spark's synthetic unbounded generator —
+    ``(timestamp, value)`` rows at a deterministic ``rowsPerBatch`` per
+    trigger — the standard way to drive a streaming topology with no
+    external system. The demo aggregation is keyed by ``value % 10``,
+    so each micro-batch updates a fixed 10-key state: bounded state on
+    an unbounded stream (complete output mode).
+    """
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 4)
+        .load()
+        .withColumn("bucket", F.pmod("value", F.lit(10)))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def stream_static_enrich(events_stream: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream against a static
     dimension. Spark re-plans the static side per micro-batch; with a

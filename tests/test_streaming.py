@@ -142,3 +142,21 @@ def test_foreachbatch_sink(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 110
     assert "epoch" in back.columns
+
+
+def test_rate_source_counts(spark):
+    """rate-micro-batch source: one deterministic 100-row batch → ten
+    modulo buckets of 10 each (complete mode; bounded 10-key state)."""
+    from big_data_audio_classification_spark.streaming.events import stream_rate_counts
+
+    q = (
+        stream_rate_counts(spark, rows_per_batch=100)
+        .writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("complete")
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.bucket: r.n for r in spark.sql("select * from rate_sink").collect()}
+    assert out == {b: 10 for b in range(10)}
