@@ -174,3 +174,83 @@ def mm_maparrow_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = media_table(spark, sf_dir).select("media_id", "blob")
     return m.mapInArrow(bytelen, schema="media_id long, n_bytes int")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+        SELECT media_id, frame_no,
+               md5(substring(text, CAST(frame_no * 256 + 1 AS INT), 64)) AS frame_md5
+        FROM (
+            SELECT doc_id AS media_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS frame_no
+            FROM documents
+        )
+    """,
+    tags=("multimodal", "mapInPandas", "frame-sample"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (mandated video-style op): cut each media payload
+    into fixed 64-unit frames and keep every 4th (stride 256), as a
+    row-exploding ``mapInPandas`` stage — one input row fans out to
+    ceil(len/256) frame rows, the cardinality-changing shape a real
+    video frame-sampler has (decode stub: frames are char slices;
+    a codec build would slice decoded frame arrays instead).
+
+    Unusually for a pandas-UDF stage, this one is fully SQL-expressible,
+    so the driver's DuckDB oracle cross-checks the kernel (md5 per
+    sampled frame) against an independent substring/range implementation
+    — UDF-vs-SQL differential testing for free. Map-only: no shuffle
+    touches payloads; at 100 TB frames inherit the scan's partitioning.
+    """
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, md5s = [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                for k in range(-(-len(text) // 256)):  # ceil(len/256)
+                    frame = text[k * 256 : k * 256 + 64]
+                    ids.append(mid)
+                    frame_nos.append(k)
+                    md5s.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "frame_md5": md5s}
+            )
+
+    return d.mapInPandas(sample, schema="media_id long, frame_no long, frame_md5 string")
+
+
+@query("mm_resize_pool", oracle=None, tags=("multimodal", "pandas-udf", "resize"))
+def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (mandated image-style op): mean-pool the 16-bucket stub
+    feature down to 4 buckets — the downsampling shape of an image
+    resize kernel, as a vectorized Series→Series pandas UDF over the
+    array column (decode stubbed per mandate; pooling arithmetic real).
+    Rows-only: L1-normalized input mean-pools to sum = 1/4 (each of the
+    4 outputs is a mean of 4 mass-1-total buckets), asserted in tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def pool4(feats: pd.Series) -> pd.Series:
+        return feats.map(lambda v: np.asarray(v, dtype=np.float64).reshape(4, 4).mean(axis=1))
+
+    m = media_table(spark, sf_dir)
+    feats = extract_features(m)
+    resized = feats.select("media_id", pool4("feature").alias("small"))
+    return (
+        resized.join(
+            m.select("media_id", F.col("meta.origin").alias("origin")), "media_id"
+        )
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(F.aggregate("small", F.lit(0.0), lambda a, x: a + x)), 6)
+            .alias("avg_l1"),
+        )
+        .orderBy("origin")
+    )

@@ -107,3 +107,34 @@ def test_ref_e2e_train_separates_speakers(spark, sf_dir):
     assert row.n_train + row.n_test == n_frames
     assert row.accuracy >= 0.95
     assert row.c01 + row.c10 <= 0.05 * row.n_test  # off-diagonal ≈ 0
+
+
+def test_frame_sample_cardinality_and_determinism(spark, sf_dir):
+    """mm_frame_sample fans one doc into ceil(len/256) frames; the
+    kernel is deterministic (md5 of char slices)."""
+    from big_data_audio_classification_spark.operators.multimodal import mm_frame_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = (
+        d.selectExpr("CAST(ceil(length(text) / 256.0) AS BIGINT) AS nf")
+        .groupBy()
+        .sum("nf")
+        .first()[0]
+    )
+    out = mm_frame_sample(spark, sf_dir)
+    assert out.count() == expected
+    h1 = out.orderBy("media_id", "frame_no").limit(5).collect()
+    h2 = mm_frame_sample(spark, sf_dir).orderBy("media_id", "frame_no").limit(5).collect()
+    assert h1 == h2
+
+
+def test_resize_pool_preserves_l1_mass(spark, sf_dir):
+    """Mean-pooling an L1-normalized 16-vector into 4 buckets keeps
+    total mass 1/4 per-bucket-scale: sum(pooled) == sum(orig)/4 == 0.25,
+    so avg_l1 per origin must be ~0.25."""
+    from big_data_audio_classification_spark.operators.multimodal import mm_resize_pool
+
+    rows = mm_resize_pool(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.avg_l1 - 0.25) < 1e-9
