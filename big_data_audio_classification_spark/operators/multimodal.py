@@ -128,11 +128,36 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract", oracle=None, tags=("multimodal", "mapInPandas"))
+@query(
+    "mm_feature_extract",
+    oracle="""
+        WITH pos AS (
+          SELECT doc_id, source, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents
+        ), h AS (
+          SELECT doc_id, source,
+                 ascii(substring(text, CAST(i AS INT), 1)) % 16 AS bucket,
+                 CAST(COUNT(*) AS DOUBLE) AS c
+          FROM pos GROUP BY ALL
+        ), n AS (
+          SELECT doc_id, source, SUM(c * c) / (SUM(c) * SUM(c)) AS sq
+          FROM h GROUP BY doc_id, source
+        )
+        SELECT source AS origin, COUNT(*) AS n_media,
+               ROUND(AVG(sq), 6) AS avg_sq_norm
+        FROM n GROUP BY origin ORDER BY origin
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob → feature-vector extraction (deterministic stub decoder):
-    per-origin mean feature norm. Rows-only; determinism + batch-shape
-    invariants are pytest-asserted."""
+    per-origin mean feature squared-norm. Differential-tested: the
+    pandas kernel's byte histogram (``fake_decode``: utf-8 bytes % 16,
+    L1-normalized) is re-derived in the DuckDB oracle character-wise via
+    ``ascii(substring(...)) % 16`` — valid because the corpus is pure
+    ASCII (byte == character); Σ(h_b/N)² == Σc²/N². Batch-shape
+    invariants are additionally pytest-asserted."""
     m = media_table(spark, sf_dir)
     feats = extract_features(m)
     sq = F.aggregate(F.col("feature"), F.lit(0.0), lambda a, x: a + x * x)
