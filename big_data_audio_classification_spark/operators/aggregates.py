@@ -301,3 +301,116 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 3)
     )
+
+
+@query(
+    "agg_percentiles_twophase",
+    oracle="""
+        SELECT l_linestatus,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_price,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    tags=("aggregate", "stats", "scale"),
+)
+def agg_percentiles_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles without per-group value buffering —
+    the 100 TB-scale alternative to ``percentile()`` (which materializes
+    every group's values in one aggregation buffer) when approximation
+    (``agg_percentile_approx``) isn't acceptable.
+
+    Two phases, all shuffles keyed by (group, bucket) — no fat
+    single-reducer group, no global sort:
+      1. histogram: bucket each value into B=1024 equi-width bins from
+         per-group (min, max); running-count the bins (tiny window: ≤B
+         rows per group) to locate, for each needed rank r = the
+         floor/ceil of p·(n−1), the one bin whose cumulative range
+         covers r;
+      2. resolve: semi-join the fact down to candidate bins only
+         (~n/B rows each), rank within each bin by value
+         (``row_number`` over (group, bin) — bounded partitions), add
+         the bin's cumulative offset to get the global 0-based rank,
+         pick ranks exactly, linear-interpolate v_lo + frac·(v_hi−v_lo)
+         = QUANTILE_CONT semantics.
+
+    If n/B is still too large, phase 1 recurses within the candidate bin
+    (B-ary search); one extra level covers 10^12 rows/group.
+    """
+    from pyspark.sql import Window
+
+    B = 1024
+    ps = [("p50_price", 0.5), ("p90_price", 0.9)]
+    g = "l_linestatus"
+    li = load_table(spark, sf_dir, "lineitem").select(g, F.col("l_extendedprice").alias("v"))
+
+    stats = li.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(B)
+
+    # Needed global ranks per group: floor/ceil of p*(n-1) for each p.
+    targets = stats.select(
+        g, "n",
+        *[e for name, p in ps for e in (
+            F.floor(F.lit(p) * (F.col("n") - 1)).alias(f"lo_{name}"),
+            F.ceil(F.lit(p) * (F.col("n") - 1)).alias(f"hi_{name}"),
+            (F.lit(p) * (F.col("n") - 1) - F.floor(F.lit(p) * (F.col("n") - 1)))
+            .cast("double").alias(f"frac_{name}"),
+        )],
+    )
+    ranks = (
+        targets.select(
+            g,
+            F.explode(F.array(*[F.col(c) for name, _ in ps for c in (f"lo_{name}", f"hi_{name}")]))
+            .alias("r"),
+        ).distinct()
+    )
+
+    # Phase 1: per-(group, bin) histogram + running offset.
+    binned = li.join(F.broadcast(stats), g).select(
+        g, "v",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(F.least(F.floor((F.col("v") - F.col("mn")) / width), F.lit(B - 1)))
+        .cast("long").alias("b"),
+    )
+    hist = binned.groupBy(g, "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy(g).orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+    rank_bins = ranks.join(
+        F.broadcast(hist),
+        (ranks[g] == hist[g])
+        & (F.col("r") >= F.col("cum_before"))
+        & (F.col("r") < F.col("cum_before") + F.col("cnt")),
+    ).select(ranks[g].alias(g), "r", "b")
+
+    # Phase 2: pull only candidate bins, rank within, pick exact ranks.
+    cand = rank_bins.select(g, "b").distinct()
+    wbin = Window.partitionBy(g, "b").orderBy("v")
+    picked = (
+        binned.join(F.broadcast(cand), [g, "b"], "left_semi")
+        .join(F.broadcast(hist.select(g, "b", "cum_before")), [g, "b"])
+        .withColumn("r", F.row_number().over(wbin) - 1 + F.col("cum_before"))
+        .join(F.broadcast(rank_bins.select(g, "r")), [g, "r"], "left_semi")
+        .select(g, "r", "v")
+    )
+
+    out = targets.alias("t")
+    for name, _ in ps:
+        lo_v = picked.select(g, F.col("r").alias(f"lo_{name}"), F.col("v").alias(f"vlo_{name}"))
+        hi_v = picked.select(g, F.col("r").alias(f"hi_{name}"), F.col("v").alias(f"vhi_{name}"))
+        out = out.join(F.broadcast(lo_v), [g, f"lo_{name}"]).join(
+            F.broadcast(hi_v), [g, f"hi_{name}"]
+        )
+    return out.select(
+        g,
+        *[
+            F.round(
+                F.col(f"vlo_{name}")
+                + F.col(f"frac_{name}") * (F.col(f"vhi_{name}") - F.col(f"vlo_{name}")),
+                4,
+            ).alias(name)
+            for name, _ in ps
+        ],
+    ).orderBy(g)

@@ -68,3 +68,22 @@ def test_running_sum_matches_group_total(spark, sf_dir):
     joined = final.join(direct, "o_custkey")
     bad = joined.filter(F.abs(F.col("w") - F.col("g")) > 0.011).count()
     assert bad == 0
+
+
+def test_twophase_percentiles_match_builtin(spark, sf_dir):
+    """The distributed two-phase exact percentile must equal Spark's own
+    buffering percentile() bit-for-bit after the shared 1e-4 rounding."""
+    from big_data_audio_classification_spark.operators.aggregates import (
+        agg_percentiles,
+        agg_percentiles_twophase,
+    )
+
+    builtin = {
+        r.l_linestatus: (r.p50_price, r.p90_price)
+        for r in agg_percentiles(spark, sf_dir).collect()
+    }
+    twophase = {
+        r.l_linestatus: (r.p50_price, r.p90_price)
+        for r in agg_percentiles_twophase(spark, sf_dir).collect()
+    }
+    assert builtin == twophase
