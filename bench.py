@@ -26,6 +26,9 @@ HEADLINE = [
     "agg_stats_by_flag",
     "agg_count_distinct",
     "agg_percentiles",
+    # agg_percentiles_twophase is the 100 TB path (no per-group buffering)
+    # but pays a ~10-join plan-compile cost that dominates at sf0.1 —
+    # registered + oracle-checked, not a headline timing.
     "agg_cube",
     "window_running_spend",
     "window_lag_lead_events",
