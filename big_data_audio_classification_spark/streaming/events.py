@@ -207,6 +207,38 @@ def stream_dedup(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to a prior
+    click by the same user within 20 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time
+    (``p.ts BETWEEN c.ts AND c.ts + 20 min``), so Spark can compute how
+    long each side's rows must be buffered and evict join state once the
+    watermark passes — bounded state on two unbounded streams. Without
+    the time bound the state would grow forever; Spark rejects unbounded
+    stream-stream outer joins for exactly that reason.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", "30 minutes")
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", "30 minutes")
+    return c.join(
+        p,
+        (c["user_id"] == p["user_id"])
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 20 MINUTES")),
+    ).select(
+        c["user_id"], "click_id", "purchase_id", "click_ts", "purchase_ts", "value"
+    )
+
+
 def stream_rate_counts(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
     """Built-in ``rate-micro-batch`` source → modulo-bucketed counts.
 

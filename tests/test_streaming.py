@@ -160,3 +160,47 @@ def test_rate_source_counts(spark):
     q.awaitTermination(120)
     out = {r.bucket: r.n for r in spark.sql("select * from rate_sink").collect()}
     assert out == {b: 10 for b in range(10)}
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream time-bounded join must produce exactly the rows the
+    identical batch join produces once both streams drain."""
+    from big_data_audio_classification_spark.streaming.events import stream_stream_join
+
+    src = _memory_stream(spark, tmp_path)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "view")  # stand-in purchase stream
+    q = (
+        stream_stream_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) n, count(distinct purchase_id) dp from ssj_sink"
+    ).first()
+
+    batch = spark.createDataFrame(
+        _event_rows(),
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    bc = batch.filter(F.col("event_type") == "click").selectExpr(
+        "user_id", "ts as click_ts", "event_id as click_id"
+    )
+    bp = batch.filter(F.col("event_type") == "view").selectExpr(
+        "user_id", "ts as purchase_ts", "event_id as purchase_id"
+    )
+    expected = (
+        bc.join(
+            bp,
+            (bc.user_id == bp.user_id)
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 20 MINUTES")),
+        )
+        .count()
+    )
+    assert got.n == expected
+    assert got.n > 0
