@@ -371,3 +371,51 @@ def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(acc, 4), round(ll, 4), train.count(), test.count())],
         "accuracy double, logloss double, n_train long, n_test long",
     )
+
+
+@query("ml_kmeans_embeddings", oracle=None, tags=("ml", "mllib", "clustering"))
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans(k=10, seeded) over the embedding vectors — the clustering
+    primitive of large-scale training-data curation (semantic grouping /
+    cluster-level dedup / diversity sampling). MLlib's implementation is
+    the scale path: each Lloyd iteration is one map (assign to nearest
+    of k broadcast centroids) + one keyed partial-aggregate (recompute
+    centroids) — no shuffle ever carries the vectors themselves.
+
+    Output: per-cluster size and mean distance-to-centroid. Rows-only
+    (kmeans|| init is seed-stable within Spark but not reproducible in
+    DuckDB); partition-coverage and seed-determinism invariants are
+    pytest-asserted (the synthetic embeddings are near-isotropic, so
+    cluster/label alignment is intentionally NOT asserted).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(to_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=20, featuresCol="features").fit(em)
+    pred = model.transform(em)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "prediction int, center array<double>",
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                vector_to_array("features"), "center", lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        pred.join(F.broadcast(centers), "prediction")
+        .groupBy("prediction")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(dist), 6).alias("avg_dist"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("prediction")
+    )

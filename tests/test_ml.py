@@ -110,3 +110,19 @@ def test_stratified_sample_rates(spark, sf_dir):
         # Bernoulli sampling: allow 4 sigma
         sigma = (n * frac * (1 - frac)) ** 0.5
         assert abs(got.get(lang, 0) - expect) <= 4 * sigma + 1
+
+
+def test_kmeans_partition_and_determinism(spark, sf_dir):
+    """Seeded KMeans(k=10) must partition all 500 vectors into ≤10
+    non-empty clusters with positive spread, and repeat-run identically
+    (same seed → same assignment counts). The synthetic embeddings are
+    near-isotropic (within-label spread ~7× the between-centroid
+    distance), so label purity is NOT an invariant here."""
+    from big_data_audio_classification_spark.operators.ml import ml_kmeans_embeddings
+
+    r1 = ml_kmeans_embeddings(spark, sf_dir).collect()
+    assert sum(r.n for r in r1) == 500
+    assert 1 <= len(r1) <= 10
+    assert all(r.n > 0 and r.avg_dist > 0 for r in r1)
+    r2 = ml_kmeans_embeddings(spark, sf_dir).collect()
+    assert [(r.prediction, r.n) for r in r1] == [(r.prediction, r.n) for r in r2]
