@@ -281,3 +281,34 @@ def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
         F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
     )
+
+
+@query(
+    "scalar_variant_extract",
+    oracle="""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant", "events"),
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VariantType: ``parse_json``
+    once into a binary-encoded variant, then typed ``try_variant_get``
+    path reads. Versus string re-parsing (``get_json_object`` per path),
+    the variant parses each document once into a shredded binary form —
+    the 100 TB path for schema-flexible columns (and unlike
+    ``from_json``, it needs no schema declared up front)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
