@@ -396,3 +396,37 @@ def repartition_sortwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.col("o_orderdate").cast("string").alias("od")
         )
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("sink", "orc"),
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read-back → aggregate. ORC is Spark's second built-in
+    columnar format (vectorized reader, predicate pushdown, striping —
+    same scan-level guarantees the parquet path gets); the roundtrip
+    proves format interchange without external packages. The read-back
+    filter reaches the ORC scan as a pushed predicate."""
+    path = os.path.join(_SCRATCH, "sink_orc_roundtrip")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("o_orderstatus") == "F")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
