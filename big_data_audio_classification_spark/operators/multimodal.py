@@ -103,7 +103,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     oracle="""
         SELECT source AS origin,
                COUNT(*)                              AS n_media,
-               SUM(octet_length(encode(text)))       AS total_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                MIN(octet_length(encode(text)))       AS min_bytes,
                MAX(octet_length(encode(text)))       AS max_bytes
         FROM documents

@@ -87,8 +87,8 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey, l_linenumber,
                ROUND(l_extendedprice, 0)                       AS price_round,
-               FLOOR(l_quantity)                               AS qty_floor,
-               CEIL(l_discount * 100)                          AS disc_pct_ceil,
+               CAST(FLOOR(l_quantity) AS BIGINT)               AS qty_floor,
+               CAST(CEIL(l_discount * 100) AS BIGINT)          AS disc_pct_ceil,
                ABS(l_quantity - 25)                            AS qty_dev,
                MOD(l_orderkey, 7)                              AS key_mod7,
                ROUND(SQRT(l_extendedprice), 4)                 AS price_sqrt,
@@ -287,7 +287,8 @@ def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_variant_extract",
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT)                                         AS sum_k,
                COUNT(*) AS n
         FROM events
         GROUP BY event_type
