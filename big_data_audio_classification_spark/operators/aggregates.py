@@ -89,22 +89,47 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketch values are engine-specific; rows-only check.
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers_exact,
+               COUNT(DISTINCT l_partkey) AS n_parts_exact,
+               TRUE AS suppliers_within_rsd,
+               TRUE AS parts_within_rsd
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     tags=("aggregate", "sketch"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch — the 100 TB path for
     distinct counts (mergeable, single-pass, ~KB of state per group
-    instead of a distinct shuffle of all keys)."""
+    instead of a distinct shuffle of all keys).
+
+    Bounds oracle: the sketch value itself is engine-specific, so the
+    query emits the exact counts (hash-checked against DuckDB) plus a
+    boolean asserting the HLL estimate landed within 5× its configured
+    rsd of exact — a property DuckDB can state as ``TRUE``. This keeps
+    the sketch path in the driver's typed-hash gate instead of a
+    permanent ``no_oracle`` row."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        )
-        .orderBy("l_returnflag")
+    tol = 0.05  # 5× the configured rsd of 0.01 — comfortably wide
+    agged = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
     )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(tol)
+    )
+    return agged.select(
+        "l_returnflag",
+        "n_suppliers_exact",
+        "n_parts_exact",
+        within("approx_suppliers", "n_suppliers_exact").alias("suppliers_within_rsd"),
+        within("approx_parts", "n_parts_exact").alias("parts_within_rsd"),
+    ).orderBy("l_returnflag")
 
 
 @query(
@@ -147,17 +172,45 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentile_approx",
-    oracle=None,  # sketch-based; engine-specific values → rows-only.
+    oracle="""
+        SELECT l_linestatus,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4)  AS p50_exact,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99_exact,
+               TRUE AS p50_within_tol,
+               TRUE AS p99_within_tol
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
     tags=("aggregate", "sketch"),
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles — single-pass mergeable sketch; the shape
-    used at 100 TB where exact sort-based percentiles are infeasible."""
+    """Approximate quantiles — single-pass mergeable KLL-style sketch;
+    the shape used at 100 TB where exact sort-based percentiles are
+    infeasible.
+
+    Bounds oracle: sketch output is engine-specific, so the query emits
+    the exact interpolated percentiles (hash-checked vs QUANTILE_CONT)
+    plus booleans asserting the sketch landed within 1% relative of
+    exact (accuracy=10000 → rank error ≤ 0.01%, so 1% value tolerance
+    is conservative)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_price"),
+    agged = li.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))).alias("pe"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10000)
+        ).alias("pa"),
     )
+    within = lambda i: (  # noqa: E731
+        F.abs(F.col("pa")[i] - F.col("pe")[i]) / F.col("pe")[i] <= F.lit(0.01)
+    )
+    return agged.select(
+        "l_linestatus",
+        F.round(F.col("pe")[0], 4).alias("p50_exact"),
+        F.round(F.col("pe")[1], 4).alias("p99_exact"),
+        within(0).alias("p50_within_tol"),
+        within(1).alias("p99_within_tol"),
+    ).orderBy("l_linestatus")
 
 
 @query(
