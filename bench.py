@@ -2,6 +2,16 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
+
+Methodology: per-query cost at sf0.1 is dominated by one-time plan/
+codegen compile (~0.3-0.6 s; warm reruns are 2-7x faster), so each query
+is timed twice — ``queries`` holds the cold (first-run) times, directly
+comparable to BENCH_r01, and ``queries_warm`` holds the second-run times
+where compile variance is gone. Regressions should be judged warm-for-
+warm; ``value`` stays the cold total for driver compatibility.
+
+``ref_e2e_train`` (the reference's full audio->features->PCA->MI->MLP
+lifecycle) is timed once — an MLlib fit is not a rerunnable lazy plan.
 """
 
 from __future__ import annotations
@@ -17,6 +27,9 @@ from big_data_audio_classification_spark.registry import all_queries
 from big_data_audio_classification_spark.session import get_spark
 
 # Headline set: one representative per operator family, heaviest variants.
+# grouped_zscore_applyinpandas is intentionally NOT here: it times Arrow
+# serialization of a window-expressible computation (kept registered as
+# the applyInPandas API exemplar, not an engine benchmark).
 HEADLINE = [
     "pricing_summary",
     "join_inner_revenue_by_nation",
@@ -43,8 +56,18 @@ HEADLINE = [
     "text_quality_score",
     "sim_cosine_topk",
     "skew_twophase_distinct",
-    "grouped_zscore_applyinpandas",
 ]
+
+# Timed once (eager MLlib fit inside — there is no "warm rerun" of a
+# training action that doesn't retrain).
+RUN_ONCE = ["ref_e2e_train"]
+
+
+def _run(qs, name, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = qs[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -57,21 +80,25 @@ def main() -> None:
     # Warm the JVM/codegen once with the flagship before timing.
     qs["pricing_summary"].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = _run(qs, name, spark, sf_dir)
+        warm[name] = _run(qs, name, spark, sf_dir)
+    for name in RUN_ONCE:
+        if name in qs:
+            cold[name] = _run(qs, name, spark, sf_dir)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(cold.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -191,8 +191,11 @@ def ml_pipeline_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = em.randomSplit([0.8, 0.2], seed=42)
     n_classes = em.select("class_name").distinct().count()  # R33
 
+    # handleInvalid="skip": a class present only in the holdout must not
+    # crash transform-time (the indexer is fit on the 80% split only).
     indexer = StringIndexer(
-        inputCol="class_name", outputCol="y", stringOrderType="alphabetAsc"
+        inputCol="class_name", outputCol="y",
+        stringOrderType="alphabetAsc", handleInvalid="skip",
     )
     pipe = Pipeline(
         stages=[

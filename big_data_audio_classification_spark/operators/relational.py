@@ -228,6 +228,36 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right_order_customers",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               COUNT(o_orderkey)                        AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+        FROM orders
+        RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("relational", "join"),
+)
+def join_right_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer survives even with zero orders
+    (mirror of ``join_left_order_counts`` with the build side flipped —
+    SURVEY §2.B names inner/left/right/full explicitly). Catalyst plans
+    right-outer as the mirrored left-outer; at scale prefer putting the
+    preserved (smaller) side on the broadcastable side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
     "join_full_outer_daily",
     oracle="""
         WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
@@ -427,10 +457,14 @@ def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "setop"),
 )
 def set_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EXCEPT (distinct): any row appearing in b is fully removed
+    from a. ``df.subtract`` has exactly these semantics; the previous
+    ``exceptAll().distinct()`` form kept a survivor when a value had
+    higher multiplicity in a than b — correct only for unique keys."""
     c = load_table(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 @query(

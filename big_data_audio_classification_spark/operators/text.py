@@ -343,17 +343,22 @@ def text_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pipe.fit(d).transform(d)
 
-    def nnz(v):
-        return int(v.numNonzeros())
+    # nnz of the sparse vector, JVM-side: vector_to_array densifies and a
+    # higher-order aggregate counts nonzeros — keeps the engine's
+    # no-Python-UDF invariant (the vocab is capped at 1000, so the dense
+    # form is bounded).
+    from pyspark.ml.functions import vector_to_array
 
-    from pyspark.sql.types import IntegerType
-
-    nnz_udf = F.udf(nnz, IntegerType())  # tiny metadata column, not a hot path
+    nnz = F.aggregate(
+        vector_to_array("features"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(x != 0.0, 1).otherwise(0),
+    )
     return out.select(
         "doc_id",
         F.size("kept").alias("n_tokens"),
         F.size("bigrams").alias("n_bigrams"),
-        nnz_udf("features").alias("nnz"),
+        nnz.cast("int").alias("nnz"),
     )
 
 

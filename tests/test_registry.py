@@ -1,0 +1,87 @@
+"""Contract tests for the query registry and the driver's 50-row window.
+
+The driver records CORRECTNESS rows for the first 50 registered queries
+only, so the window must (a) be exactly the curated DRIVER_WINDOW list,
+(b) be fully SQL-oracled (no rows-only red rows in the gate), and
+(c) sample every operator family rather than the import-order prefix.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from big_data_audio_classification_spark.registry import DRIVER_WINDOW, all_queries
+
+# One representative tag per operator family the window must sample.
+REQUIRED_FAMILY_TAGS = [
+    "relational",
+    "join",
+    "asof",
+    "setop",
+    "aggregate",
+    "sketch",
+    "grouping",  # rollup/cube/grouping-sets family (pivot carries it too)
+    "window",
+    "topk",
+    "scalar",
+    "string",
+    "math",
+    "json",
+    "variant",
+    "array",
+    "map",
+    "dedup",
+    "minhash",
+    "lsh",
+    "simhash",
+    "text",
+    "tfidf",
+    "similarity",
+    "ivf",
+    "ml",
+    "report",
+    "feature-selection",
+    "encoding",
+    "reference",
+    "range-join",
+    "audio-math",
+    "multimodal",
+    "mapInPandas",
+    "scale",
+    "skew",
+    "events",
+    "window-time",
+    "session",
+    "udtf",
+    "udaf",
+    "pandas",
+    "sink",
+    "csv",
+    "sql",
+]
+
+
+def test_window_is_the_first_50_registered():
+    names = list(all_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+
+
+def test_window_is_fully_sql_oracled():
+    qs = all_queries()
+    missing = [n for n in DRIVER_WINDOW if qs[n].oracle is None]
+    assert not missing, f"rows-only queries inside the driver window: {missing}"
+
+
+def test_window_samples_every_family():
+    qs = all_queries()
+    window_tags = {t for n in DRIVER_WINDOW for t in qs[n].tags}
+    missing = [t for t in REQUIRED_FAMILY_TAGS if t not in window_tags]
+    assert not missing, f"families absent from the driver window: {missing}"
+
+
+def test_no_duplicate_registrations():
+    names = list(all_queries())
+    assert len(names) == len(set(names))
