@@ -88,6 +88,18 @@ def test_ivf_topk_joins_on_cell_not_cross(spark, sf_dir):
     )
 
 
+def test_keep_first_dedup_has_no_pair_explosion(spark, sf_dir):
+    """The linear-output LSH dedup (the 100 TB path) must contain no
+    self-join pair materialization: every join in the plan is an
+    equi-join (band-key), never a nested-loop/cartesian product."""
+    from big_data_audio_classification_spark.operators import dedup
+
+    df = dedup.dedup_minhash_keep_first(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_dedup_plan_is_single_agg(spark, sf_dir):
     from big_data_audio_classification_spark.operators import dedup
 
