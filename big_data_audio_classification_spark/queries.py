@@ -10,6 +10,7 @@ import big_data_audio_classification_spark.operators.windows  # noqa: F401
 import big_data_audio_classification_spark.operators.scalars  # noqa: F401
 import big_data_audio_classification_spark.operators.dedup  # noqa: F401
 import big_data_audio_classification_spark.operators.text  # noqa: F401
+import big_data_audio_classification_spark.operators.curation  # noqa: F401
 import big_data_audio_classification_spark.operators.similarity  # noqa: F401
 import big_data_audio_classification_spark.operators.ml  # noqa: F401
 import big_data_audio_classification_spark.operators.reference_pipeline  # noqa: F401

@@ -100,6 +100,18 @@ def test_keep_first_dedup_has_no_pair_explosion(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_join_broadcasts_eval_side(spark, sf_dir):
+    """The contamination check must probe a broadcast of the (tiny) eval
+    shingle set — a corpus-wide shuffle on shingle strings would be the
+    100 TB killer."""
+    from big_data_audio_classification_spark.operators import curation
+
+    df = curation.text_contamination_overlap(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not introspect.has_python_udf(df)
+
+
 def test_exact_dedup_plan_is_single_agg(spark, sf_dir):
     from big_data_audio_classification_spark.operators import dedup
 
