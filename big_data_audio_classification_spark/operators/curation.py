@@ -254,3 +254,232 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BOILER_DF = 2  # shingle is "boilerplate" when it appears in >= this many docs
+SAMPLE_K = 10  # docs sampled per source
+RESAMPLE_SCALE = 1_000_000  # hash-uniform resolution for importance sampling
+
+
+@query(
+    "text_boilerplate_fraction",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                          range(1, len(toks) - {SHINGLE_W} + 2),
+                          i -> array_to_string(toks[i:i+{SHINGLE_W}-1], ' ')
+                      )) AS shingles
+               FROM t WHERE len(toks) >= {SHINGLE_W}),
+        ex AS (SELECT doc_id, UNNEST(shingles) AS sh FROM sh),
+        df AS (SELECT sh, COUNT(*) AS n_docs FROM ex GROUP BY 1)
+        SELECT ex.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN df.n_docs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_common,
+               ROUND(CAST(SUM(CASE WHEN df.n_docs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS boilerplate_frac
+        FROM ex JOIN df ON ex.sh = df.sh
+        GROUP BY ex.doc_id
+    """,
+    tags=("text", "curation", "documents"),
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate scoring: the fraction of a document's
+    distinct token shingles that recur in >= BOILER_DF other documents.
+    High fraction = shared template/boilerplate text (headers, footers,
+    licence blocks) — a standard pre-training drop/clean signal that,
+    unlike the intra-document repetition signals, needs corpus context.
+
+    Plan shape: one explode, one shingle-keyed count (the corpus
+    document-frequency table), one shingle-keyed join back, one
+    doc-keyed rollup — all linear, two shuffle keys total. At 100 TB
+    hash the shingle to a bigint first so both shuffles move 8-byte
+    keys, and compute df once per corpus snapshot, not per query."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size("toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - SHINGLE_W + 1),
+            lambda i: F.array_join(F.slice("toks", i, SHINGLE_W), " "),
+        )
+    )
+    ex = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(n >= SHINGLE_W)
+        .select("doc_id", F.explode(shingles).alias("sh"))
+    )
+    df = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    is_common = (F.col("n_docs") >= BOILER_DF).cast("long")
+    return (
+        ex.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(is_common).alias("n_common"),
+            F.round(
+                F.sum(is_common).cast("double") / F.count(F.lit(1)), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+@query(
+    "curation_sample_per_source",
+    oracle=f"""
+        SELECT source, doc_id
+        FROM (SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents)
+        WHERE rn <= {SAMPLE_K}
+    """,
+    tags=("curation", "sampling", "documents"),
+)
+def curation_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: order each source's documents
+    by md5(doc_id) — a uniform, engine-portable pseudo-random key — and
+    keep the first SAMPLE_K. Reproducible across runs and engines,
+    unlike rand()-based sampling, which matters for audit trails
+    ("which exact docs were in the eval slice?").
+
+    One shuffle keyed by source. At 100 TB the window sort is the
+    bottleneck for mega-groups; there the same hash-order rule runs as
+    a two-phase top-k (per-partition top-k, then merge — see
+    operators/windows.py topk pattern), which is exactly how
+    reservoir-equivalent sampling distributes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select("source", "doc_id")
+    )
+
+
+@query(
+    "curation_importance_resample",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
+        m AS (SELECT doc_id, source,
+                     len(toks) AS n_tokens,
+                     len(list_filter(toks, t -> t IN {STOPWORDS!r})) AS n_stop,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+              FROM t WHERE len(toks) > 0),
+        q AS (SELECT doc_id, source,
+                     LEAST(CAST(n_tokens AS DOUBLE) / 64, 1.0) * 0.4
+                     + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0) * 0.3
+                     + ttr * 0.3 AS quality,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {RESAMPLE_SCALE} AS u
+              FROM m)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN u < quality * {RESAMPLE_SCALE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(AVG(CASE WHEN u < quality * {RESAMPLE_SCALE}
+                              THEN quality END), 6) AS avg_quality_kept
+        FROM q
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("curation", "sampling", "documents"),
+)
+def curation_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: keep each document with
+    probability equal to its quality score, decided by comparing the
+    score against a deterministic per-doc uniform draw (md5 hash of
+    doc_id scaled to [0,1)). This is how pipelines upweight high-quality
+    sources without a global sort or an RNG whose replay depends on
+    partitioning — the keep decision is a pure function of the row.
+
+    Map-only except the final per-source rollup: no shuffle touches the
+    full corpus. The same predicate with quality replaced by any
+    per-row weight implements temperature/mixture resampling."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", "source", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_tokens = F.size("toks").cast("double")
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))).cast(
+        "double"
+    )
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = (
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + F.least(n_stop / n_tokens * 5, F.lit(1.0)) * 0.3
+        + ttr * 0.3
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % RESAMPLE_SCALE
+    )
+    scored = base.select(
+        "source",
+        quality.alias("quality"),
+        (u < quality * RESAMPLE_SCALE).alias("keep"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.avg(F.when(F.col("keep"), F.col("quality"))), 6).alias(
+                "avg_quality_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+PACK_BUDGET = 256  # token budget per training pack (context window)
+
+
+@query("curation_pack_sequences", oracle=None, tags=("curation", "packing", "documents"))
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training-batch construction: walk each
+    source's documents in doc_id order and pack them into the fewest
+    consecutive groups whose token totals stay within PACK_BUDGET (a doc
+    longer than the budget gets a pack of its own). Returns
+    (doc_id, source, pack_id, n_tokens) — the pack manifest a training
+    dataloader consumes.
+
+    The running keep-or-open-new-pack decision is inherently sequential
+    (pack_id depends on every prior doc in the group), so this is the
+    applyInPandas case the mandate carves out: Arrow-batched grouped map,
+    numpy cumsum inside, no row-at-a-time Python. No SQL oracle —
+    registered rows-only; the greedy invariants (budget respected,
+    packs contiguous, first doc of pack p+1 never fits in pack p) are
+    asserted in tests/test_curation.py.
+
+    One shuffle keyed by source. At 100 TB a single source is far too
+    big for one group — pre-chunk the key to (source, doc_id DIV chunk)
+    so groups stay executor-sized; packing within chunks is identical
+    and boundaries cost at most one under-filled pack per chunk."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    sized = d.select("doc_id", "source", F.size(toks).alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack_id, cur = 0, 0
+        for n in pdf["n_tokens"]:
+            if cur > 0 and cur + n > PACK_BUDGET:
+                pack_id += 1
+                cur = 0
+            pack_ids.append(pack_id)
+            cur += n
+        pdf["pack_id"] = pack_ids
+        return pdf[["doc_id", "source", "pack_id", "n_tokens"]]
+
+    return sized.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, pack_id long, n_tokens long"
+    )

@@ -317,3 +317,86 @@ def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
         )
     )
+
+
+SEMDEDUP_TAU = 0.25  # within-cluster cosine above this = semantic dup
+
+
+@query(
+    "sim_semdedup",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+                   WHERE vec_id < {IVF_CELLS}),
+        d AS (
+            SELECT b.vec_id, a.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                       a.cell_id) AS rn
+            FROM c a CROSS JOIN embeddings b
+        ),
+        asg AS (SELECT vec_id, cell_id FROM d WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT jb.vec_id
+            FROM asg ja
+            JOIN asg jb ON ja.cell_id = jb.cell_id AND ja.vec_id < jb.vec_id
+            JOIN embeddings a ON a.vec_id = ja.vec_id
+            JOIN embeddings b ON b.vec_id = jb.vec_id
+            WHERE ROUND({_SQL_COSINE}, 6) >= {SEMDEDUP_TAU}
+        )
+        SELECT asg.vec_id, asg.cell_id,
+               dropped.vec_id IS NULL AS kept
+        FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+    """,
+    tags=("similarity", "dedup", "curation", "embeddings"),
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster -> within-cluster
+    cosine -> keep-first): assign every vector to its nearest coarse
+    centroid, then inside each cluster drop any vector whose cosine to a
+    lower-id cluster-mate is >= SEMDEDUP_TAU. Returns one row per vector
+    with its cluster and keep/drop decision — linear output.
+
+    This is the embedding-space analogue of the MinHash keep-first rule
+    (operators/dedup.py): the cluster plays the role of the LSH band, so
+    the pairwise stage is quadratic only within a cluster, never across
+    the corpus. At 100 TB the knobs are the centroid count (more cells
+    -> smaller clusters -> cheaper pairwise) and probing: assignment is
+    a broadcast map-only stage, the pair stage is one equi-join keyed by
+    cell_id. Deterministic data-derived centroids (vec_id < IVF_CELLS)
+    keep it fully oracle-checkable, unlike seeded KMeans."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    asg = (
+        em.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", d2.alias("d2"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    emb = em.select("vec_id", "embedding")
+    a = asg.alias("ja")
+    b = asg.alias("jb")
+    cs = F.round(
+        cosine(to_double(F.col("ea.embedding")), to_double(F.col("eb.embedding"))), 6
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("ja.cell_id") == F.col("jb.cell_id"))
+            & (F.col("ja.vec_id") < F.col("jb.vec_id")),
+        )
+        .join(emb.alias("ea"), F.col("ea.vec_id") == F.col("ja.vec_id"))
+        .join(emb.alias("eb"), F.col("eb.vec_id") == F.col("jb.vec_id"))
+        .filter(cs >= SEMDEDUP_TAU)
+        .select(F.col("jb.vec_id").alias("dropped_id"))
+        .distinct()
+    )
+    return asg.join(
+        dropped, asg["vec_id"] == dropped["dropped_id"], "left"
+    ).select("vec_id", "cell_id", F.col("dropped_id").isNull().alias("kept"))

@@ -60,13 +60,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the two-phase exact percentile, window/topk, scalar string/date/math/
 # json/variant/array/map, dedup incl. the linear-output LSH path, text,
 # similarity incl. IVF ANN, ML reports/MI, reference-parity ops,
+# corpus curation (contamination, one-plan pipeline, SemDeDup),
 # multimodal mapInPandas, skew/scale patterns, event-time windows,
 # UDTF, pandas UDAF, sinks) rather than the import-order prefix.
 # Everything else stays registered and oracle-checked locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "filter_predicates",
-    "case_when_tiers",
     "join_inner_revenue_by_nation",
     "join_left_order_counts",
     "join_right_order_customers",
@@ -76,7 +76,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_range_bands",
     "join_asof_purchase_click",
     "set_except_segments",
-    "distinct_flag_status",
     "sql_frontdoor_revenue",
     "agg_stats_by_flag",
     "agg_count_distinct",
@@ -101,6 +100,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_semdedup",
+    "curation_pipeline_e2e",
+    "text_contamination_overlap",
     "ml_label_encode",
     "ml_confusion_matrix",
     "ml_classification_report",
@@ -108,7 +110,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_segments_cumsum",
     "ref_interval_join",
     "ref_power_to_db",
-    "mm_metadata_stats",
     "mm_feature_extract",
     "skew_twophase_distinct",
     "events_session_window",

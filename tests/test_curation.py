@@ -1,0 +1,89 @@
+"""Semantics tests for the corpus-curation operators: packing greedy
+invariants, sampling determinism, resampling keep-rule, SemDeDup
+cluster/keep coherence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators import curation, similarity
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_pack_sequences_greedy_invariants(spark, sf_dir):
+    out = curation.curation_pack_sequences(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs  # every doc packed exactly once
+
+    by_group: dict[tuple, list] = {}
+    for r in out:
+        by_group.setdefault((r.source, r.pack_id), []).append(r)
+    for (source, pack_id), rows in by_group.items():
+        total = sum(r.n_tokens for r in rows)
+        # budget respected unless the pack is a single over-budget doc
+        assert total <= curation.PACK_BUDGET or len(rows) == 1
+
+    # packs are contiguous in doc_id order and greedy: the first doc of
+    # pack p+1 would have overflowed pack p
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.doc_id)
+        pack_ids = [r.pack_id for r in rows]
+        assert pack_ids == sorted(pack_ids)  # non-decreasing along doc_id
+        assert pack_ids[0] == 0
+        assert set(pack_ids) == set(range(max(pack_ids) + 1))  # no gaps
+        cur = 0
+        for r in rows:
+            if r.pack_id > 0 and cur > 0 and r.doc_id == min(
+                x.doc_id for x in rows if x.pack_id == r.pack_id
+            ):
+                prev_total = sum(
+                    x.n_tokens for x in rows if x.pack_id == r.pack_id - 1
+                )
+                assert prev_total + r.n_tokens > curation.PACK_BUDGET
+
+
+def test_pack_sequences_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, curation.curation_pack_sequences(spark, sf_dir).collect()))
+    b = sorted(map(tuple, curation.curation_pack_sequences(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_sample_per_source_size_and_determinism(spark, sf_dir):
+    out = curation.curation_sample_per_source(spark, sf_dir)
+    sizes = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for source, n in sizes.items():
+        assert n == min(curation.SAMPLE_K, totals[source])
+    again = sorted(map(tuple, curation.curation_sample_per_source(spark, sf_dir).collect()))
+    assert sorted(map(tuple, out.collect())) == again
+
+
+def test_importance_resample_bounds(spark, sf_dir):
+    out = curation.curation_importance_resample(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.n_kept > 0:
+            assert 0.0 <= r.avg_quality_kept <= 1.0 + 1e-9
+
+
+def test_semdedup_keeps_cluster_minimum(spark, sf_dir):
+    """Every cluster's lowest vec_id is always kept (it has no lower-id
+    mate), and at least one vector per cluster survives."""
+    out = similarity.sim_semdedup(spark, sf_dir).collect()
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell, rows in by_cell.items():
+        lowest = min(rows, key=lambda r: r.vec_id)
+        assert lowest.kept
+        assert any(r.kept for r in rows)
