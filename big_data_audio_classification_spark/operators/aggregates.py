@@ -467,3 +467,54 @@ def agg_percentiles_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, _ in ps
         ],
     ).orderBy(g)
+
+
+@query(
+    "agg_hll_partial_merge",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+               TRUE AS merged_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "sketch", "scale"),
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 3.5+
+    ``hll_sketch_agg``/``hll_union_agg``): build per-(flag, status)
+    partial sketches, then MERGE them to per-flag estimates — the
+    pre-aggregation pattern that makes distinct counts cheap at 100 TB.
+    A nightly job sketches each partition/day once (KBs of state);
+    any later rollup unions sketches instead of re-scanning raw keys,
+    so "distinct users this quarter" never touches the fact table.
+
+    Bounds oracle, same contract as ``agg_approx_count_distinct``: the
+    sketch estimate is engine-specific, so the driver hashes the exact
+    count plus a boolean asserting the merged estimate lands within
+    tolerance — provably-merged, not just approximately counted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tol = 0.05
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact")
+    )
+    return (
+        exact.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_orders_exact"))
+                / F.col("n_orders_exact")
+                <= F.lit(tol)
+            ).alias("merged_within_tol"),
+        )
+        .orderBy("l_returnflag")
+    )

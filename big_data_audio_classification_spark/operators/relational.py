@@ -512,3 +512,91 @@ def sql_frontdoor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_lateral_top_customer",
+    oracle="""
+        SELECT n.n_name, s.c_name, s.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 1
+        ) s
+    """,
+    tags=("relational", "sql", "lateral"),
+)
+def sql_lateral_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): per nation,
+    the single highest-balance customer. The lateral form is the SQL
+    users write for per-row "top-N of a related table"; Catalyst
+    decorrelates it into the same window/aggregate plan the DataFrame
+    top-k-per-group produces — no per-row re-execution, one shuffle
+    keyed by the correlation key. Same text runs on DuckDB verbatim."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, s.c_name, s.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 1
+        ) s
+        """
+    )
+
+
+@query(
+    "sql_recursive_month_rollup",
+    oracle="""
+        WITH RECURSIVE m(mth) AS (
+            SELECT 1
+            UNION ALL
+            SELECT mth + 1 FROM m WHERE mth < 12
+        )
+        SELECT m.mth,
+               COUNT(o_orderkey)                        AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total
+        FROM m
+        LEFT JOIN orders ON EXTRACT(MONTH FROM o_orderdate) = m.mth
+        GROUP BY m.mth
+        ORDER BY m.mth
+    """,
+    tags=("relational", "sql", "recursive"),
+)
+def sql_recursive_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 SQL surface): a generated month spine
+    LEFT-JOINed to order rollups, so months with zero orders still
+    appear — the standard "dense calendar axis" reporting shape. The
+    recursion is driver-side tiny (12 rows); the fact-side plan is an
+    ordinary pre-aggregated join, so the shape scales like any
+    broadcast-dim join. Identical text runs on DuckDB."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE m(mth) AS (
+            SELECT 1
+            UNION ALL
+            SELECT mth + 1 FROM m WHERE mth < 12
+        )
+        SELECT m.mth,
+               COUNT(o_orderkey)                        AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total
+        FROM m
+        LEFT JOIN orders ON EXTRACT(MONTH FROM o_orderdate) = m.mth
+        GROUP BY m.mth
+        ORDER BY m.mth
+        """
+    )

@@ -157,3 +157,33 @@ def test_connected_components_matches_union_find(spark, sf_dir):
         for r in dedup.dedup_connected_components(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_hll_partial_merge_tracks_direct_sketch(spark, sf_dir):
+    """Merging per-(flag,status) sketches tracks both the direct sketch
+    and the exact count — the mergeability contract. (Union is not
+    bit-identical to direct sketching: DataSketches coerces sketch state
+    on union, so estimates agree approximately, not exactly.)"""
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    merged = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    m = {r.l_returnflag: r.est for r in merged.collect()}
+    d = {r.l_returnflag: r.est for r in direct.collect()}
+    e = {r.l_returnflag: r.n for r in exact.collect()}
+    for flag, n in e.items():
+        assert abs(m[flag] - d[flag]) / n < 0.01
+        assert abs(m[flag] - n) / n < 0.05

@@ -87,3 +87,34 @@ def test_twophase_percentiles_match_builtin(spark, sf_dir):
         for r in agg_percentiles_twophase(spark, sf_dir).collect()
     }
     assert builtin == twophase
+
+
+def test_lateral_top_customer_matches_window_topk(spark, sf_dir):
+    """The LATERAL correlated top-1 equals the window row_number top-1."""
+    from pyspark.sql import Window
+
+    out = {
+        (r.n_name, r.c_name): r.c_acctbal
+        for r in relational.sql_lateral_top_customer(spark, sf_dir).collect()
+    }
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_name")
+    )
+    expect = {
+        (r.n_name, r.c_name): r.c_acctbal
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_name", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert out == expect
+
+
+def test_recursive_month_rollup_dense_axis(spark, sf_dir):
+    """All 12 months present even when no orders fall in one."""
+    rows = relational.sql_recursive_month_rollup(spark, sf_dir).collect()
+    assert [r.mth for r in rows] == list(range(1, 13))
+    total_orders = sum(r.n_orders for r in rows)
+    assert total_orders == load_table(spark, sf_dir, "orders").count()
