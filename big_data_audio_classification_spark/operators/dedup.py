@@ -24,7 +24,7 @@ Scale notes (the whole point of these algorithms):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
@@ -430,3 +430,63 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return reps.select("doc_id", F.col("rep").alias("component"))
+
+
+INCR_SPLIT_MOD = 5  # doc_id % 5 == 4 -> tonight's incoming batch
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id, sha256(text) AS digest FROM documents
+                        WHERE doc_id % {INCR_SPLIT_MOD} <> {INCR_SPLIT_MOD - 1}),
+        batch AS (SELECT doc_id, source, sha256(text) AS digest FROM documents
+                  WHERE doc_id % {INCR_SPLIT_MOD} = {INCR_SPLIT_MOD - 1}),
+        fresh AS (
+            SELECT b.doc_id, b.source, b.digest FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY b.digest
+                                       ORDER BY b.doc_id) = 1
+        )
+        SELECT source,
+               (SELECT COUNT(*) FROM batch)  AS n_batch,
+               COUNT(*)                      AS n_admitted
+        FROM fresh
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("dedup", "incremental", "documents"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup — the nightly shape: admit tonight's
+    batch only where its content digest is (a) absent from the standing
+    corpus (left-anti join) and (b) unique within the batch itself
+    (keep-first window). Stands in for the production flow where the
+    corpus side is a digest-only table maintained across runs.
+
+    Scale: the corpus side projects to the 32-byte digest before the
+    join — the full text never shuffles, and the anti join is keyed on
+    the digest, so nightly cost is O(batch) probe work against a
+    digest index, not a corpus re-scan of raw text. With the digest
+    table bucketed by digest, the anti join is shuffle-free on the
+    corpus side."""
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_SPLIT_MOD == INCR_SPLIT_MOD - 1
+    corpus = d.filter(~is_batch).select(F.sha2("text", 256).alias("digest"))
+    batch = d.filter(is_batch).select(
+        "doc_id", "source", F.sha2("text", 256).alias("digest")
+    )
+    nb = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    fresh = (
+        batch.join(corpus, "digest", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        fresh.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .crossJoin(F.broadcast(nb))  # scalar attach, stays one lazy plan
+        .select("source", "n_batch", "n_admitted")
+        .orderBy("source")
+    )

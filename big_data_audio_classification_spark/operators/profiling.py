@@ -1,0 +1,156 @@
+"""Data-profiling operators: per-column quality summary and numeric
+histograms — the checks every ingestion pipeline runs before admitting a
+new snapshot (null drift, cardinality drift, range drift, distribution
+shape).
+
+Scale notes:
+* The column profile is ONE aggregation pass over the table — every
+  per-column statistic is a separate aggregate expression in the same
+  ``agg()``, so Spark computes all of them in a single scan with
+  map-side partial aggregation; the row-per-column layout is a
+  driver-free ``stack`` unpivot of that one aggregate row. The exact
+  ``countDistinct`` per column is the oracle-checkable form; at 100 TB
+  swap in ``approx_count_distinct`` (same plan shape, sketch state).
+* The histogram is a map-only bucket assignment + one keyed count —
+  fixed bounds make it a single pass (data-dependent bounds need the
+  two-pass min/max -> bucket form, same as power_to_db's global-max
+  pattern in operators/audio.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+HIST_WIDTH = 50_000.0  # o_totalprice bucket width
+HIST_MAX_BUCKET = 11  # values past the last edge clamp into it
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS DOUBLE),
+               CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_totalprice),
+               ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2),
+               ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderdate),
+               CAST(epoch(MIN(o_orderdate)) AS DOUBLE),
+               CAST(epoch(MAX(o_orderdate)) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               NULL, NULL
+        FROM orders
+        ORDER BY col_name
+    """,
+    tags=("profiling", "quality", "orders"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quality profile of ``orders`` — null count, exact
+    distinct count, numeric/date min-max — computed in ONE scan: every
+    statistic is an aggregate expression in a single ``agg``, and the
+    row-per-column layout falls out of a ``stack`` unpivot of the lone
+    aggregate row (no driver loop, no second pass)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def nulls(c: str):
+        return F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+
+    agged = o.agg(
+        *[nulls(c) for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderdate", "o_orderpriority", "o_orderstatus",
+        )],
+        F.countDistinct("o_orderkey").alias("o_orderkey_nd"),
+        F.countDistinct("o_custkey").alias("o_custkey_nd"),
+        F.countDistinct("o_totalprice").alias("o_totalprice_nd"),
+        F.countDistinct("o_orderdate").alias("o_orderdate_nd"),
+        F.countDistinct("o_orderpriority").alias("o_orderpriority_nd"),
+        F.countDistinct("o_orderstatus").alias("o_orderstatus_nd"),
+        F.min("o_orderkey").cast("double").alias("o_orderkey_min"),
+        F.max("o_orderkey").cast("double").alias("o_orderkey_max"),
+        F.min("o_custkey").cast("double").alias("o_custkey_min"),
+        F.max("o_custkey").cast("double").alias("o_custkey_max"),
+        F.round(F.min("o_totalprice").cast("double"), 2).alias("o_totalprice_min"),
+        F.round(F.max("o_totalprice").cast("double"), 2).alias("o_totalprice_max"),
+        F.unix_timestamp(F.min("o_orderdate")).cast("double").alias("o_orderdate_min"),
+        F.unix_timestamp(F.max("o_orderdate")).cast("double").alias("o_orderdate_max"),
+    )
+    return agged.selectExpr(
+        """stack(6,
+            'o_orderkey', o_orderkey_nulls, o_orderkey_nd,
+                o_orderkey_min, o_orderkey_max,
+            'o_custkey', o_custkey_nulls, o_custkey_nd,
+                o_custkey_min, o_custkey_max,
+            'o_orderdate', o_orderdate_nulls, o_orderdate_nd,
+                o_orderdate_min, o_orderdate_max,
+            'o_orderpriority', o_orderpriority_nulls, o_orderpriority_nd,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'o_orderstatus', o_orderstatus_nulls, o_orderstatus_nd,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'o_totalprice', o_totalprice_nulls, o_totalprice_nd,
+                o_totalprice_min, o_totalprice_max
+        ) AS (col_name, n_nulls, n_distinct, min_num, max_num)"""
+    ).orderBy("col_name")
+
+
+@query(
+    "profile_price_histogram",
+    oracle=f"""
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT),
+                     {HIST_MAX_BUCKET}) AS bucket,
+               LEAST(CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT),
+                     {HIST_MAX_BUCKET}) * {HIST_WIDTH} AS lo,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY bucket
+    """,
+    tags=("profiling", "quality", "orders"),
+)
+def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``o_totalprice`` (width {HIST_WIDTH},
+    overflow clamped into the top bucket): bucket assignment is a pure
+    projection, so the whole histogram is a map-side-combined count —
+    one scan, one tiny shuffle of at most n_buckets rows per task."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_MAX_BUCKET)
+    ).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", (F.col("bucket") * HIST_WIDTH).alias("lo"), "n")
+        .orderBy("bucket")
+    )

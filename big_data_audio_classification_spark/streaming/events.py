@@ -268,3 +268,35 @@ def stream_static_enrich(events_stream: DataFrame, user_dim: DataFrame) -> DataF
     return events_stream.join(F.broadcast(user_dim), "user_id", "left").select(
         "event_id", "ts", "user_id", "segment", "event_type", "value"
     )
+
+
+def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, attributed to a
+    purchase within 20 minutes when one exists, emitted with nulls when
+    none arrives.
+
+    Outer stream-stream joins require BOTH watermarks and a time-bound
+    join condition (same as the inner form) because the null-padded side
+    can only be emitted once the watermark proves no match can still
+    arrive — an unmatched click is held in state until event time passes
+    ``click_ts + 20 min + watermark delay``, then released with nulls.
+    Rows newer than the final watermark stay unemitted at shutdown; the
+    batch left join is the drained-stream reference (tested)."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", "10 minutes")
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    return c.join(
+        p,
+        (c["user_id"] == p["p_user_id"])
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 20 MINUTES")),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")

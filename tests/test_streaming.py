@@ -204,3 +204,75 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     assert got.n == expected
     assert got.n > 0
+
+
+def test_stream_stream_left_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows equal the batch inner
+    join; null-padded rows are a subset of the batch anti side (rows
+    newer than the final watermark legitimately stay buffered)."""
+    from big_data_audio_classification_spark.streaming.events import (
+        stream_stream_left_join,
+    )
+
+    src = _memory_stream(spark, tmp_path)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "view")
+    q = (
+        stream_stream_left_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("sslj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(
+        _event_rows(),
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    bc = batch.filter(F.col("event_type") == "click").selectExpr(
+        "user_id", "ts as click_ts", "event_id as click_id"
+    )
+    bp = batch.filter(F.col("event_type") == "view").selectExpr(
+        "user_id as p_user_id", "ts as purchase_ts", "event_id as purchase_id"
+    )
+    cond = (
+        (bc.user_id == bp.p_user_id)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 20 MINUTES"))
+    )
+    matched_expect = {
+        (r.click_id, r.purchase_id) for r in bc.join(bp, cond).collect()
+    }
+    unmatched_expect = {
+        r.click_id for r in bc.join(bp, cond, "left_anti").collect()
+    }
+
+    got = spark.sql("select click_id, purchase_id from sslj_sink").collect()
+    got_matched = {(r.click_id, r.purchase_id) for r in got if r.purchase_id is not None}
+    got_null = {r.click_id for r in got if r.purchase_id is None}
+    assert got_matched == matched_expect
+    assert got_null <= unmatched_expect
+    assert len(got) > 0
+
+
+def test_observe_metrics_on_batch(spark, sf_dir):
+    """`df.observe` — operational row/value metrics collected during a
+    real action with zero extra passes (accumulator-backed)."""
+    from pyspark.sql import Observation
+
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("sum_price"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    n = observed.filter(F.col("o_totalprice") > 0).count()
+    metrics = obs.get
+    assert metrics["n_rows"] == o.count() == n
+    assert metrics["sum_price"] > 0
