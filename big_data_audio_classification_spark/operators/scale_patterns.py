@@ -165,3 +165,70 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_DPP_DIR = f"/tmp/spark_graft_dpp_{os.getpid()}"
+# priority tiers: the dim filter is on `keep`, NOT the join key, so only
+# RUNTIME pruning (DPP) can narrow the fact scan to the matching partitions
+_PRIORITY_TIERS = (
+    ("1-URGENT", 1),
+    ("2-HIGH", 1),
+    ("3-MEDIUM", 0),
+    ("4-NOT SPECIFIED", 0),
+    ("5-LOW", 0),
+)
+
+
+@query(
+    "scale_dpp_partitioned_join",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 1), ('3-MEDIUM', 0),
+                     ('4-NOT SPECIFIED', 0), ('5-LOW', 0)) AS tiers(prio, keep)
+          ON o_orderpriority = prio
+        WHERE keep = 1
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("scale", "partition-pruning", "dpp", "orders"),
+)
+def scale_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is stored partitioned
+    by ``o_orderpriority``; the dim filter sits on ``keep`` (not the
+    join key), so no static filter can be inferred — at runtime Spark
+    evaluates the broadcast dim first and prunes the fact scan to the
+    2 matching partitions (``dynamicpruningexpression`` in the scan's
+    PartitionFilters, asserted in tests/test_plans.py).
+
+    At 100 TB this is the difference between scanning every date/tenant
+    partition and scanning only the ones the dim side selects — the
+    write-once ``partitionBy`` layout makes every selective dim join a
+    partial scan."""
+    import shutil
+
+    if not os.path.isdir(_DPP_DIR):
+        shutil.rmtree(_DPP_DIR, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(_DPP_DIR)
+        )
+    fact = spark.read.parquet(_DPP_DIR)
+    tiers = spark.createDataFrame(list(_PRIORITY_TIERS), "prio string, keep int")
+    return (
+        fact.join(
+            F.broadcast(tiers.filter(F.col("keep") == 1)),
+            fact["o_orderpriority"] == F.col("prio"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -424,3 +424,151 @@ def text_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array("lang_freqItems").alias("frequent_langs"),
         F.sort_array("source_freqItems").alias("frequent_sources"),
     )
+
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STEP = 24  # stride (8-token overlap between consecutive chunks)
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, s,
+                   t[s + 1 : s + {CHUNK_SIZE}] AS chunk_toks
+            FROM toks,
+                 unnest(generate_series(0, len(t) - 1, {CHUNK_STEP})) AS u(s)
+        )
+        SELECT doc_id,
+               CAST(s / {CHUNK_STEP} AS BIGINT) AS chunk_idx,
+               CAST(len(chunk_toks) AS INTEGER) AS n_tokens,
+               md5(array_to_string(chunk_toks, ' ')) AS chunk_md5
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "chunking", "documents"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — split every document into
+    overlapping {CHUNK_SIZE}-token windows at stride {CHUNK_STEP} (the
+    context-window prep step for embedding / training pipelines),
+    emitting per-chunk token counts and a content digest.
+
+    Map-only at any scale: tokenize, generate the per-doc start offsets
+    with ``sequence`` (no UDF, no driver loop), explode, slice — zero
+    shuffles before the output sort; chunk count scales with corpus
+    token count, never quadratically."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STEP))
+    chunk = F.slice(F.col("t"), F.col("s") + 1, CHUNK_SIZE)
+    return (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(starts).alias("s"), "t")
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STEP).cast("long").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH synth AS (
+            -- corpus text is synthetic word-soup with no PII, so each doc
+            -- gets a deterministic injected email + phone to scrub
+            SELECT doc_id, source,
+                   text || ' reach user' || doc_id ||
+                   '@example.com or 555-' ||
+                   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+            FROM documents
+        ),
+        scrubbed AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+                   len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+                   regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE}', '<PHONE>', 'g') AS clean
+            FROM synth
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_email) AS BIGINT) AS n_emails,
+               CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+               CAST(SUM(CASE WHEN clean NOT LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fully_clean,
+               md5(string_agg(clean, '' ORDER BY doc_id)) AS corpus_md5
+        FROM scrubbed
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "pii", "quality", "documents"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: detect and redact email addresses and phone
+    numbers with JVM-side regexes, reporting per-source redaction
+    counts, a residual-PII check, and a digest of the scrubbed corpus
+    (proves byte-identical redaction against the oracle). The corpus is
+    synthetic (no real PII), so each doc gets a deterministic injected
+    email+phone first — the scrub path itself is the operator.
+
+    Map-only scan + one tiny agg shuffle; regexp_replace/extract_all run
+    in whole-stage codegen, no Python in the loop."""
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(synth, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(synth, F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(synth, F.lit(PII_PHONE), F.lit(0))).alias(
+            "n_phone"
+        ),
+        scrub.alias("clean"),
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum((~F.col("clean").contains("@")).cast("long")).alias(
+                "n_fully_clean"
+            ),
+            F.md5(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "clean"))
+                    ),
+                    F.lit(""),
+                    lambda acc, x: F.concat(acc, x["clean"]),
+                )
+            ).alias("corpus_md5"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,257 @@
+"""Warehouse-maintenance operators: SCD Type-2 dimension apply,
+time-series gap-fill over a dimension spine, and two-pass winsorized
+statistics — the table-maintenance shapes every analytics deployment
+runs nightly around its fact tables.
+
+Scale notes:
+* SCD2 apply is ONE equi-join on the business key followed by a
+  row-explode of at most 2 versions per matched key — the dimension is
+  scanned once, never twice; the change batch (typically ≪ dim) is the
+  probe side. No MERGE engine support needed: the versioned output is a
+  pure function of (dim, changes), expressible as join + explode.
+* Gap-fill builds its spine from dimensions × a generated calendar
+  (bounded cardinality, independent of fact size), aggregates the fact
+  table once (map-side combined), and BROADCASTS the bounded aggregate
+  onto the spine — the fact table never joins the spine directly.
+* Winsorize is the two-pass global-bound pattern (same shape as
+  power_to_db's global max in operators/audio.py): pass 1 reduces to a
+  single percentile row, which is broadcast into the pass-2 clamp —
+  no per-group buffering of raw values beyond the percentile agg
+  itself (the approx sketch is the 100 TB swap-in, same plan).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+SCD2_MOD = 10  # c_custkey % 10 == 3 -> tonight's segment change
+SCD2_EFF = "2000-01-01"
+SCD2_OPEN = "1995-01-01"
+
+
+@query(
+    "scd2_customer_segment",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   DATE '{SCD2_OPEN}' AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to
+            FROM customer
+        ),
+        changes AS (
+            SELECT c_custkey, 'UPGRADED' AS new_segment,
+                   DATE '{SCD2_EFF}' AS eff
+            FROM customer WHERE c_custkey % {SCD2_MOD} = 3
+        )
+        SELECT d.c_custkey, d.segment, d.valid_from,
+               ch.eff AS valid_to, FALSE AS is_current
+        FROM dim d JOIN changes ch USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, new_segment AS segment, eff AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM changes
+        UNION ALL
+        SELECT d.c_custkey, d.segment, d.valid_from, d.valid_to,
+               TRUE AS is_current
+        FROM dim d ANTI JOIN changes ch USING (c_custkey)
+    """,
+    tags=("warehouse", "scd2", "customer"),
+)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 apply: merge a change batch (derived here as every
+    custkey ≡ 3 mod 10 moving to segment 'UPGRADED' effective
+    2000-01-01) into the customer dimension, emitting full version
+    history — matched keys close their old row (valid_to = eff) and
+    open a new current row; unmatched keys pass through.
+
+    One left join on the business key, then an explode of a 1-or-2
+    element version array — the dim is scanned once and at most one
+    shuffle happens (the join); there is no second pass and no
+    driver-side diffing."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(SCD2_OPEN).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changes = c.filter(F.col("c_custkey") % SCD2_MOD == 3).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("new_segment"),
+        F.lit(SCD2_EFF).cast("date").alias("eff"),
+    )
+    joined = dim.join(changes, "c_custkey", "left")
+    versions = F.when(
+        F.col("new_segment").isNull(),
+        # unchanged: pass the row through, still current
+        F.array(
+            F.struct(
+                F.col("segment"),
+                F.col("valid_from"),
+                F.col("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        ),
+    ).otherwise(
+        # changed: close the old version, open the new one
+        F.array(
+            F.struct(
+                F.col("segment"),
+                F.col("valid_from"),
+                F.col("eff").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            ),
+            F.struct(
+                F.col("new_segment").alias("segment"),
+                F.col("eff").alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+        )
+    )
+    return (
+        joined.select("c_custkey", F.explode(versions).alias("v"))
+        .select(
+            "c_custkey",
+            "v.segment",
+            "v.valid_from",
+            "v.valid_to",
+            "v.is_current",
+        )
+    )
+
+
+@query(
+    "gapfill_monthly_revenue",
+    oracle="""
+        WITH months AS (
+            SELECT CAST(m AS DATE) AS month
+            FROM unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01',
+                                        INTERVAL 1 MONTH)) AS t(m)
+        ),
+        spine AS (SELECT n_name, month FROM nation CROSS JOIN months),
+        rev AS (
+            SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(o_totalprice) AS rev
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT s.n_name, s.month,
+               ROUND(COALESCE(r.rev, 0.0), 2) AS revenue,
+               ROUND(SUM(COALESCE(r.rev, 0.0)) OVER (
+                   PARTITION BY s.n_name ORDER BY s.month), 2) AS cum_revenue
+        FROM spine s LEFT JOIN rev r USING (n_name, month)
+        ORDER BY n_name, month
+    """,
+    tags=("warehouse", "gapfill", "timeseries", "orders"),
+)
+def gapfill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a dense nation × month spine (every month
+    1995-01..2001-08 for every nation, even months with no orders),
+    zero-filled monthly revenue, and the carry-forward running total.
+
+    The spine is dims × generated calendar — bounded cardinality that
+    never depends on fact size. The fact table is aggregated ONCE
+    (map-side combine into ≤ |spine| rows) and that bounded result is
+    broadcast onto the spine; the window runs over spine-sized data."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month")
+    )
+    spine = nation.select("n_name").crossJoin(F.broadcast(months))
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("rn_name"))),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("rn_name").alias("n_name"),
+            F.trunc("o_orderdate", "month").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    return (
+        spine.join(F.broadcast(rev), ["n_name", "month"], "left")
+        .select(
+            "n_name",
+            "month",
+            F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
+            F.round(
+                F.sum(F.coalesce("rev", F.lit(0.0))).over(w), 2
+            ).alias("cum_revenue"),
+        )
+        .orderBy("n_name", "month")
+    )
+
+
+@query(
+    "winsorize_order_prices",
+    oracle="""
+        WITH bounds AS (
+            SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+                   quantile_cont(o_totalprice, 0.99) AS hi
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(AVG(o_totalprice), 2) AS avg_raw,
+               ROUND(AVG(LEAST(GREATEST(o_totalprice, lo), hi)), 2) AS avg_wins,
+               CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clamped_lo,
+               CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clamped_hi
+        FROM orders, bounds
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("warehouse", "winsorize", "quality", "orders"),
+)
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clamped) price statistics per order
+    priority — the outlier-robust aggregate every metrics pipeline
+    wants before averaging heavy-tailed values.
+
+    Two-pass global-bound pattern: pass 1 reduces the table to ONE row
+    of exact percentiles (swap in percentile_approx at 100 TB — same
+    plan, sketch state), which is cross-join-broadcast into the pass-2
+    clamp + group-by; raw values are never buffered per group."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_raw"),
+            F.round(F.avg(clamped), 2).alias("avg_wins"),
+            F.sum((F.col("o_totalprice") < F.col("lo")).cast("long")).alias(
+                "n_clamped_lo"
+            ),
+            F.sum((F.col("o_totalprice") > F.col("hi")).cast("long")).alias(
+                "n_clamped_hi"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

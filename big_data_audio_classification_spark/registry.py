@@ -61,8 +61,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # json/variant/array/map, dedup incl. the linear-output LSH path, text,
 # similarity incl. IVF ANN, ML reports/MI, reference-parity ops,
 # corpus curation (contamination, one-plan pipeline, SemDeDup),
-# multimodal mapInPandas, skew/scale patterns, event-time windows,
-# UDTF, pandas UDAF, sinks) rather than the import-order prefix.
+# multimodal mapInPandas, skew/scale patterns incl. dynamic partition
+# pruning, warehouse maintenance (SCD2, gap-fill), profiling, PII
+# scrubbing, event-time windows, UDTF, pandas UDAF, sinks) rather than
+# the import-order prefix.
 # Everything else stays registered and oracle-checked locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "pricing_summary",
@@ -70,7 +72,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_inner_revenue_by_nation",
     "join_left_order_counts",
     "join_right_order_customers",
-    "join_full_outer_daily",
+    "text_pii_scrub",
     "join_semi_active_customers",
     "join_anti_customers_without_orders",
     "join_range_bands",
@@ -83,20 +85,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_percentiles",
     "agg_percentile_approx",
     "agg_rollup",
-    "agg_pivot_status",
+    "scale_dpp_partitioned_join",
     "agg_percentiles_twophase",
     "agg_pandas_udaf_weighted",
     "window_running_spend",
     "topk_orders_per_customer",
-    "scalar_string_functions",
+    "scd2_customer_segment",
     "scalar_math_functions",
     "scalar_variant_extract",
     "array_embedding_stats",
     "scalar_map_functions",
     "dedup_exact_hash",
     "dedup_minhash_keep_first",
-    "dedup_simhash",
-    "text_token_stats",
+    "gapfill_monthly_revenue",
+    "profile_orders_columns",
     "text_tfidf_top_terms",
     "sim_cosine_topk",
     "sim_ivf_topk",

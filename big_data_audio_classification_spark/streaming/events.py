@@ -300,3 +300,72 @@ def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFram
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 20 MINUTES")),
         "leftOuter",
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")
+
+
+@query(
+    "events_multires_rollup",
+    oracle="""
+        WITH minute AS (
+            SELECT time_bucket(INTERVAL '1 minute', ts) AS b,
+                   COUNT(*) AS n, SUM(value) AS sv
+            FROM events GROUP BY 1
+        )
+        SELECT 'minute' AS resolution, epoch_us(b) AS bucket_start,
+               n, ROUND(sv, 2) AS sum_value
+        FROM minute
+        UNION ALL
+        SELECT 'hour', epoch_us(time_bucket(INTERVAL '1 hour', b)),
+               SUM(n), ROUND(SUM(sv), 2)
+        FROM minute GROUP BY 2
+        UNION ALL
+        SELECT 'day', epoch_us(time_bucket(INTERVAL '1 day', b)),
+               SUM(n), ROUND(SUM(sv), 2)
+        FROM minute GROUP BY 2
+    """,
+    tags=("events", "rollup", "timeseries"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    shape): minute, hour and day buckets in ONE pass over the raw
+    events — only the minute rollup touches raw data; hour rolls up
+    from minute and day from hour, because count/sum are mergeable.
+
+    At 100 TB the raw table is shuffled exactly once (map-side combined
+    into minute buckets, bounded cardinality = time-range / 1 min);
+    every coarser resolution aggregates the previous rollup — kilobytes,
+    not the fact table. This is also the maintenance shape: persist the
+    minute rollup, re-derive coarser levels from it incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("b"), "n", "sv")
+    )
+    minute.cache()  # reused by two coarser rollups below
+    out_minute = minute.select(
+        F.lit("minute").alias("resolution"),
+        F.unix_micros("b").alias("bucket_start"),
+        "n",
+        F.round("sv", 2).alias("sum_value"),
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "b").alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    out_hour = hour.select(
+        F.lit("hour").alias("resolution"),
+        F.unix_micros("b").alias("bucket_start"),
+        "n",
+        F.round("sv", 2).alias("sum_value"),
+    )
+    out_day = (
+        hour.groupBy(F.date_trunc("day", "b").alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .select(
+            F.lit("day").alias("resolution"),
+            F.unix_micros("b").alias("bucket_start"),
+            "n",
+            F.round("sv", 2).alias("sum_value"),
+        )
+    )
+    return out_minute.unionAll(out_hour).unionAll(out_day)

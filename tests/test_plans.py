@@ -120,3 +120,15 @@ def test_exact_dedup_plan_is_single_agg(spark, sf_dir):
     # exactly one digest-keyed shuffle (partial agg → exchange → final)
     assert sum("hashpartitioning" in l for l in plan.splitlines()) == 1
     assert not introspect.has_python_udf(df)
+
+
+def test_dpp_prunes_partitioned_fact_scan(spark, sf_dir):
+    """The partitioned-fact × filtered-dim join must carry a
+    dynamicpruningexpression in the fact scan's PartitionFilters —
+    runtime partition pruning, since the dim filter (on `keep`) is not
+    statically derivable for the join key."""
+    from big_data_audio_classification_spark.operators import scale_patterns
+
+    df = scale_patterns.scale_dpp_partitioned_join(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower()
