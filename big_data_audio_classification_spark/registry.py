@@ -80,9 +80,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "set_except_segments",
     "sql_frontdoor_revenue",
     "agg_stats_by_flag",
-    "agg_count_distinct",
+    "scalar_string_functions",
     "agg_approx_count_distinct",
-    "agg_percentiles",
+    "dedup_simhash",
     "agg_percentile_approx",
     "agg_rollup",
     "scale_dpp_partitioned_join",
