@@ -600,3 +600,38 @@ def sql_recursive_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY m.mth
         """
     )
+
+
+_SQL_EXISTS_CORRELATED = """
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey)           AS n_orders,
+           (SELECT ROUND(MAX(o.o_totalprice), 2) FROM orders o
+            WHERE o.o_custkey = c.c_custkey)           AS max_price
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice >
+                        (SELECT AVG(o2.o_totalprice) FROM orders o2))
+"""
+
+
+@query(
+    "sql_exists_correlated",
+    oracle=_SQL_EXISTS_CORRELATED,
+    tags=("relational", "sql", "subquery"),
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery SQL surface: correlated scalar subqueries
+    (COUNT / MAX per outer row) and a correlated EXISTS whose predicate
+    nests an uncorrelated scalar aggregate. Catalyst decorrelates all
+    three into aggregate-then-join plans — no per-row re-execution, so
+    the shape is two keyed joins at any scale, not O(rows) subquery
+    runs. Identical text runs on DuckDB."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_EXISTS_CORRELATED)

@@ -313,3 +313,74 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               NULLIF(l_returnflag, 'N')                        AS flag_or_null,
+               COALESCE(NULLIF(l_returnflag, 'N'), 'none')      AS flag_filled,
+               CASE WHEN NULLIF(l_returnflag, 'N') IS NOT NULL
+                    THEN 'has' ELSE 'missing' END               AS flag_nvl2,
+               ROUND(CASE WHEN isnan(CASE WHEN l_discount < 0.005
+                                          THEN 'NaN'::DOUBLE
+                                          ELSE l_discount END)
+                          THEN 0.0
+                          ELSE CASE WHEN l_discount < 0.005
+                                    THEN 'NaN'::DOUBLE
+                                    ELSE l_discount END END, 4) AS disc_nan_fixed
+        FROM lineitem
+    """,
+    tags=("scalar", "null"),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-propagation battery: nullif / coalesce / nvl2 / nanvl.
+    The corpus tables are null-free by construction, so nulls (and a
+    NaN) are introduced deterministically with nullif/when — the
+    handling expressions are the operator under test. DuckDB has no
+    nvl2/nanvl; the oracle spells them as CASE (same semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag_or_null = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    disc_with_nan = F.when(
+        F.col("l_discount") < 0.005, F.lit(float("nan"))
+    ).otherwise(F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        flag_or_null.alias("flag_or_null"),
+        F.coalesce(flag_or_null, F.lit("none")).alias("flag_filled"),
+        F.nvl2(flag_or_null, F.lit("has"), F.lit("missing")).alias("flag_nvl2"),
+        F.round(F.nanvl(disc_with_nan, F.lit(0.0)), 4).alias("disc_nan_fixed"),
+    )
+
+
+@query(
+    "scalar_regexp_functions",
+    oracle="""
+        SELECT event_id,
+               regexp_extract(props, '[0-9]+', 0)             AS first_num,
+               regexp_extract_all(props, '[0-9]+')            AS all_nums,
+               len(regexp_extract_all(props, '[0-9]+'))       AS n_nums,
+               regexp_replace(props, '[0-9]', '#', 'g')       AS masked,
+               regexp_matches(props, '"k": [0-9]{2}')         AS two_digit_k
+        FROM events
+    """,
+    tags=("scalar", "string", "regexp", "events"),
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery over the JSON-string props column: extract (group
+    0 on both engines — Spark defaults to group 1, DuckDB to the full
+    match), extract-all into an array, count, replace-all (Spark
+    replaces all matches by default; DuckDB needs the 'g' flag), and
+    rlike. All JVM regex — no Python."""
+    e = load_table(spark, sf_dir, "events")
+    p = F.col("props")
+    return e.select(
+        "event_id",
+        F.regexp_extract(p, "[0-9]+", 0).alias("first_num"),
+        F.regexp_extract_all(p, F.lit("[0-9]+"), 0).alias("all_nums"),
+        F.size(F.regexp_extract_all(p, F.lit("[0-9]+"), 0)).alias("n_nums"),
+        F.regexp_replace(p, "[0-9]", "#").alias("masked"),
+        p.rlike('"k": [0-9]{2}').alias("two_digit_k"),
+    )

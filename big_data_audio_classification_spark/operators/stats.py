@@ -1,0 +1,287 @@
+"""Extended statistical/aggregate surface: built-in linear regression
+aggregates, distribution-shape moments (skewness/kurtosis/median),
+bitwise + boolean aggregates, deterministic max_by/min_by, the
+cume_dist/nth_value window tail, higher-order array predicates, and a
+second date/time battery.
+
+These widen SURVEY §2.B's aggregate/window/scalar families with the
+functions an analyst migrating off the reference's pandas surface
+(`/root/reference/src/voice_classifier.py:107` count plots,
+`:150-153` feature scoring) reaches for next: trend fits (regr_*),
+shape diagnostics, and calendar math.
+
+Scale notes:
+* Every aggregate here is algebraic (sum/count/moment compositions) →
+  map-side partial aggregation applies; one shuffle on the group key,
+  no per-group buffering anywhere.
+* Skewness/kurtosis are computed by Spark's single-pass moment
+  aggregates; the oracle reproduces the same population-moment
+  definitions from first principles (AVG of centered powers) because
+  DuckDB's built-ins use bias-corrected sample moments — a documented
+  cross-engine semantic divergence, aligned via explicit math.
+* max_by/min_by order by the UNIQUE o_orderkey: ordering-value ties
+  make arg-extrema nondeterministic in any engine (o_totalprice has
+  real ties at sf0.1), so unique-key ordering is the portable form.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+@query(
+    "agg_regression_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 8)        AS r2,
+               ROUND(regr_avgx(l_extendedprice, l_quantity), 6)      AS avg_x,
+               ROUND(regr_avgy(l_extendedprice, l_quantity), 6)      AS avg_y,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "stats", "regression"),
+)
+def agg_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in OLS aggregates (price vs quantity trend per return
+    flag): regr_slope/intercept/r2/avgx/avgy/count. All algebraic —
+    single-pass partial aggregation, one shuffle on the 3-value key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 8).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+@query(
+    "agg_distribution_shape",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   AVG(l_extendedprice)        AS mu,
+                   var_pop(l_extendedprice)    AS m2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               ROUND(AVG(POWER(l_extendedprice - mu, 3)) / POWER(m2, 1.5), 6)
+                   AS skew_pop,
+               ROUND(AVG(POWER(l_extendedprice - mu, 4)) / POWER(m2, 2) - 3, 6)
+                   AS kurt_pop,
+               ROUND(median(l_extendedprice), 6)        AS med_price,
+               ROUND(stddev_pop(l_extendedprice), 6)    AS sd_pop
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag, mu, m2
+    """,
+    tags=("aggregate", "stats", "moments"),
+)
+def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape diagnostics per group: population skewness
+    (m3/m2^1.5), excess kurtosis (m4/m2^2 - 3), interpolated median,
+    population stddev. Spark's skewness/kurtosis ARE these population
+    moments in one pass; DuckDB's built-ins are bias-corrected sample
+    moments, so the oracle derives the same definitions from AVG of
+    centered powers (two-pass over a 3-row broadcast of group means)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness(p), 6).alias("skew_pop"),
+        F.round(F.kurtosis(p), 6).alias("kurt_pop"),
+        F.round(F.median(p), 6).alias("med_price"),
+        F.round(F.stddev_pop(p), 6).alias("sd_pop"),
+    )
+
+
+@query(
+    "agg_bitwise_boolean",
+    oracle="""
+        SELECT l_linestatus,
+               bit_and(l_orderkey)                         AS key_and,
+               bit_or(l_orderkey)                          AS key_or,
+               bit_xor(l_orderkey)                         AS key_xor,
+               bool_and(l_quantity > 0)                    AS all_positive,
+               bool_or(l_discount > 0.09)                  AS any_deep_discount,
+               CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+               ROUND(EXP(AVG(LN(l_quantity))), 6)          AS geo_mean_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+    tags=("aggregate", "bitwise", "boolean"),
+)
+def agg_bitwise_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/or/xor) and boolean (bool_and/bool_or/count_if)
+    aggregates, plus the exp(avg(ln)) geometric-mean pattern — the
+    numerically-stable product aggregate (a naive product overflows at
+    any real row count). DuckDB's count_if returns HUGEINT → cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and("l_orderkey").alias("key_and"),
+        F.bit_or("l_orderkey").alias("key_or"),
+        F.bit_xor("l_orderkey").alias("key_xor"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(F.exp(F.avg(F.ln("l_quantity"))), 6).alias("geo_mean_qty"),
+    )
+
+
+@query(
+    "agg_maxby_minby",
+    oracle="""
+        SELECT o_orderstatus,
+               STRFTIME(max_by(o_orderdate, o_orderkey), '%Y-%m-%d')
+                   AS latest_key_date,
+               STRFTIME(min_by(o_orderdate, o_orderkey), '%Y-%m-%d')
+                   AS earliest_key_date,
+               max_by(o_totalprice, o_orderkey) AS latest_key_price,
+               max_by(o_custkey, o_orderkey)    AS latest_key_cust
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "argextrema"),
+)
+def agg_maxby_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extrema aggregates: the value of one column at the row where
+    another column is extremal — without a self-join or window. Ordered
+    by the UNIQUE o_orderkey for cross-engine determinism (ties in the
+    ordering value make max_by unspecified in both engines;
+    o_totalprice genuinely ties at sf0.1)."""
+    o = load_table(spark, sf_dir, "orders")
+    # dates formatted to strings: Spark DATE reaches pandas as
+    # datetime.date objects, DuckDB DATE as datetime64 — a typed-hash
+    # mismatch in the driver despite equal values.
+    return o.groupBy("o_orderstatus").agg(
+        F.date_format(
+            F.max_by("o_orderdate", "o_orderkey"), "yyyy-MM-dd"
+        ).alias("latest_key_date"),
+        F.date_format(
+            F.min_by("o_orderdate", "o_orderkey"), "yyyy-MM-dd"
+        ).alias("earliest_key_date"),
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_key_price"),
+        F.max_by("o_custkey", "o_orderkey").alias("latest_key_cust"),
+    )
+
+
+@query(
+    "window_cume_nth",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               ROUND(cume_dist() OVER w, 9)            AS cd,
+               nth_value(o_totalprice, 2) OVER w       AS second_price,
+               ROUND(percent_rank() OVER w, 9)         AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail of the window-function family: cume_dist, nth_value (null
+    until the nth row enters the default ANSI frame), percent_rank.
+    Ordering key is unique → RANGE and ROWS frames coincide and every
+    engine agrees. One shuffle on o_custkey, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+    )
+
+
+@query(
+    "array_higher_order_predicates",
+    oracle="""
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 0))            AS n_pos,
+               len(list_filter(embedding, x -> x > 2)) > 0        AS any_gt2,
+               len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_gt_neg10,
+               ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6)  AS min_elem,
+               ROUND(CAST(list_sort(embedding)[-1] AS DOUBLE), 6) AS max_elem,
+               ROUND(list_sum(list_transform(
+                     list_filter(embedding, x -> x > 0),
+                     x -> CAST(x AS DOUBLE))), 6)                 AS pos_mass
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "higher-order", "embeddings"),
+)
+def array_higher_order_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates — filter/exists/forall/array_sort —
+    complementing array_embedding_stats' transform/aggregate. All pure
+    JVM expressions inside whole-stage codegen: per-row array math,
+    zero shuffles, the 100 TB shape for element-wise vector screens."""
+    em = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    pos = F.filter(e, lambda x: x > 0)
+    srt = F.array_sort(e)
+    return em.select(
+        "vec_id",
+        F.size(pos).alias("n_pos"),
+        F.exists(e, lambda x: x > 2).alias("any_gt2"),
+        F.forall(e, lambda x: x > -10).alias("all_gt_neg10"),
+        F.round(F.element_at(srt, 1).cast("double"), 6).alias("min_elem"),
+        F.round(F.element_at(srt, -1).cast("double"), 6).alias("max_elem"),
+        F.round(
+            F.aggregate(pos, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("pos_mass"),
+    )
+
+
+@query(
+    "scalar_date_functions2",
+    oracle="""
+        SELECT o_orderkey,
+               quarter(o_orderdate)                              AS q,
+               STRFTIME(last_day(o_orderdate), '%Y-%m-%d')       AS month_end,
+               STRFTIME(date_trunc('month', o_orderdate),
+                        '%Y-%m-%d')                              AS month_start,
+               dayofweek(o_orderdate) + 1                        AS dow,
+               STRFTIME(o_orderdate + INTERVAL 3 MONTH,
+                        '%Y-%m-%d')                              AS plus3m,
+               STRFTIME(o_orderdate + INTERVAL 7 DAY,
+                        '%Y-%m-%d')                              AS plus7d,
+               CAST(epoch(o_orderdate) AS BIGINT)                AS epoch_s
+        FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second calendar battery: quarter, last_day, month truncation,
+    day-of-week (Spark is 1=Sunday; DuckDB 0=Sunday → oracle +1),
+    add_months/date_add (both DATE-typed in Spark → oracle casts), and
+    epoch seconds (DuckDB epoch() is DOUBLE → oracle casts). Map-only."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    # date-valued outputs formatted to strings (typed-hash parity —
+    # Spark DATE -> datetime.date objects vs DuckDB datetime64).
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.date_add(F.to_date(d), 7), "yyyy-MM-dd").alias("plus7d"),
+        # o_orderdate is TIMESTAMP_NTZ (naive); DuckDB's epoch() treats
+        # naive timestamps as UTC. Spark's unix_timestamp/LTZ casts are
+        # session-timezone-dependent, so derive epoch seconds with pure
+        # calendar arithmetic — identical in any session timezone.
+        (
+            F.datediff(F.to_date(d), F.lit("1970-01-01")).cast("long") * 86400
+            + F.hour(d).cast("long") * 3600
+            + F.minute(d).cast("long") * 60
+            + F.second(d).cast("long")
+        ).alias("epoch_s"),
+    )

@@ -46,18 +46,25 @@ SCD2_OPEN = "1995-01-01"
             SELECT c_custkey, 'UPGRADED' AS new_segment,
                    DATE '{SCD2_EFF}' AS eff
             FROM customer WHERE c_custkey % {SCD2_MOD} = 3
+        ),
+        merged AS (
+            SELECT d.c_custkey, d.segment, d.valid_from,
+                   ch.eff AS valid_to, FALSE AS is_current
+            FROM dim d JOIN changes ch USING (c_custkey)
+            UNION ALL
+            SELECT c_custkey, new_segment AS segment, eff AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+            FROM changes
+            UNION ALL
+            SELECT d.c_custkey, d.segment, d.valid_from, d.valid_to,
+                   TRUE AS is_current
+            FROM dim d ANTI JOIN changes ch USING (c_custkey)
         )
-        SELECT d.c_custkey, d.segment, d.valid_from,
-               ch.eff AS valid_to, FALSE AS is_current
-        FROM dim d JOIN changes ch USING (c_custkey)
-        UNION ALL
-        SELECT c_custkey, new_segment AS segment, eff AS valid_from,
-               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
-        FROM changes
-        UNION ALL
-        SELECT d.c_custkey, d.segment, d.valid_from, d.valid_to,
-               TRUE AS is_current
-        FROM dim d ANTI JOIN changes ch USING (c_custkey)
+        SELECT c_custkey, segment,
+               STRFTIME(valid_from, '%Y-%m-%d') AS valid_from,
+               STRFTIME(valid_to, '%Y-%m-%d')   AS valid_to,
+               is_current
+        FROM merged
     """,
     tags=("warehouse", "scd2", "customer"),
 )
@@ -118,8 +125,11 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "v.segment",
-            "v.valid_from",
-            "v.valid_to",
+            # dates formatted to strings: the driver's value hash is
+            # typed, and Spark DATE surfaces as datetime.date objects
+            # while DuckDB DATE surfaces as datetime64 (null -> NaT).
+            F.date_format("v.valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("v.valid_to", "yyyy-MM-dd").alias("valid_to"),
             "v.is_current",
         )
     )
@@ -142,7 +152,7 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN nation ON n_nationkey = c_nationkey
             GROUP BY 1, 2
         )
-        SELECT s.n_name, s.month,
+        SELECT s.n_name, STRFTIME(s.month, '%Y-%m-%d') AS month,
                ROUND(COALESCE(r.rev, 0.0), 2) AS revenue,
                ROUND(SUM(COALESCE(r.rev, 0.0)) OVER (
                    PARTITION BY s.n_name ORDER BY s.month), 2) AS cum_revenue
@@ -192,7 +202,7 @@ def gapfill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(F.broadcast(rev), ["n_name", "month"], "left")
         .select(
             "n_name",
-            "month",
+            F.date_format("month", "yyyy-MM-dd").alias("month"),
             F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
             F.round(
                 F.sum(F.coalesce("rev", F.lit(0.0))).over(w), 2

@@ -20,5 +20,9 @@ import big_data_audio_classification_spark.operators.advanced  # noqa: F401
 import big_data_audio_classification_spark.operators.ml_inference  # noqa: F401
 import big_data_audio_classification_spark.operators.scale_patterns  # noqa: F401
 import big_data_audio_classification_spark.operators.profiling  # noqa: F401
+import big_data_audio_classification_spark.operators.stats  # noqa: F401
+import big_data_audio_classification_spark.operators.lm_quality  # noqa: F401
+import big_data_audio_classification_spark.operators.tpch_classics  # noqa: F401
+import big_data_audio_classification_spark.sources.python_datasource  # noqa: F401
 import big_data_audio_classification_spark.operators.warehouse  # noqa: F401
 import big_data_audio_classification_spark.streaming.events  # noqa: F401

@@ -60,17 +60,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the two-phase exact percentile, window/topk, scalar string/date/math/
 # json/variant/array/map, dedup incl. the linear-output LSH path, text,
 # similarity incl. IVF ANN, ML reports/MI, reference-parity ops,
-# corpus curation (contamination, one-plan pipeline, SemDeDup),
+# corpus curation (contamination, one-plan pipeline, SemDeDup,
+# unigram-LM quality), regression aggregates, correlated subqueries,
 # multimodal mapInPandas, skew/scale patterns incl. dynamic partition
 # pruning, warehouse maintenance (SCD2, gap-fill), profiling, PII
 # scrubbing, event-time windows, UDTF, pandas UDAF, sinks) rather than
 # the import-order prefix.
-# Everything else stays registered and oracle-checked locally.
+# Everything else stays registered and oracle-checked locally —
+# members displaced across rounds (filter_predicates, join_left_...,
+# agg_stats_by_flag, agg_count_distinct, agg_percentiles) were already
+# driver-green in CORRECTNESS_r01.
 DRIVER_WINDOW: tuple[str, ...] = (
     "pricing_summary",
-    "filter_predicates",
     "join_inner_revenue_by_nation",
-    "join_left_order_counts",
+    "sql_exists_correlated",
     "join_right_order_customers",
     "text_pii_scrub",
     "join_semi_active_customers",
@@ -79,7 +82,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_asof_purchase_click",
     "set_except_segments",
     "sql_frontdoor_revenue",
-    "agg_stats_by_flag",
+    "agg_regression_by_flag",
     "scalar_string_functions",
     "agg_approx_count_distinct",
     "dedup_simhash",
@@ -100,6 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gapfill_monthly_revenue",
     "profile_orders_columns",
     "text_tfidf_top_terms",
+    "text_unigram_logprob",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_semdedup",

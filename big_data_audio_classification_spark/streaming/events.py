@@ -315,11 +315,11 @@ def stream_stream_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFram
         FROM minute
         UNION ALL
         SELECT 'hour', epoch_us(time_bucket(INTERVAL '1 hour', b)),
-               SUM(n), ROUND(SUM(sv), 2)
+               CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2)
         FROM minute GROUP BY 2
         UNION ALL
         SELECT 'day', epoch_us(time_bucket(INTERVAL '1 day', b)),
-               SUM(n), ROUND(SUM(sv), 2)
+               CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2)
         FROM minute GROUP BY 2
     """,
     tags=("events", "rollup", "timeseries"),

@@ -132,3 +132,24 @@ def test_dpp_prunes_partitioned_fact_scan(spark, sf_dir):
     df = scale_patterns.scale_dpp_partitioned_join(spark, sf_dir)
     plan = introspect.formatted_plan(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_tpch_q3_topk_avoids_global_sort(spark, sf_dir):
+    """Q3's ORDER BY + LIMIT must plan as TakeOrderedAndProject — a
+    per-partition top-k merged on the driver — never a full global
+    sort exchange before the limit."""
+    from big_data_audio_classification_spark.operators import tpch_classics
+
+    df = tpch_classics.tpch_q3_shipping_priority(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert introspect.has_pushed_filters(df)
+
+
+def test_tpch_q10_broadcasts_nation(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import tpch_classics
+
+    df = tpch_classics.tpch_q10_returned_items(spark, sf_dir)
+    assert introspect.uses_broadcast_join(df)
+    # the returnflag filter reaches the lineitem parquet scan
+    assert introspect.has_pushed_filters(df)

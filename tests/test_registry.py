@@ -38,6 +38,9 @@ REQUIRED_FAMILY_TAGS = [
     "simhash",
     "text",
     "tfidf",
+    "lm",
+    "regression",
+    "subquery",
     "similarity",
     "ivf",
     "ml",

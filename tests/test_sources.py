@@ -58,3 +58,27 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     from big_data_audio_classification_spark.plans.introspect import formatted_plan
 
     assert "PartitionFilters" in formatted_plan(back)
+
+
+def test_python_datasource_partition_parallel(spark):
+    """The Spark 4 Python DataSource generates on executors across the
+    declared partitions, with the declared schema."""
+    from big_data_audio_classification_spark.sources.python_datasource import (
+        SegmentsDataSource,
+    )
+
+    spark.dataSource.register(SegmentsDataSource)
+    df = (
+        spark.read.format("ref_segments")
+        .option("n", 100)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.schema.simpleString() == "struct<id:bigint,speaker:string,dur:double>"
+    rows = df.collect()
+    assert len(rows) == 100
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(
+        r["speaker"] == ("Male" if r["id"] % 2 == 0 else "Female") for r in rows
+    )

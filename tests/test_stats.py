@@ -1,0 +1,94 @@
+"""Invariant + plan-shape tests for the extended statistics battery
+(operators/stats.py) and the LM-quality/mix operators
+(operators/lm_quality.py). Value correctness is the DuckDB oracle's
+job; these tests pin the semantic invariants and the 100 TB plan
+shapes."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from big_data_audio_classification_spark.operators import lm_quality, stats
+from big_data_audio_classification_spark.plans import introspect
+
+
+def test_skewness_kurtosis_are_population_moments(spark, sf_dir):
+    rows = stats.agg_distribution_shape(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    by_flag = {
+        r["l_returnflag"]: np.array(
+            [x["l_extendedprice"] for x in li.filter(
+                li.l_returnflag == r["l_returnflag"]
+            ).select("l_extendedprice").collect()]
+        )
+        for r in rows
+    }
+    for r in rows:
+        x = by_flag[r["l_returnflag"]]
+        mu, m2 = x.mean(), x.var()  # numpy var is the population moment
+        skew = ((x - mu) ** 3).mean() / m2**1.5
+        kurt = ((x - mu) ** 4).mean() / m2**2 - 3
+        assert math.isclose(r["skew_pop"], round(skew, 6), abs_tol=2e-6)
+        assert math.isclose(r["kurt_pop"], round(kurt, 6), abs_tol=2e-6)
+
+
+def test_regression_matches_numpy_lstsq(spark, sf_dir):
+    rows = stats.agg_regression_by_flag(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for r in rows:
+        pts = li.filter(li.l_returnflag == r["l_returnflag"]).select(
+            "l_quantity", "l_extendedprice"
+        ).collect()
+        x = np.array([p["l_quantity"] for p in pts])
+        y = np.array([p["l_extendedprice"] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert math.isclose(r["slope"], slope, rel_tol=1e-6)
+        assert math.isclose(r["intercept"], intercept, rel_tol=1e-6)
+        assert r["n"] == len(pts)
+
+
+def test_maxby_is_deterministic_on_unique_key(spark, sf_dir):
+    a = {r["o_orderstatus"]: r for r in stats.agg_maxby_minby(spark, sf_dir).collect()}
+    b = {r["o_orderstatus"]: r for r in stats.agg_maxby_minby(spark, sf_dir).collect()}
+    assert a == b
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for status, r in a.items():
+        top = (
+            o.filter(o.o_orderstatus == status)
+            .orderBy(o.o_orderkey.desc())
+            .select("o_custkey")
+            .first()
+        )
+        assert r["latest_key_cust"] == top["o_custkey"]
+
+
+def test_unigram_logprob_invariants(spark, sf_dir):
+    df = lm_quality.text_unigram_logprob(spark, sf_dir)
+    rows = df.collect()
+    # log-probabilities are strictly negative (no token covers the whole
+    # corpus) and finite; every non-empty document is scored.
+    assert all(r["avg_logprob"] < 0 for r in rows)
+    assert all(math.isfinite(r["avg_logprob"]) for r in rows)
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("length(trim(text)) > 0")
+        .count()
+    )
+    assert len(rows) == n_docs
+    # scale shape: the vocab probe side is broadcast — the per-token
+    # join must not shuffle the exploded corpus twice.
+    assert introspect.uses_broadcast_join(df)
+
+
+def test_mix_weights_normalize(spark, sf_dir):
+    rows = lm_quality.curation_source_mix_weights(spark, sf_dir).collect()
+    total_w = sum(r["mix_weight"] for r in rows)
+    assert math.isclose(total_w, 1.0, abs_tol=1e-4)
+    # alpha=0.5 upweights small sources: every source's epochs
+    # multiplier is >= the proportional value 1.0 iff it is smaller
+    # than average — verify the ordering is monotone in token count.
+    by_count = sorted(rows, key=lambda r: r["tok_count"])
+    mults = [r["epochs_multiplier"] for r in by_count]
+    assert mults == sorted(mults, reverse=True)
