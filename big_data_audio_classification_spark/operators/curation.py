@@ -34,7 +34,7 @@ from big_data_audio_classification_spark.operators.dedup import (
     _SQL_TOKENS,
     tokens_col,
 )
-from big_data_audio_classification_spark.operators.text import STOPWORDS
+from big_data_audio_classification_spark.operators.text import STOPWORDS, _count_in as _count_in_cur
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
 
@@ -482,4 +482,96 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sized.groupBy("source").applyInPandas(
         pack, "doc_id long, source string, pack_id long, n_tokens long"
+    )
+
+
+TOKEN_BUDGET = 50_000  # tokens to keep, best-quality-first
+
+
+@query(
+    "curation_token_budget_select",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, t -> t IN {('the', 'a', 'of', 'and', 'to', 'in')})) AS n_stop,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+            FROM t WHERE len(toks) > 0
+        ),
+        q AS (
+            SELECT doc_id, n_tokens,
+                   ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64, 1.0) * 0.4
+                         + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0) * 0.3
+                         + ttr * 0.3, 6) AS quality
+            FROM m
+        ),
+        w AS (
+            SELECT doc_id, n_tokens, quality,
+                   SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM q
+        )
+        SELECT doc_id, n_tokens, quality, CAST(cum AS BIGINT) AS cum_tokens
+        FROM w WHERE cum <= {TOKEN_BUDGET}
+    """,
+    tags=("text", "curation", "sampling", "budget", "documents"),
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    (quality-desc, doc_id tiebreak) until a global token budget is
+    exhausted — the final cut a pre-training data pipeline makes.
+
+    The oracle states the semantics as ONE global ordered running sum —
+    a single-partition window, the classic scale-killer. The engine
+    instead runs the TWO-PHASE form: quantize quality into 100 fixed
+    bins (monotone in the sort key, since the key is quality rounded to
+    6 places), compute per-bin token totals and a cumulative-by-bin
+    prefix (a ~100-row window), then run the running sum WITHIN each
+    bin, partition-parallel, offset by the prefix of better bins.
+    Identical keep-set, but the only global structure is the 100-row
+    bin ledger — each data-sized window is partitioned by bin.
+    Ordering uses the ROUNDED quality so both engines sort the exact
+    same key (raw double ULP noise could flip neighbors)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_tokens = F.size("toks").cast("double")
+    n_stop = _count_in_cur(F.col("toks"), STOPWORDS).cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = F.round(
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + F.least(n_stop / n_tokens * 5, F.lit(1.0)) * 0.3
+        + ttr * 0.3,
+        6,
+    )
+    scored = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        quality.alias("quality"),
+        F.floor(quality * 100).alias("qbin"),
+    )
+    bin_tot = scored.groupBy("qbin").agg(F.sum("n_tokens").alias("bt"))
+    wbin = (
+        Window.orderBy(F.col("qbin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ~100 rows: the single-partition window is the bin ledger, not data
+    prefix = bin_tot.select(
+        "qbin", (F.sum("bt").over(wbin) - F.col("bt")).alias("cum_before")
+    )
+    wdoc = (
+        Window.partitionBy("qbin")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.join(F.broadcast(prefix), "qbin")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            (F.col("cum_before") + F.sum("n_tokens").over(wdoc)).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
     )

@@ -87,3 +87,47 @@ def test_semdedup_keeps_cluster_minimum(spark, sf_dir):
         lowest = min(rows, key=lambda r: r.vec_id)
         assert lowest.kept
         assert any(r.kept for r in rows)
+
+
+def test_token_budget_two_phase_equals_global_window(spark, sf_dir):
+    """The bin-parallel two-phase selection must keep exactly the same
+    documents as the naive single-partition global running sum."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from big_data_audio_classification_spark.operators import curation
+
+    df = curation.curation_token_budget_select(spark, sf_dir)
+    got = {(r["doc_id"], r["cum_tokens"]) for r in df.collect()}
+
+    # recompute the keep-set with the naive global running-sum window
+    # over the same quality scores and compare.
+    from big_data_audio_classification_spark.operators.dedup import tokens_col
+    from big_data_audio_classification_spark.operators.text import (
+        STOPWORDS,
+        _count_in,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_tokens = F.size("toks").cast("double")
+    n_stop = _count_in(F.col("toks"), STOPWORDS).cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = F.round(
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + F.least(n_stop / n_tokens * 5, F.lit(1.0)) * 0.3
+        + ttr * 0.3,
+        6,
+    )
+    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        base.select("doc_id", F.size("toks").alias("n_tokens"), quality.alias("quality"))
+        .select("doc_id", F.sum("n_tokens").over(w).alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= curation.TOKEN_BUDGET)
+    )
+    want = {(r["doc_id"], r["cum_tokens"]) for r in naive.collect()}
+    assert got == want
