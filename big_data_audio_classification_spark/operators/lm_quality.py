@@ -134,3 +134,80 @@ def curation_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_multiplier"
         ),
     )
+
+
+QC_THRESHOLD = 0.75  # weak-label cut on the heuristic quality score
+QC_FEATURES = 1024
+
+
+@query(
+    "curation_quality_classifier",
+    oracle=None,  # MLlib fit — seeded internals, rows-only + pytest
+    tags=("ml", "curation", "quality", "documents"),
+)
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style quality-classifier distillation: weak-label the
+    corpus with the cheap heuristic score (text.text_quality_score's
+    formula), train a logistic regression on hashed bag-of-words
+    features, and score every document with the learned model — the
+    standard move that turns a hand-tuned heuristic into a smooth,
+    generalizing quality signal.
+
+    Output: per-source rollup (n_docs, mean predicted probability,
+    agreement rate with the weak labels) — bounded cardinality.
+
+    Scale notes: HashingTF is stateless (no vocabulary shuffle —
+    hashing replaces the CountVectorizer fit entirely); LR training is
+    MLlib's distributed l-bfgs over the assembled features; scoring is
+    a map-only transform. The only shuffles are the final rollup and
+    l-bfgs's internal tree-aggregations."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    from big_data_audio_classification_spark.operators.text import (
+        STOPWORDS,
+        _count_in,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_tokens = F.size("toks").cast("double")
+    n_stop = _count_in(F.col("toks"), STOPWORDS).cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = (
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + F.least(n_stop / n_tokens * 5, F.lit(1.0)) * 0.3
+        + ttr * 0.3
+    )
+    labeled = base.select(
+        "doc_id",
+        "source",
+        "toks",
+        (quality >= QC_THRESHOLD).cast("double").alias("label"),
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=QC_FEATURES
+    )
+    feats = tf.transform(labeled)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+    )
+    model = lr.fit(feats)
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(feats).select(
+        "doc_id",
+        "source",
+        "label",
+        vector_to_array("probability")[1].alias("p_good"),
+        (F.col("prediction") == F.col("label")).cast("double").alias("agree"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("p_good"), 6).alias("mean_p_good"),
+        F.round(F.avg("agree"), 6).alias("agreement"),
+        F.round(F.avg("label"), 6).alias("weak_positive_rate"),
+    )

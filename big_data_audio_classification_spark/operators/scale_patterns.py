@@ -232,3 +232,27 @@ def scale_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def scale_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction: when a shuffle join's
+    build side is selective, Catalyst can inject a Bloom filter of the
+    build-side keys into the probe-side SCAN, discarding non-matching
+    fact rows before the exchange — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~1% that
+    can possibly join. Thresholds are lowered here because the local
+    fixture is far below the production defaults (10 GB probe side);
+    the caller (tests/test_scale_patterns.py) sets and restores them
+    around the action so the shared session stays clean."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450_000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("value"),
+        )
+    )

@@ -62,3 +62,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert "Exchange" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_filter_semijoin_reduction(spark, sf_dir):
+    """With the runtime-filter thresholds scaled to fixture size, the
+    selective orders side must inject a Bloom filter into the lineitem
+    probe scan (bloom_filter_agg / BloomFilterMightContain in the
+    plan). Confs are restored afterwards."""
+    from big_data_audio_classification_spark.operators import scale_patterns
+    from big_data_audio_classification_spark.plans import introspect
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = scale_patterns.scale_bloom_semijoin(spark, sf_dir)
+        plan = introspect.formatted_plan(df).lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan[:2000]
+        assert df.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

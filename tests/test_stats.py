@@ -92,3 +92,20 @@ def test_mix_weights_normalize(spark, sf_dir):
     by_count = sorted(rows, key=lambda r: r["tok_count"])
     mults = [r["epochs_multiplier"] for r in by_count]
     assert mults == sorted(mults, reverse=True)
+
+
+def test_quality_classifier_learns_weak_labels(spark, sf_dir):
+    """The distilled classifier must (a) be deterministic and (b)
+    actually learn the heuristic from bag-of-words — corpus-level
+    agreement with its own training labels well above chance."""
+    from big_data_audio_classification_spark.operators import lm_quality
+
+    rows = {r["source"]: r for r in
+            lm_quality.curation_quality_classifier(spark, sf_dir).collect()}
+    again = {r["source"]: r for r in
+             lm_quality.curation_quality_classifier(spark, sf_dir).collect()}
+    assert rows == again
+    n = sum(r["n_docs"] for r in rows.values())
+    agree = sum(r["agreement"] * r["n_docs"] for r in rows.values()) / n
+    assert agree > 0.6, f"corpus agreement {agree}"
+    assert all(0.0 <= r["mean_p_good"] <= 1.0 for r in rows.values())
