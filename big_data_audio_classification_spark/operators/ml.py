@@ -419,3 +419,65 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prediction")
     )
+
+
+@query(
+    "ml_train_validation_split",
+    oracle=None,  # MLlib fit with internal randomized split — rows-only
+    tags=("ml", "tuning", "embeddings"),
+)
+def ml_train_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection via ``TrainValidationSplit(trainRatio=0.8)`` —
+    the MLlib analog of the reference's val_split=0.2 + checkpoint-best
+    training loop (`src/voice_classifier.py:229-246`): each param-grid
+    candidate trains on 80% and is scored on the held-out 20%, and the
+    best model is refit on all data. Grid: LR regularization strengths.
+
+    Output: one row per grid point (regParam, validation metric) plus
+    the chosen best — bounded by the grid size, never by data.
+
+    Scale notes: candidates train sequentially (or with ``parallelism``
+    workers) over the SAME cached training frame; each fit is MLlib's
+    distributed l-bfgs. Nothing here is driver-bound except the
+    grid-sized metrics table."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+    from pyspark.ml.functions import array_to_vector
+
+    em = load_table(spark, sf_dir, "embeddings")
+    # learnable target: sign of the first embedding component — the
+    # grid search has real signal to rank candidates on (AUC ~1).
+    df = em.select(
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+        (F.element_at("embedding", 1) > 0).cast("double").alias("y"),
+    )
+    lr = LogisticRegression(featuresCol="features", labelCol="y", maxIter=20)
+    grid = (
+        ParamGridBuilder().addGrid(lr.regParam, [0.001, 0.01, 0.1]).build()
+    )
+    ev = BinaryClassificationEvaluator(labelCol="y", metricName="areaUnderROC")
+    tvs = TrainValidationSplit(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=ev,
+        trainRatio=0.8,
+        seed=42,
+        parallelism=2,
+    )
+    model = tvs.fit(df)
+    rows = [
+        (float(pm[lr.regParam]), float(metric), bool(i == int(
+            max(range(len(model.validationMetrics)),
+                key=model.validationMetrics.__getitem__)
+        )))
+        for i, (pm, metric) in enumerate(
+            zip(grid, model.validationMetrics)
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "reg_param double, val_auc double, is_best boolean"
+    )

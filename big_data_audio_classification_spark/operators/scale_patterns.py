@@ -256,3 +256,69 @@ def scale_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("value"),
         )
     )
+
+
+ZBITS = 8  # bits per dimension interleaved into the morton code
+
+
+def _morton_terms_sql(a: str, b: str) -> str:
+    # every term fully parenthesized: DuckDB's << binds LOOSER than +,
+    # so an unwrapped `x << 0 + y << 1` chain cascades the shifts.
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "scale_zorder_morton",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST({_morton_terms_sql("l_partkey", "l_suppkey")} AS BIGINT)
+                       AS morton
+            FROM lineitem
+        )
+        SELECT morton // 4096          AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(l_partkey)           AS min_part,
+               MAX(l_partkey)           AS max_part,
+               MIN(l_suppkey)           AS min_supp,
+               MAX(l_suppkey)           AS max_supp
+        FROM z GROUP BY 1
+    """,
+    tags=("scale", "layout", "zorder"),
+)
+def scale_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key: interleave the low bits of two join/
+    filter dimensions into one sort key, so range-partitioning + sorted
+    parquet writes cluster BOTH dimensions at once — file-level min/max
+    statistics then prune scans for predicates on either column (the
+    data-skipping trick behind Delta/Iceberg Z-ORDER, expressed with
+    nothing but shiftright/&/shiftleft, all codegen).
+
+    The query proves the clustering property the layout buys: within
+    each zbucket (aligned morton range), BOTH the partkey and suppkey
+    min/max spreads are narrow — exactly what makes file skipping
+    effective after `repartitionByRange(morton) + sortWithinPartitions`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    morton = None
+    for i in range(ZBITS):
+        pa = F.shiftleft(F.shiftright("l_partkey", i).bitwiseAND(F.lit(1)), 2 * i)
+        sa = F.shiftleft(
+            F.shiftright("l_suppkey", i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = pa + sa
+        morton = term if morton is None else morton + term
+    z = li.select("l_partkey", "l_suppkey", morton.cast("long").alias("morton"))
+    return (
+        z.groupBy((F.col("morton") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
