@@ -635,3 +635,37 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_EXISTS_CORRELATED)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT)    AS n,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("relational", "sql", "pipe"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the same logical plan as the
+    traditional form, composed as a linear dataflow — parser sugar over
+    the identical Catalyst pipeline (the oracle states the traditional
+    spelling; both engines agree on the result)."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

@@ -384,3 +384,36 @@ def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(p, "[0-9]", "#").alias("masked"),
         p.rlike('"k": [0-9]{2}').alias("two_digit_k"),
     )
+
+
+@query(
+    "array_posexplode_outer",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN []::VARCHAR[]
+                        ELSE list_filter(string_split(text, ' '),
+                                         x -> x <> '')[1:3] END AS toks
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id, CAST(z[1] AS INT) AS pos, CAST(z[2] AS VARCHAR) AS tok
+        FROM (SELECT doc_id, UNNEST(list_zip(range(0, len(toks)), toks)) AS z
+              FROM t WHERE len(toks) > 0)
+        UNION ALL
+        SELECT doc_id, NULL AS pos, NULL AS tok FROM t WHERE len(toks) = 0
+    """,
+    tags=("scalar", "array", "explode", "documents"),
+)
+def array_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: positional explode that PRESERVES rows whose
+    array is empty (null pos/tok) — the outer variant matters whenever
+    the parent row must survive (joins back to doc metadata). Empty
+    arrays are introduced deterministically (doc_id % 7)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.when(
+        F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 1, 3))
+    return d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    )

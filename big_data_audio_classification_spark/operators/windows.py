@@ -217,3 +217,47 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_totalprice").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     ).limit(20)
+
+
+TRAIL_DAYS = 30
+
+
+@query(
+    "window_range_interval",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN {TRAIL_DAYS} * 86400 PRECEDING
+                         AND CURRENT ROW), 2) AS trailing_30d
+        FROM orders
+    """,
+    tags=("window", "range-frame", "timeseries"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window over event time: per customer, the trailing
+    30-day revenue ending at each order — a true value-based frame
+    (rows enter/leave by timestamp distance, not row position). Ordered
+    on integer epoch seconds so both engines frame identically; ties in
+    the ordering value are handled by RANGE semantics (peers aggregate
+    together), which is the point of the exemplar."""
+    o = load_table(spark, sf_dir, "orders")
+    # tz-proof epoch seconds (calendar arithmetic — see stats.py)
+    secs = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long")
+        * 86400
+        + F.hour("o_orderdate").cast("long") * 3600
+        + F.minute("o_orderdate").cast("long") * 60
+        + F.second("o_orderdate").cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(secs.alias("es"))
+        .rangeBetween(-TRAIL_DAYS * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
