@@ -16,13 +16,16 @@ chunks, so a 10^9-row synthetic corpus generates in parallel across the
 cluster with zero shuffle and zero driver memory; each executor
 materializes only its own range. Arrow batching applies (the reader
 yields plain tuples; Spark batches them).
-"""
+
+Implementation note: the DataSource classes are defined INSIDE
+``make_segments_datasource`` so cloudpickle serializes them BY VALUE —
+executors never need this repo on their import path (a by-reference
+pickle would require PYTHONPATH alignment on every Python worker)."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from big_data_audio_classification_spark.registry import query
 
@@ -30,45 +33,54 @@ N_ROWS = 500
 N_PARTS = 8
 
 
-class _RangePartition(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start = start
-        self.end = end
+def make_segments_datasource():
+    """Build the DataSource class in local scope (by-value pickling —
+    see module docstring)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
 
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
 
-class SegmentsReader(DataSourceReader):
-    def __init__(self, options):
-        self.n = int(options.get("n", N_ROWS))
-        self.parts = int(options.get("partitions", N_PARTS))
+    class SegmentsReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", N_ROWS))
+            self.parts = int(options.get("partitions", N_PARTS))
 
-    def partitions(self):
-        step = max(1, -(-self.n // self.parts))
-        return [
-            _RangePartition(s, min(s + step, self.n))
-            for s in range(0, self.n, step)
-        ]
+        def partitions(self):
+            step = max(1, -(-self.n // self.parts))
+            return [
+                _RangePartition(s, min(s + step, self.n))
+                for s in range(0, self.n, step)
+            ]
 
-    def read(self, partition: _RangePartition):
-        # Runs on an executor; generates only this partition's id range.
-        for i in range(partition.start, partition.end):
-            speaker = "Male" if i % 2 == 0 else "Female"
-            yield (i, speaker, float((i * 7) % 8 + 2))
+        def read(self, partition):
+            # Runs on an executor; generates only this partition's range.
+            for i in range(partition.start, partition.end):
+                speaker = "Male" if i % 2 == 0 else "Female"
+                yield (i, speaker, float((i * 7) % 8 + 2))
 
+    class SegmentsDataSource(DataSource):
+        """``spark.read.format("ref_segments")`` — deterministic labeled
+        phrase rows (id, speaker, dur), the same arithmetic as
+        ``reference_pipeline.segments``."""
 
-class SegmentsDataSource(DataSource):
-    """``spark.read.format("ref_segments")`` — deterministic labeled
-    phrase rows (id, speaker, dur), the same arithmetic as
-    ``reference_pipeline.segments``."""
+        @classmethod
+        def name(cls) -> str:
+            return "ref_segments"
 
-    @classmethod
-    def name(cls) -> str:
-        return "ref_segments"
+        def schema(self) -> str:
+            return "id bigint, speaker string, dur double"
 
-    def schema(self) -> str:
-        return "id bigint, speaker string, dur double"
+        def reader(self, schema) -> SegmentsReader:
+            return SegmentsReader(self.options)
 
-    def reader(self, schema) -> SegmentsReader:
-        return SegmentsReader(self.options)
+    return SegmentsDataSource
 
 
 @query(
@@ -92,7 +104,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register the custom Python data source and aggregate its output —
     proving the rows arrive partition-parallel with the declared schema.
     The aggregate is partition-order-independent by design."""
-    spark.dataSource.register(SegmentsDataSource)
+    spark.dataSource.register(make_segments_datasource())
     df = spark.read.format("ref_segments").option("n", N_ROWS).load()
     return df.groupBy("speaker").agg(
         F.count(F.lit(1)).alias("n_phrases"),

@@ -64,10 +64,10 @@ def test_python_datasource_partition_parallel(spark):
     """The Spark 4 Python DataSource generates on executors across the
     declared partitions, with the declared schema."""
     from big_data_audio_classification_spark.sources.python_datasource import (
-        SegmentsDataSource,
+        make_segments_datasource,
     )
 
-    spark.dataSource.register(SegmentsDataSource)
+    spark.dataSource.register(make_segments_datasource())
     df = (
         spark.read.format("ref_segments")
         .option("n", 100)
