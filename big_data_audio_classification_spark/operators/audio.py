@@ -351,3 +351,14 @@ def ref_e2e_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_component string, accuracy double, logloss double, n_train long, "
         "n_test long, c00 long, c01 long, c10 long, c11 long",
     )
+
+
+# Ship THIS module's code to Python workers by value: the driver harness
+# may run with a cwd/PYTHONPATH where this repo is not importable, and
+# the Arrow-batched kernels above reference module-level helpers that
+# cloudpickle would otherwise serialize as import references.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

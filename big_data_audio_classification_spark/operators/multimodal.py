@@ -279,3 +279,14 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin")
     )
+
+
+# Ship THIS module's code to Python workers by value: the driver harness
+# may run with a cwd/PYTHONPATH where this repo is not importable, and
+# the Arrow-batched kernels above reference module-level helpers that
+# cloudpickle would otherwise serialize as import references.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

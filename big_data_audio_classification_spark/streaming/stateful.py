@@ -101,3 +101,14 @@ try:  # Spark >= 4.0, and a working protobuf (the TWS state server
     HAS_TWS = True
 except ImportError:  # pragma: no cover - older Spark
     HAS_TWS = False
+
+
+# Ship THIS module's code to Python workers by value: the driver harness
+# may run with a cwd/PYTHONPATH where this repo is not importable, and
+# the Arrow-batched kernels above reference module-level helpers that
+# cloudpickle would otherwise serialize as import references.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
