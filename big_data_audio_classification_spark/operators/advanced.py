@@ -430,3 +430,78 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+ASOF_TOL_MIN = 10  # as-of lookback tolerance (minutes)
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id, ts
+                   FROM events WHERE event_type = 'click'),
+             j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+                          c.ts AS click_ts,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY p.purchase_id
+                              ORDER BY c.ts DESC, c.click_id DESC) AS rn
+                   FROM p LEFT JOIN c
+                     ON c.user_id = p.user_id AND c.ts <= p.ts
+                    AND c.ts >= p.ts - INTERVAL {ASOF_TOL_MIN} MINUTES)
+        SELECT purchase_id, user_id, click_id,
+               CAST(click_ts AS VARCHAR) AS click_ts
+        FROM j WHERE rn = 1
+    """,
+    tags=("relational", "join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    semantics): the most recent click at or before each purchase, but
+    only if it happened within the last {tol} minutes — older matches
+    become NULL. Same union + carry-forward plan as
+    ``join_asof_purchase_click`` (one shuffle, no explosion) plus a
+    map-side staleness filter on the carried timestamp; the quadratic
+    join-then-prune alternative never appears.""".format(tol=ASOF_TOL_MIN)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.col("event_id").alias("click_id_src"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("click_id_src"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_click").desc(), F.col("click_id_src").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.last("click_id_src", ignorenulls=True).over(w).alias("click_id_raw"),
+        F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts_raw"),
+        "is_click",
+    )
+    fresh = F.col("click_ts_raw") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOL_MIN} MINUTES"
+    )
+    return carried.filter(F.col("is_click") == 0).select(
+        "purchase_id",
+        "user_id",
+        F.when(fresh, F.col("click_id_raw")).alias("click_id"),
+        F.when(fresh, F.col("click_ts_raw")).cast("string").alias("click_ts"),
+    )

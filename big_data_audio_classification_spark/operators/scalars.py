@@ -417,3 +417,39 @@ def array_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", toks.alias("toks")).select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     )
+
+
+@query(
+    "scalar_try_functions",
+    oracle="""
+        SELECT c_custkey,
+               TRY_CAST(CASE WHEN c_custkey % 2 = 0
+                             THEN regexp_extract(c_name, '([0-9]+)', 1)
+                             ELSE c_name END AS INTEGER)     AS maybe_num,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE ROUND(c_acctbal / (c_custkey % 3), 4) END AS safe_div,
+               string_split(c_name, '#')[5]                  AS fifth_part
+        FROM customer
+    """,
+    tags=("scalar", "ansi", "try"),
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety battery: Spark 4 runs ANSI mode by default, so the
+    idiomatic null-on-failure forms are the ``try_*`` functions —
+    try_cast (malformed -> NULL instead of error), try_divide (x/0 ->
+    NULL instead of error), try_element_at (out-of-bounds -> NULL).
+    DuckDB spells them TRY_CAST / CASE-guarded divide / native
+    out-of-bounds-NULL list indexing."""
+    c = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.regexp_extract("c_name", "([0-9]+)", 1),
+    ).otherwise(F.col("c_name"))
+    return c.select(
+        "c_custkey",
+        mixed.try_cast("int").alias("maybe_num"),
+        F.round(
+            F.try_divide("c_acctbal", F.col("c_custkey") % 3), 4
+        ).alias("safe_div"),
+        F.try_element_at(F.split("c_name", "#"), F.lit(5)).alias("fifth_part"),
+    )
