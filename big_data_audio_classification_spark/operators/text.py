@@ -572,3 +572,49 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# GPT-2-style pretokenization, ASCII-simplified for cross-engine regex
+# parity (Java regex on Spark, RE2 on DuckDB): letter runs, digit runs,
+# punctuation runs — each optionally absorbing one leading space.
+BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS BIGINT) AS n_ws_tokens,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / len(regexp_extract_all(text, '{BPE_PAT}')), 6)
+                   AS chars_per_token
+        FROM documents
+        WHERE length(trim(text)) > 0
+    """,
+    tags=("text", "tokenizer", "documents"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the mandated second tokenizer): a GPT-2-
+    style pretokenization regex — letter/digit/punctuation runs with an
+    optional leading space — as the budget-accurate proxy for real BPE
+    token counts (true BPE merges only ever SPLIT these pretokens
+    further, so this lower-bounds subword counts with the right shape).
+    Emitted next to the whitespace count and the chars-per-token ratio
+    (the tokenizer-fertility signal used to spot unnatural text).
+    Pure JVM regex, map-only."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PAT), 0)
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.round(F.col("n_chars").cast("double") / F.size(bpe), 6).alias(
+            "chars_per_token"
+        ),
+    )
