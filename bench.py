@@ -58,6 +58,11 @@ HEADLINE = [
     "text_quality_score",
     "sim_cosine_topk",
     "skew_twophase_distinct",
+    # round-2 flagship additions (no r01 counterpart; totals comparable
+    # only against rounds that include them)
+    "tpch_q3_shipping_priority",
+    "text_unigram_logprob",
+    "curation_token_budget_select",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a
