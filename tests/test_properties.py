@@ -106,3 +106,79 @@ def test_join_cardinality_bounds(spark, a, b):
     assert da.join(db_unique, "k").count() <= len(a)
     # left join preserves left cardinality with unique right key
     assert da.join(db_unique, "k", "left").count() == len(a)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operator laws.
+# ---------------------------------------------------------------------------
+PAIRS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(pairs=PAIRS)
+@SETTINGS
+def test_morton_code_laws(spark, pairs):
+    """Z-order key laws: morton(a,b) = morton(a,0) + morton(0,b)
+    (disjoint bit planes), and monotone in each coordinate with the
+    other held at zero — which is exactly what makes the interleave a
+    valid clustering key for both dimensions."""
+    from big_data_audio_classification_spark.operators.scale_patterns import (
+        ZBITS,
+    )
+
+    def py_morton(a: int, b: int) -> int:
+        m = 0
+        for i in range(ZBITS):
+            m += ((a >> i) & 1) << (2 * i)
+            m += ((b >> i) & 1) << (2 * i + 1)
+        return m
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    import pyspark.sql.functions as F
+
+    morton = None
+    for i in range(ZBITS):
+        pa = F.shiftleft(F.shiftright("a", i).bitwiseAND(F.lit(1)), 2 * i)
+        sa = F.shiftleft(F.shiftright("b", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = pa + sa
+        morton = term if morton is None else morton + term
+    got = {(r["a"], r["b"]): r["m"] for r in df.select("a", "b", morton.alias("m")).collect()}
+    for (a, b), m in got.items():
+        assert m == py_morton(a, b)
+        assert m == py_morton(a, 0) + py_morton(0, b)
+    xs = sorted({a for a, _ in pairs})
+    assert [py_morton(x, 0) for x in xs] == sorted(py_morton(x, 0) for x in xs)
+
+
+def test_token_budget_keep_set_is_prefix_closed(spark, sf_dir):
+    """If a document is kept, every strictly better-quality document
+    (ties broken by doc_id) is also kept — the selection is a prefix of
+    the global quality ordering, whatever the budget."""
+    from big_data_audio_classification_spark.operators import curation
+
+    kept = curation.curation_token_budget_select(spark, sf_dir).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    order = sorted(kept, key=lambda r: (-r["quality"], r["doc_id"]))
+    # within the kept set, cum_tokens must be consistent with the order
+    running = 0
+    for r in order:
+        running += r["n_tokens"]
+        assert r["cum_tokens"] == running
+        assert r["doc_id"] in kept_ids
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import analytics
+
+    by_stage = {
+        r["stage"]: r["n_users"]
+        for r in analytics.events_funnel_conversion(spark, sf_dir).collect()
+    }
+    assert by_stage["view"] >= by_stage["click"] >= by_stage["purchase"]
+    assert by_stage["purchase"] >= 0
