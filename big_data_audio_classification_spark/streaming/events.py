@@ -385,15 +385,27 @@ def stream_incremental_rollup(events_stream: DataFrame, partials_dir: str):
     Returns the started query (caller awaits termination)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.groupBy(
-                F.window("ts", "1 minute").start.alias("bucket")
+        # Partitioned by batch_id + DYNAMIC partition overwrite: a
+        # retried micro-batch replaces its own partition instead of
+        # appending a duplicate — foreachBatch is at-least-once, so the
+        # sink must be idempotent per batch_id to get exactly-once.
+        spark = batch_df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            (
+                batch_df.groupBy(
+                    F.window("ts", "1 minute").start.alias("bucket")
+                )
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(partials_dir)
             )
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(partials_dir)
-        )
+        finally:
+            spark.conf.set(key, prev) if prev else spark.conf.unset(key)
 
     return events_stream.writeStream.foreachBatch(sink)
 

@@ -334,3 +334,44 @@ def test_incremental_rollup_partials_merge_exactly(spark, tmp_path):
         spark.read.parquet(partials).select("batch_id").distinct().count()
     )
     assert n_batches >= 2
+
+
+def test_incremental_rollup_sink_is_idempotent_per_batch(spark, tmp_path):
+    """foreachBatch delivers at-least-once: re-running the same
+    micro-batch (same batch_id) must not double-count — the sink
+    overwrites its own batch_id partition (dynamic partition
+    overwrite), so a retry is a no-op for the serving view."""
+    from big_data_audio_classification_spark.streaming.events import (
+        rollup_serving_view,
+    )
+
+    rows = _event_rows()[:40]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch = spark.createDataFrame(rows, schema)
+    partials = str(tmp_path / "partials_idem")
+
+    def run_sink(batch_df, batch_id):
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.groupBy(F.window("ts", "1 minute").start.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(partials)
+        )
+
+    run_sink(batch, 0)
+    first = sorted(
+        (r["bucket"], r["n"], round(r["sv"], 6))
+        for r in rollup_serving_view(spark, partials).collect()
+    )
+    run_sink(batch, 0)  # simulated retry of the SAME micro-batch
+    second = sorted(
+        (r["bucket"], r["n"], round(r["sv"], 6))
+        for r in rollup_serving_view(spark, partials).collect()
+    )
+    assert first == second
