@@ -375,3 +375,45 @@ def test_incremental_rollup_sink_is_idempotent_per_batch(spark, tmp_path):
         for r in rollup_serving_view(spark, partials).collect()
     )
     assert first == second
+
+
+def test_output_modes_append_vs_complete(spark, tmp_path):
+    """Output-mode semantics on one windowed aggregation: COMPLETE
+    re-emits every window each trigger; APPEND emits a window exactly
+    once, only after the watermark closes it. With availableNow over a
+    finite drop, complete shows all windows while append withholds
+    those the final watermark hasn't passed."""
+    from big_data_audio_classification_spark.streaming.events import (
+        stream_tumbling_counts,
+    )
+
+    src = _memory_stream(spark, tmp_path)
+    agg = stream_tumbling_counts(src)
+
+    qc = (
+        agg.writeStream.format("memory").queryName("modes_complete")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    qc.awaitTermination(120)
+    complete_rows = spark.sql("SELECT * FROM modes_complete").collect()
+
+    src2 = _memory_stream(spark, tmp_path)
+    qa = (
+        stream_tumbling_counts(src2)
+        .writeStream.format("memory").queryName("modes_append")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qa.awaitTermination(120)
+    append_rows = spark.sql("SELECT * FROM modes_append").collect()
+
+    # complete sees every window; append only watermark-closed ones
+    assert len(complete_rows) > 0
+    assert len(append_rows) <= len(complete_rows)
+    closed = {(r["window_start"], r["event_type"]) for r in append_rows}
+    all_w = {(r["window_start"], r["event_type"]) for r in complete_rows}
+    assert closed <= all_w
+    # every appended (closed) window agrees with the complete result
+    cvals = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+             for r in complete_rows}
+    for r in append_rows:
+        assert cvals[(r["window_start"], r["event_type"])] == (r["n"], r["sum_value"])
