@@ -296,19 +296,28 @@ def sim_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH approxSimilarityJoin over token sets — the
     built-in near-dup join surface (rows-only; MLlib hash seeds).
-    Complements the portable hand-rolled MinHash in operators/dedup.py."""
+    Complements the portable hand-rolled MinHash in operators/dedup.py.
+
+    API exemplar scoping: distance threshold 0.2 (Jaccard >= 0.8) and a
+    deterministic 20% corpus slice (doc_id % 5 == 0). A full-corpus
+    self-join materializes pairs quadratically on this template-similar
+    corpus (threshold 0.5 produced 8.6M pairs / 11 min at sf0.1) — the
+    point here is the MLlib API shape; the linear-output production
+    path for full-corpus dedup is dedup_minhash_keep_first."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from big_data_audio_classification_spark.operators.dedup import tokens_col
 
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     ).filter(F.size("toks") > 0)
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 16, binary=True)
     feat = tf.transform(d)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
