@@ -40,14 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file → read as long (nanos since
-        # epoch), truncate to micros (lossless here: the generator writes
-        # microsecond-precision instants), expose as a real timestamp so
-        # event-time ops (window/session_window/watermark) work natively.
+        # Generator versions differ on `ts`: some write TIMESTAMP(NANOS)
+        # (surfaced as long nanos under nanosAsLong), newer ones write a
+        # native TIMESTAMP(MICROS). Normalize on a real timestamp column
+        # so event-time ops (window/session_window/watermark) work
+        # natively either way.
         import pyspark.sql.functions as F
+        from pyspark.sql.types import LongType
 
-        # integer `div`, not `/`: float division loses ULPs on large longs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer `div`, not `/`: float division loses ULPs on longs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # TIMESTAMP_NTZ → TIMESTAMP: the session timezone is pinned to
+            # UTC (session.py), so the naive instant maps 1:1 and every
+            # downstream consumer (unix_micros, watermarks, oracles) sees
+            # one canonical timestamp type regardless of generator version.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
