@@ -23,6 +23,7 @@ import big_data_audio_classification_spark.operators.profiling  # noqa: F401
 import big_data_audio_classification_spark.operators.stats  # noqa: F401
 import big_data_audio_classification_spark.operators.lm_quality  # noqa: F401
 import big_data_audio_classification_spark.operators.tpch_classics  # noqa: F401
+import big_data_audio_classification_spark.operators.tpch_suite  # noqa: F401
 import big_data_audio_classification_spark.sources.python_datasource  # noqa: F401
 import big_data_audio_classification_spark.operators.analytics  # noqa: F401
 import big_data_audio_classification_spark.operators.warehouse  # noqa: F401

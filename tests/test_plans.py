@@ -153,3 +153,41 @@ def test_tpch_q10_broadcasts_nation(spark, sf_dir):
     assert introspect.uses_broadcast_join(df)
     # the returnflag filter reaches the lineitem parquet scan
     assert introspect.has_pushed_filters(df)
+
+
+def test_tpch_q6_pure_scan_agg(spark, sf_dir):
+    """Q6 is the pushdown showcase: all three range predicates reach the
+    parquet scan, and the plan contains no join and no hash-partitioned
+    exchange — just scan → partial agg → single-partition final agg."""
+    from big_data_audio_classification_spark.operators import tpch_suite
+
+    df = tpch_suite.tpch_q6_forecast_revenue(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert introspect.has_pushed_filters(df)
+    assert "Join" not in plan
+    assert not any("hashpartitioning" in l for l in plan.splitlines())
+
+
+def test_tpch_q8_dims_all_broadcast(spark, sf_dir):
+    """The 8-way Q8 join tree must broadcast every dimension (part,
+    supplier, both nation roles, region) — the fact table is the only
+    side ever shuffled, and nothing falls back to a nested loop."""
+    from big_data_audio_classification_spark.operators import tpch_suite
+
+    df = tpch_suite.tpch_q8_market_share(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_folds_exists_into_one_aggregate(spark, sf_dir):
+    """Q21's EXISTS + NOT-EXISTS pair must NOT appear as two extra fact
+    self-joins: the plan carries exactly one per-order aggregate
+    (the countDistinct stats) and no nested-loop join."""
+    from big_data_audio_classification_spark.operators import tpch_suite
+
+    df = tpch_suite.tpch_q21_waiting_supplier(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
