@@ -490,3 +490,110 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_batch", "n_admitted")
         .orderBy("source")
     )
+
+
+NGRAM_PRUNE_N = 8  # words per duplicated-span n-gram
+
+
+@query(
+    "dedup_substring_prune",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(words[i:i+{NGRAM_PRUNE_N - 1}], ' ') AS gram
+            FROM w, UNNEST(generate_series(1, len(words) - {NGRAM_PRUNE_N - 1}))
+                 AS t(i)
+            WHERE len(words) >= {NGRAM_PRUNE_N}
+        ),
+        dup AS (SELECT gram FROM g
+                GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (
+            SELECT doc_id,
+                   list_distinct(flatten(list(
+                       generate_series(pos, pos + {NGRAM_PRUNE_N - 1})))) AS covered
+            FROM g JOIN dup USING (gram)
+            GROUP BY doc_id
+        ),
+        cleaned AS (
+            SELECT w.doc_id, words,
+                   [words[i] FOR i IN generate_series(1, len(words))
+                    IF NOT list_contains(COALESCE(covered, CAST([] AS BIGINT[])), i)]
+                   AS clean
+            FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT)              AS n_words,
+               CAST(len(words) - len(clean) AS BIGINT) AS n_removed,
+               MD5(COALESCE(array_to_string(clean, ' '), '')) AS clean_digest
+        FROM cleaned
+    """,
+    tags=("dedup", "substring", "ngram", "documents"),
+)
+def dedup_substring_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (span-level) dedup: remove every word span whose
+    8-gram appears in two or more distinct documents, keeping the rest
+    of each document intact — the substring-granular complement of the
+    doc-level MinHash/SimHash family (cf. the suffix-array dedup of
+    published training-data pipelines, re-expressed relationally).
+
+    Pipeline (all built-ins, no Python):
+      1. one posexplode of word 8-grams per document;
+      2. corpus-wide doc-frequency per gram (the single big shuffle,
+         keyed on the gram string — at 100 TB key by a 64-bit xxhash of
+         the gram so the shuffle moves 8 bytes, not text);
+      3. duplicated occurrences joined back (gram-keyed equi-join),
+         covered word positions accumulated per doc as one array;
+      4. span removal as a pure higher-order array expression
+         (``filter(words, (w, i) -> ...)``) — no second explode, no
+         re-aggregation of words.
+
+    Output is one row per document with the cleaned-text digest, so the
+    oracle verifies the reconstructed text bytes, not just counts."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    n = NGRAM_PRUNE_N
+    grams = (
+        w.filter(F.size("words") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("words", i, n)).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        # shuffle key = 64-bit hash of the gram: the gram TEXT never
+        # shuffles (8 bytes/key at 100 TB); collision odds are ~n²/2⁶⁴.
+        .select("doc_id", F.col("g.pos").alias("pos"), F.xxhash64("g.gram").alias("gkey"))
+    )
+    dup = (
+        grams.groupBy("gkey")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gkey")
+    )
+    cov = (
+        grams.join(dup, "gkey")
+        .select("doc_id", F.sequence(F.col("pos"), F.col("pos") + (n - 1)).alias("span"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.flatten(F.collect_list("span"))).alias("covered"))
+    )
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<bigint>"))
+    clean = F.filter(
+        F.col("words"), lambda x, i: ~F.array_contains(covered, (i + 1).cast("bigint"))
+    )
+    return (
+        w.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("words").cast("bigint").alias("n_words"),
+            (F.size("words") - F.size(clean)).cast("bigint").alias("n_removed"),
+            F.md5(F.concat_ws(" ", clean)).alias("clean_digest"),
+        )
+    )

@@ -409,3 +409,119 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.join(
         dropped, asg["vec_id"] == dropped["dropped_id"], "left"
     ).select("vec_id", "cell_id", F.col("dropped_id").isNull().alias("kept"))
+
+
+PQ_M = 4          # subspaces
+PQ_SUB = 16       # dims per subspace (64-dim embeddings)
+PQ_K = 16         # codewords per subspace; codebook = subvectors of the
+                  # first PQ_K corpus vectors (data-derived, deterministic)
+
+_SQL_SUB_L2 = """
+    list_sum(list_transform(list_zip({a}, {b}),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+"""
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+        WITH cb AS (
+            SELECT t.m, vec_id AS code,
+                   embedding[t.m * {PQ_SUB} + 1 : t.m * {PQ_SUB} + {PQ_SUB}] AS sub
+            FROM embeddings CROSS JOIN UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+            WHERE vec_id < {PQ_K}
+        ),
+        d AS (
+            SELECT e.vec_id, cb.m, cb.code,
+                   {_SQL_SUB_L2.format(
+                       a=f"e.embedding[cb.m * {PQ_SUB} + 1 : cb.m * {PQ_SUB} + {PQ_SUB}]",
+                       b="cb.sub")} AS d2
+            FROM embeddings e CROSS JOIN cb
+        ),
+        codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                             ORDER BY d2, code) AS rn FROM d
+            ) WHERE rn = 1
+        ),
+        lut AS (SELECT vec_id AS query_id, m, code, d2 AS qd2
+                FROM d WHERE vec_id < {N_QUERIES})
+        SELECT query_id, neighbor_id, adc_d2
+        FROM (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   ROUND(SUM(l.qd2), 6) AS adc_d2
+            FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+            GROUP BY l.query_id, c.vec_id
+        )
+        WHERE query_id <> neighbor_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id) <= {TOP_K}
+    """,
+    tags=("similarity", "embeddings", "pq"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ compressed-corpus path): the
+    64-dim corpus is encoded as {PQ_M} one-byte codes (16× compression
+    here; 64× with 256 codewords over float32), and queries scan codes
+    via an Asymmetric Distance Computation lookup table instead of raw
+    vectors — at 100 TB the corpus IS the codes; raw embeddings are
+    only ever read once at encode time.
+
+    Spark shape (all built-ins, mirrors ``sim_ivf_topk``'s one-pass
+    trick):
+      1. codebook = subvectors of the first {PQ_K} vectors per subspace
+         (data-derived → deterministic → fully oracle-checkable, unlike
+         seeded-KMeans codebooks; swap in MLlib KMeans per subspace for
+         production training);
+      2. ONE broadcast crossJoin scores every (vector, subspace,
+         codeword) sub-distance; rn=1 per (vector, subspace) is the
+         encoder, the query slice of the same scores is the ADC lookup
+         table — the expensive pass is shared;
+      3. ADC = equi-join codes⋈LUT on (subspace, codeword) + one sum —
+         a {PQ_M}-row-per-candidate aggregate, never a 64-dim product;
+      4. per-query top-k window on the approximate distance.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    cb = (
+        em.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), "embedding", ms)
+        .select(
+            "m",
+            "code",
+            F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sub"),
+        )
+    )
+    sub_of = lambda c: F.slice(c, F.col("m") * PQ_SUB + 1, PQ_SUB)  # noqa: E731
+    d = (
+        em.select("vec_id", "embedding", ms)
+        .join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            l2_dist_sq(to_double(sub_of(F.col("embedding"))), to_double(F.col("sub"))).alias("d2"),
+        )
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    codes = (
+        d.select("*", F.row_number().over(w_enc).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "m", "code")
+    )
+    lut = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "code", F.col("d2").alias("qd2")
+    )
+    scored = (
+        codes.join(lut, ["m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w_top).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

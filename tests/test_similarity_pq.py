@@ -1,0 +1,64 @@
+"""Product-quantization ANN invariants.
+
+The PQ codebook is data-derived (subvectors of the first ``PQ_K``
+corpus vectors), so the whole encode → ADC → top-k pipeline is
+deterministic and can be differentially tested against an independent
+single-node numpy implementation — same spirit as the audio mel-frame
+parity tests (numpy ground truth vs the distributed plan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from big_data_audio_classification_spark.operators import similarity
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def _numpy_pq_topk(vecs: dict[int, np.ndarray]) -> dict[int, list[tuple]]:
+    M, S, K = similarity.PQ_M, similarity.PQ_SUB, similarity.PQ_K
+    ids = sorted(vecs)
+    cb = {(m, c): vecs[c][m * S : (m + 1) * S] for m in range(M) for c in range(K)}
+    # encode: nearest codeword per (vector, subspace), ties -> lowest code
+    codes = {}
+    for v in ids:
+        for m in range(M):
+            sub = vecs[v][m * S : (m + 1) * S]
+            d2 = [(float(np.sum((sub - cb[(m, c)]) ** 2)), c) for c in range(K)]
+            codes[(v, m)] = min(d2)[1]
+    out = {}
+    for q in range(similarity.N_QUERIES):
+        lut = {
+            (m, c): float(np.sum((vecs[q][m * S : (m + 1) * S] - cb[(m, c)]) ** 2))
+            for m in range(M)
+            for c in range(K)
+        }
+        scored = [
+            (round(sum(lut[(m, codes[(n, m)])] for m in range(M)), 6), n)
+            for n in ids
+            if n != q
+        ]
+        out[q] = sorted(scored)[: similarity.TOP_K]
+    return out
+
+
+def test_pq_matches_numpy_reference(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in em}
+    expected = _numpy_pq_topk(vecs)
+    got = {}
+    for r in similarity.sim_pq_adc_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append((r["adc_d2"], r["neighbor_id"]))
+    assert set(got) == set(expected)
+    for q in expected:
+        got_q = sorted(got[q])
+        for (ed, en), (gd, gn) in zip(expected[q], got_q):
+            assert en == gn, f"query {q}: neighbor {gn} != expected {en}"
+            assert abs(ed - gd) < 1e-6, f"query {q}: adc {gd} != {ed}"
+
+
+def test_pq_topk_is_k_rows_per_query(spark, sf_dir):
+    df = similarity.sim_pq_adc_topk(spark, sf_dir)
+    counts = df.groupBy("query_id").count().collect()
+    assert len(counts) == similarity.N_QUERIES
+    assert all(c["count"] == similarity.TOP_K for c in counts)
