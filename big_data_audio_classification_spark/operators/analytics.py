@@ -199,3 +199,161 @@ def scalar_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc"),
         F.to_json(F.array("o_orderkey", "o_custkey")).alias("key_pair"),
     )
+
+
+SESSION_GAP_SEC = 21_600  # 6 h inactivity closes a session
+
+
+@query(
+    "events_gap_islands_sessions",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                             > CAST({SESSION_GAP_SEC} AS BIGINT) * 1000000
+                          OR LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM o
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT)             AS n_events,
+               epoch_us(MIN(ts))                    AS session_start,
+               epoch_us(MAX(ts))                    AS session_end,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                                                    AS duration_sec,
+               ROUND(SUM(value), 6)                 AS spend
+        FROM s GROUP BY user_id, session_seq
+    """,
+    tags=("events", "analytics", "sessionization"),
+)
+def events_gap_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-islands sessionization in BATCH: a session break is an
+    inactivity gap > 6 h; session ids are the running count of breaks
+    (lag + cumulative sum), then one aggregate per (user, session).
+    The batch complement of ``events_session_window`` / the streaming
+    session window — this form works on any historical log and yields
+    a stable per-user session sequence number.
+
+    Scale: both windows and the final aggregate share ONE
+    hash-partitioning by user_id — Catalyst plans a single shuffle,
+    and per-user state is O(1) (lag + running sum, no buffering)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SEC * 1_000_000), 1
+    ).otherwise(0)
+    s = e.withColumn(
+        "session_seq",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start"),
+        F.unix_micros(F.max("ts")).alias("session_end"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        ).cast("bigint").alias("duration_sec"),
+        F.round(F.sum("value"), 6).alias("spend"),
+    )
+
+
+# Single-char symbol per event type; concatenated per user in time
+# order, the log becomes a string the pattern engine can scan.
+EVENT_SYMBOLS = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "signup": "s",
+    "error": "e",
+}
+# A conversion: a view, then a click, then a purchase, with no earlier
+# purchase in between. [^p]* cannot cross a 'p', so the match span is
+# unambiguous (ends at the FIRST p after the v) — greedy-vs-lazy and
+# backtracking-vs-automaton engines agree on it.
+CONVERSION_PATTERN = "v[^p]*c[^p]*p"
+
+
+@query(
+    "events_sequence_pattern",
+    oracle=f"""
+        WITH sym AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        ELSE 'e' END AS s
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id,
+                   string_agg(s, '' ORDER BY ts, event_id) AS path
+            FROM sym GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(path) AS BIGINT) AS seq_len,
+               CAST(len(regexp_extract_all(path, '{CONVERSION_PATTERN}'))
+                    AS BIGINT)              AS n_conversions,
+               (length(path) - length(replace(path, 'vcp', ''))) // 3
+                                            AS n_vcp_literal
+        FROM seq
+    """,
+    tags=("events", "analytics", "sequence", "pattern"),
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: per-user event
+    history is reduced to a symbol string in time order, then scanned
+    with a regular expression (view -> click -> purchase with no
+    intervening purchase) — the classic trick for funnel-with-ordering
+    constraints that SQL alone can't express without k-way self-joins.
+
+    Scale: one groupBy(user_id) shuffle; the per-user path string is
+    bounded by per-entity activity (cap with slice() for mega-users).
+    The regex scan is a map over |users| rows — embarrassingly
+    parallel, whole-stage codegen'd, no Python."""
+    e = load_table(spark, sf_dir, "events")
+    sym = F.col("event_type")
+    sym_expr = (
+        F.when(sym == "view", "v")
+        .when(sym == "click", "c")
+        .when(sym == "purchase", "p")
+        .when(sym == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        e.select("user_id", "ts", "event_id", sym_expr.alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "s"))),
+                    lambda x: x["s"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("path").cast("bigint").alias("seq_len"),
+        F.size(F.regexp_extract_all("path", F.lit(CONVERSION_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_conversions"),
+        (
+            (F.length("path") - F.length(F.regexp_replace("path", "vcp", "")))
+            / F.lit(3)
+        ).cast("bigint").alias("n_vcp_literal"),
+    )

@@ -1,0 +1,372 @@
+"""Text-retrieval operators over the documents corpus: BM25 ranking,
+conjunctive inverted-index search, MOSS-style winnowing fingerprints,
+and PMI collocation mining.
+
+These are the search-side complement of the dedup/curation family: a
+training-data pipeline that can dedup a corpus also needs to QUERY it
+(find documents about X, find the plagiarised spans, find the phrases
+that behave as units). All four operators are pure built-in
+expressions — zero Python in the hot path — with exact DuckDB oracles.
+
+Scale notes:
+* BM25: the term filter is applied at the scan (only postings for the
+  query's terms ever shuffle); document-frequency and corpus stats are
+  one-row/terms-row aggregates broadcast onto the postings; the final
+  top-k is orderBy+limit → TakeOrderedAndProject (per-partition heap +
+  driver merge, no global sort).
+* Conjunctive AND: posting-list intersection is ONE groupBy counting
+  distinct matched terms per doc — no pairwise posting joins, linear
+  in postings touched.
+* Winnowing: per-document window min over gram positions — partitioned
+  by doc_id, O(w) state, no shuffle beyond the doc-keyed exchange;
+  fingerprints are 8-byte codes (hash<<21 | pos), text never moves.
+* PMI: two token-keyed aggregations + two keyed joins on the unigram
+  table; counts are map-side combined.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.operators.dedup import (
+    _SQL_TOKENS,
+    token_hash,
+    tokens_col,
+)
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+# 'dup' is the rare, discriminative term in the synthetic corpus
+# (df≈25/500); the others are mid-frequency. BM25's idf weighting is
+# what the query demonstrates.
+QUERY_TERMS = ("dup", "spark", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + ")"
+
+
+@query(
+    "retrieval_bm25_topk",
+    oracle=f"""
+        WITH dd AS (
+            SELECT doc_id, toks, len(toks) AS dl
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+            WHERE len(toks) > 0
+        ),
+        st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+        tf AS (
+            SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dd)
+            WHERE tok IN {_TERMS_SQL}
+            GROUP BY doc_id, dl, tok
+        ),
+        dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+        SELECT doc_id,
+               ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * (tf * ({BM25_K1} + 1))
+                         / (tf + {BM25_K1} * (1 - {BM25_B}
+                                              + {BM25_B} * dl / avgdl))), 6)
+                                        AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM tf JOIN dfs USING (term) CROSS JOIN st
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+    tags=("retrieval", "text", "bm25", "documents"),
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k ranking for a fixed term query.
+
+    Plan shape for 100 TB: the `isin` term filter reaches the exploded
+    postings immediately (only query-term postings shuffle — for a
+    3-term query that is a vanishing fraction of the corpus); df and
+    (N, avgdl) are tiny aggregates broadcast onto the postings; the
+    global top-k is TakeOrderedAndProject, not a full sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    dd = d.filter(F.size("toks") > 0).select(
+        "doc_id", "toks", F.size("toks").alias("dl")
+    )
+    st = dd.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        dd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+@query(
+    "retrieval_conjunctive_terms",
+    oracle=f"""
+        WITH hits AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents)
+            WHERE tok IN {_TERMS_SQL}
+            GROUP BY doc_id, tok
+        ),
+        matched AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits
+            FROM hits
+            GROUP BY doc_id
+            HAVING COUNT(DISTINCT tok) = {len(QUERY_TERMS)}
+        )
+        SELECT m.doc_id, m.n_hits, d.lang, d.source
+        FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    """,
+    tags=("retrieval", "text", "inverted-index", "documents"),
+)
+def retrieval_conjunctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval: documents containing EVERY query
+    term. Posting-list intersection is expressed as one aggregation —
+    count distinct matched terms per doc equals the query arity — the
+    linear-in-postings form an inverted index uses, with no pairwise
+    posting-list joins."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    matched = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_hits"),
+            F.countDistinct("tok").alias("nt"),
+        )
+        .filter(F.col("nt") == len(QUERY_TERMS))
+        .drop("nt")
+    )
+    return matched.join(d.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "n_hits", "lang", "source"
+    )
+
+
+WINNOW_K = 4          # words per gram
+WINNOW_W = 4          # winnowing window (grams)
+_POS_ENC = 1 << 21    # fingerprint code = hash * 2^21 - pos
+
+_SQL_GRAM_HASH = "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        g AS (
+            SELECT doc_id, len(words) - {WINNOW_K - 1} AS n_grams, i AS pos,
+                   array_to_string(words[i:i+{WINNOW_K - 1}], ' ') AS gram
+            FROM w, UNNEST(generate_series(1, len(words) - {WINNOW_K - 1}))
+                 AS t(i)
+            WHERE len(words) >= {WINNOW_K}
+        ),
+        sel AS (
+            SELECT doc_id, n_grams,
+                   MIN({_SQL_GRAM_HASH} * {_POS_ENC} - pos)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                      AND CURRENT ROW) AS fp
+            FROM g
+            QUALIFY pos >= {WINNOW_W}
+        )
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+               MD5(array_to_string(list_sort(list(DISTINCT fp)), ','))
+                   AS fp_digest
+        FROM sel
+        GROUP BY doc_id, n_grams
+    """,
+    tags=("text", "fingerprint", "winnowing", "documents"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    word 4-gram, slide a window of 4 gram hashes, keep the minimum of
+    each window (ties → rightmost). Guarantees a fingerprint in every
+    window, so any shared run of ≥ w+k-1 words between two documents
+    shares a fingerprint — the local-sampling upgrade over the fixed
+    rolling-hash fingerprint in ``text_fingerprint_rolling``.
+
+    The tie rule is encoded arithmetically: code = hash·2²¹ − pos, so
+    MIN(code) picks the smallest hash and, among equals, the LARGEST
+    position — one window MIN, no argmin gymnastics. The fingerprint
+    IS the code (hash and position recoverable by div/mod).
+
+    Scale: one doc-keyed exchange; O(w) window state; emitted
+    fingerprints are 8-byte longs (~2/(w+1) density), text never
+    shuffles."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    k, ww = WINNOW_K, WINNOW_W
+    grams = (
+        w.filter(F.size("words") >= k)
+        .select(
+            "doc_id",
+            (F.size("words") - (k - 1)).cast("bigint").alias("n_grams"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("words", i, k)).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("g.pos").alias("pos"),
+            (
+                token_hash(F.col("g.gram")) * F.lit(_POS_ENC)
+                - F.col("g.pos")
+            ).alias("code"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(ww - 1), 0)
+    )
+    sel = grams.withColumn("fp", F.min("code").over(win)).filter(
+        F.col("pos") >= ww
+    )
+    return sel.groupBy("doc_id", "n_grams").agg(
+        F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("fp")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fp_digest"),
+    )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ),
+        uni AS (
+            SELECT tok, COUNT(*) AS c
+            FROM (SELECT UNNEST(toks) AS tok FROM w)
+            GROUP BY tok
+        ),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni),
+        bi AS (
+            SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+            WHERE len(toks) >= 2
+        ),
+        btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM bi),
+        c12 AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+            HAVING COUNT(*) >= {PMI_MIN_COUNT}
+        )
+        SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+               ROUND(log2((CAST(c12 AS DOUBLE) * t * t)
+                          / (b * u1.c * u2.c)), 6) AS pmi
+        FROM c12
+        JOIN uni u1 ON c12.w1 = u1.tok
+        JOIN uni u2 ON c12.w2 = u2.tok
+        CROSS JOIN tot CROSS JOIN btot
+        ORDER BY pmi DESC, w1, w2
+        LIMIT {PMI_TOPK}
+    """,
+    tags=("text", "pmi", "collocations", "documents"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent word pairs
+    that co-occur far more than chance (PMI = log2(p(w1,w2) /
+    p(w1)p(w2))) — the classic phrase-mining signal for tokenizer and
+    vocabulary construction over a training corpus.
+
+    Scale: bigram and unigram counts are two map-side-combined
+    aggregations; the two joins back onto the unigram table are keyed
+    on the token (vocabulary-sized, Zipf-bounded); probabilities are
+    computed in double precision so the arithmetic never overflows at
+    corpus scale; final top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    uni = (
+        w.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("t"))
+    bi = w.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    btot = bi.agg(F.count("*").cast("double").alias("b"))
+    c12 = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c12").cast("double") * F.col("t") * F.col("t"))
+            / (F.col("b") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        c12.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
