@@ -597,3 +597,126 @@ def dedup_substring_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", clean)).alias("clean_digest"),
         )
     )
+
+
+PFJ_THETA = 0.6       # Jaccard threshold
+PFJ_SHINGLE = 3       # words per shingle
+# 60-bit portable shingle hash (15 hex chars of md5): join keys are
+# 8-byte longs, the shingle TEXT never shuffles; collision odds at
+# corpus scale are ~n²/2⁶¹ — and a collision can only matter if both
+# colliding shingles land in the same compared pair.
+_SQL_SHINGLE_HASH60 = "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)"
+
+
+def shingle_hash60(gram: Column) -> Column:
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_SQL_TOKENS} AS words FROM documents),
+        t AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(words[i:i+{PFJ_SHINGLE - 1}], ' ')
+                                  FOR i IN generate_series(1, len(words) - {PFJ_SHINGLE - 1})])
+                       AS s
+            FROM w WHERE len(words) >= {PFJ_SHINGLE}
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE)
+                     / (la + lb - n_common), 6) AS jaccard
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                   len(a.s) AS la, len(b.s) AS lb
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+        )
+        WHERE CAST(n_common AS DOUBLE) / (la + lb - n_common) >= {PFJ_THETA}
+    """,
+    tags=("dedup", "similarity-join", "prefix-filter", "documents"),
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join (Jaccard ≥ θ over word-3-shingle sets)
+    via PREFIX FILTERING — the All-Pairs/PPJoin family: the scalable
+    EXACT complement of the probabilistic MinHash-LSH path.
+
+    Why it scales where the naive join doesn't: order every document's
+    shingles by ascending global frequency; if two sets overlap at
+    Jaccard ≥ θ they MUST share a shingle within each other's first
+    L − ⌈θ·L⌉ + 1 rarest shingles, so candidate generation joins only
+    those short, rare-token prefixes — the frequency ordering puts the
+    least-blocking shingles in the prefix, collapsing the candidate
+    count. Verification then computes the exact intersection with one
+    posting join per side. The oracle is the brute-force all-pairs
+    definition; at sf0.01 both isolate the 25 planted near-dup pairs.
+
+    Shuffles: distinct shingles (doc-keyed), doc-frequency
+    (shingle-keyed), candidate equi-join on the 60-bit shingle hash,
+    verify joins keyed on doc_id — all equi-joins; no cross join
+    anywhere (asserted in tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    n, theta = PFJ_SHINGLE, PFJ_THETA
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", tokens_col(F.col("text")).alias("words"))
+    sh = (
+        w.filter(F.size("words") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("words", i, n)),
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", shingle_hash60(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("l"))
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "h")
+    )
+    prefix_len = (F.col("l") - F.ceil(F.lit(theta) * F.col("l")) + 1)
+    prefix = (
+        sh.join(dfreq, "h")
+        .join(sizes, "doc_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "h", "l")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.l").alias("la"),
+            F.col("b.l").alias("lb"),
+        )
+        # length filter: |B| ∈ [θ|A|, |A|/θ] (symmetric, pair unordered)
+        .filter(
+            (F.col("lb") >= F.ceil(F.lit(theta) * F.col("la")))
+            & (F.col("la") >= F.ceil(F.lit(theta) * F.col("lb")))
+        )
+        .distinct()
+    )
+    pa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "la", "lb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("la") + F.col("lb") - F.col("n_common")
+    )
+    return inter.filter(jac >= theta).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
+    )

@@ -191,3 +191,15 @@ def test_tpch_q21_folds_exists_into_one_aggregate(spark, sf_dir):
     plan = introspect.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_is_all_equi_joins(spark, sf_dir):
+    """The exact set-similarity join must never degrade to an all-pairs
+    plan: candidate generation and verification are hash equi-joins on
+    the shingle hash / doc id only."""
+    from big_data_audio_classification_spark.operators import dedup
+
+    df = dedup.dedup_prefix_filter_join(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
