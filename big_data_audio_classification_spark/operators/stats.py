@@ -285,3 +285,81 @@ def scalar_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.second(d).cast("long")
         ).alias("epoch_s"),
     )
+
+
+@query(
+    "agg_chi_squared_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority AS p, o_orderstatus AS s,
+                   CAST(COUNT(*) AS DOUBLE) AS c
+            FROM orders GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT p, s, c,
+                   SUM(c) OVER (PARTITION BY p) AS rt,
+                   SUM(c) OVER (PARTITION BY s) AS ct,
+                   SUM(c) OVER ()               AS n
+            FROM cells
+        )
+        SELECT ROUND(SUM((c - rt * ct / n) * (c - rt * ct / n)
+                         / (rt * ct / n)), 6)                   AS chi2,
+               CAST((COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1)
+                    AS BIGINT)                                  AS dof,
+               ROUND(SQRT(SUM((c - rt * ct / n) * (c - rt * ct / n)
+                              / (rt * ct / n))
+                          / (MAX(n) * LEAST(COUNT(DISTINCT p) - 1,
+                                            COUNT(DISTINCT s) - 1))), 6)
+                                                                AS cramers_v,
+               CAST(MAX(n) AS BIGINT)                           AS n
+        FROM e
+    """,
+    tags=("stats", "chi-squared", "orders"),
+)
+def agg_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns
+    (order priority x order status) + Cramér's V effect size — the
+    data-profiling primitive behind feature-selection and drift checks
+    (the categorical sibling of the reference's mutual-information
+    scoring, voice_classifier.py:150-153).
+
+    Scale: ONE shuffle aggregates the fact table down to the r x c
+    contingency cells; every window/aggregate after that runs on the
+    dimension-sized cell table. Expected counts come from window sums
+    (no joins), the final reduction is a single-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    e = (
+        cells.withColumn("rt", F.sum("c").over(Window.partitionBy("p")))
+        .withColumn("ct", F.sum("c").over(Window.partitionBy("s")))
+        .withColumn(
+            "n", F.sum("c").over(Window.partitionBy())
+        )
+    )
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    contrib = (F.col("c") - exp) * (F.col("c") - exp) / exp
+    return e.agg(
+        F.round(F.sum(contrib), 6).alias("chi2"),
+        (
+            (F.countDistinct("p") - 1) * (F.countDistinct("s") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.sum(contrib)
+                / (
+                    F.max("n")
+                    * F.least(
+                        F.countDistinct("p") - 1, F.countDistinct("s") - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.max("n").cast("bigint").alias("n"),
+    )

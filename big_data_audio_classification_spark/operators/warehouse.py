@@ -265,3 +265,143 @@ def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+INTERP_BUCKET_SEC = 3600  # hourly buckets
+_MICRO = 1_000_000        # fixed-point micro-units
+
+
+@query(
+    "gapfill_linear_interpolation",
+    oracle=f"""
+        WITH obs AS (
+            SELECT user_id,
+                   epoch_us(ts) // (CAST({INTERP_BUCKET_SEC} AS BIGINT) * 1000000)
+                       AS hour_idx,
+                   CAST(FLOOR(MAX(value) * {_MICRO}) AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT user_id, UNNEST(generate_series(MIN(hour_idx),
+                                                   MAX(hour_idx))) AS hour_idx
+            FROM obs GROUP BY user_id
+        ),
+        j AS (
+            SELECT s.user_id, s.hour_idx, o.vm
+            FROM spine s LEFT JOIN obs o
+              ON s.user_id = o.user_id AND s.hour_idx = o.hour_idx
+        ),
+        f AS (
+            SELECT user_id, hour_idx, vm,
+                   last_value(vm IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pv,
+                   last_value(CASE WHEN vm IS NOT NULL THEN hour_idx END
+                              IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pt,
+                   first_value(vm IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_idx
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nv,
+                   first_value(CASE WHEN vm IS NOT NULL THEN hour_idx END
+                               IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY hour_idx
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nt
+            FROM j
+        )
+        SELECT user_id, hour_idx,
+               vm AS v_obs_micros,
+               CASE
+                   WHEN vm IS NOT NULL THEN vm
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        (pv * (nt - hour_idx) + nv * (hour_idx - pt))
+                        // (nt - pt)
+                   ELSE COALESCE(pv, nv) END AS v_filled_micros,
+               (vm IS NULL) AS is_gap
+        FROM f
+    """,
+    tags=("warehouse", "timeseries", "interpolation", "events"),
+)
+def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with LINEAR INTERPOLATION: build each
+    user's dense hourly spine, then fill missing buckets by
+    interpolating between the nearest observed values on both sides
+    (carry-forward/backward at the edges) — the hypertable
+    `interpolate()` / pandas `interpolate(method='time')` operator.
+
+    Values travel as fixed-point MICRO-UNIT bigints and the
+    interpolation is pure integer arithmetic (weighted mean with
+    integer division): floating-point would hit cross-engine
+    decimal-rounding divergence exactly at the midpoints interpolation
+    loves to produce (x.xxxxxx5 ties round differently under Spark's
+    decimal-string HALF_UP vs DuckDB's binary rounding), while the
+    integer form is bit-exact everywhere.
+
+    The carry windows use last/first with ignorenulls over the dense
+    spine: O(1) state per row, no self-join against the observation
+    table, no per-gap search.
+
+    Scale: spine join and all four carry windows share ONE
+    hash-partitioning by user_id (single shuffle); the observation agg
+    before it is map-side combined. At 100 TB the spine is generated,
+    never materialized — it streams straight into the window stage."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(INTERP_BUCKET_SEC * 1_000_000))
+            .cast("bigint")
+            .alias("hour_idx"),
+            "value",
+        )
+        .groupBy("user_id", "hour_idx")
+        .agg(
+            F.floor(F.max("value") * _MICRO).cast("bigint").alias("vm")
+        )
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("hour_idx"))
+    )
+    j = spine.join(obs, ["user_id", "hour_idx"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_of_obs = F.when(F.col("vm").isNotNull(), F.col("hour_idx"))
+    f_ = (
+        j.withColumn("pv", F.last("vm", ignorenulls=True).over(back))
+        .withColumn("pt", F.last(t_of_obs, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("vm", ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(t_of_obs, ignorenulls=True).over(fwd))
+    )
+    # integer weighted mean; operands are non-negative (value > 0), so
+    # trunc-vs-floor division semantics never diverge
+    interp = F.expr(
+        "(pv * (nt - hour_idx) + nv * (hour_idx - pt)) div (nt - pt)"
+    )
+    filled = (
+        F.when(F.col("vm").isNotNull(), F.col("vm"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return f_.select(
+        "user_id",
+        "hour_idx",
+        F.col("vm").alias("v_obs_micros"),
+        filled.alias("v_filled_micros"),
+        F.col("vm").isNull().alias("is_gap"),
+    )
