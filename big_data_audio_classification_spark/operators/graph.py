@@ -1,0 +1,101 @@
+"""Iterative graph analytics over the embedding similarity graph:
+PageRank centrality on the directed k-NN graph.
+
+Why this belongs in a training-data engine: graph centrality over a
+similarity graph is a curation signal — high-PageRank documents are
+"representative" cluster cores, low-rank ones are outliers — and the
+operator shape (iterated keyed join + aggregate with lineage cuts) is
+the template for every fixed-point graph computation on Spark
+(label propagation in `dedup_connected_components` is its sibling).
+
+Scale notes:
+* Edge construction here is the exact brute-force k-NN (deterministic,
+  numpy-verifiable); at 100 TB build edges with the ANN paths instead
+  (`sim_ivf_topk` / `sim_brp_lsh_ann`) — PageRank itself only sees an
+  edge list and does not care how it was built.
+* Each iteration is ONE shuffle keyed on dst (contribution aggregate)
+  plus a src-keyed join that reuses the edge partitioning; ranks are
+  `localCheckpoint()`ed every round so the lineage (and the plan) stays
+  O(1) in the iteration count instead of O(rounds) — same discipline as
+  connected components (operators/dedup.py).
+* The k-NN graph has uniform out-degree k, so there are no dangling
+  nodes and the out-degree division is a constant — on a general graph
+  join a precomputed out-degree dimension (broadcast).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_audio_classification_spark.functions.vector import cosine, to_double
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+KNN_K = 5
+PR_DAMPING = 0.85
+PR_ITERS = 12
+
+
+def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed k-NN edge list (src -> its KNN_K most cosine-similar
+    vectors, ties broken by dst id). Exact form for determinism; swap
+    in the IVF/LSH candidate join at corpus scale."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = em.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    scored = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(cosine(to_double(F.col("ea")), to_double(F.col("eb"))), 6).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    return (
+        scored.select("src", "dst", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst")
+    )
+
+
+@query(
+    "graph_pagerank_knn",
+    oracle=None,  # iterative fixed point — verified against a numpy
+    # power-iteration replica in tests/test_graph.py
+    tags=("graph", "pagerank", "iterative", "embeddings"),
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 12 synchronous iterations) over the
+    directed cosine k-NN graph of the embeddings table.
+
+    r_{t+1}(v) = (1-d)/n + d * Σ_{u→v} r_t(u) / outdeg(u)
+
+    Every node has out-degree KNN_K (no dangling mass). Per iteration:
+    join ranks onto edges by src (edge partitioning reused), aggregate
+    contributions by dst (the one shuffle), left-join back onto the
+    node set so in-degree-0 nodes keep the teleport term."""
+    edges = knn_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("vec_id")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank"))
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["vec_id"])
+            .select("dst", (F.col("rank") / KNN_K).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["vec_id"] == contribs["dst"], "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit((1.0 - PR_DAMPING) / n)
+                    + PR_DAMPING * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("vec_id", F.round("rank", 8).alias("pagerank"))
