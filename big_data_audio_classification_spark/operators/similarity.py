@@ -525,3 +525,82 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+EMB_DIM = 64
+Q_LEVELS = 255  # int8-style affine quantization levels
+
+
+@query(
+    "sim_int8_quantization",
+    oracle=f"""
+        WITH x AS (
+            SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS t(i)
+        ),
+        mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim),
+        q AS (
+            SELECT vec_id, v, mn, mx,
+                   CASE WHEN mx > mn
+                        THEN FLOOR((v - mn) / (mx - mn) * {Q_LEVELS} + 0.5)
+                        ELSE 0 END AS code
+            FROM x JOIN mm USING (dim)
+        ),
+        r AS (
+            SELECT vec_id, v,
+                   CASE WHEN mx > mn THEN mn + code * (mx - mn) / {Q_LEVELS}
+                        ELSE mn END AS rec
+            FROM q
+        )
+        SELECT vec_id,
+               ROUND(SUM((v - rec) * (v - rec)) / {EMB_DIM}, 9) AS mse,
+               ROUND(MAX(ABS(v - rec)), 9)                      AS max_abs_err
+        FROM r GROUP BY vec_id
+    """,
+    tags=("similarity", "embeddings", "quantization"),
+)
+def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding corpus: per-dimension
+    affine [min, max] → 0..255 codes (4× compression over float32; the
+    store-the-codes sibling of the PQ path in ``sim_pq_adc_topk``), with
+    per-vector reconstruction error as the quality gauge.
+
+    Quantization uses FLOOR(x + 0.5), not ROUND: the operands are
+    bit-identical doubles in any engine, so floor is deterministic,
+    while decimal ROUND diverges between Spark's decimal-string
+    HALF_UP and binary rounding exactly at code midpoints.
+
+    Scale: the per-dimension min/max is a 64-row aggregate broadcast
+    back onto the corpus; encode + reconstruct is then map-only over
+    the posexploded values — one small shuffle for the stats, one
+    doc-keyed aggregate for the error rollup."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(
+        "vec_id",
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "v"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "v")
+    mm = x.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = x.join(F.broadcast(mm), "dim").withColumn(
+        "code",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * Q_LEVELS
+                + 0.5
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    r = q.withColumn(
+        "rec",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / Q_LEVELS,
+        ).otherwise(F.col("mn")),
+    )
+    err = F.col("v") - F.col("rec")
+    return r.groupBy("vec_id").agg(
+        F.round(F.sum(err * err) / EMB_DIM, 9).alias("mse"),
+        F.round(F.max(F.abs(err)), 9).alias("max_abs_err"),
+    )

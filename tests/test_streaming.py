@@ -417,3 +417,74 @@ def test_output_modes_append_vs_complete(spark, tmp_path):
              for r in complete_rows}
     for r in append_rows:
         assert cvals[(r["window_start"], r["event_type"])] == (r["n"], r["sum_value"])
+
+
+def test_dedup_state_evicts_beyond_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark vs plain dropDuplicates: the
+    within-watermark form only suppresses duplicates whose event times
+    fall inside the watermark horizon. A duplicate id arriving in a
+    later micro-batch, with an event time far past the evicted state,
+    is admitted AGAIN — that bounded-state trade is exactly what makes
+    infinite-stream dedup feasible."""
+    from big_data_audio_classification_spark.streaming.events import stream_dedup
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    early = [
+        (i, BASE + timedelta(minutes=i % 5), i, "click", 1.0, "{}")
+        for i in range(20)
+    ]
+    early += early[:5]  # in-horizon duplicates: must be dropped
+    # same ids, 6 hours later — state for them is long evicted
+    # watermark advancer: fresh ids 3 h in — after this batch the
+    # watermark (max ts - 15 min) is far past the early state's
+    # expiry (early ts + 15 min), so the early keys are evicted
+    advance = [
+        (100 + i, BASE + timedelta(hours=3, minutes=i), i, "view", 1.0, "{}")
+        for i in range(5)
+    ]
+    # second advancer: state eviction applies the advanced watermark
+    # only at the END of the batch after it advances, so one more
+    # batch must pass before the early keys are actually purged
+    advance2 = [
+        (200 + i, BASE + timedelta(hours=4, minutes=i), i, "view", 1.0, "{}")
+        for i in range(5)
+    ]
+    late = [
+        (i, BASE + timedelta(hours=6, minutes=i), i, "click", 1.0, "{}")
+        for i in range(5)
+    ]
+    path = tmp_path / "dedup_evict"
+    for name, rows in (
+        ("b1", early),
+        ("b2", advance),
+        ("b3", advance2),
+        ("b4", late),
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(path / name))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(path / "*"))
+    )
+    q = (
+        stream_dedup(src)
+        .writeStream.format("memory")
+        .queryName("dedup_evict_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("select event_id, ts from dedup_evict_sink").collect()
+    # 20 unique early (5 in-horizon dups dropped) + 2x5 advancers
+    # + 5 re-admitted late
+    assert len(out) == 35
+    readmitted = [r for r in out if r.ts >= BASE + timedelta(hours=6)]
+    assert len(readmitted) == 5
