@@ -669,3 +669,60 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+_SQL_GROUP_BY_ALL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           COUNT(*)                       AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all",
+    oracle=_SQL_GROUP_BY_ALL,
+    tags=("relational", "sql", "spark4"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB dialect surface):
+    the IDENTICAL query text runs on both engines — non-aggregate
+    select items become the grouping key, the full select list the
+    ordering. Same Catalyst plan as the explicit form."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUP_BY_ALL)
+
+
+_SQL_LATERAL_ALIAS = """
+    SELECT o_orderkey,
+           ROUND(o_totalprice * 0.05, 2)      AS fee,
+           ROUND(fee * 2, 2)                  AS fee_doubled,
+           ROUND(o_totalprice - fee, 2)       AS net
+    FROM orders
+    WHERE o_orderkey % 100 = 7
+"""
+
+
+@query(
+    "sql_lateral_column_alias",
+    oracle=_SQL_LATERAL_ALIAS,
+    tags=("relational", "sql", "spark4"),
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark ≥3.4, DuckDB native): a select
+    item referencing a sibling alias (`fee * 2`) in the SAME select
+    list — identical text on both engines; Catalyst inlines the alias,
+    so the plan is a single Project, not nested subqueries."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_ALIAS)

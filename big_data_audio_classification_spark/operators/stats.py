@@ -363,3 +363,75 @@ def agg_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         F.max("n").cast("bigint").alias("n"),
     )
+
+
+KS_GROUPS = ("click", "purchase")
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = '{KS_GROUPS[0]}' THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN event_type = '{KS_GROUPS[1]}' THEN 1 ELSE 0 END AS g2
+            FROM events WHERE event_type IN ('{KS_GROUPS[0]}', '{KS_GROUPS[1]}')
+        ),
+        c AS (
+            SELECT v,
+                   SUM(g1) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS c1,
+                   SUM(g2) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS c2,
+                   SUM(g1) OVER () AS n1,
+                   SUM(g2) OVER () AS n2
+            FROM s
+        )
+        SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+               CAST(MAX(n2) AS BIGINT) AS n2,
+               ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / n1
+                             - CAST(c2 AS DOUBLE) / n2)), 6) AS ks_stat
+        FROM c
+    """,
+    tags=("stats", "ks-test", "events"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types: D = max_x |F1(x) - F2(x)|,
+    evaluated at every sample point with a tie-correct RANGE frame
+    (ties collapse to one ECDF step in both engines identically).
+
+    Scale: exact KS inherently needs one global ordering — the same
+    cost class as an exact percentile. The distributed form is a
+    range-partitioned sort with per-partition cumulative offsets
+    (exactly the ``agg_percentiles_twophase`` pattern); the cheap
+    100 TB swap-in is a binned ECDF (fixed-width buckets, one
+    aggregation) whose D is exact to bucket width."""
+    e = load_table(spark, sf_dir, "events")
+    g1, g2 = KS_GROUPS
+    s = e.filter(F.col("event_type").isin(g1, g2)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == g1, 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == g2, 1).otherwise(0).alias("g2"),
+    )
+    cum = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy()
+    c = s.select(
+        F.sum("g1").over(cum).alias("c1"),
+        F.sum("g2").over(cum).alias("c2"),
+        F.sum("g1").over(full).alias("n1"),
+        F.sum("g2").over(full).alias("n2"),
+    )
+    return c.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("n1")
+                    - F.col("c2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
