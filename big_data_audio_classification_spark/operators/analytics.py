@@ -357,3 +357,101 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(3)
         ).cast("bigint").alias("n_vcp_literal"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, value,
+                   LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)                        AS n_obs,
+               ROUND(SUM(value * dt_us) / SUM(dt_us), 6)       AS twap
+        FROM o WHERE dt_us IS NOT NULL
+        GROUP BY user_id
+    """,
+    tags=("events", "analytics", "timeseries", "twap"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation is
+    weighted by how long it REMAINED current (duration to the next
+    event), the correct average for irregularly sampled series where
+    the plain mean over-weights bursts.
+
+    Scale: one lead() window and the aggregate share a single user_id
+    hash-partitioning — one shuffle; durations are exact micros
+    bigints, only the final ratio is floating point."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    o = e.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return o.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        ).alias("twap"),
+    )
+
+
+# ordering key for open/close arg-extrema: micros since the corpus
+# epoch (fits *2^14 in a bigint) + a uniqueness tiebreak
+OHLC_EPOCH = "2024-01-01 00:00:00"
+
+
+@query(
+    "events_ohlc_bars",
+    oracle=f"""
+        WITH t AS (
+            SELECT epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS day_idx,
+                   value,
+                   (epoch_us(ts) - epoch_us(TIMESTAMP '{OHLC_EPOCH}')) * 16384
+                       + event_id % 16384 AS ord
+            FROM events
+        )
+        SELECT day_idx,
+               MIN_BY(value, ord)       AS open,
+               MAX(value)               AS high,
+               MIN(value)               AS low,
+               MAX_BY(value, ord)       AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM t GROUP BY day_idx
+    """,
+    tags=("events", "analytics", "timeseries", "ohlc"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles over the event stream: open/close are
+    arg-extrema over an exact integer ordering key (micros since the
+    corpus epoch, event-id tiebreak — encoding the (ts, id) order in
+    ONE bigint keeps min_by/max_by deterministic and engine-portable),
+    high/low are plain extremes. Every output is an exact input value
+    — no floating-point arithmetic at all, so no rounding is needed.
+
+    Scale: single groupBy on the time bucket, all six aggregates
+    algebraic and map-side combined — the canonical downsampling shape
+    for a market-data hypertable."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    epoch0 = F.unix_micros(F.lit(OHLC_EPOCH).cast("timestamp"))
+    t = e.select(
+        (us / F.lit(86_400 * 1_000_000)).cast("bigint").alias("day_idx"),
+        "value",
+        ((us - epoch0) * 16384 + F.col("event_id") % 16384).alias("ord"),
+    )
+    return t.groupBy("day_idx").agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

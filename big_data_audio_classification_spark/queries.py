@@ -28,5 +28,6 @@ import big_data_audio_classification_spark.sources.python_datasource  # noqa: F4
 import big_data_audio_classification_spark.operators.analytics  # noqa: F401
 import big_data_audio_classification_spark.operators.retrieval  # noqa: F401
 import big_data_audio_classification_spark.operators.graph  # noqa: F401
+import big_data_audio_classification_spark.operators.baskets  # noqa: F401
 import big_data_audio_classification_spark.operators.warehouse  # noqa: F401
 import big_data_audio_classification_spark.streaming.events  # noqa: F401
