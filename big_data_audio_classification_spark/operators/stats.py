@@ -435,3 +435,132 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+MAD_K = 1.4826       # consistency constant for normal data
+MAD_CUTOFF = 3.5     # |modified z| above this -> outlier
+
+
+@query(
+    "stats_mad_outliers",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, MEDIAN(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type, MAX(m.med) AS med,
+                   MEDIAN(ABS(e.value - m.med)) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MAX(m.med), 6)     AS median_value,
+               ROUND(MAX(m.mad), 6)     AS mad,
+               CAST(COUNT(*) FILTER (
+                   WHERE ABS(e.value - m.med)
+                         > {MAD_CUTOFF} * {MAD_K} * m.mad) AS BIGINT)
+                                        AS n_outliers
+        FROM events e JOIN mad m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    """,
+    tags=("stats", "outliers", "mad", "events"),
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group via the modified z-score:
+    median + MAD (median absolute deviation) instead of mean + stddev,
+    immune to the outliers it is hunting — the production data-quality
+    screen for long-tailed metrics.
+
+    Three passes, each a bounded aggregate broadcast into the next
+    (the same two-pass-global-bound pattern as ``winsorize_order_
+    prices``): group medians -> per-group MAD -> outlier counts. Exact
+    medians buffer per group; at 100 TB swap both medians for
+    percentile_approx with the plan otherwise unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+    )
+    j = e.join(F.broadcast(mad), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > (
+        MAD_CUTOFF * MAD_K * F.col("mad")
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
+    )
+
+
+@query(
+    "window_rolling_corr",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS day_idx,
+                   SUM(CASE WHEN event_type = 'click' THEN value
+                            ELSE 0 END) AS clicks,
+                   SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END) AS purchases
+            FROM events GROUP BY 1
+        )
+        SELECT day_idx,
+               ROUND(CORR(clicks, purchases) OVER (
+                   ORDER BY day_idx
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS corr_7d
+        FROM daily
+        QUALIFY ROW_NUMBER() OVER (ORDER BY day_idx) >= 7
+    """,
+    tags=("stats", "window", "correlation", "events"),
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily click value and
+    daily purchase value — an aggregate function (corr) used as a
+    WINDOW function over a trailing frame, the co-movement monitor for
+    paired metrics.
+
+    Scale: the fact table collapses to one row per day first (map-side
+    combined), so the window runs over calendar-sized data; corr is
+    algebraic (co-moment composition), O(1) state per step."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(86_400 * 1_000_000))
+            .cast("bigint")
+            .alias("day_idx"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("value")).otherwise(
+                    0
+                )
+            ).alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0)
+            ).alias("purchases"),
+        )
+    )
+    w = Window.orderBy("day_idx").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day_idx",
+            F.round(F.corr("clicks", "purchases").over(w), 6).alias("corr_7d"),
+            F.row_number().over(Window.orderBy("day_idx")).alias("rn"),
+        )
+        .filter(F.col("rn") >= 7)
+        .drop("rn")
+    )
