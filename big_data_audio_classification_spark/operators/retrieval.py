@@ -370,3 +370,164 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+RRF_K = 60          # standard reciprocal-rank-fusion constant
+RRF_LIST_N = 20     # depth of each input ranking
+RRF_TOPK = 10
+RRF_QUERY_VEC = 0   # embeddings.vec_id of the dense query vector
+
+_SQL_BM25_RANKED = f"""
+        dd AS (
+            SELECT doc_id, toks, len(toks) AS dl
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+            WHERE len(toks) > 0
+        ),
+        st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+        tf AS (
+            SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dd)
+            WHERE tok IN {_TERMS_SQL}
+            GROUP BY doc_id, dl, tok
+        ),
+        dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        bm AS (
+            SELECT doc_id,
+                   ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * ({BM25_K1} + 1))
+                             / (tf + {BM25_K1} * (1 - {BM25_B}
+                                                  + {BM25_B} * dl / avgdl))), 6)
+                       AS s
+            FROM tf JOIN dfs USING (term) CROSS JOIN st
+            GROUP BY doc_id
+        ),
+        bm_ranked AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+            FROM bm QUALIFY r <= {RRF_LIST_N}
+        )
+"""
+
+_SQL_DENSE_RANKED = f"""
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+        cs AS (
+            SELECT b.vec_id AS doc_id,
+                   ROUND(
+                     list_sum(list_transform(list_zip(q.embedding, b.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (SQRT(list_sum(list_transform(q.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                       AS s
+            FROM embeddings b CROSS JOIN q
+            WHERE b.vec_id <> {RRF_QUERY_VEC}
+        ),
+        dense_ranked AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+            FROM cs QUALIFY r <= {RRF_LIST_N}
+        )
+"""
+
+
+@query(
+    "retrieval_rrf_hybrid",
+    oracle=f"""
+        WITH {_SQL_BM25_RANKED.strip()},
+        {_SQL_DENSE_RANKED.strip()}
+        SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + b.r), 0)
+                     + COALESCE(1.0 / ({RRF_K} + d.r), 0), 6) AS rrf_score,
+               b.r AS bm25_rank,
+               d.r AS dense_rank
+        FROM bm_ranked b FULL OUTER JOIN dense_ranked d USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {RRF_TOPK}
+    """,
+    tags=("retrieval", "hybrid", "rrf", "documents", "embeddings"),
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: a sparse BM25
+    ranking over `documents` and a dense cosine ranking over
+    `embeddings` (doc_id ≡ vec_id) fused as Σ 1/(60 + rank) — the
+    standard RAG retrieval stack, entirely relational.
+
+    Scale: each leg is the already-scale-shaped ranking (term-filtered
+    postings / broadcast-query cosine with ANN as the swap-in); fusion
+    is a full-outer equi-join of two TOP-N lists — list-sized, not
+    corpus-sized."""
+    from big_data_audio_classification_spark.functions.vector import (
+        cosine,
+        to_double,
+    )
+
+    # --- sparse leg: BM25 top-N ranks ---
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    dd = d.filter(F.size("toks") > 0).select(
+        "doc_id", "toks", F.size("toks").alias("dl")
+    )
+    st = dd.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        dd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("s"))
+    )
+    from pyspark.sql import Window
+
+    bm_ranked = (
+        bm.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("s"), "doc_id"))
+        )
+        .filter(F.col("r") <= RRF_LIST_N)
+        .select("doc_id", F.col("r").alias("bm25_rank"))
+    )
+
+    # --- dense leg: cosine top-N ranks ---
+    em = load_table(spark, sf_dir, "embeddings")
+    qv = em.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cs = (
+        em.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(to_double(F.col("q_emb")), to_double(F.col("embedding"))),
+                6,
+            ).alias("s"),
+        )
+    )
+    dense_ranked = (
+        cs.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("s"), "doc_id"))
+        )
+        .filter(F.col("r") <= RRF_LIST_N)
+        .select("doc_id", F.col("r").alias("dense_rank"))
+    )
+
+    # --- fusion ---
+    fused = bm_ranked.join(dense_ranked, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", rrf.alias("rrf_score"), "bm25_rank", "dense_rank")
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOPK)
+    )
