@@ -63,6 +63,11 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "text_unigram_logprob",
     "curation_token_budget_select",
+    # round-3 flagship additions: the exact set-similarity join, sparse
+    # retrieval, and batch sessionization
+    "dedup_prefix_filter_join",
+    "retrieval_bm25_topk",
+    "events_gap_islands_sessions",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a

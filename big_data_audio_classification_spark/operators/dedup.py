@@ -673,16 +673,22 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", shingle_hash60(F.col("gram")).alias("h"))
         .distinct()
+        # the posting table feeds FOUR consumers (sizes, doc-frequency,
+        # prefix ranking, both verify sides): materialize it once
+        # instead of re-running scan+explode+distinct per consumer —
+        # at 100 TB this is the checkpoint/exchange-reuse decision
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("l"))
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "h")
-    )
+    doc_w = Window.partitionBy("doc_id")
+    rn = F.row_number().over(doc_w.orderBy("df", "h"))
+    # set size via a count window over the SAME doc partitioning the
+    # ranking uses — no separate sizes aggregate, no extra join
+    l_col = F.count("*").over(doc_w)
     prefix_len = (F.col("l") - F.ceil(F.lit(theta) * F.col("l")) + 1)
     prefix = (
         sh.join(dfreq, "h")
-        .join(sizes, "doc_id")
+        .withColumn("l", l_col)
         .withColumn("rn", rn)
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "h", "l")
