@@ -564,3 +564,84 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= 7)
         .drop("rn")
     )
+
+
+QBIN_N = 10
+
+
+@query(
+    "ml_quantile_binning",
+    oracle=f"""
+        WITH b AS (
+            SELECT o_orderkey, o_totalprice,
+                   NTILE({QBIN_N}) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS bin
+            FROM orders
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               ROUND(MIN(o_totalprice), 2)   AS lo,
+               ROUND(MAX(o_totalprice), 2)   AS hi
+        FROM b GROUP BY bin
+        ORDER BY bin
+    """,
+    tags=("ml", "binning", "orders"),
+)
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning — the discretization step of
+    ML feature preprocessing: NTILE over a deterministic ordering
+    (value + unique key tiebreak, so equal values split identically in
+    any engine), then per-bin population stats.
+
+    Scale: NTILE needs a global order — same cost class as exact
+    percentiles; the 100 TB form computes approx-quantile cut points
+    first and bins map-only against the broadcast cuts (the
+    ``winsorize_order_prices`` pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(QBIN_N)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "agg_correlation_matrix",
+    oracle="""
+        SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price,
+               ROUND(CORR(l_quantity, l_discount), 6)      AS qty_disc,
+               ROUND(CORR(l_quantity, l_tax), 6)           AS qty_tax,
+               ROUND(CORR(l_extendedprice, l_discount), 6) AS price_disc,
+               ROUND(CORR(l_extendedprice, l_tax), 6)      AS price_tax,
+               ROUND(CORR(l_discount, l_tax), 6)           AS disc_tax,
+               CAST(COUNT(*) AS BIGINT)                    AS n
+        FROM lineitem
+    """,
+    tags=("stats", "correlation", "lineitem"),
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures —
+    all six pairs in ONE single-pass aggregate (corr is algebraic:
+    co-moments compose map-side), the EDA screen before feature
+    selection. One scan, one row out, no per-pair passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("qty_tax"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax"),
+        F.count("*").cast("bigint").alias("n"),
+    )

@@ -405,3 +405,65 @@ def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("v_filled_micros"),
         F.col("vm").isNull().alias("is_gap"),
     )
+
+
+MERGE_MOD = 7  # o_orderkey % 7 == 2 -> tonight's updates; == 3 -> inserts
+
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+        WITH changes AS (
+            SELECT o_orderkey, 'P' AS new_status,
+                   ROUND(o_totalprice + 10.0, 2) AS new_price
+            FROM orders WHERE o_orderkey % {MERGE_MOD} = 2
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'O', 100.0
+            FROM orders WHERE o_orderkey % {MERGE_MOD} = 3
+        )
+        SELECT COALESCE(t.o_orderkey, c.o_orderkey)     AS o_orderkey,
+               COALESCE(c.new_status, t.o_orderstatus)  AS o_orderstatus,
+               ROUND(COALESCE(c.new_price, t.o_totalprice), 2) AS o_totalprice,
+               CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                    WHEN c.o_orderkey IS NULL THEN 'unchanged'
+                    ELSE 'updated' END                  AS merge_action
+        FROM orders t FULL OUTER JOIN changes c USING (o_orderkey)
+    """,
+    tags=("warehouse", "merge", "upsert", "orders"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert) without a MERGE engine: target
+    FULL OUTER JOIN changes on the business key — matched rows take
+    the update, unmatched-target rows pass through, unmatched-change
+    rows are inserts; the action is tagged per row.
+
+    This is exactly what Delta/Iceberg MERGE compiles to underneath
+    (minus file-level pruning): ONE key-partitioned join, target
+    scanned once. The change set here is derived deterministically
+    (keys ≡ 2 mod 7 add a flat fee (an additive update keeps rounding tie-free cross-engine), keys ≡ 3 mod 7 shifted into an
+    insert range) so the oracle can restate it."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % MERGE_MOD == 2).select(
+        "o_orderkey",
+        F.lit("P").alias("new_status"),
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("new_price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % MERGE_MOD == 3).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("O").alias("new_status"),
+        F.lit(100.0).alias("new_price"),
+    )
+    changes = updates.unionAll(inserts)
+    t = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    j = t.join(changes, "o_orderkey", "full_outer")
+    return j.select(
+        "o_orderkey",
+        F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+        F.round(F.coalesce("new_price", "o_totalprice"), 2).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("o_orderstatus").isNull(), "inserted")
+        .when(F.col("new_status").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )

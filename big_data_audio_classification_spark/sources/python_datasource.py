@@ -111,3 +111,69 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur").alias("total_seconds"),
         F.round(F.avg("dur"), 6).alias("avg_seconds"),
     )
+
+
+TICK_CHUNK = 50
+TICK_MAX = 200
+
+
+def make_ticks_stream_datasource():
+    """Spark 4 STREAMING Python DataSource: a deterministic tick stream
+    (id, value) emitted in micro-batched chunks via offset bookkeeping —
+    the streaming sibling of the batch phrase source above, covering
+    ``DataSourceStreamReader`` (initialOffset / latestOffset /
+    partitions(start, end) / read / commit).
+
+    Offsets advance one chunk per poll and cap at TICK_MAX, so
+    ``processAllAvailable`` drains to a fixed, checkable row set; each
+    micro-batch's range is split across executors like the batch
+    reader. Defined in local scope for by-value pickling (see module
+    docstring)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class TicksStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.chunk = int(options.get("chunk", TICK_CHUNK))
+            self.max = int(options.get("max", TICK_MAX))
+            self.cur = 0
+
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def latestOffset(self):
+            self.cur = min(self.cur + self.chunk, self.max)
+            return {"offset": self.cur}
+
+        def partitions(self, start, end):
+            s, e = start["offset"], end["offset"]
+            mid = (s + e) // 2
+            return [_RangePartition(s, mid), _RangePartition(mid, e)]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, float((i * 3) % 17))
+
+        def commit(self, end):
+            pass
+
+    class TicksStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "ticks_stream"
+
+        def schema(self) -> str:
+            return "tick_id bigint, val double"
+
+        def streamReader(self, schema):
+            return TicksStreamReader(self.options)
+
+    return TicksStreamDataSource

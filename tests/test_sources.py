@@ -82,3 +82,32 @@ def test_python_datasource_partition_parallel(spark):
     assert all(
         r["speaker"] == ("Male" if r["id"] % 2 == 0 else "Female") for r in rows
     )
+
+
+def test_python_streaming_datasource_drains_deterministically(spark):
+    """Spark 4 streaming Python DataSource: offsets advance chunk-wise,
+    partitions split each micro-batch across workers, and the drained
+    sink holds exactly the deterministic tick set."""
+    from big_data_audio_classification_spark.sources.python_datasource import (
+        TICK_MAX,
+        make_ticks_stream_datasource,
+    )
+
+    spark.dataSource.register(make_ticks_stream_datasource())
+    q = (
+        spark.readStream.format("ticks_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ticks_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select tick_id, val from ticks_sink").collect()
+    assert len(rows) == TICK_MAX
+    ids = sorted(r.tick_id for r in rows)
+    assert ids == list(range(TICK_MAX))
+    assert all(r.val == float((r.tick_id * 3) % 17) for r in rows)
