@@ -154,3 +154,134 @@ def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", (F.col("bucket") * HIST_WIDTH).alias("lo"), "n")
         .orderBy("bucket")
     )
+
+
+@query(
+    "profile_column_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT col, v, COUNT(*) AS n
+            FROM (
+                SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', o_orderpriority FROM orders
+                UNION ALL
+                SELECT 'status_priority',
+                       o_orderstatus || '|' || o_orderpriority FROM orders
+            ) GROUP BY col, v
+        ),
+        t AS (SELECT col, SUM(n) AS tot, COUNT(*) AS n_distinct
+              FROM c GROUP BY col)
+        SELECT c.col,
+               CAST(MAX(t.n_distinct) AS BIGINT) AS n_distinct,
+               ROUND(-SUM((CAST(c.n AS DOUBLE) / t.tot)
+                          * log2(CAST(c.n AS DOUBLE) / t.tot)), 6)
+                   AS entropy_bits,
+               ROUND(-SUM((CAST(c.n AS DOUBLE) / t.tot)
+                          * log2(CAST(c.n AS DOUBLE) / t.tot))
+                     / log2(CAST(MAX(t.n_distinct) AS DOUBLE)), 6)
+                   AS normalized
+        FROM c JOIN t ON c.col = t.col
+        GROUP BY c.col
+    """,
+    tags=("profiling", "entropy", "orders"),
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column (plus the joint column,
+    so entropy_bits(joint) vs the marginals reads off the dependence) —
+    the information-theoretic complement of null/distinct profiling,
+    and the same plug-in estimator the reference's mutual-information
+    scoring builds on (voice_classifier.py:150-153).
+
+    Scale: one unpivot-style union keyed on (col, value) → one
+    aggregate per column; the per-column totals table is tiny and
+    joined back broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.expr(
+            "stack(3, "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'status_priority', o_orderstatus || '|' || o_orderpriority"
+            ") AS (col, v)"
+        )
+    )
+    c = stacked.groupBy("col", "v").agg(F.count("*").alias("n"))
+    t = c.groupBy("col").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "col")
+        .groupBy("col")
+        .agg(
+            F.max("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(
+                -F.sum(p * F.log2(p))
+                / F.log2(F.max("n_distinct").cast("double")),
+                6,
+            ).alias("normalized"),
+        )
+    )
+
+
+@query(
+    "profile_benford_first_digit",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                               1, 1) AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        t AS (SELECT SUM(n) AS tot FROM c)
+        SELECT digit,
+               CAST(n AS BIGINT)                          AS n,
+               ROUND(CAST(n AS DOUBLE) / tot, 6)          AS observed,
+               ROUND(log2(1.0 + 1.0 / digit) / log2(10.0), 6) AS benford,
+               ROUND(ABS(CAST(n AS DOUBLE) / tot
+                         - log2(1.0 + 1.0 / digit) / log2(10.0)), 6)
+                                                          AS abs_dev
+        FROM c CROSS JOIN t
+        ORDER BY digit
+    """,
+    tags=("profiling", "benford", "orders"),
+)
+def profile_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    leading-digit frequencies against log10(1 + 1/d) — the classic
+    fraud/synthetic-data smell test (synthetic uniform prices, like
+    these, deviate loudly; organic financial data does not).
+
+    First digit via FLOOR-then-string truncation (exact in both
+    engines — DuckDB's bare double->BIGINT cast ROUNDS while Spark's
+    truncates, so the floor is stated explicitly —
+    no float log10 flooring, which disagrees at power-of-ten
+    boundaries); expected frequencies via log2 ratios so both engines
+    evaluate the identical expression tree.
+
+    Scale: one map + one 9-row aggregate; the total broadcast back."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    benford = F.log2(1.0 + 1.0 / F.col("digit")) / F.log2(F.lit(10.0))
+    obs = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs, 6).alias("observed"),
+            F.round(benford, 6).alias("benford"),
+            F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
