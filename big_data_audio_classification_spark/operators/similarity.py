@@ -604,3 +604,86 @@ def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(err * err) / EMB_DIM, 9).alias("mse"),
         F.round(F.max(F.abs(err)), 9).alias("max_abs_err"),
     )
+
+
+@query(
+    "sim_blocked_gemm_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_SQL_COSINE}, 6) AS cos_sim
+            FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "embeddings", "pandas", "mapInPandas"),
+)
+def sim_blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k as a BLOCKED MATRIX MULTIPLY inside a
+    vectorized pandas UDF: the query matrix rides in as a broadcast
+    numpy array, each Arrow batch of corpus vectors becomes one
+    (batch × dim) · (dim × Q) GEMM, and only per-batch candidate rows
+    leave Python. Same results as the expression-based
+    ``sim_cosine_topk`` (identical oracle) — this is the kernel you
+    swap in when the scoring math outgrows SQL expressions (learned
+    metrics, fp16 blocks, GPU offload).
+
+    Scale: corpus streams through mapInPandas (no shuffle), per-batch
+    top-k caps the Python→JVM egress at batches × Q × k rows, and the
+    final exact top-k window runs on that reduced candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        em.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # Q×dim — a bounded query panel, broadcast by closure
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    k = TOP_K
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            cm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cn @ qn.T  # (batch × Q) GEMM
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                # per-batch pre-top-k: keep k best (ties resolved later)
+                if len(cand_idx) > k:
+                    part = cand_idx[np.argpartition(-col[cand_idx], k)[: k + 8]]
+                else:
+                    part = cand_idx
+                for i in part:
+                    out.append((int(qid), int(ids[i]), float(col[i])))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cos_sim"]
+            )
+
+    cands = em.select("vec_id", "embedding").mapInPandas(
+        score_batches,
+        "query_id long, neighbor_id long, cos_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_r"), "neighbor_id"
+    )
+    return (
+        cands.withColumn("cos_sim_r", F.round("cos_sim", 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("cos_sim_r").alias("cos_sim")
+        )
+    )
