@@ -68,8 +68,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the import-order prefix.
 # Everything else stays registered and oracle-checked locally —
 # members displaced across rounds (filter_predicates, join_left_...,
-# agg_stats_by_flag, agg_count_distinct, agg_percentiles) were already
-# driver-green in CORRECTNESS_r01.
+# agg_stats_by_flag, agg_count_distinct, agg_percentiles in r02;
+# scalar_string_functions, set_except_segments, dedup_simhash,
+# text_tfidf_top_terms in r03 — displaced for the new retrieval /
+# exact-similarity-join / interpolation / sessionization families)
+# were already driver-green in an earlier CORRECTNESS ledger.
 DRIVER_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "join_inner_revenue_by_nation",
@@ -80,12 +83,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_anti_customers_without_orders",
     "join_range_bands",
     "join_asof_purchase_click",
-    "set_except_segments",
+    "dedup_prefix_filter_join",
     "sql_frontdoor_revenue",
     "agg_regression_by_flag",
-    "scalar_string_functions",
+    "retrieval_bm25_topk",
     "agg_approx_count_distinct",
-    "dedup_simhash",
+    "gapfill_linear_interpolation",
     "agg_percentile_approx",
     "agg_rollup",
     "scale_dpp_partitioned_join",
@@ -102,7 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_keep_first",
     "gapfill_monthly_revenue",
     "profile_orders_columns",
-    "text_tfidf_top_terms",
+    "events_gap_islands_sessions",
     "text_unigram_logprob",
     "sim_cosine_topk",
     "sim_ivf_topk",
