@@ -69,9 +69,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Everything else stays registered and oracle-checked locally —
 # members displaced across rounds (filter_predicates, join_left_...,
 # agg_stats_by_flag, agg_count_distinct, agg_percentiles in r02;
-# scalar_string_functions, set_except_segments, dedup_simhash,
-# text_tfidf_top_terms in r03 — displaced for the new retrieval /
-# exact-similarity-join / interpolation / sessionization families)
+# join_semi/anti (family still repped by inner/right/range/as-of),
+# sim_semdedup and text_contamination_overlap in r03 — displaced for
+# the new retrieval / exact-similarity-join / interpolation /
+# sessionization families, whose tags the window now samples)
 # were already driver-green in an earlier CORRECTNESS ledger.
 DRIVER_WINDOW: tuple[str, ...] = (
     "pricing_summary",
@@ -79,16 +80,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_exists_correlated",
     "join_right_order_customers",
     "text_pii_scrub",
-    "join_semi_active_customers",
-    "join_anti_customers_without_orders",
+    "retrieval_bm25_topk",
+    "dedup_prefix_filter_join",
     "join_range_bands",
     "join_asof_purchase_click",
-    "dedup_prefix_filter_join",
+    "set_except_segments",
     "sql_frontdoor_revenue",
     "agg_regression_by_flag",
-    "retrieval_bm25_topk",
+    "scalar_string_functions",
     "agg_approx_count_distinct",
-    "gapfill_linear_interpolation",
+    "dedup_simhash",
     "agg_percentile_approx",
     "agg_rollup",
     "scale_dpp_partitioned_join",
@@ -105,13 +106,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_keep_first",
     "gapfill_monthly_revenue",
     "profile_orders_columns",
-    "events_gap_islands_sessions",
+    "text_tfidf_top_terms",
     "text_unigram_logprob",
     "sim_cosine_topk",
     "sim_ivf_topk",
-    "sim_semdedup",
+    "gapfill_linear_interpolation",
     "curation_pipeline_e2e",
-    "text_contamination_overlap",
+    "events_gap_islands_sessions",
     "ml_label_encode",
     "ml_confusion_matrix",
     "ml_classification_report",
