@@ -700,11 +700,15 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_GROUP_BY_ALL)
 
 
+# exact integer cents: FLOOR of bit-identical doubles is engine-exact,
+# while ROUND(x, 2) ties (x.xx5) split between Spark's decimal-string
+# HALF_UP and DuckDB's binary rounding
 _SQL_LATERAL_ALIAS = """
     SELECT o_orderkey,
-           ROUND(o_totalprice * 0.05, 2)      AS fee,
-           ROUND(fee * 2, 2)                  AS fee_doubled,
-           ROUND(o_totalprice - fee, 2)       AS net
+           CAST(FLOOR(o_totalprice * 5) AS BIGINT)     AS fee_cents,
+           fee_cents * 2                               AS fee_doubled,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+               - fee_cents                             AS net_cents
     FROM orders
     WHERE o_orderkey % 100 = 7
 """
@@ -717,7 +721,7 @@ _SQL_LATERAL_ALIAS = """
 )
 def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral column aliases (Spark ≥3.4, DuckDB native): a select
-    item referencing a sibling alias (`fee * 2`) in the SAME select
+    item referencing a sibling alias (`fee_cents * 2`) in the SAME select
     list — identical text on both engines; Catalyst inlines the alias,
     so the plan is a single Project, not nested subqueries."""
     from big_data_audio_classification_spark.sources.catalog import (
