@@ -655,11 +655,17 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle-keyed), candidate equi-join on the 60-bit shingle hash,
     verify joins keyed on doc_id — all equi-joins; no cross join
     anywhere (asserted in tests/test_plans.py)."""
-    from pyspark.sql import Window
-
-    n, theta = PFJ_SHINGLE, PFJ_THETA
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", tokens_col(F.col("text")).alias("words"))
+    return prefix_filter_pairs(w, PFJ_THETA, PFJ_SHINGLE)
+
+
+def prefix_filter_pairs(w: DataFrame, theta: float, n: int) -> DataFrame:
+    """Core prefix-filter exact Jaccard join over any (doc_id, words)
+    frame — shared by the registered query and the property tests
+    (which replay it against a Python brute force on random corpora)."""
+    from pyspark.sql import Window
+
     sh = (
         w.filter(F.size("words") >= n)
         .select(

@@ -174,6 +174,50 @@ _POS_ENC = 1 << 21    # fingerprint code = hash * 2^21 - pos
 _SQL_GRAM_HASH = "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)"
 
 
+def winnowing_selections(words_df: DataFrame) -> DataFrame:
+    """Core winnowing pass over (doc_id, words array): one row per
+    FULL window position p ≥ w with the selected fingerprint code
+    (hash·2²¹ − pos; position recoverable as 2²¹ − (code mod 2²¹)).
+    Shared by the registered query and the property tests."""
+    from pyspark.sql import Window
+
+    k, ww = WINNOW_K, WINNOW_W
+    grams = (
+        words_df.filter(F.size("words") >= k)
+        .select(
+            "doc_id",
+            (F.size("words") - (k - 1)).cast("bigint").alias("n_grams"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("words", i, k)).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("g.pos").alias("pos"),
+            (
+                token_hash(F.col("g.gram")) * F.lit(_POS_ENC)
+                - F.col("g.pos")
+            ).alias("code"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(ww - 1), 0)
+    )
+    return grams.withColumn("fp", F.min("code").over(win)).filter(
+        F.col("pos") >= ww
+    )
+
+
+
 @query(
     "text_winnowing_fingerprints",
     oracle=f"""
@@ -216,49 +260,16 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tie rule is encoded arithmetically: code = hash·2²¹ − pos, so
     MIN(code) picks the smallest hash and, among equals, the LARGEST
     position — one window MIN, no argmin gymnastics. The fingerprint
-    IS the code (hash and position recoverable by div/mod).
+    IS the code (hash and position recoverable by div/mod). The
+    every-window-covered law is property-tested over random word
+    sequences in tests/test_properties.py.
 
     Scale: one doc-keyed exchange; O(w) window state; emitted
     fingerprints are 8-byte longs (~2/(w+1) density), text never
     shuffles."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("words"))
-    k, ww = WINNOW_K, WINNOW_W
-    grams = (
-        w.filter(F.size("words") >= k)
-        .select(
-            "doc_id",
-            (F.size("words") - (k - 1)).cast("bigint").alias("n_grams"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("words") - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice("words", i, k)).alias("gram"),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            F.col("g.pos").alias("pos"),
-            (
-                token_hash(F.col("g.gram")) * F.lit(_POS_ENC)
-                - F.col("g.pos")
-            ).alias("code"),
-        )
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(ww - 1), 0)
-    )
-    sel = grams.withColumn("fp", F.min("code").over(win)).filter(
-        F.col("pos") >= ww
-    )
+    sel = winnowing_selections(w)
     return sel.groupBy("doc_id", "n_grams").agg(
         F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
         F.md5(

@@ -182,3 +182,97 @@ def test_funnel_counts_are_monotone(spark, sf_dir):
     }
     assert by_stage["view"] >= by_stage["click"] >= by_stage["purchase"]
     assert by_stage["purchase"] >= 0
+
+
+# ---- round-3 laws ----
+
+WORDS = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+    min_size=8,
+    max_size=40,
+)
+
+
+@given(st.lists(WORDS, min_size=1, max_size=4))
+@SETTINGS
+def test_winnowing_covers_every_window(spark, docs):
+    """The defining winnowing guarantee: every FULL window of w
+    consecutive gram positions contains at least one selected
+    fingerprint position — for ANY word sequence."""
+    from big_data_audio_classification_spark.operators import retrieval
+
+    df = spark.createDataFrame(
+        [(i, ws) for i, ws in enumerate(docs)], "doc_id long, words array<string>"
+    )
+    sel = retrieval.winnowing_selections(df).collect()
+    w = retrieval.WINNOW_W
+    enc = 1 << 21
+    by_doc: dict[int, set[int]] = {}
+    n_windows: dict[int, int] = {}
+    for r in sel:
+        pos = enc - (r["fp"] % enc)
+        by_doc.setdefault(r["doc_id"], set()).add(pos)
+        n_windows[r["doc_id"]] = max(n_windows.get(r["doc_id"], 0), r["pos"])
+    for doc_id, last_p in n_windows.items():
+        picked = by_doc[doc_id]
+        for p in range(w, last_p + 1):
+            assert any(p - w + 1 <= s <= p for s in picked), (
+                f"doc {doc_id}: window ending at {p} holds no fingerprint"
+            )
+
+
+@given(st.lists(WORDS, min_size=2, max_size=5))
+@SETTINGS
+def test_prefix_filter_join_equals_brute_force(spark, docs):
+    """The prefix-filter candidate pruning must be LOSSLESS: its output
+    equals the brute-force all-pairs Jaccard join for any corpus."""
+    from big_data_audio_classification_spark.operators import dedup
+
+    theta, n = 0.5, 2
+    df = spark.createDataFrame(
+        [(i, ws) for i, ws in enumerate(docs)], "doc_id long, words array<string>"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.prefix_filter_pairs(df, theta, n).collect()
+    }
+    sets = {
+        i: {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+        for i, ws in enumerate(docs)
+        if len(ws) >= n
+    }
+    expected = {}
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                inter = len(sets[x] & sets[y])
+                union = len(sets[x] | sets[y])
+                if union and inter / union >= theta:
+                    expected[(x, y)] = (inter, round(inter / union, 6))
+    assert got == expected
+
+
+def test_interpolation_bounded_by_neighbors(spark, sf_dir):
+    """Every interpolated gap value lies between its two bounding
+    observations (weighted-mean invariant), and observed rows pass
+    through unchanged."""
+    from big_data_audio_classification_spark.operators import warehouse
+
+    rows = warehouse.gapfill_linear_interpolation(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked_gaps = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r["hour_idx"])
+        obs = [(i, r) for i, r in enumerate(series) if not r["is_gap"]]
+        for r in series:
+            if not r["is_gap"]:
+                assert r["v_filled_micros"] == r["v_obs_micros"]
+        for (i1, r1), (i2, r2) in zip(obs, obs[1:]):
+            lo, hi = sorted((r1["v_obs_micros"], r2["v_obs_micros"]))
+            for r in series[i1 + 1 : i2]:
+                assert lo <= r["v_filled_micros"] <= hi
+                checked_gaps += 1
+    assert checked_gaps > 0, "fixture produced no gaps to check"
