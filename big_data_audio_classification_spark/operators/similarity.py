@@ -687,3 +687,78 @@ def sim_blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.col("cos_sim_r").alias("cos_sim")
         )
     )
+
+
+@query(
+    "ml_kmeans_lloyd_step_sql",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+                   WHERE vec_id < {IVF_CELLS}),
+        d AS (
+            SELECT b.vec_id, a.cell_id, b.embedding,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+            FROM c a CROSS JOIN embeddings b
+        ),
+        asg AS (
+            SELECT vec_id, cell_id, embedding
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cell_id) AS rn FROM d)
+            WHERE rn = 1
+        ),
+        comp AS (
+            SELECT cell_id, dim, AVG(CAST(v AS DOUBLE)) AS m, COUNT(*) AS n
+            FROM (SELECT cell_id, i AS dim, embedding[i] AS v
+                  FROM asg, UNNEST(generate_series(1, {EMB_DIM})) AS t(i))
+            GROUP BY cell_id, dim
+        )
+        SELECT cell_id,
+               CAST(MAX(n) AS BIGINT)                    AS cluster_size,
+               ROUND(SUM(m * m), 6)                      AS centroid_sq_norm,
+               ROUND(list_sum(list_transform(
+                   list(m ORDER BY dim), x -> ABS(x))), 6) AS centroid_l1
+        FROM comp GROUP BY cell_id
+    """,
+    tags=("ml", "kmeans", "embeddings"),
+)
+def ml_kmeans_lloyd_step_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration of k-means, fully relational (the SQL-oracled
+    complement of the seeded MLlib fit in ``ml_kmeans_embeddings``):
+    assign every vector to its nearest data-derived centroid, then
+    recompute centroids as per-cell mean VECTORS by posexploding to
+    (cell, dim) and averaging — array re-aggregation with zero Python,
+    summarized per cell (size, squared norm, L1 mass) so the output
+    stays bounded while pinning the full centroid values.
+
+    Scale: assignment is broadcast-centroids map-only; the recompute is
+    ONE (cell, dim) aggregate — k·dim rows out, map-side combined. An
+    iterated k-means is this plan in the ``dedup_connected_components``
+    localCheckpoint loop."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
+    scored = em.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell_id", "embedding", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    asg = (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "embedding")
+    )
+    comp = (
+        asg.select(
+            "cell_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "v")
+        )
+        .select("cell_id", (F.col("pos") + 1).alias("dim"), "v")
+        .groupBy("cell_id", "dim")
+        .agg(F.avg("v").alias("m"), F.count("*").alias("n"))
+    )
+    return comp.groupBy("cell_id").agg(
+        F.max("n").cast("bigint").alias("cluster_size"),
+        F.round(F.sum(F.col("m") * F.col("m")), 6).alias("centroid_sq_norm"),
+        F.round(F.sum(F.abs("m")), 6).alias("centroid_l1"),
+    )
