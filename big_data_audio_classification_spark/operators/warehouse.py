@@ -467,3 +467,99 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   DATE '{SCD2_OPEN}' AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to
+            FROM customer
+        ),
+        changes AS (
+            SELECT c_custkey, 'UPGRADED' AS new_segment,
+                   DATE '{SCD2_EFF}' AS eff
+            FROM customer WHERE c_custkey % {SCD2_MOD} = 3
+        ),
+        versions AS (
+            SELECT d.c_custkey, d.segment, d.valid_from,
+                   ch.eff AS valid_to
+            FROM dim d JOIN changes ch USING (c_custkey)
+            UNION ALL
+            SELECT c_custkey, new_segment, eff, CAST(NULL AS DATE)
+            FROM changes
+            UNION ALL
+            SELECT d.c_custkey, d.segment, d.valid_from, d.valid_to
+            FROM dim d ANTI JOIN changes ch USING (c_custkey)
+        )
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT)            AS n_orders,
+               ROUND(SUM(o_totalprice), 2)         AS revenue,
+               STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+               STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+        FROM orders o
+        JOIN versions v
+          ON o.o_custkey = v.c_custkey
+         AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+         AND (v.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < v.valid_to)
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    tags=("warehouse", "scd2", "point-in-time", "orders"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct dimension lookup — the feature-store /
+    training-data staple: each fact row joins the dimension VERSION
+    that was valid at the fact's own event time (no leakage of future
+    attribute values into past examples). Orders before the SCD2
+    effective date see the original segment; later orders of changed
+    keys see 'UPGRADED'.
+
+    Scale: ONE equi-join on the business key (the validity predicate
+    rides along as a residual filter — at ≤2 versions per key the
+    fan-out is bounded); no window, no per-fact version search. The
+    revenue rollup keeps the checked output compact while pinning
+    every fact's version routing."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(SCD2_OPEN).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changes = c.filter(F.col("c_custkey") % SCD2_MOD == 3).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("new_segment"),
+        F.lit(SCD2_EFF).cast("date").alias("eff"),
+    )
+    closed = dim.join(changes, "c_custkey").select(
+        "c_custkey", "segment", "valid_from", F.col("eff").alias("valid_to")
+    )
+    opened = changes.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    untouched = dim.join(changes, "c_custkey", "left_anti")
+    versions = closed.unionByName(opened).unionByName(untouched)
+    od = F.col("o_orderdate").cast("date")
+    j = o.join(
+        versions,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (od >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (od < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("segment")
+    )
