@@ -563,3 +563,97 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+DIFF_MOD = 13  # %13==4 deleted yesterday; ==5 price-changed
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+        WITH yesterday AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {DIFF_MOD} = 5
+                        THEN ROUND(o_totalprice + 5.0, 2)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % {DIFF_MOD} <> 4
+            UNION ALL
+            SELECT o_orderkey + 20000000, 50.0, 'X'
+            FROM orders WHERE o_orderkey % {DIFF_MOD} = 6
+        ),
+        d AS (
+            SELECT COALESCE(t.o_orderkey, y.o_orderkey) AS o_orderkey,
+                   CASE WHEN y.o_orderkey IS NULL THEN 'added'
+                        WHEN t.o_orderkey IS NULL THEN 'removed'
+                        WHEN t.o_totalprice <> y.o_totalprice
+                          OR t.o_orderstatus <> y.o_orderstatus THEN 'changed'
+                        ELSE 'unchanged' END AS diff_kind
+            FROM orders t FULL OUTER JOIN yesterday y USING (o_orderkey)
+        )
+        SELECT diff_kind,
+               CAST(COUNT(*) AS BIGINT)  AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM d GROUP BY diff_kind
+        ORDER BY diff_kind
+    """,
+    tags=("warehouse", "diff", "audit", "orders"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table snapshot diff (the audit/reconciliation operator): compare
+    today's orders against a derived 'yesterday' snapshot and classify
+    every key as added / removed / changed / unchanged (all four kinds
+    exercised: yesterday lacks the %13==4 keys and carries synthetic
+    keys today lacks) — ONE full-outer
+    join on the key with column-level compare, each table scanned once.
+    The per-kind rollup keeps the checked output compact while pinning
+    the complete classification (counts + key extrema).
+
+    Scale: the join is the only shuffle; at 100 TB add a row-hash
+    column (xxhash64 of the compared struct) so the change compare
+    moves 8 bytes per row instead of every column."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    yesterday = (
+        o.filter(F.col("o_orderkey") % DIFF_MOD != 4)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % DIFF_MOD == 5,
+                F.round(F.col("o_totalprice") + 5.0, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("y_totalprice"),
+            F.col("o_orderstatus").alias("y_orderstatus"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % DIFF_MOD == 6).select(
+                (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+                F.lit(50.0).alias("y_totalprice"),
+                F.lit("X").alias("y_orderstatus"),
+            )
+        )
+    )
+    j = o.join(yesterday, "o_orderkey", "full_outer")
+    kind = (
+        F.when(F.col("y_totalprice").isNull() & F.col("y_orderstatus").isNull(), "added")
+        .when(F.col("o_totalprice").isNull(), "removed")
+        .when(
+            (F.col("o_totalprice") != F.col("y_totalprice"))
+            | (F.col("o_orderstatus") != F.col("y_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select("o_orderkey", kind.alias("diff_kind"))
+        .groupBy("diff_kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("diff_kind")
+    )
