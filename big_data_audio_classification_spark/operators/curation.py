@@ -575,3 +575,60 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
     )
+
+
+AES_K = 50  # sample size
+
+
+@query(
+    "curation_weighted_sample_aes",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) + 1.0) / 4503599627370497.0 AS u
+            FROM documents WHERE n_chars > 0
+        ),
+        keyed AS (
+            SELECT doc_id, wt, POW(u, 1.0 / wt) AS k FROM w
+        )
+        SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+               ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rank
+        FROM keyed
+        QUALIFY rank <= {AES_K}
+    """,
+    tags=("curation", "sampling", "weighted", "documents"),
+)
+def curation_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement by the
+    Efraimidis-Spirakis A-ES scheme: each row draws key u^(1/w) and the
+    k largest keys ARE a weighted sample — one map + one top-k, no
+    sequential pass, no rejection loop; the standard way to
+    quality-weight a training-data draw at corpus scale.
+
+    The uniform u is hash-derived (md5 of the id over 2^52), making the
+    sample DETERMINISTIC and cross-engine reproducible — a seeded rand()
+    would be engine-internal. Top-k is TakeOrderedAndProject via the
+    rank filter.
+
+    Scale: map-only key computation; the only reduction is the global
+    top-k (per-partition heaps + driver merge of k rows)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4503599627370497.0)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("wt"),
+        F.pow(u, 1.0 / F.col("n_chars").cast("double")).alias("k"),
+    )
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= AES_K)
+        .select("doc_id", F.col("wt").cast("bigint").alias("weight"), "rank")
+    )

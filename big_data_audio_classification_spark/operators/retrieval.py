@@ -542,3 +542,60 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(RRF_TOPK)
     )
+
+
+PHRASE = ("the", "data")  # two-term exact phrase
+
+
+@query(
+    "retrieval_phrase_positions",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, tok, i AS pos
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+                 UNNEST(generate_series(1, len(toks))) AS t(i),
+                 LATERAL (SELECT toks[i] AS tok)
+            WHERE tok IN ('{PHRASE[0]}', '{PHRASE[1]}')
+        )
+        SELECT a.doc_id,
+               CAST(COUNT(*) AS BIGINT)        AS n_occurrences,
+               CAST(MIN(a.pos) AS BIGINT)      AS first_pos
+        FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+        GROUP BY a.doc_id
+    """,
+    tags=("retrieval", "phrase", "positional-index", "documents"),
+)
+def retrieval_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search via a positional inverted index: postings
+    carry (doc, term, position); a phrase match is an equi-join of the
+    two terms' postings on (doc, pos+1 adjacency) — the real
+    positional-index algorithm, generalizing to k terms as a chain of
+    position-offset joins.
+
+    Scale: only the phrase's terms survive the posting filter (map
+    side); the adjacency join is keyed on (doc, pos) — posting-sized,
+    never corpus-sized, and each join leg carries 16 bytes per
+    posting."""
+    d = load_table(spark, sf_dir, "documents")
+    p = (
+        d.select(
+            "doc_id",
+            F.posexplode(tokens_col(F.col("text"))).alias("pos0", "tok"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .filter(F.col("tok").isin(*PHRASE))
+    )
+    a = p.filter(F.col("tok") == PHRASE[0]).select("doc_id", "pos")
+    b = p.filter(F.col("tok") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )
