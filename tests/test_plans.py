@@ -203,3 +203,31 @@ def test_prefix_filter_join_is_all_equi_joins(spark, sf_dir):
     plan = introspect.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_global_topk_is_take_ordered(spark, sf_dir):
+    """BM25's final top-k must be TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full global sort."""
+    from big_data_audio_classification_spark.operators import retrieval
+
+    df = retrieval.retrieval_bm25_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in introspect.formatted_plan(df)
+
+
+def test_sessionization_shares_one_user_partitioning(spark, sf_dir):
+    """Gap-and-islands sessionization: both windows and the final
+    aggregate share one hashpartitioning(user_id) — exactly one
+    Exchange in the non-adaptive plan."""
+    from big_data_audio_classification_spark.operators import analytics
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = analytics.events_gap_islands_sessions(spark, sf_dir)
+        plan = introspect.formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    import re
+
+    # formatted plans list each node twice (tree + detail section);
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
