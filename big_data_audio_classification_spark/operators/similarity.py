@@ -762,3 +762,79 @@ def ml_kmeans_lloyd_step_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("m") * F.col("m")), 6).alias("centroid_sq_norm"),
         F.round(F.sum(F.abs("m")), 6).alias("centroid_l1"),
     )
+
+
+@query(
+    "ml_hard_negative_mining",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                   WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT a.vec_id AS query_id, a.label AS q_label,
+                   b.vec_id AS cand_id, b.label AS c_label,
+                   ROUND({_SQL_COSINE}, 6) AS cos_sim
+            FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id,
+               MAX_BY(cand_id, CASE WHEN c_label = q_label THEN
+                   CAST(FLOOR(cos_sim * 1000000 + 0.5) AS BIGINT)
+                       * 4294967296 - cand_id END) AS hard_positive_id,
+               MAX(CASE WHEN c_label = q_label THEN cos_sim END)
+                   AS hard_positive_sim,
+               MAX_BY(cand_id, CASE WHEN c_label <> q_label THEN
+                   CAST(FLOOR(cos_sim * 1000000 + 0.5) AS BIGINT)
+                       * 4294967296 - cand_id END) AS hard_negative_id,
+               MAX(CASE WHEN c_label <> q_label THEN cos_sim END)
+                   AS hard_negative_sim
+        FROM scored
+        GROUP BY query_id
+    """,
+    tags=("similarity", "embeddings", "contrastive", "mining"),
+)
+def ml_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for metric learning: per query, the most
+    similar SAME-label candidate (hard positive) and the most similar
+    DIFFERENT-label candidate (hard negative — the pair that teaches
+    the model the most). One conditional arg-max aggregation over the
+    scored candidates; ties broken deterministically by encoding
+    (sim desc, id asc) into one bigint max_by key — DuckDB's
+    arg-extrema cannot order by struct, the integer key is portable.
+
+    Scale: queries broadcast, candidates streamed (same shape as
+    ``sim_cosine_topk``); swap the exact scoring for the IVF/LSH
+    candidate join to mine at corpus scale."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        em.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("c_label"),
+            F.round(
+                cosine(to_double(F.col("q_emb")), to_double(F.col("embedding"))), 6
+            ).alias("cos_sim"),
+        )
+    )
+    same = F.col("c_label") == F.col("q_label")
+    # (sim desc, id asc) encoded in ONE bigint so max_by is portable
+    # (DuckDB's arg-extrema cannot order by struct): micro-scaled sim
+    # times 2^32 minus the id
+    enc = (
+        F.floor(F.col("cos_sim") * 1_000_000 + 0.5).cast("bigint")
+        * F.lit(4294967296).cast("bigint")
+        - F.col("cand_id")
+    )
+    ord_pos = F.when(same, enc)
+    ord_neg = F.when(~same, enc)
+    return scored.groupBy("query_id").agg(
+        F.max_by("cand_id", ord_pos).alias("hard_positive_id"),
+        F.max(F.when(same, F.col("cos_sim"))).alias("hard_positive_sim"),
+        F.max_by("cand_id", ord_neg).alias("hard_negative_id"),
+        F.max(F.when(~same, F.col("cos_sim"))).alias("hard_negative_sim"),
+    )
