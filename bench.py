@@ -40,10 +40,12 @@ HEADLINE = [
     "join_asof_purchase_click",
     "agg_stats_by_flag",
     "agg_count_distinct",
-    "agg_percentiles",
-    # agg_percentiles_twophase is the 100 TB path (no per-group buffering)
-    # but pays a ~10-join plan-compile cost that dominates at sf0.1 —
-    # registered + oracle-checked, not a headline timing.
+    # the 100 TB percentile path (histogram pass + candidate-bin
+    # resolve, no per-group value buffering) holds the headline slot;
+    # the built-in percentile() form stays registered as the exemplar
+    # of the anti-pattern it replaces (buffers every per-group value
+    # in few reducers — the repo's 10x experiment, SURVEY §8).
+    "agg_percentiles_twophase",
     "agg_cube",
     "window_running_spend",
     "window_lag_lead_events",

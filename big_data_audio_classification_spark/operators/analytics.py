@@ -404,8 +404,11 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ordering key for open/close arg-extrema: micros since the corpus
-# epoch (fits *2^14 in a bigint) + a uniqueness tiebreak
+# ordering key for open/close arg-extrema: fixed-width zero-padded
+# string "micros-since-epoch || event_id" — bytewise string order ==
+# (ts, id) lexicographic order, with NO collision at any scale (a
+# bigint encoding would need micros_span * id_bound < 2^63, which a
+# 30-day corpus already breaks for id bounds past ~2^21)
 OHLC_EPOCH = "2024-01-01 00:00:00"
 
 
@@ -415,8 +418,9 @@ OHLC_EPOCH = "2024-01-01 00:00:00"
         WITH t AS (
             SELECT epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS day_idx,
                    value,
-                   (epoch_us(ts) - epoch_us(TIMESTAMP '{OHLC_EPOCH}')) * 16384
-                       + event_id % 16384 AS ord
+                   lpad(CAST(epoch_us(ts) - epoch_us(TIMESTAMP '{OHLC_EPOCH}')
+                             AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
             FROM events
         )
         SELECT day_idx,
@@ -431,11 +435,12 @@ OHLC_EPOCH = "2024-01-01 00:00:00"
 )
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candles over the event stream: open/close are
-    arg-extrema over an exact integer ordering key (micros since the
-    corpus epoch, event-id tiebreak — encoding the (ts, id) order in
-    ONE bigint keeps min_by/max_by deterministic and engine-portable),
-    high/low are plain extremes. Every output is an exact input value
-    — no floating-point arithmetic at all, so no rounding is needed.
+    arg-extrema over an exact fixed-width string ordering key
+    ("micros-since-epoch || event_id", both zero-padded — bytewise
+    string comparison equals (ts, id) lexicographic order in BOTH
+    engines, with no modular tiebreak collision and no int64 overflow
+    bound), high/low are plain extremes. Every output is an exact
+    input value — no floating-point arithmetic, so no rounding.
 
     Scale: single groupBy on the time bucket, all six aggregates
     algebraic and map-side combined — the canonical downsampling shape
@@ -446,7 +451,10 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select(
         (us / F.lit(86_400 * 1_000_000)).cast("bigint").alias("day_idx"),
         "value",
-        ((us - epoch0) * 16384 + F.col("event_id") % 16384).alias("ord"),
+        F.concat(
+            F.lpad((us - epoch0).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord"),
     )
     return t.groupBy("day_idx").agg(
         F.min_by("value", "ord").alias("open"),

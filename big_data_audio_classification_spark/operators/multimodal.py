@@ -281,6 +281,185 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Real-container-format decode (R5/R12 executed on actual media bytes):
+# WAV/RIFF PCM16 encode (stdlib ``wave`` writer) + an INDEPENDENT
+# hand-rolled RIFF chunk parser for decode — no codec library needed, so
+# this path runs end-to-end in this container, unlike the stub-gated
+# mp3 path above. Reference parity: voice_classifier.py:80 loads audio
+# files into sample arrays; here the same decode→features contract runs
+# distributed, blobs crossing the Arrow boundary twice (encode stage →
+# decode stage) without ever shuffling.
+
+WAV_SR = 8000  # fixed sample rate for the synthesized corpus
+
+
+def encode_wav_pcm16(samples: np.ndarray, sr: int = WAV_SR) -> bytes:
+    """Encode an int16 sample array as a WAV (RIFF PCM16 mono) blob via
+    the stdlib ``wave`` writer — the R9 'encode sink' kernel shape."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
+    """Decode a WAV (RIFF PCM16 mono) blob into (sample_rate, int16
+    samples) by walking the RIFF chunk list directly — deliberately NOT
+    the stdlib reader, so encode and decode are independent
+    implementations and the roundtrip is a genuine differential."""
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_channels != 1:
+        raise ValueError("only PCM16 mono supported")
+    return sr, np.frombuffer(data, dtype="<i2")
+
+
+def synth_samples(doc_id: int) -> np.ndarray:
+    """Deterministic integer waveform for doc_id: a sawtooth-ish signal
+    from pure int64 arithmetic — bit-exact reproducible in ANY engine
+    (no libm sin() whose last-ulp can differ cross-engine), values in
+    [-1024, 1023] so PCM16 quantization is lossless."""
+    n = 200 + doc_id % 57
+    k = 3 + doc_id % 11
+    i = np.arange(n, dtype=np.int64)
+    return ((i * k + doc_id) % 2048 - 1024).astype(np.int16)
+
+
+@query(
+    "mm_wav_decode_stats",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   200 + doc_id % 57 AS n,
+                   3 + doc_id % 11  AS k
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   (unnest(range(0, n)) * k + doc_id) % 2048 - 1024 AS smp
+            FROM d
+        ),
+        f AS (
+            SELECT doc_id,
+                   MAX(n)            AS n_samples,
+                   MAX(ABS(smp))     AS peak,
+                   SUM(smp)          AS ssum,
+                   SUM(smp * smp)    AS energy
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id % 8                    AS bucket,
+               CAST(COUNT(*) AS BIGINT)      AS n_media,
+               CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+               CAST(MAX(peak) AS BIGINT)     AS max_peak,
+               CAST(SUM(ssum) AS BIGINT)     AS sum_amplitude,
+               CAST(SUM(energy) AS BIGINT)   AS total_energy
+        FROM f GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("multimodal", "mapInPandas", "wav", "decode"),
+)
+def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: synthesize a deterministic integer
+    waveform per document, encode it into an actual WAV/RIFF PCM16
+    container (stdlib writer) in one mapInPandas stage, decode it with
+    the independent hand-rolled RIFF parser in a SECOND stage, and
+    aggregate statistics of the DECODED samples. The DuckDB oracle
+    recomputes the same statistics from the waveform formula directly —
+    so the check passes only if container encode → container decode is
+    byte-faithful. This executes the reference's audio-load contract
+    (voice_classifier.py:80) on real container bytes, not a stub.
+
+    Scale: both kernels are map-only Arrow stages (blobs never
+    shuffle); features are 5 ints per media row, so the shuffle after
+    decode moves ~40 bytes/row regardless of media size — the shape a
+    100 TB media featurization job must have."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "wav": [
+                        encode_wav_pcm16(synth_samples(int(i)))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    wavs = d.mapInPandas(encode, schema="media_id long, wav binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["wav"]):
+                sr, smp = decode_wav_pcm16(bytes(blob))
+                s64 = smp.astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        sr,
+                        len(smp),
+                        int(np.abs(s64).max()),
+                        int(s64.sum()),
+                        int((s64 * s64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sr",
+                    "n_samples",
+                    "peak",
+                    "ssum",
+                    "energy",
+                ],
+            )
+
+    feats = wavs.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, sr int, n_samples long, peak long,"
+            " ssum long, energy long"
+        ),
+    )
+    return (
+        feats.groupBy((F.col("media_id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_samples").alias("total_samples"),
+            F.max("peak").alias("max_peak"),
+            F.sum("ssum").alias("sum_amplitude"),
+            F.sum("energy").alias("total_energy"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Ship THIS module's code to Python workers by value: the driver harness
 # may run with a cwd/PYTHONPATH where this repo is not importable, and
 # the Arrow-batched kernels above reference module-level helpers that

@@ -19,7 +19,10 @@ Scale notes:
   in postings touched.
 * Winnowing: per-document window min over gram positions — partitioned
   by doc_id, O(w) state, no shuffle beyond the doc-keyed exchange;
-  fingerprints are 8-byte codes (hash<<21 | pos), text never moves.
+  fingerprints are 8-byte codes (hash * 2^21 - pos, so the min-code
+  within a window is the min-hash with the LAST position as tiebreak;
+  valid for documents under 2^21 grams — far past any real document,
+  and recoverable as pos = hash * 2^21 - code), text never moves.
 * PMI: two token-keyed aggregations + two keyed joins on the unigram
   table; counts are map-side combined.
 """

@@ -661,9 +661,16 @@ def sim_blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col = sims[:, j]
                 mask = ids != qid
                 cand_idx = np.nonzero(mask)[0]
-                # per-batch pre-top-k: keep k best (ties resolved later)
-                if len(cand_idx) > k:
-                    part = cand_idx[np.argpartition(-col[cand_idx], k)[: k + 8]]
+                # per-batch pre-top-k: keep the TRUE k+8 best — the
+                # slack absorbs ties at the rounded 1e-6 boundary so
+                # the global neighbor_id tie-break sees every
+                # contender (kth=keep-1 makes positions [0, keep)
+                # exactly the keep largest, unordered)
+                keep = min(k + 8, len(cand_idx))
+                if len(cand_idx) > keep:
+                    part = cand_idx[
+                        np.argpartition(-col[cand_idx], keep - 1)[:keep]
+                    ]
                 else:
                     part = cand_idx
                 for i in part:

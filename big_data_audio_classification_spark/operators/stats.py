@@ -366,6 +366,7 @@ def agg_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KS_GROUPS = ("click", "purchase")
+KS_BUCKETS = 256  # value-range buckets; parallelism knob, NOT accuracy
 
 
 @query(
@@ -398,15 +399,29 @@ KS_GROUPS = ("click", "purchase")
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between the value
     distributions of two event types: D = max_x |F1(x) - F2(x)|,
-    evaluated at every sample point with a tie-correct RANGE frame
-    (ties collapse to one ECDF step in both engines identically).
+    evaluated at every distinct sample value (ties collapse to one
+    ECDF step — the groupBy does that collapse explicitly here; the
+    oracle's RANGE frame does it implicitly).
 
-    Scale: exact KS inherently needs one global ordering — the same
-    cost class as an exact percentile. The distributed form is a
-    range-partitioned sort with per-partition cumulative offsets
-    (exactly the ``agg_percentiles_twophase`` pattern); the cheap
-    100 TB swap-in is a binned ECDF (fixed-width buckets, one
-    aggregation) whose D is exact to bucket width."""
+    DISTRIBUTED EXACT FORM (the ``agg_percentiles_twophase`` idiom —
+    no global-ordering window anywhere in the plan):
+      1. collapse ties: groupBy(v) → per-value counts (map-side
+         combined, ONE keyed shuffle);
+      2. range-bucket v by a broadcast (min,max) bound — bucket id is
+         monotone in v, so every value in bucket b precedes every
+         value in bucket b+1;
+      3. local ECDF: cumulative sums over a window PARTITIONED BY
+         bucket (each bucket sorts independently, in parallel);
+      4. bucket offsets: per-bucket totals (≤ KS_BUCKETS rows) get
+         their exclusive prefix sums via a broadcast triangular
+         self-join — window-free, so the executed plan contains NO
+         'No Partition Defined' WindowExec;
+      5. C(v) = offset(bucket) + local_cum; D = max |C1/n1 - C2/n2|.
+    Exactness is unaffected by bucket boundaries — buckets only fix
+    WHERE the prefix is split, never what it sums to. Value skew
+    concentrates rows in few buckets; at 100 TB swap the uniform-width
+    bounds for approx-quantile cut points (same plan shape), or use
+    the binned-ECDF variant below when bucket-width error is fine."""
     e = load_table(spark, sf_dir, "events")
     g1, g2 = KS_GROUPS
     s = e.filter(F.col("event_type").isin(g1, g2)).select(
@@ -414,13 +429,153 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == g1, 1).otherwise(0).alias("g1"),
         F.when(F.col("event_type") == g2, 1).otherwise(0).alias("g2"),
     )
-    cum = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    full = Window.partitionBy()
-    c = s.select(
-        F.sum("g1").over(cum).alias("c1"),
-        F.sum("g2").over(cum).alias("c2"),
-        F.sum("g1").over(full).alias("n1"),
-        F.sum("g2").over(full).alias("n2"),
+    d = s.groupBy("v").agg(
+        F.sum("g1").alias("d1"), F.sum("g2").alias("d2")
+    )
+    bounds = s.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("g1").alias("n1"),
+        F.sum("g2").alias("n2"),
+    )
+    span = F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-300))
+    b = d.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(KS_BUCKETS - 1),
+            F.floor((F.col("v") - F.col("vmin")) * KS_BUCKETS / span),
+        ).cast("int"),
+    )
+    loc = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = b.select(
+        "bucket",
+        "n1",
+        "n2",
+        F.sum("d1").over(loc).alias("l1"),
+        F.sum("d2").over(loc).alias("l2"),
+    )
+    bt = b.groupBy("bucket").agg(
+        F.max("l1").alias("t1"), F.max("l2").alias("t2")
+    )
+    x, y = bt.alias("x"), bt.alias("y")
+    off = (
+        x.join(F.broadcast(y), F.col("y.bucket") < F.col("x.bucket"), "left")
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("y.t1"), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("y.t2"), F.lit(0)).alias("off2"),
+        )
+    )
+    c = b.join(F.broadcast(off), "bucket")
+    return c.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.round(
+            F.max(
+                F.abs(
+                    (F.col("off1") + F.col("l1")).cast("double") / F.col("n1")
+                    - (F.col("off2") + F.col("l2")).cast("double")
+                    / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "stats_ks_binned_ecdf",
+    oracle=f"""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = '{KS_GROUPS[0]}' THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN event_type = '{KS_GROUPS[1]}' THEN 1 ELSE 0 END AS g2
+            FROM events WHERE event_type IN ('{KS_GROUPS[0]}', '{KS_GROUPS[1]}')
+        ),
+        bounds AS (
+            SELECT MIN(v) AS vmin,
+                   GREATEST(MAX(v) - MIN(v), 1e-300) AS span,
+                   SUM(g1) AS n1, SUM(g2) AS n2
+            FROM s
+        ),
+        h AS (
+            SELECT LEAST({KS_BUCKETS - 1},
+                         CAST(FLOOR((v - vmin) * {KS_BUCKETS} / span)
+                              AS BIGINT)) AS bucket,
+                   SUM(g1) AS h1, SUM(g2) AS h2,
+                   MAX(n1) AS n1, MAX(n2) AS n2
+            FROM s, bounds GROUP BY 1
+        ),
+        c AS (
+            SELECT SUM(h1) OVER (ORDER BY bucket) AS c1,
+                   SUM(h2) OVER (ORDER BY bucket) AS c2,
+                   MAX(n1) OVER () AS n1, MAX(n2) OVER () AS n2
+            FROM h
+        )
+        SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+               CAST(MAX(n2) AS BIGINT) AS n2,
+               ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / n1
+                             - CAST(c2 AS DOUBLE) / n2)), 6) AS ks_stat_binned
+        FROM c
+    """,
+    tags=("stats", "ks-test", "events", "binned", "sketch"),
+)
+def stats_ks_binned_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-ECDF KS — the cheap 100 TB screen: histogram both samples
+    into KS_BUCKETS (256) uniform value buckets (ONE aggregation,
+    map-side combined), take cumulative ratios at bucket upper edges,
+    and read D-hat = max |F1-hat - F2-hat|. D-hat underestimates the
+    exact D by at most the ECDF mass crossing inside one bucket —
+    exact to bucket width, the right trade for a drift monitor
+    scanning 100 TB.
+
+    The only window runs over <= 256 histogram rows (the bucket
+    cumulative) — state the size of the bucket count, never the data;
+    bucket assignment reuses identical double arithmetic in both
+    engines ((v - vmin) * B / span, multiply before divide) so FLOOR
+    agrees bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    g1, g2 = KS_GROUPS
+    s = e.filter(F.col("event_type").isin(g1, g2)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == g1, 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == g2, 1).otherwise(0).alias("g2"),
+    )
+    bounds = s.agg(
+        F.min("v").alias("vmin"),
+        F.greatest(
+            F.max("v") - F.min("v"), F.lit(1e-300)
+        ).alias("span"),
+        F.sum("g1").alias("n1"),
+        F.sum("g2").alias("n2"),
+    )
+    h = (
+        s.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.lit(KS_BUCKETS - 1),
+                F.floor(
+                    (F.col("v") - F.col("vmin")) * KS_BUCKETS / F.col("span")
+                ),
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.sum("g1").alias("h1"),
+            F.sum("g2").alias("h2"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        F.sum("h1").over(cum).alias("c1"),
+        F.sum("h2").over(cum).alias("c2"),
+        "n1",
+        "n2",
     )
     return c.agg(
         F.max("n1").cast("bigint").alias("n1"),
@@ -433,7 +588,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
             6,
-        ).alias("ks_stat"),
+        ).alias("ks_stat_binned"),
     )
 
 

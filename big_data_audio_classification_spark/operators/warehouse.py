@@ -418,7 +418,8 @@ MERGE_MOD = 7  # o_orderkey % 7 == 2 -> tonight's updates; == 3 -> inserts
                    ROUND(o_totalprice + 10.0, 2) AS new_price
             FROM orders WHERE o_orderkey % {MERGE_MOD} = 2
             UNION ALL
-            SELECT o_orderkey + 10000000, 'O', 100.0
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   'O', 100.0
             FROM orders WHERE o_orderkey % {MERGE_MOD} = 3
         )
         SELECT COALESCE(t.o_orderkey, c.o_orderkey)     AS o_orderkey,
@@ -448,10 +449,19 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("P").alias("new_status"),
         F.round(F.col("o_totalprice") + 10.0, 2).alias("new_price"),
     )
-    inserts = o.filter(F.col("o_orderkey") % MERGE_MOD == 3).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        F.lit("O").alias("new_status"),
-        F.lit(100.0).alias("new_price"),
+    # insert keys shifted past the real key space by an aggregate
+    # bound (max+1) so synthetic keys can NEVER collide with real
+    # ones at any SF — the bound is a 1-row broadcast, and the oracle
+    # restates the same scalar subquery
+    bound = o.agg((F.max("o_orderkey") + 1).alias("key_shift"))
+    inserts = (
+        o.filter(F.col("o_orderkey") % MERGE_MOD == 3)
+        .crossJoin(F.broadcast(bound))
+        .select(
+            (F.col("o_orderkey") + F.col("key_shift")).alias("o_orderkey"),
+            F.lit("O").alias("new_status"),
+            F.lit(100.0).alias("new_price"),
+        )
     )
     changes = updates.unionAll(inserts)
     t = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -579,7 +589,8 @@ DIFF_MOD = 13  # %13==4 deleted yesterday; ==5 price-changed
                    o_orderstatus
             FROM orders WHERE o_orderkey % {DIFF_MOD} <> 4
             UNION ALL
-            SELECT o_orderkey + 20000000, 50.0, 'X'
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   50.0, 'X'
             FROM orders WHERE o_orderkey % {DIFF_MOD} = 6
         ),
         d AS (
@@ -629,8 +640,15 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("y_orderstatus"),
         )
         .unionByName(
-            o.filter(F.col("o_orderkey") % DIFF_MOD == 6).select(
-                (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            # synthetic keys shifted past max(o_orderkey) so they can
+            # never collide with real keys at any SF (1-row broadcast
+            # bound, restated as a scalar subquery in the oracle)
+            o.filter(F.col("o_orderkey") % DIFF_MOD == 6)
+            .crossJoin(
+                F.broadcast(o.agg((F.max("o_orderkey") + 1).alias("key_shift")))
+            )
+            .select(
+                (F.col("o_orderkey") + F.col("key_shift")).alias("o_orderkey"),
                 F.lit(50.0).alias("y_totalprice"),
                 F.lit("X").alias("y_orderstatus"),
             )

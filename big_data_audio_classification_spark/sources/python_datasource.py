@@ -150,11 +150,22 @@ def make_ticks_stream_datasource():
             return {"offset": 0}
 
         def latestOffset(self):
+            # self.cur is monotonic and re-seeded from every offset
+            # Spark hands back (partitions/commit), so after a
+            # checkpoint restart — when a fresh reader instance starts
+            # at cur=0 but the log's committed offset is ahead — the
+            # reader catches back up to the committed start instead of
+            # returning an offset behind it (restart contract).
             self.cur = min(self.cur + self.chunk, self.max)
             return {"offset": self.cur}
 
         def partitions(self, start, end):
             s, e = start["offset"], end["offset"]
+            # re-seed monotonic progress from the engine's own range
+            # (covers restart, where start comes from the offset log)
+            self.cur = max(self.cur, s, e)
+            if e < s:  # stale post-restart latestOffset: empty batch
+                e = s
             mid = (s + e) // 2
             return [_RangePartition(s, mid), _RangePartition(mid, e)]
 
@@ -163,7 +174,7 @@ def make_ticks_stream_datasource():
                 yield (i, float((i * 3) % 17))
 
         def commit(self, end):
-            pass
+            self.cur = max(self.cur, end["offset"])
 
     class TicksStreamDataSource(DataSource):
         @classmethod

@@ -138,3 +138,44 @@ def test_resize_pool_preserves_l1_mass(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.avg_l1 - 0.25) < 1e-9
+
+
+def test_wav_codec_roundtrip_lossless():
+    """encode (stdlib wave writer) -> decode (hand-rolled RIFF parser)
+    must be byte-faithful for any int16 signal, including extremes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for samples in (
+        rng.integers(-32768, 32768, size=501).astype(np.int16),
+        np.array([-32768, 32767, 0, 1, -1], dtype=np.int16),
+        np.zeros(0, dtype=np.int16),
+    ):
+        blob = multimodal.encode_wav_pcm16(samples, sr=44100)
+        sr, decoded = multimodal.decode_wav_pcm16(blob)
+        assert sr == 44100
+        assert np.array_equal(decoded, samples)
+
+
+def test_wav_decode_rejects_non_riff():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(b"\x00" * 64)
+    # stereo / non-PCM16 rejected explicitly, not silently mis-decoded
+    blob = bytearray(multimodal.encode_wav_pcm16(np.zeros(4, dtype=np.int16)))
+    blob[22] = 2  # n_channels = 2
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(bytes(blob))
+
+
+def test_synth_samples_deterministic_and_bounded():
+    import numpy as np
+
+    a = multimodal.synth_samples(123)
+    b = multimodal.synth_samples(123)
+    assert np.array_equal(a, b)
+    assert a.dtype == np.int16
+    assert len(a) == 200 + 123 % 57
+    assert a.min() >= -1024 and a.max() <= 1023

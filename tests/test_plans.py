@@ -231,3 +231,38 @@ def test_sessionization_shares_one_user_partitioning(spark, sf_dir):
     # formatted plans list each node twice (tree + detail section);
     # count the numbered detail headers
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_ks_exact_has_no_unpartitioned_window(spark, sf_dir):
+    """Distributed exact KS: every WindowExec in the plan must be
+    PARTITIONED (the per-bucket local ECDF) — the single-partition
+    global-order window is exactly the scale-killer this form removes
+    (bucket offsets come from a broadcast triangular join instead)."""
+    from big_data_audio_classification_spark.operators import stats
+
+    df = stats.stats_ks_two_sample(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    # an unpartitioned window plans Exchange SinglePartition feeding a
+    # Sort+Window — forbid that shape anywhere in the tree (the final
+    # scalar aggregate's SinglePartition exchange feeds HashAggregate,
+    # not Window, so it does not match)
+    import re
+
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n){0,3}[^\n]*Window",
+        plan,
+    ), plan
+    assert "Window" in plan  # the per-bucket local ECDF is still there
+
+
+def test_headline_percentile_path_has_no_buffering_agg(spark, sf_dir):
+    """The bench headline percentile slot must be the two-phase form:
+    no built-in percentile() (buffers every per-group value in its
+    reducer) and no collect_list-style buffering aggregate anywhere in
+    its plan — only algebraic histogram counts + candidate resolve."""
+    from big_data_audio_classification_spark.operators import aggregates
+
+    df = aggregates.agg_percentiles_twophase(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    for buffering in ("percentile(", "collect_list", "collect_set"):
+        assert buffering not in plan, buffering
