@@ -1,0 +1,276 @@
+"""R35 at architecture fidelity: the reference's Conv1D + BatchNorm
+stack (``/root/reference/src/voice_classifier.py:200-220`` — three
+Conv1D/BatchNorm/ReLU blocks into a dense softmax head) implemented
+from scratch in numpy, trained on windowed mel-dB spectrogram segments
+produced by the distributed audio pipeline (R12–R15).
+
+The container ships no deep-learning framework (no torch/keras), so
+forward, batch-norm statistics, and full backpropagation (conv im2col,
+BN train/eval modes, global-average-pool, Adam) are hand-derived —
+~150 lines that close the one documented §2.A architecture divergence
+(the MLP stand-in in ``ml.py`` remains as the MLlib-native exemplar).
+
+Spark-first split of labor, mirroring how CNN training actually runs
+on a cluster:
+
+* **feature extraction is distributed** — overlap-chunked mel frames
+  (mapInPandas, no shuffle), dB conversion, and window assembly
+  (sort_array ∘ collect_list per (rec, window), one keyed shuffle)
+  all happen in the DataFrame plan;
+* **gradient descent is driver-local over the labeled training
+  sample** — the reference trains single-node on a few dozen labeled
+  segments, and the collected train split here is the same bounded
+  labeled set (~100 windows × 16×20 doubles). At 100 TB the swap-in
+  is a data-parallel trainer (``pyspark.ml.torch.distributor
+  .TorchDistributor``) over the SAME window DataFrame — the feature
+  plan does not change, only the fit step;
+* **inference is distributed** — trained weights broadcast by
+  closure, forward pass as an Arrow-batched ``mapInPandas`` stage,
+  accuracy/logloss reduced relationally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.operators.audio import (
+    mel_frames_distributed,
+    power_to_db,
+    recordings,
+)
+from big_data_audio_classification_spark.registry import query
+
+WIN_FRAMES = 16   # frames per training window (sequence length)
+_EPS = 1e-5
+_ARCH = ((16, 3), (32, 3), (32, 3))  # (out_channels, kernel) per block
+
+
+def cnn_init(c_in: int, n_out: int, seed: int = 42) -> dict:
+    """He-initialized parameters for the Conv1D/BN stack + dense head."""
+    rng = np.random.default_rng(seed)
+    p: dict = {"arch": _ARCH, "n_out": n_out}
+    cin = c_in
+    for li, (co, k) in enumerate(_ARCH):
+        p[f"W{li}"] = rng.standard_normal((k * cin, co)) * np.sqrt(2.0 / (k * cin))
+        p[f"b{li}"] = np.zeros(co)
+        p[f"g{li}"] = np.ones(co)          # BN scale
+        p[f"B{li}"] = np.zeros(co)         # BN shift
+        p[f"rm{li}"] = np.zeros(co)        # BN running mean
+        p[f"rv{li}"] = np.ones(co)         # BN running var
+        cin = co
+    p["Wd"] = rng.standard_normal((cin, n_out)) * np.sqrt(2.0 / cin)
+    p["bd"] = np.zeros(n_out)
+    return p
+
+
+def _im2col(x: np.ndarray, k: int) -> np.ndarray:
+    """(N, L, C) → (N, L-k+1, k*C) sliding windows, stride 1, valid."""
+    n, L, c = x.shape
+    t = L - k + 1
+    return np.stack([x[:, i : i + k, :].reshape(n, k * c) for i in range(t)], axis=1)
+
+
+def cnn_forward(p: dict, x: np.ndarray, train: bool):
+    """Forward pass. ``train=True`` uses batch BN statistics and
+    returns per-layer caches for backprop (updating running stats);
+    ``train=False`` uses running statistics (inference mode)."""
+    caches = []
+    out = x
+    for li, (co, k) in enumerate(p["arch"]):
+        cols = _im2col(out, k)
+        z = cols @ p[f"W{li}"] + p[f"b{li}"]
+        if train:
+            mu = z.mean(axis=(0, 1))
+            var = z.var(axis=(0, 1))
+            p[f"rm{li}"] = 0.9 * p[f"rm{li}"] + 0.1 * mu
+            p[f"rv{li}"] = 0.9 * p[f"rv{li}"] + 0.1 * var
+        else:
+            mu, var = p[f"rm{li}"], p[f"rv{li}"]
+        zh = (z - mu) / np.sqrt(var + _EPS)
+        a = p[f"g{li}"] * zh + p[f"B{li}"]
+        mask = a > 0
+        caches.append((out, cols, zh, var, mask))
+        out = a * mask
+    h = out.mean(axis=1)                      # global average pool
+    logits = h @ p["Wd"] + p["bd"]
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    probs = e / e.sum(axis=1, keepdims=True)
+    return probs, h, out.shape[1], caches
+
+
+def cnn_train(
+    x: np.ndarray,
+    y: np.ndarray,
+    n_out: int,
+    epochs: int = 200,
+    lr: float = 0.01,
+    seed: int = 42,
+) -> dict:
+    """Full-batch Adam on softmax cross-entropy; hand-derived backprop
+    through dense → GAP → (ReLU → BN → Conv1D) × 3."""
+    p = cnn_init(x.shape[2], n_out, seed=seed)
+    grad_keys = _grad_keys(p)
+    m = {k: np.zeros_like(p[k]) for k in grad_keys}
+    v = {k: np.zeros_like(p[k]) for k in grad_keys}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for step in range(1, epochs + 1):
+        _, g = cnn_loss_and_grads(p, x, y)
+        for key in grad_keys:                      # Adam
+            m[key] = b1 * m[key] + (1 - b1) * g[key]
+            v[key] = b2 * v[key] + (1 - b2) * g[key] ** 2
+            mh = m[key] / (1 - b1**step)
+            vh = v[key] / (1 - b2**step)
+            p[key] -= lr * mh / (np.sqrt(vh) + eps)
+    return p
+
+
+def _grad_keys(p: dict) -> list:
+    return [
+        k
+        for li in range(len(p["arch"]))
+        for k in (f"W{li}", f"b{li}", f"g{li}", f"B{li}")
+    ] + ["Wd", "bd"]
+
+
+def cnn_loss_and_grads(p: dict, x: np.ndarray, y: np.ndarray):
+    """One forward/backward pass (train-mode BN): mean cross-entropy
+    loss and the gradient dict — exposed separately so tests can
+    finite-difference-check every parameter tensor."""
+    n_out = p["n_out"]
+    onehot = np.eye(n_out)[y]
+    n = x.shape[0]
+    probs, h, t_len, caches = cnn_forward(p, x, train=True)
+    loss = -np.mean(np.sum(onehot * np.log(probs + 1e-15), axis=1))
+    g: dict = {}
+    dlogits = (probs - onehot) / n
+    g["Wd"] = h.T @ dlogits
+    g["bd"] = dlogits.sum(axis=0)
+    dh = dlogits @ p["Wd"].T
+    dout = np.repeat(dh[:, None, :], t_len, axis=1) / t_len
+    for li in reversed(range(len(p["arch"]))):
+        xin, cols, zh, var, mask = caches[li]
+        da = dout * mask                       # ReLU
+        g[f"g{li}"] = (da * zh).sum(axis=(0, 1))
+        g[f"B{li}"] = da.sum(axis=(0, 1))
+        dzh = da * p[f"g{li}"]                 # BN (batch-stats mode)
+        dz = (
+            dzh
+            - dzh.mean(axis=(0, 1))
+            - zh * (dzh * zh).mean(axis=(0, 1))
+        ) / np.sqrt(var + _EPS)
+        k = p["arch"][li][1]
+        co = dz.shape[2]
+        g[f"W{li}"] = cols.reshape(-1, cols.shape[2]).T @ dz.reshape(-1, co)
+        g[f"b{li}"] = dz.sum(axis=(0, 1))
+        dcols = dz @ p[f"W{li}"].T             # (N, T, k*Cin)
+        cin = xin.shape[2]
+        dxin = np.zeros_like(xin)
+        dc = dcols.reshape(dz.shape[0], dz.shape[1], k, cin)
+        for i in range(dz.shape[1]):
+            dxin[:, i : i + k, :] += dc[:, i]
+        dout = dxin
+    return loss, g
+
+
+def spectrogram_windows(spark: SparkSession) -> DataFrame:
+    """Distributed feature assembly: mel-dB frames → fixed-length
+    spectrogram windows (rec_id, win_id, frames, label). The frame
+    collection is ``sort_array ∘ collect_list`` of (frame_id, mel_db)
+    structs per (rec, window) — ONE keyed shuffle, JVM-side, bounded at
+    WIN_FRAMES rows per group; ragged tails are filtered exactly."""
+    recs = recordings(spark)
+    db = power_to_db(mel_frames_distributed(recs))
+    win = (
+        db.select(
+            "rec_id",
+            (F.col("frame_id") / WIN_FRAMES).cast("long").alias("win_id"),
+            F.struct("frame_id", "mel_db").alias("fr"),
+        )
+        .groupBy("rec_id", "win_id")
+        .agg(F.sort_array(F.collect_list("fr")).alias("frs"))
+        .filter(F.size("frs") == WIN_FRAMES)
+        .select(
+            "rec_id",
+            "win_id",
+            F.transform("frs", lambda s: s["mel_db"]).alias("frames"),
+        )
+    )
+    return win.join(
+        recordings(spark).select(
+            "rec_id",
+            F.when(F.col("speaker") == "Female", 1).otherwise(0).alias("label"),
+        ),
+        "rec_id",
+    )
+
+
+@query("ml_cnn_train_eval", oracle=None, tags=("ml", "cnn", "audio", "mapInPandas"))
+def ml_cnn_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R35/R36/R37 at architecture fidelity: train the reference's
+    Conv1D+BN stack (numpy, seeded) on the distributed pipeline's
+    spectrogram windows and evaluate the holdout DISTRIBUTED — weights
+    broadcast by closure into an Arrow-batched forward-pass kernel,
+    accuracy/logloss reduced relationally. Rows-only: training is
+    iterative and seeded; separability (two-harmonic corpus ⇒ high
+    holdout accuracy) is pytest-asserted, as is gradient correctness
+    (loss descent + a separable-blob fit) in tests/test_cnn.py."""
+    win = spectrogram_windows(spark).localCheckpoint()
+    train, test = win.randomSplit([0.75, 0.25], seed=42)
+    rows = train.select("frames", "label").collect()
+    x = np.array([r["frames"] for r in rows])       # (N, WIN_FRAMES, N_MELS)
+    y = np.array([r["label"] for r in rows])
+    params = cnn_train(x, y, n_out=2)
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xb = np.array(
+                [np.stack([np.asarray(fr, dtype=np.float64) for fr in f])
+                 for f in pdf["frames"]]
+            )
+            probs, _, _, _ = cnn_forward(params, xb, train=False)
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "p0": probs[:, 0],
+                    "p1": probs[:, 1],
+                }
+            )
+
+    preds = test.select("frames", "label").mapInPandas(
+        infer, schema="label int, p0 double, p1 double"
+    )
+    hit = (
+        F.when((F.col("p1") > F.col("p0")) & (F.col("label") == 1), 1)
+        .when((F.col("p0") >= F.col("p1")) & (F.col("label") == 0), 1)
+        .otherwise(0)
+    )
+    ptrue = F.when(F.col("label") == 1, F.col("p1")).otherwise(F.col("p0"))
+    out = preds.agg(
+        F.round(F.avg(hit), 4).alias("accuracy"),
+        F.round(F.avg(-F.log(F.greatest(ptrue, F.lit(1e-15)))), 4).alias(
+            "logloss"
+        ),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+    return out.select(
+        "accuracy",
+        "logloss",
+        F.lit(len(y)).cast("long").alias("n_train"),
+        F.col("n_test").cast("long"),
+    )
+
+
+# kernels reference module-level helpers; ship by value (see multimodal.py)
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
