@@ -74,54 +74,63 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the new retrieval / exact-similarity-join / interpolation /
 # sessionization families, whose tags the window now samples)
 # were already driver-green in an earlier CORRECTNESS ledger.
+# Round-3 rotation: every r01/r02-certified entry rotated out; 36 of 50
+# are FIRST-TIME driver checks (tpch/warehouse/stats/retrieval/sql
+# families plus this round's new KS, WAV-decode, and determinism-fixed
+# queries). The 14 already-certified anchors remain only because their
+# family tag exists nowhere else in the SQL-oracled registry
+# (tests/test_registry.py::test_window_samples_every_family).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "pricing_summary",
-    "join_inner_revenue_by_nation",
-    "sql_exists_correlated",
-    "join_right_order_customers",
-    "text_pii_scrub",
-    "retrieval_bm25_topk",
-    "dedup_prefix_filter_join",
-    "join_range_bands",
-    "join_asof_purchase_click",
-    "set_except_segments",
-    "sql_frontdoor_revenue",
-    "agg_regression_by_flag",
-    "scalar_string_functions",
-    "agg_approx_count_distinct",
-    "dedup_simhash",
-    "agg_percentile_approx",
+    # first-time: greedy family cover over never-driver-checked queries
+    "tpch_q3_shipping_priority",
+    "scalar_regexp_functions",
+    "sim_blocked_gemm_topk",
+    "ref_interval_join_bucketed",
+    "ml_best_feature_by_mi",
+    "sql_lateral_top_customer",
+    "agg_hll_partial_merge",
+    "window_range_interval",
+    "array_posexplode_outer",
+    "dedup_ngram_jaccard",
+    "text_token_stats",
+    "sim_ivf_assign",
+    "mm_metadata_stats",
+    "set_intersectall_flags",
+    "grouped_zscore_applyinpandas",
+    "sink_parquet_partitioned_roundtrip",
+    "join_asof_tolerance",
+    "ml_distinct_classes",
+    "skew_salted_join",
+    "tpch_q18_large_orders",
+    "scalar_to_json",
+    "events_tumbling_window",
+    # first-time: this round's new / determinism-hardened queries
+    "mm_wav_decode_stats",
+    "stats_ks_two_sample",
+    "stats_ks_binned_ecdf",
+    "events_ohlc_bars",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "tpch_q5_local_supplier",
+    "scd2_point_in_time_join",
+    "stats_mad_outliers",
+    "profile_benford_first_digit",
+    "curation_weighted_sample_aes",
+    "events_sequence_pattern",
+    "ml_hard_negative_mining",
+    "retrieval_phrase_positions",
+    # already-certified anchors: sole carriers of a required family tag
     "agg_rollup",
-    "scale_dpp_partitioned_join",
-    "agg_percentiles_twophase",
-    "agg_pandas_udaf_weighted",
-    "window_running_spend",
-    "topk_orders_per_customer",
-    "scd2_customer_segment",
     "scalar_math_functions",
     "scalar_variant_extract",
-    "array_embedding_stats",
     "scalar_map_functions",
-    "dedup_exact_hash",
     "dedup_minhash_keep_first",
-    "gapfill_monthly_revenue",
-    "profile_orders_columns",
+    "dedup_simhash",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "gapfill_linear_interpolation",
-    "curation_pipeline_e2e",
-    "events_gap_islands_sessions",
-    "ml_label_encode",
+    "agg_regression_by_flag",
     "ml_confusion_matrix",
-    "ml_classification_report",
-    "ml_mutual_information",
-    "ref_segments_cumsum",
-    "ref_interval_join",
     "ref_power_to_db",
-    "mm_feature_extract",
-    "skew_twophase_distinct",
     "events_session_window",
     "udtf_split_words",
     "sink_csv_roundtrip",
