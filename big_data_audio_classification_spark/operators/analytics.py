@@ -463,3 +463,84 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ord").alias("close"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+# synthetic session length: 30..119 s keyed by event_id, so both
+# engines restate the identical interval derivation
+CONC_DUR_SQL = "(30 + event_id % 90)"
+
+
+@query(
+    "events_max_concurrency",
+    oracle=f"""
+        WITH iv AS (
+            SELECT epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS day_idx,
+                   epoch_us(ts) AS s,
+                   LEAST(epoch_us(ts) + {CONC_DUR_SQL} * 1000000,
+                         (epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) + 1)
+                             * CAST(86400 AS BIGINT) * 1000000) AS e
+            FROM events
+        ),
+        pts AS (
+            SELECT day_idx, s * 2 + 1 AS ord, 1 AS delta FROM iv
+            UNION ALL
+            SELECT day_idx, e * 2, -1 FROM iv
+        ),
+        sweep AS (
+            SELECT day_idx,
+                   SUM(delta) OVER (PARTITION BY day_idx ORDER BY ord
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS live
+            FROM pts
+        )
+        SELECT day_idx,
+               CAST(MAX(live) AS BIGINT) AS peak_concurrency
+        FROM sweep GROUP BY day_idx ORDER BY day_idx
+    """,
+    tags=("events", "analytics", "sweep-line", "intervals"),
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the SWEEP-LINE interval
+    operator (how many intervals overlap at the busiest instant):
+    every session contributes a +1 point at its start and a −1 at its
+    end (end-exclusive: the ordering key ``t*2 + delta01`` sorts an
+    end strictly before a coincident start, deterministically in both
+    engines), a running sum inside each day partition walks the
+    timeline, and the per-day max is the answer. Sessions are clipped
+    at midnight so each day's sweep is self-contained.
+
+    Scale: the window is PARTITIONED BY day — every day sweeps in
+    parallel, state is one long per row, and no global ordering
+    exists anywhere in the plan. Unclipped cross-partition intervals
+    would add a per-partition carry-in offset (the same broadcast
+    prefix pattern as ``stats_ks_two_sample``); the clipped form is
+    the common ops-dashboard semantics ("peak concurrency per day").
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    day_us = F.lit(86_400 * 1_000_000)
+    day_idx = (us / day_us).cast("bigint")
+    start = us
+    end = F.least(
+        us + (F.lit(30) + F.col("event_id") % 90) * 1_000_000,
+        (day_idx + 1) * day_us,
+    )
+    iv = e.select(day_idx.alias("day_idx"), start.alias("s"), end.alias("e"))
+    pts = iv.select(
+        "day_idx", (F.col("s") * 2 + 1).alias("ord"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("day_idx", (F.col("e") * 2).alias("ord"), F.lit(-1).alias("delta"))
+    )
+    from pyspark.sql import Window
+
+    sweep = Window.partitionBy("day_idx").orderBy("ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    live = pts.select(
+        "day_idx", F.sum("delta").over(sweep).alias("live")
+    )
+    return (
+        live.groupBy("day_idx")
+        .agg(F.max("live").cast("bigint").alias("peak_concurrency"))
+        .orderBy("day_idx")
+    )

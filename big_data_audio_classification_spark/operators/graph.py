@@ -99,3 +99,90 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("vec_id", F.round("rank", 8).alias("pagerank"))
+
+
+TRI_NODES = 97  # modulus for the synthetic event-interaction graph
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH raw AS (
+            SELECT event_id % {TRI_NODES}           AS u,
+                   (event_id * 7 + 3) % {TRI_NODES} AS v
+            FROM events
+        ),
+        e AS (
+            SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+            FROM raw WHERE u <> v
+        )
+        SELECT CAST((SELECT COUNT(*) FROM e e1
+                     JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT)
+                   AS n_triangles,
+               CAST((SELECT COUNT(*) FROM e) AS BIGINT)  AS n_edges,
+               CAST((SELECT COUNT(DISTINCT u) FROM
+                     (SELECT u FROM e UNION ALL SELECT v FROM e)) AS BIGINT)
+                   AS n_nodes
+    """,
+    tags=("graph", "triangles", "events"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by DEGREE ORIENTATION — the canonical
+    distributed formulation (node-iterator++ / Cohen's MapReduce
+    algorithm): orient every undirected edge from its lower-(degree,id)
+    endpoint to the higher one, build wedges by self-joining the
+    oriented list on the source, and close each wedge against the
+    oriented edge list. Every triangle has exactly ONE vertex whose two
+    incident edges both point outward under a total order, so each is
+    counted exactly once — and orienting by DEGREE bounds the wedge
+    fan-out per node by the graph's degeneracy (a hub of degree d
+    contributes d² wedges if naive, but near-zero once its edges all
+    point INTO it), which is the difference between O(m^1.5) and
+    O(m·d_max) at 100 TB. The oracle is the brute-force a<b<c triple
+    join over the same derived graph.
+
+    Shuffles: edge distinct (keyed), degree agg (keyed), wedge
+    self-join + closure join (both equi-joins on node keys) — no
+    cartesian anywhere; the synthetic interaction graph derives
+    deterministically from the events table so both engines see the
+    same edges."""
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        (F.col("event_id") % TRI_NODES).alias("u"),
+        ((F.col("event_id") * 7 + 3) % TRI_NODES).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    und = raw.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge from lower (deg, id) to higher (deg, id)
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    w1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("p"))
+    w2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("q"))
+    wedges = w1.join(w2, "x").filter(F.col("p") < F.col("q"))
+    # canonicalize the closing edge by ID so the closure is ONE
+    # equi-join on (p, q) — an OR of orientations would fall back to a
+    # nested-loop join
+    closer = oriented.select(
+        F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q")
+    )
+    tri = wedges.join(closer, ["p", "q"])
+    n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    n_edges = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return (
+        n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
+    )

@@ -675,3 +675,71 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_kind")
     )
+
+
+MV_DELTA_MOD = 5  # o_orderkey % 5 == 0 -> tonight's delta batch
+
+
+@query(
+    "agg_incremental_maintenance",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)          AS revenue_cents,
+               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("warehouse", "aggregate", "incremental", "materialized-view"),
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-status revenue
+    view is NOT recomputed from scratch when a delta batch lands —
+    yesterday's aggregate STATE (sum, count per group) is unioned with
+    the delta's partial state and merged by one algebraic combine
+    (sum-of-sums, sum-of-counts; avg derived at read time from the
+    merged state). The oracle is the full recompute over base ∪ delta —
+    the maintenance identity the pattern must satisfy. Revenue is held
+    as exact integer cents (FLOOR(x*100+0.5) both engines) so the
+    merged sum is bit-identical to the recomputed sum regardless of
+    addition order — the same fixed-point discipline a production MV
+    needs, because float partial sums drift from their recompute.
+
+    Scale: this is the batch twin of the streaming partial-state sink
+    (streaming/events.py stream_incremental_rollup) and of every
+    map-side combine Spark plans: only the delta is scanned at refresh
+    (here both sides derive from one table, filter-disjoint at the
+    scan); state per group is two longs; the merge is one keyed
+    shuffle of |groups| rows, not |rows|."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % MV_DELTA_MOD != 0)
+    delta = o.filter(F.col("o_orderkey") % MV_DELTA_MOD == 0)
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("cnt"), F.sum("cents").alias("cents")
+        )
+
+    merged = (
+        partial_state(base)
+        .unionByName(partial_state(delta))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("cents").alias("revenue_cents"))
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint"),
+        F.col("revenue_cents").cast("bigint"),
+        F.round(
+            F.col("revenue_cents").cast("double") / 100.0 / F.col("n_orders"), 6
+        ).alias("avg_price"),
+    ).orderBy("o_orderstatus")
