@@ -23,7 +23,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
@@ -543,4 +543,88 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         live.groupBy("day_idx")
         .agg(F.max("live").cast("bigint").alias("peak_concurrency"))
         .orderBy("day_idx")
+    )
+
+
+EWMA_ALPHA = 0.2     # smoothing factor
+EWMA_LOOKBACK = 64   # FIR truncation: dropped tail weight = 0.8^64 ~ 6e-7
+
+
+@query(
+    "events_ewma_deviation",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   list(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING
+                                          AND CURRENT ROW) AS win
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, value, rn,
+                   {EWMA_ALPHA} * list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE), win),
+                       (acc, v) -> {1 - EWMA_ALPHA} * acc + v)
+                   / (1 - POWER({1 - EWMA_ALPHA}, len(win))) AS ewma
+            FROM o
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)               AS n_events,
+               ROUND(arg_max(ewma, rn), 6)            AS ewma_final,
+               ROUND(AVG(ewma), 6)                    AS ewma_mean,
+               ROUND(MAX(ABS(value - ewma)), 6)       AS max_abs_dev
+        FROM s
+        GROUP BY user_id
+    """,
+    tags=("events", "analytics", "timeseries", "ewma", "anomaly"),
+)
+def events_ewma_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha = 0.2) with
+    the max deviation |x - EWMA| — the standard streaming spike
+    detector, here in its batch/backfill form.
+
+    The recursion s = a*x + (1-a)*s_prev is truncated to a 64-row FIR
+    window (dropped tail weight 0.8^64 ~ 6e-7, below the 1e-6 output
+    rounding) and evaluated as a HORNER FOLD over the window's values
+    — every term stays at data scale, so there is none of the
+    overflow/cancellation that the closed-form power trick hits on
+    long series, and the strictly sequential fold order makes the
+    result bit-reproducible across engines and partitionings.
+    Early rows normalize by the ACTUAL window mass (1-(1-a)^n), which
+    is exactly EWMA-initialized-at-first-observation semantics.
+
+    Scale: one shuffle on user_id shared by the window and the final
+    aggregate; per-row state is the O(L)=64-value frame, independent
+    of history length — at 100 TB each task streams its users in ts
+    order with constant memory."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = w.rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    beta = F.lit(1.0 - EWMA_ALPHA)
+    o = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.collect_list("value").over(wl).alias("win"),
+    )
+    s = o.select(
+        "user_id",
+        "value",
+        "rn",
+        (
+            EWMA_ALPHA
+            * F.aggregate(
+                F.col("win"), F.lit(0.0), lambda acc, v: beta * acc + v
+            )
+            / (1 - F.pow(beta, F.size("win")))
+        ).alias("ewma"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.max_by("ewma", "rn"), 6).alias("ewma_final"),
+        F.round(F.avg("ewma"), 6).alias("ewma_mean"),
+        F.round(F.max(F.abs(F.col("value") - F.col("ewma"))), 6).alias("max_abs_dev"),
     )

@@ -1,0 +1,120 @@
+"""Entity resolution / record linkage: blocked fuzzy-match joins.
+
+The missing step between exact dedup (``dedup.py``, digest equality)
+and text near-dedup (MinHash/SimHash): RECORD linkage, where two rows
+describe the same real-world entity but the key fields differ by typos
+or formatting. The production pattern at 100 TB is blocking — a cheap
+deterministic key (here: brand x first name token) partitions the
+record space so the quadratic verify step (edit distance) runs only
+WITHIN blocks, as a plain equi-join the engine shuffles once; no
+cross join ever appears (asserted in tests/test_plans.py). This is the
+same prune-then-verify shape as ``dedup_prefix_filter_join``
+(dedup.py) with levenshtein instead of Jaccard as the verifier.
+
+Output is the per-block linkage profile (pair counts by match tier),
+not the raw pair list: on a template-heavy catalog the pair list is
+quadratic in the duplicate-group size, while the profile an MDM
+pipeline actually monitors stays one row per block at any scale.
+
+Reference mapping: the reference has no linkage operator; this extends
+the dedup-by-key semantics of `/root/reference/src/voice_classifier.py`
+(drop_duplicates at :104) to non-identical keys, per the mandated
+LLM-data-pipeline extension surface (SURVEY.md §2.B).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+ER_NEAR_MAX = 3      # 1..3 edits = near-match tier
+ER_SIM_THRESHOLD = 0.6  # normalized similarity accept bar
+
+
+@query(
+    "er_blocked_fuzzy_parts",
+    oracle=f"""
+        WITH r AS (
+            SELECT p_partkey, p_name, p_brand,
+                   split_part(p_name, ' ', 1) AS blk_tok
+            FROM part
+        ),
+        pairs AS (
+            SELECT a.p_brand, a.blk_tok,
+                   levenshtein(a.p_name, b.p_name) AS lev,
+                   1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                       / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) AS sim
+            FROM r a JOIN r b
+              ON a.p_brand = b.p_brand AND a.blk_tok = b.blk_tok
+             AND a.p_partkey < b.p_partkey
+        )
+        SELECT p_brand, blk_tok,
+               CAST(COUNT(*) AS BIGINT)                          AS n_pairs,
+               CAST(SUM(CASE WHEN lev = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                                   AS n_exact,
+               CAST(SUM(CASE WHEN lev BETWEEN 1 AND {ER_NEAR_MAX}
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n_near,
+               CAST(SUM(CASE WHEN sim >= {ER_SIM_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n_linked,
+               ROUND(AVG(CAST(lev AS DOUBLE)), 4)                AS avg_lev
+        FROM pairs
+        GROUP BY p_brand, blk_tok
+    """,
+    tags=("linkage", "dedup", "fuzzy", "join", "part"),
+)
+def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over the part catalog: block on
+    (brand, first name token), verify candidate pairs with levenshtein,
+    roll up the per-block linkage profile (exact / near / accepted-by-
+    normalized-similarity tiers).
+
+    Plan: the blocked self-join is a pure EQUI-join on the composite
+    block key (one shuffle; no BroadcastNestedLoop/cartesian — the
+    verifier predicate `a.key < b.key AND levenshtein(...)` evaluates
+    post-join, map-side); the rollup reuses the block-key partitioning.
+    At 100 TB the block key is exactly what bounds the quadratic term:
+    cost = sum over blocks of |block|^2, tunable by key granularity,
+    never |table|^2."""
+    r = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk_tok"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    sim = 1.0 - lev.cast("double") / F.greatest(
+        F.length("a.p_name"), F.length("b.p_name")
+    )
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.p_brand") == F.col("b.p_brand"),
+                F.col("a.blk_tok") == F.col("b.blk_tok"),
+                F.col("a.p_partkey") < F.col("b.p_partkey"),
+            ],
+        )
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.blk_tok").alias("blk_tok"),
+            lev.alias("lev"),
+            sim.alias("sim"),
+        )
+    )
+    return pairs.groupBy("p_brand", "blk_tok").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("lev") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("lev").between(1, ER_NEAR_MAX), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near"),
+        F.sum(F.when(F.col("sim") >= ER_SIM_THRESHOLD, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_linked"),
+        F.round(F.avg(F.col("lev").cast("double")), 4).alias("avg_lev"),
+    )

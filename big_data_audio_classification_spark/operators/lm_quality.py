@@ -211,3 +211,95 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("agree"), 6).alias("agreement"),
         F.round(F.avg("label"), 6).alias("weak_positive_rate"),
     )
+
+
+BIGRAM_K = 0.5  # add-k smoothing constant
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+        ),
+        uni AS (
+            SELECT tok, COUNT(*) AS c1
+            FROM (SELECT UNNEST(l) AS tok FROM toks)
+            GROUP BY tok
+        ),
+        vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        bg AS (
+            SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2
+            FROM toks, UNNEST(range(len(l) - 1)) AS t(i)
+            WHERE len(l) >= 2
+        ),
+        bgc AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(LOG2((c12 + {BIGRAM_K})
+                              / (c1 + {BIGRAM_K} * v))), 6) AS avg_log2p,
+               ROUND(POWER(2.0, -AVG(LOG2((c12 + {BIGRAM_K})
+                                          / (c1 + {BIGRAM_K} * v)))), 4)
+                   AS perplexity
+        FROM bg
+        JOIN bgc USING (w1, w2)
+        JOIN uni ON uni.tok = bg.w1
+        CROSS JOIN vsize
+        GROUP BY doc_id
+    """,
+    tags=("text", "curation", "quality", "lm", "bigram", "documents"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 (bigram) LM quality score with add-k smoothing — one
+    step up from ``text_unigram_logprob`` toward the KenLM perplexity
+    filter: mean log2 P(w2|w1) = log2((c(w1,w2)+k) / (c(w1)+k*V)) per
+    document, plus the implied per-document perplexity.
+
+    Plan shape: bigram extraction is ARRAY-SIDE (arrays_zip of the
+    token list with its own tail) — the text column never shuffles and
+    no window/lag pass is needed; only (doc_id, w1, w2) triples move.
+    Counts are two map-side-combined aggregations keyed on the gram;
+    the probe joins are keyed on the same grams (broadcast here — the
+    gram tables fit; at 100 TB they become shuffle joins co-partitioned
+    with the counting aggregation, and the vocabulary is pruned to
+    grams above a count floor, with the floor folded into the smoothing
+    denominator). V arrives as a one-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("l"))
+    n = F.size("l")
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("l"), 1, n - 1).alias("w1"),
+                    F.slice(F.col("l"), 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        toks.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    logp = F.log2(
+        (F.col("c12") + BIGRAM_K) / (F.col("c1") + BIGRAM_K * F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_log2p"),
+            F.round(F.pow(F.lit(2.0), -F.avg(logp)), 4).alias("perplexity"),
+        )
+    )

@@ -481,3 +481,215 @@ def ml_train_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "reg_param double, val_auc double, is_best boolean"
     )
+
+
+KFOLDS = 5  # deterministic fold count for the single-pass CV
+
+
+@query(
+    "ml_kfold_regression_cv",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(l_orderkey % {KFOLDS} AS BIGINT) AS fold,
+                   CAST(COUNT(*) AS DOUBLE)              AS n,
+                   SUM(l_quantity)                        AS sx,
+                   SUM(l_extendedprice)                   AS sy,
+                   SUM(l_quantity * l_quantity)           AS sxx,
+                   SUM(l_quantity * l_extendedprice)      AS sxy,
+                   SUM(l_extendedprice * l_extendedprice) AS syy
+            FROM lineitem
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT fold, n, sx, sy, sxx, sxy, syy,
+                   SUM(n)   OVER () - n   AS tn,
+                   SUM(sx)  OVER () - sx  AS tsx,
+                   SUM(sy)  OVER () - sy  AS tsy,
+                   SUM(sxx) OVER () - sxx AS tsxx,
+                   SUM(sxy) OVER () - sxy AS tsxy
+            FROM s
+        ),
+        m AS (
+            SELECT fold, n, tn, syy, sy, sxy, sx, sxx,
+                   (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS b1,
+                   (tsy - (tn * tsxy - tsx * tsy)
+                          / (tn * tsxx - tsx * tsx) * tsx) / tn      AS b0
+            FROM t
+        )
+        SELECT fold,
+               CAST(tn AS BIGINT) AS n_train,
+               CAST(n  AS BIGINT) AS n_test,
+               ROUND(b1, 6)       AS slope,
+               ROUND(b0, 6)       AS intercept,
+               ROUND(SQRT((syy - 2*b0*sy - 2*b1*sxy + 2*b0*b1*sx
+                           + b0*b0*n + b1*b1*sxx) / n), 6) AS test_rmse
+        FROM m
+    """,
+    tags=("ml", "cv", "regression", "lineitem"),
+)
+def ml_kfold_regression_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the price~quantity OLS fit from ONE
+    scan: per-fold sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²)
+    are aggregated once; each fold's TRAIN-side statistics are the
+    complement (global minus fold) — so the k model fits and their
+    held-out RMSEs all come out of a single map-side-combined
+    aggregation instead of k re-scans of the data.
+
+    At 100 TB this is the only viable CV shape: the data pass is
+    O(N) once, and everything after it runs on a k-row table (the
+    window computing global totals spans exactly KFOLDS rows). Fold
+    assignment is `l_orderkey % k` — deterministic, reproducible,
+    grouped at the ORDER grain so lineitems of one order never
+    straddle train/test (leakage hygiene)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy(
+        (F.col("l_orderkey") % KFOLDS).cast("bigint").alias("fold")
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = s.select(
+        "fold", "n", "sx", "sy", "sxx", "sxy", "syy",
+        (F.sum("n").over(w) - F.col("n")).alias("tn"),
+        (F.sum("sx").over(w) - F.col("sx")).alias("tsx"),
+        (F.sum("sy").over(w) - F.col("sy")).alias("tsy"),
+        (F.sum("sxx").over(w) - F.col("sxx")).alias("tsxx"),
+        (F.sum("sxy").over(w) - F.col("sxy")).alias("tsxy"),
+    )
+    b1 = (F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")) / (
+        F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")
+    )
+    m = t.select(
+        "fold", "n", "tn", "syy", "sy", "sxy", "sx", "sxx",
+        b1.alias("b1"),
+        ((F.col("tsy") - b1 * F.col("tsx")) / F.col("tn")).alias("b0"),
+    )
+    mse = (
+        F.col("syy")
+        - 2 * F.col("b0") * F.col("sy")
+        - 2 * F.col("b1") * F.col("sxy")
+        + 2 * F.col("b0") * F.col("b1") * F.col("sx")
+        + F.col("b0") * F.col("b0") * F.col("n")
+        + F.col("b1") * F.col("b1") * F.col("sxx")
+    ) / F.col("n")
+    return m.select(
+        "fold",
+        F.col("tn").cast("bigint").alias("n_train"),
+        F.col("n").cast("bigint").alias("n_test"),
+        F.round("b1", 6).alias("slope"),
+        F.round("b0", 6).alias("intercept"),
+        F.round(F.sqrt(mse), 6).alias("test_rmse"),
+    )
+
+
+CALIB_BINS = 10        # reliability-diagram bin count
+CALIB_SCALE = 2500.0   # logistic score scale over c_acctbal
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+        WITH scored AS (
+            SELECT c.c_custkey,
+                   1.0 / (1.0 + EXP(-c.c_acctbal / {CALIB_SCALE})) AS score,
+                   CASE WHEN COUNT(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                        THEN 1 END) > 0
+                        THEN 1.0 ELSE 0.0 END AS label
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        b AS (
+            SELECT LEAST({CALIB_BINS - 1},
+                         CAST(FLOOR(score * {CALIB_BINS}) AS BIGINT)) AS bin,
+                   score, label
+            FROM scored
+        ),
+        g AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   AVG(score) AS mean_score,
+                   AVG(label) AS pos_rate
+            FROM b GROUP BY bin
+        )
+        SELECT bin, n,
+               ROUND(mean_score, 6) AS mean_score,
+               ROUND(pos_rate, 6)   AS pos_rate,
+               ROUND(ABS(pos_rate - mean_score), 6) AS calib_gap,
+               ROUND(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                     * ABS(pos_rate - mean_score), 6) AS ece_term
+        FROM g
+    """,
+    tags=("ml", "calibration", "report", "customer"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / expected-calibration-error bins — the
+    post-training model audit next to the confusion matrix (R44): bin
+    predicted probability into CALIB_BINS equal-width bins, compare
+    mean predicted score against the observed positive rate per bin,
+    and emit each bin's ECE contribution (sum(ece_term) = ECE).
+
+    The "model" is a deterministic logistic score over account balance
+    and the label is has-an-URGENT-order, so the whole audit is
+    cross-engine reproducible — the plan shape is exactly what a real
+    scored table feeds: one keyed left join rolled up at the entity
+    grain (conditional count, no distinct), one groupBy over
+    CALIB_BINS keys (map-side combined), and a final window over the
+    CALIB_BINS-row aggregate, never the data."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    scored = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)) > 0,
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("label")
+        )
+        .select(
+            (1.0 / (1.0 + F.exp(-F.col("c_acctbal") / CALIB_SCALE))).alias(
+                "score"
+            ),
+            "label",
+        )
+    )
+    g = (
+        scored.groupBy(
+            F.least(
+                F.lit(CALIB_BINS - 1), F.floor(F.col("score") * CALIB_BINS)
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("score").alias("ms"),
+            F.avg("label").alias("pr"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return g.select(
+        "bin",
+        "n",
+        F.round("ms", 6).alias("mean_score"),
+        F.round("pr", 6).alias("pos_rate"),
+        F.round(F.abs(F.col("pr") - F.col("ms")), 6).alias("calib_gap"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(w)
+            * F.abs(F.col("pr") - F.col("ms")),
+            6,
+        ).alias("ece_term"),
+    )

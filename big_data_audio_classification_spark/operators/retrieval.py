@@ -602,3 +602,179 @@ def retrieval_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("bigint").alias("first_pos"),
         )
     )
+
+
+RANK_K = 10      # evaluation cutoff for P@K / MRR@K / NDCG@K
+REL_MIN = 2      # docs matching >= REL_MIN distinct query terms count
+#                  as binary-relevant; the match count itself is the
+#                  graded relevance for DCG
+
+
+@query(
+    "retrieval_ranking_metrics",
+    oracle=f"""
+        WITH dd AS (
+            SELECT doc_id, toks, len(toks) AS dl
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+            WHERE len(toks) > 0
+        ),
+        st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+        tf AS (
+            SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dd)
+            WHERE tok IN {_TERMS_SQL}
+            GROUP BY doc_id, dl, tok
+        ),
+        dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT doc_id,
+                   ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * ({BM25_K1} + 1))
+                             / (tf + {BM25_K1} * (1 - {BM25_B}
+                                                  + {BM25_B} * dl / avgdl))), 9)
+                       AS bm25,
+                   COUNT(*) AS rel
+            FROM tf JOIN dfs USING (term) CROSS JOIN st
+            GROUP BY doc_id
+        ),
+        g AS (
+            SELECT COUNT(*) AS n_candidates,
+                   SUM(CASE WHEN rel >= 3 THEN 1 ELSE 0 END) AS c3,
+                   SUM(CASE WHEN rel =  2 THEN 1 ELSE 0 END) AS c2,
+                   SUM(CASE WHEN rel =  1 THEN 1 ELSE 0 END) AS c1
+            FROM scored
+        ),
+        top AS (
+            SELECT doc_id, rel,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM scored
+            QUALIFY r <= {RANK_K}
+        ),
+        m AS (
+            SELECT SUM(CASE WHEN rel >= {REL_MIN} THEN 1.0 ELSE 0.0 END)
+                       / {RANK_K} AS p_at_k,
+                   COALESCE(MAX(CASE WHEN rel >= {REL_MIN}
+                                     THEN 1.0 / r END), 0.0) AS mrr_at_k,
+                   SUM((POWER(2.0, rel) - 1) / LOG2(r + 1)) AS dcg
+            FROM top
+        ),
+        ideal AS (
+            SELECT SUM((POWER(2.0, CASE WHEN r <= c3 THEN 3
+                                        WHEN r <= c3 + c2 THEN 2
+                                        WHEN r <= c3 + c2 + c1 THEN 1
+                                        ELSE 0 END) - 1)
+                       / LOG2(r + 1)) AS idcg
+            FROM (SELECT i + 1 AS r FROM UNNEST(range({RANK_K})) AS t(i))
+            CROSS JOIN g
+        )
+        SELECT {RANK_K} AS k,
+               CAST(g.n_candidates AS BIGINT)   AS n_candidates,
+               CAST(g.c3 + g.c2 AS BIGINT)      AS n_relevant,
+               ROUND(m.p_at_k, 6)               AS p_at_k,
+               ROUND(m.mrr_at_k, 6)             AS mrr_at_k,
+               ROUND(m.dcg, 6)                  AS dcg,
+               ROUND(ideal.idcg, 6)             AS idcg,
+               ROUND(m.dcg / ideal.idcg, 6)     AS ndcg
+        FROM m CROSS JOIN ideal CROSS JOIN g
+    """,
+    tags=("retrieval", "text", "ranking", "evaluation", "documents"),
+)
+def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the BM25 ranker against term-match
+    relevance labels: Precision@K, MRR@K, and NDCG@K (graded relevance
+    = distinct query terms matched; binary relevance = >= REL_MIN).
+
+    Everything derives from (a) the TOP-K prefix of the ranking —
+    orderBy+limit, i.e. TakeOrderedAndProject per-partition heaps, no
+    global sort — and (b) the GRADE HISTOGRAM (one aggregate row),
+    from which the ideal DCG is reconstructed against a K-row rank
+    spine; no window ever touches more than K rows. BM25 scores are
+    pre-rounded to 1e-9 before ranking so FP summation-order noise
+    cannot reorder near-ties across engines (doc_id breaks exact
+    ties). This is the offline eval loop a retrieval pipeline runs per
+    query batch; per-query metrics would group the same plan by
+    query_id."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    dd = d.filter(F.size("toks") > 0).select(
+        "doc_id", "toks", F.size("toks").alias("dl")
+    )
+    st = dd.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        dd.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 9).alias("bm25"),
+            F.count("*").alias("rel"),
+        )
+    )
+    g = scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("rel") >= 3, 1).otherwise(0)).alias("c3"),
+        F.sum(F.when(F.col("rel") == 2, 1).otherwise(0)).alias("c2"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(RANK_K)
+    ranked = top.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r"),
+    )
+    m = ranked.agg(
+        (
+            F.sum(F.when(F.col("rel") >= REL_MIN, 1.0).otherwise(0.0)) / RANK_K
+        ).alias("p_at_k"),
+        F.coalesce(
+            F.max(F.when(F.col("rel") >= REL_MIN, 1.0 / F.col("r"))),
+            F.lit(0.0),
+        ).alias("mrr_at_k"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("r") + 1)
+        ).alias("dcg"),
+    )
+    spine = spark.range(1, RANK_K + 1).select(F.col("id").alias("r"))
+    ideal_rel = (
+        F.when(F.col("r") <= F.col("c3"), 3)
+        .when(F.col("r") <= F.col("c3") + F.col("c2"), 2)
+        .when(F.col("r") <= F.col("c3") + F.col("c2") + F.col("c1"), 1)
+        .otherwise(0)
+    )
+    ideal = (
+        spine.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), ideal_rel) - 1) / F.log2(F.col("r") + 1)
+            ).alias("idcg")
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(ideal))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.lit(RANK_K).alias("k"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            (F.col("c3") + F.col("c2")).cast("bigint").alias("n_relevant"),
+            F.round("p_at_k", 6).alias("p_at_k"),
+            F.round("mrr_at_k", 6).alias("mrr_at_k"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

@@ -800,3 +800,129 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+PSI_BINS = 10                      # standard credit-scoring bin count
+PSI_SPLIT = "2024-01-16"           # mid-month boundary: baseline | current
+PSI_EPS = 1e-6                     # probability floor (absent-bin smoothing)
+
+
+@query(
+    "stats_psi_drift",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type, value AS v,
+                   CASE WHEN ts <  TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS b,
+                   CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS c
+            FROM events
+        ),
+        bounds AS (
+            SELECT MIN(v) AS vmin,
+                   GREATEST(MAX(v) - MIN(v), 1e-300) AS span
+            FROM s
+        ),
+        h AS (
+            SELECT event_type,
+                   LEAST({PSI_BINS - 1},
+                         CAST(FLOOR((v - vmin) * {PSI_BINS} / span)
+                              AS BIGINT)) AS bin,
+                   SUM(b) AS hb, SUM(c) AS hc
+            FROM s, bounds GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT event_type, hb, hc,
+                   SUM(hb) OVER (PARTITION BY event_type) AS nb,
+                   SUM(hc) OVER (PARTITION BY event_type) AS nc
+            FROM h
+        ),
+        pq AS (
+            SELECT event_type, nb, nc,
+                   GREATEST(CAST(hb AS DOUBLE) / nb, {PSI_EPS}) AS p,
+                   GREATEST(CAST(hc AS DOUBLE) / nc, {PSI_EPS}) AS q
+            FROM r
+        )
+        SELECT event_type,
+               CAST(MAX(nb) AS BIGINT) AS n_base,
+               CAST(MAX(nc) AS BIGINT) AS n_curr,
+               ROUND(SUM((p - q) * LN(p / q)), 6) AS psi,
+               ROUND(SUM(0.5 * p * LN(2 * p / (p + q))
+                         + 0.5 * q * LN(2 * q / (p + q))) / LN(2), 6) AS jsd,
+               ROUND(0.5 * SUM(ABS(p - q)), 6) AS tv_dist,
+               SUM((p - q) * LN(p / q)) > 0.1 AS drift_flag
+        FROM pq
+        GROUP BY event_type
+    """,
+    tags=("stats", "drift", "psi", "events", "monitoring"),
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor per event type: Population Stability
+    Index, Jensen-Shannon divergence (bits), and total-variation
+    distance between the baseline (ts < mid-month) and current value
+    distributions, over PSI_BINS uniform bins.
+
+    The standard screen run over every feature of a 100 TB training
+    snapshot before a refresh is accepted. Plan: ONE scan histograms
+    both periods at once (conditional sums, map-side combined) into
+    <= |types| x PSI_BINS rows; per-type totals are a window over that
+    tiny histogram, never the data; global value bounds arrive by
+    broadcast. Absent bins are handled by flooring ratios at PSI_EPS —
+    a bin empty on BOTH sides contributes exactly 0 to every measure,
+    so the observed-bin histogram is complete without a bin spine.
+    Bin assignment reuses the KS arithmetic ((v - vmin) * B / span,
+    multiply before divide) so FLOOR agrees bit-for-bit cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    s = e.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("b"),
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("c"),
+    )
+    bounds = s.agg(
+        F.min("v").alias("vmin"),
+        F.greatest(F.max("v") - F.min("v"), F.lit(1e-300)).alias("span"),
+    )
+    h = (
+        s.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.floor((F.col("v") - F.col("vmin")) * PSI_BINS / F.col("span")),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.sum("b").alias("hb"), F.sum("c").alias("hc"))
+    )
+    per_type = Window.partitionBy("event_type")
+    pq = h.select(
+        "event_type",
+        F.sum("hb").over(per_type).alias("nb"),
+        F.sum("hc").over(per_type).alias("nc"),
+        F.greatest(
+            F.col("hb").cast("double") / F.sum("hb").over(per_type), F.lit(PSI_EPS)
+        ).alias("p"),
+        F.greatest(
+            F.col("hc").cast("double") / F.sum("hc").over(per_type), F.lit(PSI_EPS)
+        ).alias("q"),
+    )
+    m2 = (F.col("p") + F.col("q"))
+    return pq.groupBy("event_type").agg(
+        F.max("nb").cast("bigint").alias("n_base"),
+        F.max("nc").cast("bigint").alias("n_curr"),
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6)
+        .alias("psi"),
+        F.round(
+            F.sum(
+                0.5 * F.col("p") * F.log(2 * F.col("p") / m2)
+                + 0.5 * F.col("q") * F.log(2 * F.col("q") / m2)
+            )
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("jsd"),
+        F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 6).alias("tv_dist"),
+        (
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))) > 0.1
+        ).alias("drift_flag"),
+    )

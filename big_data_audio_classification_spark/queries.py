@@ -31,4 +31,5 @@ import big_data_audio_classification_spark.operators.graph  # noqa: F401
 import big_data_audio_classification_spark.operators.baskets  # noqa: F401
 import big_data_audio_classification_spark.operators.warehouse  # noqa: F401
 import big_data_audio_classification_spark.operators.cnn  # noqa: F401
+import big_data_audio_classification_spark.operators.linkage  # noqa: F401
 import big_data_audio_classification_spark.streaming.events  # noqa: F401

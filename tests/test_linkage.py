@@ -1,0 +1,55 @@
+"""Entity-resolution linkage + ranking-metric invariants (round 3)."""
+
+from __future__ import annotations
+
+from math import comb
+
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators import linkage, retrieval
+from big_data_audio_classification_spark.plans import introspect
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_er_pair_counts_match_block_combinatorics(spark, sf_dir):
+    """Every within-block pair must be checked exactly once:
+    sum(n_pairs) over blocks == sum C(|block|, 2)."""
+    rows = linkage.er_blocked_fuzzy_parts(spark, sf_dir).collect()
+    blocks = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            "p_brand", F.split_part("p_name", F.lit(" "), F.lit(1)).alias("t")
+        )
+        .count()
+        .collect()
+    )
+    expected = sum(comb(b["count"], 2) for b in blocks)
+    assert sum(r["n_pairs"] for r in rows) == expected
+    for r in rows:
+        assert r["n_exact"] + r["n_near"] <= r["n_pairs"]
+        assert r["n_linked"] >= r["n_exact"]  # lev=0 implies sim=1.0
+        assert 0.0 <= r["avg_lev"]
+
+
+def test_er_join_is_equi_not_cartesian(spark, sf_dir):
+    """The blocked self-join must plan as an equi-join on the block
+    key — never CartesianProduct / BroadcastNestedLoopJoin."""
+    df = linkage.er_blocked_fuzzy_parts(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not introspect.has_python_udf(df)
+
+
+def test_ranking_metrics_bounds(spark, sf_dir):
+    row = retrieval.retrieval_ranking_metrics(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["p_at_k"] <= 1.0
+    assert 0.0 <= row["mrr_at_k"] <= 1.0
+    assert 0.0 <= row["ndcg"] <= 1.0 + 1e-9
+    assert row["dcg"] <= row["idcg"] + 1e-9
+    assert row["n_relevant"] <= row["n_candidates"]
+
+
+def test_ranking_topk_avoids_global_sort(spark, sf_dir):
+    df = retrieval.retrieval_ranking_metrics(spark, sf_dir)
+    assert "TakeOrderedAndProject" in introspect.formatted_plan(df)

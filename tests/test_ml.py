@@ -126,3 +126,51 @@ def test_kmeans_partition_and_determinism(spark, sf_dir):
     assert all(r.n > 0 and r.avg_dist > 0 for r in r1)
     r2 = ml_kmeans_embeddings(spark, sf_dir).collect()
     assert [(r.prediction, r.n) for r in r1] == [(r.prediction, r.n) for r in r2]
+
+
+def test_kfold_cv_partitions_and_matches_direct_fit(spark, sf_dir):
+    """Folds partition the data (n_train + n_test == N for every fold)
+    and the complement-sufficient-statistics slope/intercept must equal
+    a DIRECT regr_slope/regr_intercept fit on the filtered train split
+    — the single-pass trick changes the plan, never the math."""
+    from big_data_audio_classification_spark.operators import ml as ml_ops
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = ml_ops.ml_kfold_regression_cv(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert len(rows) == ml_ops.KFOLDS
+    assert sorted(r["fold"] for r in rows) == list(range(ml_ops.KFOLDS))
+    for r in rows:
+        assert r["n_train"] + r["n_test"] == n
+        assert r["test_rmse"] > 0
+    for fold in (0, ml_ops.KFOLDS - 1):
+        direct = (
+            li.filter(F.col("l_orderkey") % ml_ops.KFOLDS != fold)
+            .agg(
+                F.regr_slope("l_extendedprice", "l_quantity").alias("b1"),
+                F.regr_intercept("l_extendedprice", "l_quantity").alias("b0"),
+            )
+            .collect()[0]
+        )
+        got = next(r for r in rows if r["fold"] == fold)
+        assert abs(got["slope"] - direct["b1"]) < 1e-4 * max(1, abs(direct["b1"]))
+        assert abs(got["intercept"] - direct["b0"]) < 1e-4 * max(
+            1, abs(direct["b0"])
+        )
+
+
+def test_calibration_bins_are_a_partition_with_bounded_ece(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import ml as ml_ops
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = ml_ops.ml_calibration_bins(spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n"] for r in rows) == n_customers
+    ece = sum(r["ece_term"] for r in rows)
+    assert 0.0 <= ece <= 1.0
+    for r in rows:
+        assert 0 <= r["bin"] < ml_ops.CALIB_BINS
+        assert 0.0 <= r["mean_score"] <= 1.0
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert abs(r["calib_gap"] - abs(r["pos_rate"] - r["mean_score"])) < 2e-6

@@ -109,3 +109,78 @@ def test_quality_classifier_learns_weak_labels(spark, sf_dir):
     agree = sum(r["agreement"] * r["n_docs"] for r in rows.values()) / n
     assert agree > 0.6, f"corpus agreement {agree}"
     assert all(0.0 <= r["mean_p_good"] <= 1.0 for r in rows.values())
+
+
+def test_psi_drift_measure_bounds(spark, sf_dir):
+    """PSI >= 0 (it is a symmetrized KL), JSD in [0,1] bits, TV in
+    [0,1], and the two period counts cover every event of the type."""
+    from big_data_audio_classification_spark.operators import stats
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = stats.stats_psi_drift(spark, sf_dir).collect()
+    totals = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert len(rows) == len(totals)
+    for r in rows:
+        assert r["psi"] >= -1e-9
+        assert -1e-9 <= r["jsd"] <= 1.0 + 1e-9
+        assert -1e-9 <= r["tv_dist"] <= 1.0 + 1e-9
+        assert r["n_base"] + r["n_curr"] == totals[r["event_type"]]
+        assert r["drift_flag"] == (r["psi"] > 0.1 or abs(r["psi"] - 0.1) < 2e-6)
+
+
+def test_ewma_matches_reference_recursion(spark, sf_dir):
+    """The Horner-fold EWMA must equal the plain sequential recursion
+    (truncated to the 64-row FIR window, n-mass normalized) computed
+    independently in Python for every user."""
+    from big_data_audio_classification_spark.operators import analytics
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    got = {
+        r["user_id"]: r
+        for r in analytics.events_ewma_deviation(spark, sf_dir).collect()
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r["user_id"], []).append(r)
+    L, a = analytics.EWMA_LOOKBACK, analytics.EWMA_ALPHA
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [r["value"] for r in rs]
+        ewmas = []
+        for j in range(len(vals)):
+            win = vals[max(0, j - L + 1) : j + 1]
+            acc = 0.0
+            for v in win:
+                acc = (1 - a) * acc + v
+            ewmas.append(a * acc / (1 - (1 - a) ** len(win)))
+        assert got[uid]["n_events"] == len(vals)
+        assert abs(got[uid]["ewma_final"] - ewmas[-1]) < 1e-5
+        assert (
+            abs(got[uid]["ewma_mean"] - sum(ewmas) / len(ewmas)) < 1e-5
+        )
+
+
+def test_bigram_logprob_is_negative_and_consistent(spark, sf_dir):
+    """Smoothed bigram probabilities are < 1 so mean log2 p < 0, and
+    perplexity must be exactly 2^(-avg_log2p) (up to output rounding)."""
+    from big_data_audio_classification_spark.operators import lm_quality
+
+    rows = lm_quality.text_bigram_logprob(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["avg_log2p"] < 0
+        assert abs(r["perplexity"] - 2 ** (-r["avg_log2p"])) < max(
+            1e-3, r["perplexity"] * 1e-4
+        )
+        assert r["n_bigrams"] >= 1
