@@ -628,3 +628,97 @@ def events_ewma_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ewma"), 6).alias("ewma_mean"),
         F.round(F.max(F.abs(F.col("value") - F.col("ewma"))), 6).alias("max_abs_dev"),
     )
+
+
+ATTR_TOUCHES = ("click", "view")
+ATTR_WINDOW_MIN = 7 * 24 * 60  # lookback: touch within 7 days converts
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+        WITH o AS (
+            SELECT event_type, value, ts,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch_us,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch_type
+            FROM events
+        ),
+        p AS (
+            SELECT value,
+                   CASE WHEN touch_us IS NOT NULL
+                             AND epoch_us(ts) - touch_us
+                                 <= {ATTR_WINDOW_MIN * 60_000_000}
+                        THEN touch_type ELSE 'none' END AS attributed_to,
+                   CASE WHEN touch_us IS NOT NULL
+                             AND epoch_us(ts) - touch_us
+                                 <= {ATTR_WINDOW_MIN * 60_000_000}
+                        THEN (epoch_us(ts) - touch_us) / 60000000.0
+                   END AS mins_to_convert
+            FROM o WHERE event_type = 'purchase'
+        )
+        SELECT attributed_to,
+               CAST(COUNT(*) AS BIGINT)        AS n_purchases,
+               ROUND(SUM(value), 4)            AS attributed_value,
+               ROUND(AVG(mins_to_convert), 4)  AS avg_mins_to_convert
+        FROM p
+        GROUP BY attributed_to
+    """,
+    tags=("events", "analytics", "attribution", "sessionization"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click/view by the same user within a 7-day lookback (else
+    'none'), rolled up to credited-channel totals and the mean
+    touch-to-conversion latency.
+
+    One window per user carries the last-touch state (two
+    last_value(... IGNORE NULLS) columns over the same frame — both
+    project the SAME predecessor row, so type and timestamp stay
+    consistent); the purchase filter and the attribution CASE are
+    map-side after it. One user_id shuffle total, O(1) window state —
+    the carry-forward idiom shared with the as-of join
+    (relational.join_asof_purchase_click), here fused with the
+    lookback-expiry rule."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    touch_us = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCHES), us), ignorenulls=True
+    ).over(w)
+    touch_type = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCHES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    o = e.select(
+        "event_type", "value", us.alias("now_us"),
+        touch_us.alias("touch_us"), touch_type.alias("touch_type"),
+    ).filter(F.col("event_type") == "purchase")
+    in_window = F.col("touch_us").isNotNull() & (
+        F.col("now_us") - F.col("touch_us") <= ATTR_WINDOW_MIN * 60_000_000
+    )
+    p = o.select(
+        "value",
+        F.when(in_window, F.col("touch_type")).otherwise("none").alias(
+            "attributed_to"
+        ),
+        F.when(
+            in_window, (F.col("now_us") - F.col("touch_us")) / 60_000_000.0
+        ).alias("mins_to_convert"),
+    )
+    return p.groupBy("attributed_to").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("attributed_value"),
+        F.round(F.avg("mins_to_convert"), 4).alias("avg_mins_to_convert"),
+    )

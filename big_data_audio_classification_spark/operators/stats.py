@@ -926,3 +926,266 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))) > 0.1
         ).alias("drift_flag"),
     )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type AS g, value AS v FROM events
+            WHERE event_type IN ('{KS_GROUPS[0]}', '{KS_GROUPS[1]}')
+        ),
+        m AS (
+            SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(v) AS mean, VAR_SAMP(v) AS var
+            FROM s GROUP BY g
+        ),
+        w AS (
+            SELECT MAX(CASE WHEN g = '{KS_GROUPS[0]}' THEN n END)    AS n1,
+                   MAX(CASE WHEN g = '{KS_GROUPS[0]}' THEN mean END) AS m1,
+                   MAX(CASE WHEN g = '{KS_GROUPS[0]}' THEN var END)  AS v1,
+                   MAX(CASE WHEN g = '{KS_GROUPS[1]}' THEN n END)    AS n2,
+                   MAX(CASE WHEN g = '{KS_GROUPS[1]}' THEN mean END) AS m2,
+                   MAX(CASE WHEN g = '{KS_GROUPS[1]}' THEN var END)  AS v2
+            FROM m
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               ROUND(m1 - m2, 6) AS mean_diff,
+               ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+               ROUND(POWER(v1 / n1 + v2 / n2, 2)
+                     / (POWER(v1 / n1, 2) / (n1 - 1)
+                        + POWER(v2 / n2, 2) / (n2 - 1)), 4) AS df,
+               ABS((m1 - m2) / SQRT(v1 / n1 + v2 / n2)) > 1.959964
+                   AS reject_95
+        FROM w
+    """,
+    tags=("stats", "hypothesis-test", "events"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the value
+    distributions of two event types (the A/B-test workhorse): t
+    statistic, Welch-Satterthwaite degrees of freedom, and the 95%
+    normal-approx decision.
+
+    Fully algebraic — ONE map-side-combined aggregation produces
+    (n, mean, s²) per group; everything after runs on a 2-row table
+    pivoted to one row. The cheapest possible hypothesis test at
+    100 TB: a single scan, no ranks, no sort (contrast the exact
+    KS / Mann-Whitney forms that need order statistics)."""
+    e = load_table(spark, sf_dir, "events")
+    g1, g2 = KS_GROUPS
+    m = (
+        e.filter(F.col("event_type").isin(g1, g2))
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    w = m.agg(
+        F.max(F.when(F.col("g") == g1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == g1, F.col("mean"))).alias("m1"),
+        F.max(F.when(F.col("g") == g1, F.col("var"))).alias("v1"),
+        F.max(F.when(F.col("g") == g2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == g2, F.col("mean"))).alias("m2"),
+        F.max(F.when(F.col("g") == g2, F.col("var"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return w.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 4).alias("df"),
+        (F.abs(t) > 1.959964).alias("reject_95"),
+    )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle=f"""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = '{KS_GROUPS[0]}' THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN event_type = '{KS_GROUPS[1]}' THEN 1 ELSE 0 END AS g2
+            FROM events WHERE event_type IN ('{KS_GROUPS[0]}', '{KS_GROUPS[1]}')
+        ),
+        d AS (
+            SELECT v, SUM(g1) AS d1, SUM(g2) AS d2, COUNT(*) AS t
+            FROM s GROUP BY v
+        ),
+        c AS (
+            SELECT d1, t,
+                   SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+                       AS cum_before
+            FROM d
+        ),
+        agg AS (
+            SELECT SUM(d1 * (cum_before + (t + 1) / 2.0)) AS r1,
+                   SUM(CAST(t AS DOUBLE) * t * t - t)     AS tie_term,
+                   CAST(SUM(d1) AS DOUBLE)                AS n1,
+                   CAST(SUM(t - d1) AS DOUBLE)            AS n2
+            FROM c
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1,
+               CAST(n2 AS BIGINT) AS n2,
+               ROUND(n1 * n2 + n1 * (n1 + 1) / 2.0 - r1, 2) AS u1,
+               ROUND((n1 * n2 + n1 * (n1 + 1) / 2.0 - r1 - n1 * n2 / 2.0)
+                     / SQRT(n1 * n2 / 12.0
+                            * ((n1 + n2 + 1)
+                               - tie_term / ((n1 + n2)
+                                             * (n1 + n2 - 1)))), 6) AS z,
+               ROUND(1 - 2 * (n1 * n2 + n1 * (n1 + 1) / 2.0 - r1)
+                         / (n1 * n2), 6) AS rank_biserial
+        FROM agg
+    """,
+    tags=("stats", "hypothesis-test", "ranks", "events"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U (Wilcoxon rank-sum) between
+    two event types: U₁, the normal-approximation z (with the tie
+    variance correction), and the rank-biserial effect size — the
+    non-parametric complement to ``stats_welch_ttest`` when values
+    are skewed.
+
+    Rank computation is the DISTRIBUTED ``stats_ks_two_sample`` idiom:
+    ties collapse in a groupBy(v); values range-bucket by a broadcast
+    (min,max); cumulative counts run in a window PARTITIONED BY bucket;
+    bucket offsets come from the broadcast triangular self-join — no
+    unpartitioned WindowExec anywhere. The midrank of a tie group of
+    size t starting after C predecessors is C + (t+1)/2; everything
+    downstream of the per-value table is algebraic."""
+    e = load_table(spark, sf_dir, "events")
+    g1, g2 = KS_GROUPS
+    s = e.filter(F.col("event_type").isin(g1, g2)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == g1, 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == g2, 1).otherwise(0).alias("g2"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum("g1").alias("d1"),
+        F.count("*").alias("t"),
+    )
+    bounds = s.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-300))
+    b = d.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(KS_BUCKETS - 1),
+            F.floor((F.col("v") - F.col("vmin")) * KS_BUCKETS / span),
+        ).cast("int"),
+    )
+    loc = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = b.select(
+        "bucket",
+        "d1",
+        "t",
+        (F.sum("t").over(loc) - F.col("t")).alias("local_before"),
+    )
+    bt = b.groupBy("bucket").agg((F.sum("t")).alias("bt"))
+    x, y = bt.alias("x"), bt.alias("y")
+    off = (
+        x.join(F.broadcast(y), F.col("y.bucket") < F.col("x.bucket"), "left")
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("y.bt"), F.lit(0)).alias("off"))
+    )
+    c = b.join(F.broadcast(off), "bucket").select(
+        "d1",
+        "t",
+        (F.col("off") + F.col("local_before")).alias("cum_before"),
+    )
+    agg = c.agg(
+        F.sum(
+            F.col("d1") * (F.col("cum_before") + (F.col("t") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+        F.sum("d1").cast("double").alias("n1"),
+        F.sum(F.col("t") - F.col("d1")).cast("double").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = n1 * n2 + n1 * (n1 + 1) / 2.0 - F.col("r1")
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n1 + n2 + 1) - F.col("tie_term") / ((n1 + n2) * (n1 + n2 - 1)))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(u1, 2).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+        F.round(1 - 2 * u1 / (n1 * n2), 6).alias("rank_biserial"),
+    )
+
+
+@query(
+    "stats_gini_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT c.c_mktsegment AS seg, c.c_custkey,
+                   SUM(o.o_totalprice) AS x
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, c.c_custkey
+        ),
+        r AS (
+            SELECT seg, x,
+                   ROW_NUMBER() OVER (PARTITION BY seg
+                                      ORDER BY x, c_custkey) AS i,
+                   COUNT(*) OVER (PARTITION BY seg) AS n
+            FROM rev
+        )
+        SELECT seg,
+               CAST(MAX(n) AS BIGINT) AS n_customers,
+               ROUND(SUM(x), 2) AS total_revenue,
+               ROUND(2.0 * SUM(i * x) / (MAX(n) * SUM(x))
+                     - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+        FROM r
+        GROUP BY seg
+    """,
+    tags=("stats", "concentration", "gini", "customer"),
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) per market segment over
+    per-customer order revenue — the inequality screen a curation
+    pipeline runs on source/domain token counts too (a handful of
+    domains owning the corpus is a sampling hazard).
+
+    Gini via the rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with
+    x ascending. Ranks come from a window PARTITIONED BY segment —
+    never global; ties in x contribute identically under any
+    permutation (equal values times consecutive ranks sum the same),
+    and c_custkey makes the ordering fully deterministic anyway. One
+    fact shuffle to the customer grain, one segment-keyed window, one
+    aggregate — all on the same partitioning lineage."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("seg").orderBy("x", "c_custkey")
+    r = rev.select(
+        "seg",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("seg")).alias("n"),
+    )
+    return r.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.sum("x"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

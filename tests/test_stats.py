@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pyspark.sql.functions as F
 
 from big_data_audio_classification_spark.operators import lm_quality, stats
 from big_data_audio_classification_spark.plans import introspect
@@ -184,3 +185,108 @@ def test_bigram_logprob_is_negative_and_consistent(spark, sf_dir):
             1e-3, r["perplexity"] * 1e-4
         )
         assert r["n_bigrams"] >= 1
+
+
+def test_welch_and_mwu_match_reference_formulas(spark, sf_dir):
+    """Welch t/df and tie-corrected Mann-Whitney U/z must equal an
+    independent numpy/pure-Python computation on the same rows."""
+    from big_data_audio_classification_spark.operators import stats
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    g1, g2 = stats.KS_GROUPS
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(g1, g2))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = np.array([r["value"] for r in rows if r["event_type"] == g1])
+    b = np.array([r["value"] for r in rows if r["event_type"] == g2])
+
+    w = stats.stats_welch_ttest(spark, sf_dir).collect()[0]
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t_exp = (a.mean() - b.mean()) / se2**0.5
+    df_exp = se2**2 / (
+        (v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert w["n1"] == len(a) and w["n2"] == len(b)
+    assert abs(w["t_stat"] - t_exp) < 1e-5
+    assert abs(w["df"] - df_exp) < 1e-2
+
+    m = stats.stats_mann_whitney_u(spark, sf_dir).collect()[0]
+    pooled = np.concatenate([a, b])
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # midrank, 1-based
+        i = j
+    r1 = ranks[: len(a)].sum()
+    u1_exp = len(a) * len(b) + len(a) * (len(a) + 1) / 2.0 - r1
+    assert abs(m["u1"] - u1_exp) < 0.51
+    assert -1.0 <= m["rank_biserial"] <= 1.0
+
+
+def test_mwu_has_no_unpartitioned_window(spark, sf_dir):
+    import re
+
+    from big_data_audio_classification_spark.operators import stats
+
+    plan = introspect.formatted_plan(stats.stats_mann_whitney_u(spark, sf_dir))
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n){0,3}[^\n]*Window", plan
+    ), plan
+
+
+def test_gini_matches_direct_formula_and_bounds(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import stats
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    got = {r["seg"]: r for r in
+           stats.stats_gini_concentration(spark, sf_dir).collect()}
+    rev = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .collect()
+    )
+    by_seg: dict[str, list[float]] = {}
+    for r in rev:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["x"])
+    for seg, xs in by_seg.items():
+        xs.sort()
+        n, s = len(xs), sum(xs)
+        g_exp = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (
+            n + 1
+        ) / n
+        assert abs(got[seg]["gini"] - g_exp) < 1e-5
+        assert 0.0 <= got[seg]["gini"] < 1.0
+        assert got[seg]["n_customers"] == n
+
+
+def test_attribution_partitions_all_purchases(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import analytics
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = analytics.events_attribution_last_touch(spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+    kinds = {r["attributed_to"] for r in rows}
+    assert kinds <= set(analytics.ATTR_TOUCHES) | {"none"}
+    for r in rows:
+        if r["attributed_to"] != "none":
+            assert r["avg_mins_to_convert"] is not None
+            assert 0 <= r["avg_mins_to_convert"] <= analytics.ATTR_WINDOW_MIN
