@@ -70,6 +70,12 @@ HEADLINE = [
     "dedup_prefix_filter_join",
     "retrieval_bm25_topk",
     "events_gap_islands_sessions",
+    # round-3b flagship additions: blocked fuzzy linkage, distributed
+    # rank statistics, bounded-state EWMA, and the bigram LM scorer
+    "er_blocked_fuzzy_parts",
+    "stats_mann_whitney_u",
+    "events_ewma_deviation",
+    "text_bigram_logprob",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a

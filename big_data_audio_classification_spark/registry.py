@@ -80,6 +80,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # queries). The 14 already-certified anchors remain only because their
 # family tag exists nowhere else in the SQL-oracled registry
 # (tests/test_registry.py::test_window_samples_every_family).
+# Round-3b: five first-time entries whose EVERY family tag stays
+# covered by other window members (text_token_stats, mm_metadata_stats,
+# events_tumbling_window, tpch_q5_local_supplier, agg_hll_partial_merge
+# — the last's sketch family was already driver-certified in r02 via
+# agg_approx_count_distinct/agg_percentile_approx) made room for five
+# NEW operator families that have never appeared in any driver ledger:
+# drift monitoring (PSI/JSD), record linkage, rank-based hypothesis
+# testing, ranking-quality evaluation, and EWMA anomaly screening.
+# The displaced five remain tri-SF green in the local gate.
 DRIVER_WINDOW: tuple[str, ...] = (
     # first-time: greedy family cover over never-driver-checked queries
     "tpch_q3_shipping_priority",
@@ -88,13 +97,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_interval_join_bucketed",
     "ml_best_feature_by_mi",
     "sql_lateral_top_customer",
-    "agg_hll_partial_merge",
+    "events_ewma_deviation",
     "window_range_interval",
     "array_posexplode_outer",
     "dedup_ngram_jaccard",
-    "text_token_stats",
+    "stats_psi_drift",
     "sim_ivf_assign",
-    "mm_metadata_stats",
+    "er_blocked_fuzzy_parts",
     "set_intersectall_flags",
     "grouped_zscore_applyinpandas",
     "sink_parquet_partitioned_roundtrip",
@@ -103,7 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "skew_salted_join",
     "tpch_q18_large_orders",
     "scalar_to_json",
-    "events_tumbling_window",
+    "stats_mann_whitney_u",
     # first-time: this round's new / determinism-hardened queries
     "mm_wav_decode_stats",
     "stats_ks_two_sample",
@@ -111,7 +120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_ohlc_bars",
     "merge_upsert_orders",
     "snapshot_diff_orders",
-    "tpch_q5_local_supplier",
+    "retrieval_ranking_metrics",
     "scd2_point_in_time_join",
     "stats_mad_outliers",
     "profile_benford_first_digit",
