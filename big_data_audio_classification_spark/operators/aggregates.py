@@ -518,3 +518,74 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+HLL_SLIDE_DAYS = 7  # trailing window width for the sliding distinct
+
+
+@query(
+    "agg_hll_sliding_distinct",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM daily)
+        SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS n_users_exact,
+               TRUE AS sketch_within_tol
+        FROM days d
+        JOIN daily x
+          ON x.day BETWEEN d.day - {HLL_SLIDE_DAYS - 1} AND d.day
+        GROUP BY d.day
+    """,
+    tags=("aggregate", "sketch", "sliding-window", "events"),
+)
+def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day, the sliding-window
+    flavor of mergeable sketches: ONE per-day HLL sketch pass over the
+    events, then every day's trailing window is a UNION of <= 7 daily
+    sketches joined against the tiny day spine — raw events are
+    scanned once no matter how many overlapping windows read them.
+    At 100 TB the daily sketch table is the persisted artifact (KBs
+    per day); windowed/cross-period distincts never rescan the log.
+
+    Bounds oracle (the ``agg_approx_count_distinct`` contract): the
+    exact trailing distinct is hash-checked; the sketch estimate is
+    asserted within 5% of it."""
+    e = load_table(spark, sf_dir, "events")
+    tol = 0.05
+    daily_pairs = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily_pairs.select("day").distinct()
+    sketches = daily_pairs.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    lo = F.date_sub(F.col("d.day"), HLL_SLIDE_DAYS - 1)
+    approx = (
+        days.alias("d")
+        .join(
+            F.broadcast(sketches.alias("s")),
+            F.col("s.day").between(lo, F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx"))
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            F.broadcast(daily_pairs.alias("x")),
+            F.col("x.day").between(lo, F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("x.user_id").alias("n_users_exact"))
+    )
+    return exact.join(approx, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_users_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= F.lit(tol)
+        ).alias("sketch_within_tol"),
+    )

@@ -722,3 +722,174 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("value"), 4).alias("attributed_value"),
         F.round(F.avg("mins_to_convert"), 4).alias("avg_mins_to_convert"),
     )
+
+
+RFM_Q = (0.2, 0.4, 0.6, 0.8)  # quintile cutoffs
+
+
+@query(
+    "analytics_rfm_segmentation",
+    oracle=f"""
+        WITH cust AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(o_orderdate),
+                             (SELECT MAX(o_orderdate) FROM orders)) AS recency,
+                   CAST(COUNT(*) AS DOUBLE)  AS frequency,
+                   SUM(o_totalprice)         AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        cuts AS (
+            SELECT
+              {", ".join(
+                  f"ROUND(QUANTILE_CONT({m}, {q}), 6) AS {m[0]}q{i}"
+                  for m in ("recency", "frequency", "monetary")
+                  for i, q in enumerate(RFM_Q, 1))}
+            FROM cust
+        ),
+        scored AS (
+            SELECT 6 - (1 + (recency > rq1)::INT + (recency > rq2)::INT
+                          + (recency > rq3)::INT + (recency > rq4)::INT)
+                       AS r_score,
+                   1 + (frequency > fq1)::INT + (frequency > fq2)::INT
+                     + (frequency > fq3)::INT + (frequency > fq4)::INT
+                       AS f_score,
+                   1 + (monetary > mq1)::INT + (monetary > mq2)::INT
+                     + (monetary > mq3)::INT + (monetary > mq4)::INT
+                       AS m_score,
+                   monetary
+            FROM cust CROSS JOIN cuts
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(AVG(monetary), 4)  AS avg_monetary
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "rfm", "segmentation", "orders"),
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile scores for Recency (days
+    since last order, inverted so fresher = higher), Frequency (order
+    count), and Monetary (total spend), rolled up to segment sizes.
+
+    Plan: one order scan to the customer grain; the 12 quintile
+    cutoffs are ONE aggregate row broadcast back (cutoffs are ROUNDed
+    to 1e-6 in both engines before comparison so an interpolation ulp
+    can never flip a boundary assignment); scoring is pure map-side
+    arithmetic; the final rollup has <= 125 keys. The exact
+    percentile() here runs at the CUSTOMER grain — dimension-sized,
+    not fact-sized; at 100 TB the cutoffs come from
+    ``agg_percentiles_twophase`` instead, same downstream plan."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("ref_date"), F.max("o_orderdate")).alias("recency"),
+            F.count("*").cast("double").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    cuts = cust.agg(
+        *[
+            F.round(F.percentile(m, q), 6).alias(f"{m[0]}q{i}")
+            for m in ("recency", "frequency", "monetary")
+            for i, q in enumerate(RFM_Q, 1)
+        ]
+    )
+    def score(m: str):
+        base = sum(
+            (F.col(m) > F.col(f"{m[0]}q{i}")).cast("int")
+            for i in range(1, 5)
+        )
+        return base + 1
+
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        (6 - score("recency")).alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+    )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+        WITH first_touch AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        size AS (
+            SELECT cohort_week, COUNT(*) AS cohort_users
+            FROM first_touch GROUP BY cohort_week
+        ),
+        rev AS (
+            SELECT f.cohort_week,
+                   CAST(FLOOR(date_diff('day', f.cohort_week,
+                                        CAST(e.ts AS DATE)) / 7.0) AS INT)
+                       AS week_offset,
+                   SUM(e.value) AS revenue
+            FROM events e
+            JOIN first_touch f USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT STRFTIME(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+               r.week_offset,
+               ROUND(r.revenue, 4) AS revenue,
+               ROUND(SUM(r.revenue) OVER (PARTITION BY r.cohort_week
+                                          ORDER BY r.week_offset)
+                     / s.cohort_users, 6) AS cum_ltv_per_user
+        FROM rev r JOIN size s USING (cohort_week)
+    """,
+    tags=("events", "analytics", "cohort", "ltv"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: purchase revenue per (first-seen
+    week, week offset), cumulated into running LTV per cohort user —
+    the payback view stacked on top of ``events_retention_cohorts``.
+
+    The user->cohort map is dimension-sized and broadcast onto the
+    purchase stream; the cumulative window runs over the (cohort,
+    offset) AGGREGATE (a few dozen rows), partitioned by cohort —
+    never over events."""
+    e = load_table(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.trunc(F.min("ts"), "week").alias("cohort_week")
+    )
+    size = first_touch.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_touch), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7.0)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("value").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(size), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.round("revenue", 4).alias("revenue"),
+            F.round(
+                F.sum("revenue").over(w) / F.col("cohort_users"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+    )

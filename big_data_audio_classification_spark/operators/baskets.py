@@ -113,3 +113,125 @@ def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.col("itemset").cast("string"))
         .limit(500)
     )
+
+
+RULE_MIN_CONF = 0.01  # floor just under the ~4% baseline basket
+#                       rate: the lift RANKING carries the signal (items
+#                       here are uniform, so confidences sit near baseline
+#                       at every SF; a 0.3 bar would return zero rules)
+RULE_TOPN = 40        # highest-lift rules reported
+
+
+@query(
+    "baskets_association_rules",
+    oracle=f"""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey % 100 AS item
+            FROM lineitem
+        ),
+        nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM b),
+        items AS (SELECT item, COUNT(*) AS supp FROM b GROUP BY item),
+        pairs AS (
+            SELECT a.item AS ia, b2.item AS ib, COUNT(*) AS supp_ab
+            FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                              AND a.item < b2.item
+            GROUP BY a.item, b2.item
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        ),
+        rules AS (
+            SELECT ia AS antecedent, ib AS consequent, supp_ab,
+                   supp_ab / x.supp AS confidence,
+                   supp_ab / x.supp * n / y.supp AS lift
+            FROM pairs JOIN items x ON x.item = ia
+                       JOIN items y ON y.item = ib
+                       CROSS JOIN nb
+            UNION ALL
+            SELECT ib, ia, supp_ab,
+                   supp_ab / y.supp,
+                   supp_ab / y.supp * n / x.supp
+            FROM pairs JOIN items x ON x.item = ia
+                       JOIN items y ON y.item = ib
+                       CROSS JOIN nb
+        )
+        SELECT antecedent, consequent,
+               CAST(supp_ab AS BIGINT)  AS pair_support,
+               ROUND(confidence, 6)     AS confidence,
+               ROUND(lift, 6)           AS lift
+        FROM rules
+        WHERE confidence >= {RULE_MIN_CONF}
+        ORDER BY lift DESC, antecedent, consequent
+        LIMIT {RULE_TOPN}
+    """,
+    tags=("baskets", "association-rules", "lineitem"),
+)
+def baskets_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from frequent pairs: confidence(a→b) =
+    supp(ab)/supp(a) and lift = confidence · N/supp(b), both rule
+    directions emitted from each unordered pair, thresholded and
+    ranked by lift — the relational spelling of what
+    ``ml_fpgrowth_baskets`` gets from MLlib, fully oracle-checkable.
+
+    Plan: the pair join is the same single order-keyed equi-join as
+    ``basket_item_pairs``; item supports and the basket count are
+    dimension-sized aggregates broadcast onto the pair table; the
+    final ranking is TakeOrderedAndProject (top-N, no global sort).
+    Lift ties are broken by (antecedent, consequent) so the cut is
+    deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    nb = b.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    items = b.groupBy("item").agg(F.count("*").alias("supp"))
+    a2, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a2.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
+            & (F.col("a.item") < F.col("b2.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b2.item").alias("ib"))
+        .agg(F.count("*").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(items.select(F.col("item").alias("ia"),
+                                     F.col("supp").alias("supp_a"))), "ia"
+        )
+        .join(
+            F.broadcast(items.select(F.col("item").alias("ib"),
+                                     F.col("supp").alias("supp_b"))), "ib"
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    fwd = joined.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "supp_ab",
+        (F.col("supp_ab") / F.col("supp_a")).alias("confidence"),
+        (F.col("supp_ab") / F.col("supp_a") * F.col("n") / F.col("supp_b"))
+        .alias("lift"),
+    )
+    rev = joined.select(
+        F.col("ib").alias("antecedent"),
+        F.col("ia").alias("consequent"),
+        "supp_ab",
+        (F.col("supp_ab") / F.col("supp_b")).alias("confidence"),
+        (F.col("supp_ab") / F.col("supp_b") * F.col("n") / F.col("supp_a"))
+        .alias("lift"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("confidence") >= RULE_MIN_CONF)
+        .select(
+            "antecedent", "consequent",
+            F.col("supp_ab").cast("bigint").alias("pair_support"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(RULE_TOPN)
+    )

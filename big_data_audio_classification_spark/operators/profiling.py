@@ -285,3 +285,120 @@ def profile_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "profile_dq_rules",
+    oracle="""
+        WITH o AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                       AS dup_keys,
+                   CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bad_price,
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_date
+            FROM orders
+        ),
+        l AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+            FROM lineitem
+        ),
+        j AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL
+                                  AND li.l_shipdate < o.o_orderdate
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS ship_early
+            FROM lineitem li LEFT JOIN orders o
+              ON li.l_orderkey = o.o_orderkey
+        )
+        SELECT rule, n_checked, n_violations,
+               n_violations = 0 AS passed
+        FROM (
+            SELECT 'orders_pk_unique' AS rule, n AS n_checked,
+                   dup_keys AS n_violations FROM o
+            UNION ALL
+            SELECT 'orders_price_positive', n, bad_price FROM o
+            UNION ALL
+            SELECT 'orders_date_not_null', n, null_date FROM o
+            UNION ALL
+            SELECT 'lineitem_discount_in_unit_range', n, bad_disc FROM l
+            UNION ALL
+            SELECT 'lineitem_fk_has_order', n, orphans FROM j
+            UNION ALL
+            SELECT 'lineitem_ships_after_order', n, ship_early FROM j
+        )
+    """,
+    tags=("profiling", "data-quality", "constraints", "orders", "lineitem"),
+)
+def profile_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality assertion suite (the Deequ pattern):
+    primary-key uniqueness, range checks, not-null, referential
+    integrity, and a cross-table temporal-order rule, emitted as one
+    row per rule with violation counts and a pass flag.
+
+    All single-table rules for a table fold into ONE aggregation pass
+    (conditional sums share the scan); the two referential/temporal
+    rules share ONE fact-keyed left join. The rule ledger is what a
+    100 TB ingestion gate diffs snapshot-over-snapshot — counts, not
+    row dumps, so output size is O(rules)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oagg = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int"))
+        .cast("bigint")
+        .alias("bad_price"),
+        F.sum(F.col("o_orderdate").isNull().cast("int"))
+        .cast("bigint")
+        .alias("null_date"),
+    )
+    lagg = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("int")
+        )
+        .cast("bigint")
+        .alias("bad_disc"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "left").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("orphans"),
+        F.sum(
+            (
+                F.col("o_orderkey").isNotNull()
+                & (F.col("l_shipdate") < F.col("o_orderdate"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("ship_early"),
+    )
+
+    def rule(src: DataFrame, name: str, viol: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col(viol).alias("n_violations"),
+        )
+
+    rules = (
+        rule(oagg, "orders_pk_unique", "dup_keys")
+        .unionByName(rule(oagg, "orders_price_positive", "bad_price"))
+        .unionByName(rule(oagg, "orders_date_not_null", "null_date"))
+        .unionByName(rule(lagg, "lineitem_discount_in_unit_range", "bad_disc"))
+        .unionByName(rule(j, "lineitem_fk_has_order", "orphans"))
+        .unionByName(rule(j, "lineitem_ships_after_order", "ship_early"))
+    )
+    return rules.select(
+        "rule", "n_checked", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

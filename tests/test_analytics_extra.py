@@ -1,0 +1,87 @@
+"""Round-3 business-analytics invariants: RFM, LTV, DQ rules, sliding
+HLL, association rules."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators import (
+    aggregates,
+    analytics,
+    baskets,
+    profiling,
+)
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_rfm_scores_partition_customers(spark, sf_dir):
+    rows = analytics.analytics_rfm_segmentation(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["avg_monetary"] > 0
+
+
+def test_cohort_ltv_is_monotone_per_cohort(spark, sf_dir):
+    rows = analytics.events_cohort_ltv(spark, sf_dir).collect()
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    assert by_cohort
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["week_offset"])
+        ltvs = [r["cum_ltv_per_user"] for r in rs]
+        assert ltvs == sorted(ltvs)  # cumulative revenue never decreases
+        assert all(v > 0 for v in ltvs)
+
+
+def test_dq_rules_ledger_is_consistent(spark, sf_dir):
+    rows = profiling.profile_dq_rules(spark, sf_dir).collect()
+    assert len(rows) == 6
+    names = {r["rule"] for r in rows}
+    assert "orders_pk_unique" in names and "lineitem_fk_has_order" in names
+    for r in rows:
+        assert r["n_checked"] > 0
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+        assert r["passed"] == (r["n_violations"] == 0)
+    # the synthetic generator emits unique order keys — that rule must hold
+    pk = next(r for r in rows if r["rule"] == "orders_pk_unique")
+    assert pk["passed"]
+
+
+def test_hll_sliding_window_dominates_daily_distinct(spark, sf_dir):
+    got = {
+        r["day"]: r
+        for r in aggregates.agg_hll_sliding_distinct(spark, sf_dir).collect()
+    }
+    daily = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(daily)
+    for day, r in got.items():
+        # a trailing-7-day union can never see fewer users than its last day
+        assert r["n_users_exact"] >= daily[day]
+        assert r["sketch_within_tol"]
+
+
+def test_association_rules_measures_in_range(spark, sf_dir):
+    rows = baskets.baskets_association_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["antecedent"] != r["consequent"]
+        assert r["pair_support"] >= baskets.BASKET_MIN_SUPPORT
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
