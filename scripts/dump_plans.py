@@ -96,6 +96,40 @@ SHOWCASE = [
         "the same hashpartitioning(user_id) — Catalyst plans a single "
         "shuffle for the whole operator.",
     ),
+    (
+        "er_blocked_fuzzy_parts",
+        "Blocked record linkage: the self-join is a plain equi-join on "
+        "the (brand, first-token) block key — no CartesianProduct or "
+        "BroadcastNestedLoopJoin anywhere; the levenshtein verifier and "
+        "the key inequality evaluate inside the join's post-condition, "
+        "and the per-block rollup reuses the block-key partitioning.",
+    ),
+    (
+        "stats_mann_whitney_u",
+        "Distributed exact rank statistic: ties collapse in a "
+        "groupBy(v); cumulative counts run in a window PARTITIONED BY "
+        "the range bucket (parallel local prefix sums); bucket offsets "
+        "come from a broadcast triangular join over <=256 rows. No "
+        "'Exchange SinglePartition -> Window' appears — the shape that "
+        "single-node rank tests force and this plan removes.",
+    ),
+    (
+        "events_ewma_deviation",
+        "Bounded-state EWMA: one hashpartitioning(user_id) exchange is "
+        "shared by the row_number, the 64-row sliding collect_list "
+        "frame, and the final per-user aggregate; the Horner fold over "
+        "the frame is a codegen'd higher-order function — no Python, "
+        "no unbounded window state, no second shuffle.",
+    ),
+    (
+        "stats_psi_drift",
+        "Drift monitor: ONE scan histograms baseline and current "
+        "periods together (conditional partial_sums, map-side "
+        "combined); the per-type totals window and the final PSI/JSD "
+        "aggregate both run over the <= |types| x 10 histogram rows, "
+        "never the events; the (min,max) bounds arrive as a 1-row "
+        "broadcast.",
+    ),
 ]
 
 
