@@ -505,3 +505,78 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("click_id_raw")).alias("click_id"),
         F.when(fresh, F.col("click_ts_raw")).cast("string").alias("click_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Polymorphic Python UDTF (Spark 4): output schema computed by analyze()
+# from a constant argument — the dynamic-schema half of the UDTF surface.
+# --------------------------------------------------------------------------
+NGRAM_N = 3        # constant argument the UDTF's analyze() consumes
+NGRAM_TOPN = 20
+
+
+@query(
+    "udtf_analyze_ngrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), t -> t <> '') AS l
+            FROM documents
+        ),
+        g AS (
+            SELECT l[i + 1] AS g1, l[i + 2] AS g2, l[i + 3] AS g3
+            FROM toks, UNNEST(range(len(l) - {NGRAM_N - 1})) AS t(i)
+            WHERE len(l) >= {NGRAM_N}
+        )
+        SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g
+        GROUP BY g1, g2, g3
+        ORDER BY cnt DESC, g1, g2, g3
+        LIMIT {NGRAM_TOPN}
+    """,
+    tags=("udtf", "analyze", "text", "documents"),
+)
+def udtf_analyze_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF: ``word_ngrams(text, n)`` has NO static
+    returnType — its ``analyze()`` reads the constant ``n`` argument at
+    plan time and emits one output column per gram position (g1..gn),
+    the Spark 4 dynamic-schema UDTF contract (static-schema counterpart:
+    ``udtf_split_words``). The query ranks the corpus's top trigrams.
+
+    Scale: the UDTF runs Arrow-batched per partition (text never
+    shuffles; only emitted gram rows feed the map-side-combined count),
+    and the final ranking is orderBy+limit = TakeOrderedAndProject.
+    Ties at the cut are broken by the full gram so the top-N set is
+    deterministic cross-engine."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class WordNgrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(f"g{i + 1}", StringType()) for i in range(width)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("word_ngrams", udtf(WordNgrams))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_ngram_docs_in"
+    )
+    cols = ", ".join(f"g{i + 1}" for i in range(NGRAM_N))
+    return spark.sql(
+        f"""
+        SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM udtf_ngram_docs_in d, LATERAL word_ngrams(d.text, {NGRAM_N})
+        GROUP BY {cols}
+        ORDER BY cnt DESC, {cols}
+        LIMIT {NGRAM_TOPN}
+        """
+    )

@@ -188,3 +188,91 @@ def make_ticks_stream_datasource():
             return TicksStreamReader(self.options)
 
     return TicksStreamDataSource
+
+
+def make_jsonl_sink_datasource():
+    """Python DataSource with a batch WRITER (Spark 4
+    ``DataSourceWriter``): executor-parallel JSON-lines sink. Each task
+    streams its partition's rows to one part file and returns a
+    ``WriterCommitMessage``; the driver sees all commit messages at
+    once, which is where a transactional sink would publish a manifest
+    (the two-phase-commit hook this exemplar keeps minimal)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Commit(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(fn, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return _Commit(fn, n)
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+@query(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(o_totalprice, 2) AS total
+        FROM orders
+    """,
+    tags=("sink", "python-datasource", "jsonl", "orders"),
+)
+def sink_python_datasource_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write-path counterpart of ``source_python_datasource``: project
+    orders, WRITE through the pluggable Python JSON-lines sink
+    (executor-parallel ``DataSourceWriter.write`` per partition), read
+    the emitted files back with the native JSON reader, and return the
+    roundtripped rows — proving the custom write path is lossless
+    (doubles survive via repr-exact JSON serialization).
+
+    Scale: writes are embarrassingly parallel (one file per task, no
+    coordination until the driver-side commit-message fan-in); the
+    read-back is a normal distributed JSON scan with an explicit
+    schema."""
+    import tempfile
+
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    spark.dataSource.register(make_jsonl_sink_datasource())
+    out_dir = tempfile.mkdtemp(prefix="jsonl_sink_")
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    proj.write.format("jsonl_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, total double"
+    ).json(out_dir)

@@ -111,3 +111,42 @@ def test_python_streaming_datasource_drains_deterministically(spark):
     ids = sorted(r.tick_id for r in rows)
     assert ids == list(range(TICK_MAX))
     assert all(r.val == float((r.tick_id * 3) % 17) for r in rows)
+
+
+def test_jsonl_sink_writes_one_file_per_partition(spark, tmp_path):
+    from big_data_audio_classification_spark.sources.python_datasource import (
+        make_jsonl_sink_datasource,
+    )
+
+    spark.dataSource.register(make_jsonl_sink_datasource())
+    df = spark.range(0, 90).selectExpr(
+        "id AS o_orderkey", "'O' AS o_orderstatus", "CAST(id AS DOUBLE) AS total"
+    ).repartition(3)
+    out = str(tmp_path / "jsonl_out")
+    import os
+
+    os.makedirs(out)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(files) == 3  # one part file per task
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, total double"
+    ).json(out)
+    assert back.count() == 90
+    assert back.agg({"total": "sum"}).collect()[0][0] == sum(range(90))
+
+
+def test_udtf_analyze_schema_tracks_constant_arg(spark, sf_dir):
+    """The polymorphic UDTF's analyze() must emit n output columns for
+    constant n — 2 for bigrams, 3 for trigrams — plus the aggregate."""
+    from big_data_audio_classification_spark.operators import advanced
+
+    df3 = advanced.udtf_analyze_ngrams(spark, sf_dir)
+    assert df3.columns == ["g1", "g2", "g3", "cnt"]
+    spark.createDataFrame([("a b c d",)], "text string").createOrReplaceTempView(
+        "udtf_tiny"
+    )
+    rows = spark.sql(
+        "SELECT * FROM udtf_tiny t, LATERAL word_ngrams(t.text, 2) g"
+    ).collect()
+    assert {tuple(r)[1:] for r in rows} == {("a", "b"), ("b", "c"), ("c", "d")}
