@@ -632,3 +632,128 @@ def curation_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= AES_K)
         .select("doc_id", F.col("wt").cast("bigint").alias("weight"), "rank")
     )
+
+
+WMED_B = 256  # quality-score buckets; quality lives in [0,1] by
+#               construction, so the bucket map needs no bounds pass
+
+
+@query(
+    "curation_token_weighted_median",
+    oracle=f"""
+        WITH t AS (SELECT source, {_SQL_TOKENS} AS toks FROM documents),
+        m AS (
+            SELECT source,
+                   CAST(len(toks) AS BIGINT) AS w,
+                   ROUND(LEAST(CAST(len(toks) AS DOUBLE) / 64, 1.0) * 0.4
+                         + LEAST(CAST(len(list_filter(toks,
+                                        x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                                 / len(toks) * 5, 1.0) * 0.3
+                         + CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks) * 0.3, 6) AS q
+            FROM t WHERE len(toks) > 0
+        ),
+        c AS (
+            SELECT source, q, w,
+                   SUM(w) OVER (PARTITION BY source ORDER BY q
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cw,
+                   SUM(w) OVER (PARTITION BY source) AS tw
+            FROM m
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)  AS n_docs,
+               CAST(MAX(tw) AS BIGINT)   AS total_tokens,
+               MIN(CASE WHEN cw >= tw / 2.0 THEN q END) AS wmedian_quality
+        FROM c
+        GROUP BY source
+    """,
+    tags=("curation", "quality", "weighted-median", "documents"),
+)
+def curation_token_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median quality per source: the smallest quality
+    score q* such that documents scoring <= q* hold at least HALF the
+    source's TOKEN MASS — the threshold a token-budget curation pass
+    actually needs (a document-count median over-weights short docs).
+
+    Distributed two-phase form (the ``agg_percentiles_twophase`` /
+    ``stats_ks_two_sample`` idiom, generalized to WEIGHTED ranks):
+    quality lives in [0,1] by construction, so bucketing needs NO
+    bounds pass — one aggregation yields per-(source, bucket) token
+    weights; exclusive bucket prefixes come from a broadcast
+    triangular join (<= 256 rows per source, window-free); only the
+    single candidate bucket's distinct scores are re-aggregated and
+    cumulated (window PARTITIONED by source, frame = distinct scores
+    inside one bucket). The raw per-document table is scanned twice,
+    shuffled never-wider than (source, bucket) keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("source", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_tokens = F.size("toks").cast("double")
+    n_stop = _count_in_cur(F.col("toks"), STOPWORDS).cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = F.round(
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + F.least(n_stop / n_tokens * 5, F.lit(1.0)) * 0.3
+        + ttr * 0.3,
+        6,
+    )
+    m = base.select(
+        "source",
+        F.size("toks").cast("bigint").alias("w"),
+        quality.alias("q"),
+    )
+    stats = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_tokens"),
+    )
+    binned = m.select(
+        "source", "q", "w",
+        F.least(F.floor(F.col("q") * WMED_B), F.lit(WMED_B - 1))
+        .cast("int")
+        .alias("b"),
+    )
+    bw = binned.groupBy("source", "b").agg(F.sum("w").alias("wsum"))
+    x, y = bw.alias("x"), bw.alias("y")
+    off = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.source") == F.col("x.source"))
+            & (F.col("y.b") < F.col("x.b")),
+            "left",
+        )
+        .groupBy(F.col("x.source").alias("source"), F.col("x.b").alias("b"))
+        .agg(
+            F.coalesce(F.sum("y.wsum"), F.lit(0)).alias("cum_before"),
+            F.max(F.col("x.wsum")).alias("wsum"),
+        )
+    )
+    cand = (
+        off.join(F.broadcast(stats), "source")
+        .filter(
+            (F.col("cum_before") < F.col("total_tokens") / 2.0)
+            & (
+                F.col("cum_before") + F.col("wsum")
+                >= F.col("total_tokens") / 2.0
+            )
+        )
+        .select("source", "b", "cum_before")
+    )
+    wloc = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        binned.join(F.broadcast(cand), ["source", "b"])
+        .groupBy("source", "b", "cum_before", "q")
+        .agg(F.sum("w").alias("dw"))
+        .withColumn("cw", F.col("cum_before") + F.sum("dw").over(wloc))
+        .join(F.broadcast(stats), "source")
+        .filter(F.col("cw") >= F.col("total_tokens") / 2.0)
+        .groupBy("source")
+        .agg(F.min("q").alias("wmedian_quality"))
+    )
+    return stats.join(picked, "source").select(
+        "source", "n_docs", "total_tokens", "wmedian_quality"
+    )

@@ -131,3 +131,47 @@ def test_token_budget_two_phase_equals_global_window(spark, sf_dir):
     )
     want = {(r["doc_id"], r["cum_tokens"]) for r in naive.collect()}
     assert got == want
+
+
+def test_token_weighted_median_splits_token_mass(spark, sf_dir):
+    """At the reported threshold, docs scoring <= q* must hold >= half
+    the source's tokens, and docs scoring < q* strictly less — the
+    defining property of a weighted median."""
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.operators import curation, text
+    from big_data_audio_classification_spark.operators.dedup import tokens_col
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    got = {
+        r["source"]: r
+        for r in curation.curation_token_weighted_median(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size("toks").cast("double")
+    n_stop = text._count_in(F.col("toks"), text.STOPWORDS).cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    q = F.round(
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + F.least(n_stop / n_tokens * 5, F.lit(1.0)) * 0.3
+        + ttr * 0.3,
+        6,
+    )
+    rows = (
+        d.select("source", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("source", F.size("toks").cast("long").alias("w"), q.alias("q"))
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["q"], r["w"]))
+    for src, pairs in by_src.items():
+        tot = sum(w for _, w in pairs)
+        qstar = got[src]["wmedian_quality"]
+        at_or_below = sum(w for qq, w in pairs if qq <= qstar)
+        strictly_below = sum(w for qq, w in pairs if qq < qstar)
+        assert at_or_below >= tot / 2.0
+        assert strictly_below < tot / 2.0
+        assert got[src]["total_tokens"] == tot
