@@ -453,3 +453,115 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_div"),
         F.try_element_at(F.split("c_name", "#"), F.lit(5)).alias("fifth_part"),
     )
+
+
+@query(
+    "scalar_mask_redact",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g')                       AS masked,
+               substr(c_name, 1, 9) ||
+               regexp_replace(substr(c_name, 10), '[0-9]', 'n', 'g')
+                                                            AS partial
+        FROM customer
+    """,
+    tags=("scalar", "string", "masking", "governance", "customer"),
+)
+def scalar_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (data-governance redaction): full ``mask()`` —
+    uppercase→X, lowercase→x, digit→n, punctuation kept — plus the
+    partial-reveal form that keeps a business prefix and masks the
+    numeric tail. Pure codegen string kernels, map-only; the oracle
+    states the same transform as regexp chains (DuckDB has no mask()).
+    The pattern a 100 TB PII pass applies column-wise before data
+    leaves the governed zone (the regex-driven scrub for free text is
+    ``text_pii_scrub``)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.mask(
+                F.expr("substring(c_name, 10)"),
+                upperChar=F.lit("X"),
+                lowerChar=F.lit("x"),
+                digitChar=F.lit("n"),
+                otherChar=F.lit(None),
+            ),
+        ).alias("partial"),
+    )
+
+
+@query(
+    "scalar_collation_ci",
+    oracle="""
+        WITH m AS (
+            SELECT CASE WHEN c_custkey % 2 = 0
+                        THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
+            FROM customer
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)                    AS n_rows,
+               CAST(COUNT(DISTINCT seg) AS BIGINT)         AS distinct_binary,
+               CAST(COUNT(DISTINCT lower(seg)) AS BIGINT)  AS distinct_ci
+        FROM m
+    """,
+    tags=("scalar", "string", "collation", "customer"),
+)
+def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the same mixed-case column counts
+    10 distinct values under binary (UTF8_BINARY) comparison but 5
+    under the UNICODE_CI collation — equality, grouping, and joins all
+    follow the column's collation instead of needing lower() wrapped
+    around every reference (which would also defeat pushdown/stats).
+    The oracle states the CI semantics via lower()."""
+    c = load_table(spark, sf_dir, "customer")
+    m = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg")
+    )
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("seg").cast("bigint").alias("distinct_binary"),
+        F.countDistinct(F.collate(F.col("seg"), "UNICODE_CI"))
+        .cast("bigint")
+        .alias("distinct_ci"),
+    )
+
+
+@query(
+    "scalar_xml_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus AS status,
+               ROUND(o_totalprice, 2)    AS price
+        FROM orders
+    """,
+    tags=("scalar", "xml", "serialization", "orders"),
+)
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML functions (Spark 4 ``to_xml``/``from_xml``): serialize each
+    order to an XML fragment and parse it straight back — the
+    roundtripped fields must equal the source projection (which is
+    exactly what the oracle states; DuckDB has no XML writer to
+    byte-compare against). Map-only codegen both directions; the
+    schema argument makes the parse a typed single pass, the same
+    contract as ``from_json``."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.round("o_totalprice", 2).alias("p"),
+        )
+    )
+    parsed = F.from_xml(xml, "k BIGINT, s STRING, p DOUBLE")
+    return o.select(parsed.alias("r")).select(
+        F.col("r.k").alias("o_orderkey"),
+        F.col("r.s").alias("status"),
+        F.col("r.p").alias("price"),
+    )
