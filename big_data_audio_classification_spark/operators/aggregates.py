@@ -589,3 +589,53 @@ def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(tol)
         ).alias("sketch_within_tol"),
     )
+
+
+TOPK_ITEMS = 10  # heavy hitters reported
+
+
+@query(
+    "agg_approx_top_k",
+    oracle=f"""
+        SELECT o_orderpriority AS item,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               TRUE AS sketch_agrees
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY cnt DESC, item
+        LIMIT {TOPK_ITEMS}
+    """,
+    tags=("aggregate", "sketch", "heavy-hitters", "orders"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the ``approx_top_k`` frequent-items sketch
+    (Spark 4): single-pass, mergeable, fixed memory — the way a 100 TB
+    scan reports its dominant keys without a full groupBy shuffle of
+    every distinct key (only sketch state moves between stages).
+
+    Bounds oracle (the sketch-family contract): the exact top-k counts
+    are hash-checked against DuckDB; ``sketch_agrees`` asserts the
+    sketch reproduced the exact (item, count) pairs — guaranteed here
+    because the sketch's internal map width (10k) far exceeds the key
+    cardinality, the regime where frequent-items sketches are exact."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr(f"approx_top_k(o_orderpriority, {TOPK_ITEMS})").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("approx_cnt")
+    )
+    exact = (
+        o.groupBy(F.col("o_orderpriority").alias("item"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+        .limit(TOPK_ITEMS)
+    )
+    return (
+        exact.join(F.broadcast(sk), "item", "left")
+        .select(
+            "item",
+            "cnt",
+            (F.col("approx_cnt") == F.col("cnt")).alias("sketch_agrees"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )
