@@ -369,6 +369,55 @@ def dedup_minhash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20
 
 
+def _lsh_band_table(d: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH bucket membership — the edge
+    surrogate both CC queries propagate labels through."""
+    sig = minhash_signature(d, "doc_id", "text")
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def _cc_min_label(bands: DataFrame) -> DataFrame:
+    """Iterated min-label propagation over the bucket graph to fixpoint
+    (pointer jumping): one graph hop per round, two keyed shuffles per
+    round, localCheckpoint to cut lineage. Returns (doc_id, component)."""
+    bands = bands.localCheckpoint()  # reused every round
+    reps = bands.groupBy("doc_id").agg(F.min("doc_id").alias("rep")).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        bucket_rep = (
+            bands.join(reps, "doc_id")
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("rep").alias("b_rep"))
+        )
+        proposed = (
+            bands.join(bucket_rep, ["band_id", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.min("b_rep").alias("p_rep"))
+        )
+        merged = reps.join(proposed, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("rep"), F.coalesce("p_rep", F.col("rep"))).alias("new_rep"),
+            "rep",
+        )
+        changed = merged.filter(F.col("new_rep") != F.col("rep")).count()
+        reps = merged.select("doc_id", F.col("new_rep").alias("rep")).localCheckpoint()
+        if changed == 0:
+            break
+    return reps.select("doc_id", F.col("rep").alias("component"))
+
+
 @query("dedup_connected_components", oracle=None, tags=("dedup", "minhash", "lsh", "iterative"))
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full transitive dedup: connected components over the LSH bucket
@@ -390,46 +439,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the classic iterative-algorithm failure mode.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(d, "doc_id", "text")
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    )
-    bands = bands.localCheckpoint()  # reused every round
-    reps = bands.groupBy("doc_id").agg(F.min("doc_id").alias("rep")).localCheckpoint()
-    for _ in range(CC_MAX_ITERS):
-        # bucket label = min rep of member docs; doc label = min over
-        # its buckets and its own current rep — one graph hop per round
-        bucket_rep = (
-            bands.join(reps, "doc_id")
-            .groupBy("band_id", "band_hash")
-            .agg(F.min("rep").alias("b_rep"))
-        )
-        proposed = (
-            bands.join(bucket_rep, ["band_id", "band_hash"])
-            .groupBy("doc_id")
-            .agg(F.min("b_rep").alias("p_rep"))
-        )
-        merged = reps.join(proposed, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("rep"), F.coalesce("p_rep", F.col("rep"))).alias("new_rep"),
-            "rep",
-        )
-        changed = merged.filter(F.col("new_rep") != F.col("rep")).count()
-        reps = merged.select("doc_id", F.col("new_rep").alias("rep")).localCheckpoint()
-        if changed == 0:
-            break
-    return reps.select("doc_id", F.col("rep").alias("component"))
+    return _cc_min_label(_lsh_band_table(d))
 
 
 INCR_SPLIT_MOD = 5  # doc_id % 5 == 4 -> tonight's incoming batch
@@ -763,3 +773,54 @@ def prefix_filter_pairs(w: DataFrame, theta: float, n: int) -> DataFrame:
         F.col("n_common").cast("bigint").alias("n_common"),
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+CC_ORACLE_CAP = 600  # doc slice for the cross-engine-verified CC variant
+
+
+def _cc_oracle_sql() -> str:
+    band_edges = " UNION ALL ".join(
+        "SELECT a.doc_id AS s, b.doc_id AS t FROM sig a JOIN sig b ON "
+        + " AND ".join(
+            f"a.m{b * LSH_ROWS + r} = b.m{b * LSH_ROWS + r}"
+            for r in range(LSH_ROWS)
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH RECURSIVE sig AS (
+            {_minhash_sql(f"(SELECT * FROM documents WHERE doc_id < {CC_ORACLE_CAP})")}
+        ),
+        e AS (SELECT DISTINCT s, t FROM ({band_edges})),
+        reach(s, t) AS (
+            SELECT doc_id, doc_id FROM sig
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t
+        )
+        SELECT s AS doc_id, MIN(t) AS component FROM reach GROUP BY s
+    """
+
+
+@query(
+    "dedup_cc_transitive_oracle",
+    oracle=_cc_oracle_sql(),
+    tags=("dedup", "minhash", "lsh", "iterative", "connected-components"),
+)
+def dedup_cc_transitive_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-verified connected components: the SAME iterated
+    min-label propagation as ``dedup_connected_components``, run on a
+    fixed doc slice and checked against an INDEPENDENT formulation —
+    DuckDB computes the components by recursive-CTE transitive closure
+    over the identical (portable md5 minhash) LSH bucket graph. The
+    fixpoint label (min doc id reachable) is unique whatever the
+    iteration order, which is what makes an iterative distributed
+    algorithm hash-comparable across engines at all.
+
+    The slice cap exists only because the ORACLE's closure
+    materializes O(sum k^2) reach pairs per component — the Spark side
+    stays the O(diameter)-round label propagation that scales; the
+    full-corpus production form is the rows-only query above."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < CC_ORACLE_CAP
+    )
+    return _cc_min_label(_lsh_band_table(d))
