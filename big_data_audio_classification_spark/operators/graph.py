@@ -186,3 +186,118 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
     )
+
+
+PR_ORACLE_CAP = 600  # vec slice for the cross-engine-verified variant
+
+_SQL_COSINE_EMB = """
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (SQRT(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(list_sum(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def _pr_oracle_sql() -> str:
+    """PR_ITERS synchronous PageRank rounds UNROLLED as chained CTEs —
+    SQL has no loop, but a fixed iteration count is just composition."""
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""
+        r{i} AS (
+            SELECT nodes.vec_id,
+                   (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                   + {PR_DAMPING} * COALESCE(c.contrib, 0) AS rank
+            FROM nodes LEFT JOIN (
+                SELECT e.dst, SUM({prev}.rank / {KNN_K}) AS contrib
+                FROM e JOIN {prev} ON {prev}.vec_id = e.src
+                GROUP BY e.dst
+            ) c ON c.dst = nodes.vec_id
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {PR_ORACLE_CAP}
+        ),
+        sim AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROUND({_SQL_COSINE_EMB}, 6) AS sim
+            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+        ),
+        e AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY sim DESC, dst) AS rn
+                FROM sim
+            ) WHERE rn <= {KNN_K}
+        ),
+        nodes AS (SELECT DISTINCT src AS vec_id FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT vec_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        {",".join(steps)}
+        SELECT vec_id, ROUND(rank, 8) AS pagerank FROM {prev}
+    """
+
+
+@query(
+    "graph_pagerank_oracle",
+    oracle=_pr_oracle_sql(),
+    tags=("graph", "pagerank", "iterative", "embeddings"),
+)
+def graph_pagerank_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-verified PageRank: the SAME synchronous iteration
+    as ``graph_pagerank_knn`` on a fixed vec slice, hash-checked
+    against DuckDB running the 12 rounds UNROLLED as chained CTEs over
+    the identical round-6 cosine k-NN edge list. A fixed-iteration
+    synchronous fixed point is a pure function of the edge list, so
+    the two engines must agree to the 1e-8 output rounding — the same
+    upgrade pattern as ``dedup_cc_transitive_oracle`` (iterative
+    algorithm, independent formulation, exact comparison).
+
+    The slice cap bounds the oracle's quadratic cosine join; the Spark
+    side is the identical per-round plan as the production query."""
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < PR_ORACLE_CAP
+    )
+    a = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = em.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    scored = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(cosine(to_double(F.col("ea")), to_double(F.col("eb"))), 6)
+        .alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    edges = (
+        scored.select("src", "dst", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("vec_id")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["vec_id"])
+            .select("dst", (F.col("rank") / KNN_K).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["vec_id"] == contribs["dst"], "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit((1.0 - PR_DAMPING) / n)
+                    + PR_DAMPING * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("vec_id", F.round("rank", 8).alias("pagerank"))
