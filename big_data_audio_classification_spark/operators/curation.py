@@ -440,7 +440,33 @@ def curation_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 256  # token budget per training pack (context window)
 
 
-@query("curation_pack_sequences", oracle=None, tags=("curation", "packing", "documents"))
+@query(
+    "curation_pack_sequences",
+    oracle=f"""
+        WITH RECURSIVE s AS (
+            SELECT doc_id, source,
+                   CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        p(source, rn, doc_id, n_tokens, pack_id, fill) AS (
+            SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT s.source, s.rn, s.doc_id, s.n_tokens,
+                   CASE WHEN p.fill > 0
+                             AND p.fill + s.n_tokens > {PACK_BUDGET}
+                        THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.fill > 0
+                             AND p.fill + s.n_tokens > {PACK_BUDGET}
+                        THEN s.n_tokens ELSE p.fill + s.n_tokens END
+            FROM p JOIN s ON s.source = p.source AND s.rn = p.rn + 1
+        )
+        SELECT doc_id, source, pack_id, n_tokens FROM p
+    """,
+    tags=("curation", "packing", "documents"),
+)
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for training-batch construction: walk each
     source's documents in doc_id order and pack them into the fewest
@@ -452,10 +478,12 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     The running keep-or-open-new-pack decision is inherently sequential
     (pack_id depends on every prior doc in the group), so this is the
     applyInPandas case the mandate carves out: Arrow-batched grouped map,
-    numpy cumsum inside, no row-at-a-time Python. No SQL oracle —
-    registered rows-only; the greedy invariants (budget respected,
+    numpy cumsum inside, no row-at-a-time Python. Cross-engine check:
+    the oracle replays the same greedy fold as a RECURSIVE CTE (one
+    recursion level per doc within a source — the SQL spelling of a
+    sequential scan), and the greedy invariants (budget respected,
     packs contiguous, first doc of pack p+1 never fits in pack p) are
-    asserted in tests/test_curation.py.
+    additionally asserted in tests/test_curation.py.
 
     One shuffle keyed by source. At 100 TB a single source is far too
     big for one group — pre-chunk the key to (source, doc_id DIV chunk)
