@@ -189,7 +189,22 @@ def audio_mel_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "audio_duration_and_concat",
-    oracle=None,
+    oracle="""
+        WITH recs AS (
+            SELECT i AS rec_id,
+                   CASE WHEN i % 2 = 0 THEN 'Male' ELSE 'Female' END
+                       AS speaker,
+                   66150 AS n_samples
+            FROM (SELECT UNNEST(range(8)) AS i)
+        )
+        SELECT rec_id, speaker,
+               ROUND(n_samples / 22050.0, 3) AS dur_sec,
+               ROUND(SUM(n_samples / 22050.0)
+                     OVER (ORDER BY rec_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW), 3) AS cum_sec
+        FROM recs
+    """,
     tags=("audio", "window"),
 )
 def audio_duration_and_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,7 +212,11 @@ def audio_duration_and_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     running concatenated-duration ledger the generator writes
     (data_generator.py:20-21). The audio-bytes concat itself is ordered
     collect_list+flatten in the single-recording case; here only the
-    scalar ledger is materialized (blob concat exercised in tests)."""
+    scalar ledger is materialized (blob concat exercised in tests).
+    The recording catalog is pure arithmetic of the row id, so the
+    oracle restates it from range(8) — upgrading this R7/R13 ledger
+    from rows-only to full hash comparison (the cumulative window
+    spans the 8-row catalog, not data)."""
     from pyspark.sql import Window
 
     recs = recordings(spark)
