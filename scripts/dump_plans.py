@@ -98,11 +98,12 @@ SHOWCASE = [
     ),
     (
         "er_blocked_fuzzy_parts",
-        "Blocked record linkage: the self-join is a plain equi-join on "
-        "the (brand, first-token) block key — no CartesianProduct or "
-        "BroadcastNestedLoopJoin anywhere; the levenshtein verifier and "
-        "the key inequality evaluate inside the join's post-condition, "
-        "and the per-block rollup reuses the block-key partitioning.",
+        "Blocked record linkage with exact-collapse-before-fuzzy-verify: "
+        "records first aggregate to (block, distinct name, multiplicity); "
+        "the equi-join on the block key pairs DISTINCT NAMES only, and "
+        "record-pair statistics are recovered by multiplicity weighting "
+        "— 10x records left the verify cost unchanged (SURVEY §9). No "
+        "CartesianProduct/BroadcastNestedLoopJoin anywhere.",
     ),
     (
         "stats_mann_whitney_u",
