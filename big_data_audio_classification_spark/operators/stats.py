@@ -1189,3 +1189,83 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "stats_effect_sizes",
+    oracle=f"""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = '{KS_GROUPS[0]}'
+                        THEN 1.0 ELSE 0.0 END AS g
+            FROM events
+            WHERE event_type IN ('{KS_GROUPS[0]}', '{KS_GROUPS[1]}')
+        ),
+        m AS (
+            SELECT SUM(g)                                   AS n1,
+                   SUM(1 - g)                               AS n2,
+                   SUM(v * g) / SUM(g)                      AS m1,
+                   SUM(v * (1 - g)) / SUM(1 - g)            AS m2,
+                   VAR_SAMP(CASE WHEN g = 1 THEN v END)     AS v1,
+                   VAR_SAMP(CASE WHEN g = 0 THEN v END)     AS v2,
+                   CORR(v, g)                               AS r_pb
+            FROM s
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               ROUND((m1 - m2) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                      / (n1 + n2 - 2)), 6)  AS cohens_d,
+               ROUND((m1 - m2) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                      / (n1 + n2 - 2))
+                     * (1 - 3 / (4 * (n1 + n2) - 9)), 6)    AS hedges_g,
+               ROUND((m1 - m2) / SQRT(v2), 6)               AS glass_delta,
+               ROUND(r_pb, 6)                               AS point_biserial
+        FROM m
+    """,
+    tags=("stats", "effect-size", "events"),
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size battery for the two-group comparison: Cohen's d
+    (pooled SD), Hedges' g (small-sample correction), Glass's delta
+    (control-group SD), and the point-biserial correlation — what gets
+    reported NEXT TO the Welch/Mann-Whitney p-values, because at
+    100 TB sample sizes every difference is "significant" and only
+    effect size says whether it matters.
+
+    One algebraic aggregation over the filtered scan (conditional
+    moments + one corr), one row out — the same single-pass shape as
+    ``stats_welch_ttest``; Cramér's V (the categorical effect size)
+    lives in ``agg_chi_squared_independence``."""
+    e = load_table(spark, sf_dir, "events")
+    g1, g2 = KS_GROUPS
+    s = e.filter(F.col("event_type").isin(g1, g2)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == g1, 1.0).otherwise(0.0).alias("g"),
+    )
+    m = s.agg(
+        F.sum("g").alias("n1"),
+        F.sum(1 - F.col("g")).alias("n2"),
+        (F.sum(F.col("v") * F.col("g")) / F.sum("g")).alias("m1"),
+        (F.sum(F.col("v") * (1 - F.col("g"))) / F.sum(1 - F.col("g"))).alias(
+            "m2"
+        ),
+        F.var_samp(F.when(F.col("g") == 1.0, F.col("v"))).alias("v1"),
+        F.var_samp(F.when(F.col("g") == 0.0, F.col("v"))).alias("v2"),
+        F.corr("v", "g").alias("r_pb"),
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (1 - 3 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
+        ).alias("hedges_g"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt("v2"), 6).alias(
+            "glass_delta"
+        ),
+        F.round("r_pb", 6).alias("point_biserial"),
+    )

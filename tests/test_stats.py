@@ -290,3 +290,27 @@ def test_attribution_partitions_all_purchases(spark, sf_dir):
         if r["attributed_to"] != "none":
             assert r["avg_mins_to_convert"] is not None
             assert 0 <= r["avg_mins_to_convert"] <= analytics.ATTR_WINDOW_MIN
+
+
+def test_effect_sizes_match_numpy(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import stats
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    g1, g2 = stats.KS_GROUPS
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(g1, g2))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = np.array([r["value"] for r in rows if r["event_type"] == g1])
+    b = np.array([r["value"] for r in rows if r["event_type"] == g2])
+    got = stats.stats_effect_sizes(spark, sf_dir).collect()[0]
+    pooled = (
+        ((len(a) - 1) * a.var(ddof=1) + (len(b) - 1) * b.var(ddof=1))
+        / (len(a) + len(b) - 2)
+    ) ** 0.5
+    d = (a.mean() - b.mean()) / pooled
+    assert abs(got["cohens_d"] - d) < 1e-5
+    assert abs(got["hedges_g"]) <= abs(got["cohens_d"])  # shrinkage
+    assert -1.0 <= got["point_biserial"] <= 1.0
