@@ -893,3 +893,143 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@query(
+    "analytics_mom_growth",
+    oracle="""
+        WITH m AS (
+            SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   SUM(o_totalprice)        AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT month, ROUND(revenue, 2) AS revenue, n_orders,
+               ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                     / LAG(revenue) OVER (ORDER BY month), 6) AS mom_growth,
+               ROUND(AVG(revenue) OVER (ORDER BY month
+                                        ROWS BETWEEN 2 PRECEDING
+                                             AND CURRENT ROW), 2)
+                   AS revenue_3mo_avg
+        FROM m
+    """,
+    tags=("analytics", "timeseries", "growth", "orders"),
+)
+def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth with a trailing 3-month moving
+    average — the KPI spine of every revenue dashboard. The fact table
+    aggregates to |months| rows in one map-side-combined pass; both
+    windows (lag, moving average) run over that tiny month spine, so
+    the unpartitioned ordering is over dozens of rows, never data."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    w3 = w.rowsBetween(-2, 0)
+    return m.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        "n_orders",
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w),
+            6,
+        ).alias("mom_growth"),
+        F.round(F.avg("revenue").over(w3), 2).alias("revenue_3mo_avg"),
+    )
+
+
+ABC_A = 0.8   # cumulative-revenue share boundary for class A
+ABC_B = 0.95  # class B boundary; the tail is class C
+
+
+@query(
+    "analytics_abc_pareto",
+    oracle=f"""
+        WITH rev AS (
+            SELECT p.p_brand, l.l_partkey,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand, l.l_partkey
+        ),
+        ranked AS (
+            SELECT p_brand, r,
+                   SUM(r) OVER (PARTITION BY p_brand
+                                ORDER BY r DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_r,
+                   SUM(r) OVER (PARTITION BY p_brand) AS tot
+            FROM rev
+        ),
+        classed AS (
+            SELECT p_brand, r,
+                   CASE WHEN cum_r / tot <= {ABC_A} THEN 'A'
+                        WHEN cum_r / tot <= {ABC_B} THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM ranked
+        )
+        SELECT p_brand, abc,
+               CAST(COUNT(*) AS BIGINT)              AS n_parts,
+               ROUND(SUM(r), 2)                      AS revenue,
+               ROUND(SUM(r) / MAX(tot2), 6)          AS revenue_share
+        FROM (SELECT c.*, SUM(r) OVER (PARTITION BY p_brand) AS tot2
+              FROM classed c)
+        GROUP BY p_brand, abc
+    """,
+    tags=("analytics", "pareto", "abc", "lineitem"),
+)
+def analytics_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by discounted revenue
+    within each brand: class A carries the first 80% of cumulative
+    revenue, B to 95%, C the tail — the inventory-curation screen,
+    and structurally the same running-share cut a corpus token-budget
+    pass makes (curation_token_budget_select).
+
+    One fact shuffle to the (brand, part) grain; the running-share
+    window is PARTITIONED BY brand (never global) and ordered by the
+    deterministic (revenue DESC, partkey) key; the final rollup is
+    <= |brands| x 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "r"
+            )
+        )
+    )
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("r"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("p_brand")
+    classed = rev.select(
+        "p_brand",
+        "r",
+        F.sum("r").over(wtot).alias("tot"),
+        (F.sum("r").over(wcum) / F.sum("r").over(wtot)).alias("share"),
+    ).select(
+        "p_brand",
+        "r",
+        "tot",
+        F.when(F.col("share") <= ABC_A, "A")
+        .when(F.col("share") <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("p_brand", "abc").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("r"), 2).alias("revenue"),
+        F.round(F.sum("r") / F.max("tot"), 6).alias("revenue_share"),
+    )

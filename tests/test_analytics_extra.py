@@ -85,3 +85,28 @@ def test_association_rules_measures_in_range(spark, sf_dir):
         assert r["lift"] > 0
     lifts = [r["lift"] for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_abc_pareto_classes_partition_brand_revenue(spark, sf_dir):
+    rows = analytics.analytics_abc_pareto(spark, sf_dir).collect()
+    by_brand: dict[str, dict] = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], {})[r["abc"]] = r
+    for brand, classes in by_brand.items():
+        total_share = sum(r["revenue_share"] for r in classes.values())
+        assert abs(total_share - 1.0) < 1e-4, (brand, total_share)
+        if "A" in classes and "C" in classes:
+            # Pareto: A holds more revenue per part than C
+            a, c = classes["A"], classes["C"]
+            assert a["revenue"] / a["n_parts"] > c["revenue"] / c["n_parts"]
+
+
+def test_mom_growth_first_month_is_null_and_avg_bounded(spark, sf_dir):
+    rows = sorted(
+        analytics.analytics_mom_growth(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["mom_growth"] is None
+    for r in rows[1:]:
+        assert r["mom_growth"] is not None
+        assert r["revenue_3mo_avg"] > 0

@@ -266,3 +266,50 @@ def test_headline_percentile_path_has_no_buffering_agg(spark, sf_dir):
     plan = introspect.formatted_plan(df)
     for buffering in ("percentile(", "collect_list", "collect_set"):
         assert buffering not in plan, buffering
+
+
+def test_mwu_and_weighted_median_have_no_unpartitioned_window(spark, sf_dir):
+    """The two new rank-statistic consumers of the bucketed two-phase
+    idiom must keep every WindowExec partitioned, like the exact KS."""
+    import re
+
+    from big_data_audio_classification_spark.operators import curation, stats
+
+    for df in (
+        stats.stats_mann_whitney_u(spark, sf_dir),
+        curation.curation_token_weighted_median(spark, sf_dir),
+    ):
+        plan = introspect.formatted_plan(df)
+        assert not re.search(
+            r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n){0,3}[^\n]*Window",
+            plan,
+        ), plan
+
+
+def test_attribution_and_ewma_share_one_user_exchange(spark, sf_dir):
+    """Carry-forward attribution and the EWMA fold must each plan
+    exactly ONE data-sized exchange (hashpartitioning on user_id) —
+    the window(s) and the final aggregate reuse it."""
+    from big_data_audio_classification_spark.operators import analytics
+
+    for fn in (
+        analytics.events_attribution_last_touch,
+        analytics.events_ewma_deviation,
+    ):
+        plan = introspect.formatted_plan(fn(spark, sf_dir))
+        assert plan.count("hashpartitioning(user_id") <= 2, plan
+        assert not introspect.has_python_udf(fn(spark, sf_dir))
+
+
+def test_linkage_collapse_joins_distinct_names_only(spark, sf_dir):
+    """After the exact-collapse rewrite the self-join input must be the
+    aggregated (block, name, multiplicity) table — the plan shows a
+    HashAggregate BELOW the join on both sides, and no Python UDF."""
+    from big_data_audio_classification_spark.operators import linkage
+
+    df = linkage.er_blocked_fuzzy_parts(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # verify happens post-join, JVM-side
+    assert not introspect.has_python_udf(df)
