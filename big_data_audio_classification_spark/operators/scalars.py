@@ -565,3 +565,57 @@ def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.s").alias("status"),
         F.col("r.p").alias("price"),
     )
+
+
+@query(
+    "scalar_url_functions",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, source, lang,
+                   'https://' || source || '.Example.com/' || lang
+                   || '/doc?id=' || doc_id || '&q=' || source || '+' || lang
+                       AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               split_part(split_part(url, '//', 2), '/', 1)           AS host,
+               '/' || lang || '/doc'                                  AS path,
+               regexp_extract(url, 'id=([0-9]+)', 1)                  AS id_param,
+               replace(source || ' ' || lang, ' ', '+')               AS q_encoded,
+               lower(split_part(split_part(url, '//', 2), '/', 1))
+               || '/' || lang                                         AS norm_key
+        FROM u
+    """,
+    tags=("scalar", "string", "url", "documents"),
+)
+def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing/normalization (``parse_url`` HOST/PATH/QUERY-param +
+    ``url_encode``) — the first step of every web-corpus pipeline:
+    canonical (lowercased host, first path segment) keys drive
+    URL-level dedup before any content hashing. URLs are built
+    deterministically from the document columns (query value
+    pre-encoded — Spark 4's parse_url is strict about raw spaces), so
+    the oracle restates the parse with string surgery (DuckDB has no
+    parse_url/url_encode; the encode target is space→'+' on
+    alphanumeric input, stated as replace() there). All map-only
+    codegen — at 100 TB this runs inside the ingest scan."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".Example.com/"),
+        F.col("lang"), F.lit("/doc?id="), F.col("doc_id"),
+        F.lit("&q="), F.col("source"), F.lit("+"), F.col("lang"),
+    )
+    u = d.select("doc_id", "source", "lang", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias(
+            "id_param"
+        ),
+        F.url_encode(
+            F.concat(F.col("source"), F.lit(" "), F.col("lang"))
+        ).alias("q_encoded"),
+        F.concat(F.lower(host), F.lit("/"), F.col("lang")).alias("norm_key"),
+    )
