@@ -419,3 +419,91 @@ def rollup_serving_view(spark: SparkSession, partials_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: fixed-bin histogram partials per micro-batch,
+# merged on read — the streaming form of stats_psi_drift. Fixed bins
+# (not data-derived bounds) are what make the partials mergeable across
+# batches: count partials compose under addition, bounds don't.
+# ---------------------------------------------------------------------------
+DRIFT_EPS = 1e-6
+
+
+def drift_partials(
+    df: DataFrame, split_ts: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """(event_type, side, bin) -> cnt histogram over FIXED bins; runs
+    identically on a batch DataFrame or inside foreachBatch. side 'b'
+    = baseline (ts < split), 'c' = current."""
+    width = (hi - lo) / nbins
+    return (
+        df.select(
+            "event_type",
+            F.when(F.col("ts") < F.lit(split_ts).cast("timestamp"), "b")
+            .otherwise("c")
+            .alias("side"),
+            F.least(
+                F.lit(nbins - 1),
+                F.greatest(
+                    F.lit(0), F.floor((F.col("value") - lo) / width)
+                ),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "side", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_partials_sink(events_stream: DataFrame, partials_dir: str,
+                        split_ts: str, lo: float, hi: float, nbins: int):
+    """foreachBatch sink appending each micro-batch's histogram
+    partials (plus the batch id for idempotent replay auditing)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            drift_partials(batch_df, split_ts, lo, hi, nbins)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    return events_stream.writeStream.foreachBatch(sink)
+
+
+def psi_from_partials(partials: DataFrame) -> DataFrame:
+    """Merge (sum) histogram partials, then PSI per event type — the
+    same eps-floored formula as ``stats_psi_drift``. Exact regardless
+    of how many micro-batches produced the partials: integer counts
+    compose under addition."""
+    from pyspark.sql import Window
+
+    h = partials.groupBy("event_type", "side", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    wide = (
+        h.groupBy("event_type", "bin")
+        .pivot("side", ["b", "c"])
+        .sum("cnt")
+        .na.fill(0)
+    )
+    per_type = Window.partitionBy("event_type")
+    pq = wide.select(
+        "event_type",
+        F.greatest(
+            F.col("b").cast("double") / F.sum("b").over(per_type),
+            F.lit(DRIFT_EPS),
+        ).alias("p"),
+        F.greatest(
+            F.col("c").cast("double") / F.sum("c").over(per_type),
+            F.lit(DRIFT_EPS),
+        ).alias("q"),
+    )
+    return pq.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            9,
+        ).alias("psi")
+    )

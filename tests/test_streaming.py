@@ -553,3 +553,59 @@ def test_stream_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert len(ids) == n_files * rows_per, f"{len(ids)} rows after recovery"
     assert len(set(ids)) == n_files * rows_per, "duplicated rows on restart"
+
+
+def test_stream_drift_partials_merge_equals_batch(spark, tmp_path):
+    """Streaming drift monitor: per-micro-batch fixed-bin histogram
+    partials, appended by foreachBatch and merged on read, must give
+    EXACTLY the PSI a single batch pass computes — integer count
+    partials compose under addition, whatever the batch boundaries."""
+    from big_data_audio_classification_spark.streaming.events import (
+        drift_partials,
+        drift_partials_sink,
+        psi_from_partials,
+    )
+
+    rows = _event_rows()
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src_dir = str(tmp_path / "drift_stream")
+    # three separate files -> three micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        df.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    partials_dir = str(tmp_path / "drift_partials")
+    split, lo, hi, nbins = "2024-01-01 00:25:00", 0.0, 120.0, 10
+    q = (
+        drift_partials_sink(stream, partials_dir, split, lo, hi, nbins)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["event_type"]: r["psi"]
+        for r in psi_from_partials(spark.read.parquet(partials_dir)).collect()
+    }
+    batch = {
+        r["event_type"]: r["psi"]
+        for r in psi_from_partials(
+            drift_partials(df, split, lo, hi, nbins)
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 3  # click / view / error
+    # partials genuinely came from multiple micro-batches
+    n_batches = (
+        spark.read.parquet(partials_dir).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2
