@@ -639,3 +639,46 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "bitmap", "distinct", "scale"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregates (Spark
+    3.5+ ``bitmap_construct_agg`` / ``bitmap_or_agg`` /
+    ``bitmap_count``) — the third point on the distinct-count design
+    space next to ``countDistinct`` (exact, but the keys shuffle) and
+    HLL (mergeable, but approximate): for bounded-int keys, per-
+    partition bitmaps are EXACT *and* compose under OR, so rollups
+    union kilobyte bitmaps instead of re-shuffling keys.
+
+    The query proves mergeability the same way the HLL partial-merge
+    does: fine-grained (flag, status, bucket) partials are OR-merged
+    up to per-flag counts, and the result hash-matches the oracle's
+    plain COUNT(DISTINCT) — no tolerance needed, bitmaps are exact.
+    Keys are bucketed by ``bitmap_bucket_number`` (32768 bits per
+    bitmap), so the pattern covers unbounded key domains."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(l_suppkey))"
+        ).alias("bm")
+    )
+    merged = partials.groupBy("l_returnflag", "bucket").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("cnt")
+    )
+    return merged.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("bigint").alias("n_suppliers")
+    )
