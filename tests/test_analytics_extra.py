@@ -110,3 +110,22 @@ def test_mom_growth_first_month_is_null_and_avg_bounded(spark, sf_dir):
     for r in rows[1:]:
         assert r["mom_growth"] is not None
         assert r["revenue_3mo_avg"] > 0
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """Bitmap OR-merged partials must reproduce plain countDistinct
+    exactly — bitmaps are exact, unlike HLL."""
+    import pyspark.sql.functions as F2
+
+    got = {
+        r["l_returnflag"]: r["n_suppliers"]
+        for r in aggregates.agg_bitmap_exact_distinct(spark, sf_dir).collect()
+    }
+    direct = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F2.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    assert got == direct
