@@ -693,3 +693,128 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece_term"),
     )
+
+
+AUC_BUCKETS = 256  # score-range buckets; score is a probability in [0,1]
+
+
+@query(
+    "ml_roc_auc",
+    oracle=f"""
+        WITH scored AS (
+            SELECT 1.0 / (1.0 + EXP(-c.c_acctbal / {CALIB_SCALE})) AS score,
+                   CASE WHEN COUNT(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                        THEN 1 END) > 0
+                        THEN 1.0 ELSE 0.0 END AS label
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        d AS (
+            SELECT score, SUM(label) AS d1, COUNT(*) AS t
+            FROM scored GROUP BY score
+        ),
+        c AS (
+            SELECT d1, t,
+                   SUM(t) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - t
+                       AS cum_before
+            FROM d
+        ),
+        agg AS (
+            SELECT SUM(d1 * (cum_before + (t + 1) / 2.0)) AS r1,
+                   CAST(SUM(d1) AS DOUBLE)                AS n1,
+                   CAST(SUM(t - d1) AS DOUBLE)            AS n0
+            FROM c
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n0 AS BIGINT) AS n_neg,
+               ROUND((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc,
+               ROUND(2 * (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0) - 1, 6)
+                   AS gini_coefficient
+        FROM agg
+    """,
+    tags=("ml", "evaluation", "auc", "ranks", "customer"),
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the rank-sum identity AUC = (R1 - n1(n1+1)/2) /
+    (n1*n0) with tie midranks (identical to the probability a random
+    positive outranks a random negative) — the eval metric completing
+    confusion matrix / PRF / calibration, over the same deterministic
+    score/label table as ``ml_calibration_bins``.
+
+    Ranks are NOT a global sort: the ``stats_mann_whitney_u`` idiom
+    applies verbatim, and because the score is a probability the
+    bucket map needs no bounds pass — ties collapse in groupBy(score),
+    per-bucket local prefix sums run in a PARTITIONED window, bucket
+    offsets come from the broadcast triangular join. AUC at 100 TB is
+    thus two keyed aggregations and a 256-row broadcast."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    scored = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)) > 0,
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("label")
+        )
+        .select(
+            (1.0 / (1.0 + F.exp(-F.col("c_acctbal") / CALIB_SCALE))).alias(
+                "score"
+            ),
+            "label",
+        )
+    )
+    d = scored.groupBy("score").agg(
+        F.sum("label").alias("d1"), F.count("*").alias("t")
+    )
+    b = d.withColumn(
+        "bucket",
+        F.least(
+            F.lit(AUC_BUCKETS - 1), F.floor(F.col("score") * AUC_BUCKETS)
+        ).cast("int"),
+    )
+    loc = Window.partitionBy("bucket").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = b.select(
+        "bucket",
+        "d1",
+        "t",
+        (F.sum("t").over(loc) - F.col("t")).alias("local_before"),
+    )
+    bt = b.groupBy("bucket").agg(F.sum("t").alias("bt"))
+    x, y = bt.alias("x"), bt.alias("y")
+    off = (
+        x.join(F.broadcast(y), F.col("y.bucket") < F.col("x.bucket"), "left")
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("y.bt"), F.lit(0)).alias("off"))
+    )
+    agg = (
+        b.join(F.broadcast(off), "bucket")
+        .select(
+            "d1",
+            "t",
+            (F.col("off") + F.col("local_before")).alias("cum_before"),
+        )
+        .agg(
+            F.sum(
+                F.col("d1") * (F.col("cum_before") + (F.col("t") + 1) / 2.0)
+            ).alias("r1"),
+            F.sum("d1").cast("double").alias("n1"),
+            F.sum(F.col("t") - F.col("d1")).cast("double").alias("n0"),
+        )
+    )
+    auc = (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0) / (
+        F.col("n1") * F.col("n0")
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini_coefficient"),
+    )

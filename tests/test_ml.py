@@ -174,3 +174,36 @@ def test_calibration_bins_are_a_partition_with_bounded_ece(spark, sf_dir):
         assert 0.0 <= r["mean_score"] <= 1.0
         assert 0.0 <= r["pos_rate"] <= 1.0
         assert abs(r["calib_gap"] - abs(r["pos_rate"] - r["mean_score"])) < 2e-6
+
+
+def test_roc_auc_matches_brute_force_pair_count(spark, sf_dir):
+    """AUC must equal P(random positive outranks random negative) with
+    ties counted half — the defining pairwise probability, computed
+    brute-force in numpy."""
+    from big_data_audio_classification_spark.operators import ml as ml_ops
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    got = ml_ops.ml_roc_auc(spark, sf_dir).collect()[0]
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rows = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                (F.col("o_orderpriority") == "1-URGENT").cast("int")
+            ).alias("lab")
+        )
+        .collect()
+    )
+    import numpy as np
+
+    score = 1.0 / (1.0 + np.exp(-np.array([r["c_acctbal"] for r in rows]) / ml_ops.CALIB_SCALE))
+    lab = np.array([r["lab"] or 0 for r in rows])
+    pos, neg = score[lab == 1], score[lab == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc_bf = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - auc_bf) < 1e-6
+    assert abs(got["gini_coefficient"] - (2 * auc_bf - 1)) < 2e-6
