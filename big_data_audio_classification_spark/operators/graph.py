@@ -301,3 +301,80 @@ def graph_pagerank_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("vec_id", F.round("rank", 8).alias("pagerank"))
+
+
+KHOP_SEEDS = 3  # BFS roots: c_custkey <= KHOP_SEEDS
+KHOP_HOPS = 4
+KHOP_M1 = 48271  # Lehmer multipliers — two out-edges per node
+KHOP_M2 = 16807
+
+
+@query(
+    "graph_khop_reachability",
+    oracle=f"""
+        WITH RECURSIVE b AS (SELECT MAX(c_custkey) AS nn FROM customer),
+        e AS (
+            SELECT c_custkey AS src,
+                   1 + (c_custkey * {KHOP_M1}) % nn AS dst
+            FROM customer CROSS JOIN b
+            WHERE 1 + (c_custkey * {KHOP_M1}) % nn <> c_custkey
+            UNION ALL
+            SELECT c_custkey,
+                   1 + (c_custkey * {KHOP_M2}) % nn
+            FROM customer CROSS JOIN b
+            WHERE 1 + (c_custkey * {KHOP_M2}) % nn <> c_custkey
+        ),
+        r AS (
+            SELECT c_custkey AS node, 0 AS hop
+            FROM customer WHERE c_custkey <= {KHOP_SEEDS}
+            UNION ALL
+            SELECT e.dst, r.hop + 1
+            FROM r JOIN e ON e.src = r.node
+            WHERE r.hop < {KHOP_HOPS}
+        )
+        SELECT node, CAST(MIN(hop) AS INTEGER) AS min_hop
+        FROM r GROUP BY node
+    """,
+    tags=("graph", "bfs", "iterative", "customer"),
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS to depth 4 from 3 seed customers over a synthetic
+    2-regular referral graph (edges u → 1+(u·48271 mod n) and
+    u → 1+(u·16807 mod n), self-loops dropped; n = max custkey, so the
+    graph is a pure function of the table and both engines derive it
+    identically).
+
+    Engine form: the frontier expands by one equi-join per hop (each a
+    dst-keyed join against the shared edge relation — at scale, edges
+    bucket by src and every hop is a co-located join); min-hop is the
+    final groupBy. The oracle replays the same expansion as a bounded
+    RECURSIVE CTE — iterative DataFrame loop vs. recursive SQL must
+    agree exactly because min-hop is iteration-order invariant (cf.
+    the connected-components and PageRank cross-engine checks)."""
+    cust = load_table(spark, sf_dir, "customer")
+    n_row = F.broadcast(cust.agg(F.max("c_custkey").alias("nn")))
+    base = cust.select("c_custkey").crossJoin(n_row)
+    edges = None
+    for mult in (KHOP_M1, KHOP_M2):
+        dst = 1 + (F.col("c_custkey") * F.lit(mult)) % F.col("nn")
+        leg = base.select(
+            F.col("c_custkey").alias("src"), dst.alias("dst")
+        ).where(F.col("dst") != F.col("src"))
+        edges = leg if edges is None else edges.unionAll(leg)
+    edges = edges.localCheckpoint(eager=True)  # reused every hop
+    frontier = cust.where(F.col("c_custkey") <= KHOP_SEEDS).select(
+        F.col("c_custkey").alias("node"), F.lit(0).alias("hop")
+    )
+    reached = frontier
+    for _ in range(KHOP_HOPS):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("hop") + 1).alias("hop"),
+            )
+        )
+        reached = reached.unionAll(frontier)
+    return reached.groupBy("node").agg(
+        F.min("hop").cast("int").alias("min_hop")
+    )

@@ -1,0 +1,233 @@
+"""Closed-form distributed ML: multi-feature OLS solved from
+single-pass sufficient statistics, and a multinomial naive-Bayes
+classifier expressed entirely as relational aggregates.
+
+These complement the MLlib paths (ml.py fits, ml_inference.py
+pipelines) with the "ML as a query" idiom that actually scales to
+100 TB: when the model has a closed form, the whole fit is ONE
+aggregation pass — no iterative driver program, no parameter server,
+and the math is restatable in ANSI SQL so the DuckDB gate can verify
+the distributed fit value-for-value (which it cannot for MLlib's
+iterative solvers). Reference analog: the feature-scoring +
+model-selection steps of `/root/reference/src/voice_classifier.py:150`
+(score features, pick the best) re-expressed as algebra the optimizer
+can push map-side.
+
+Scale notes:
+* OLS: var_pop/covar_pop are algebraic moments — map-side partials,
+  one shuffle on the group key, O(groups) output. The 2-feature normal
+  equations invert analytically (Cramer on the centered Gram matrix);
+  centering via covariances (not raw Σx²) keeps the system
+  well-conditioned at any magnitude.
+* Naive Bayes: train = two token-keyed aggregations (class priors,
+  per-(class, token) counts with add-1 smoothing); score = explode
+  tokens ×k classes, LEFT join the class-conditional table (vocab ×
+  classes — broadcastable), one per-(doc, class) sum, one per-doc
+  argmax window. Text itself never shuffles — only (doc_id, tok)
+  pairs move.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+@query(
+    "ml_ols_normal_equations",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT)                    AS n,
+                   AVG(l_quantity)                             AS mx1,
+                   AVG(l_discount)                             AS mx2,
+                   AVG(l_extendedprice)                        AS my,
+                   covar_pop(l_quantity, l_extendedprice)      AS c1y,
+                   covar_pop(l_discount, l_extendedprice)      AS c2y,
+                   covar_pop(l_quantity, l_discount)           AS c12,
+                   var_pop(l_quantity)                         AS v1,
+                   var_pop(l_discount)                         AS v2,
+                   var_pop(l_extendedprice)                    AS vy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND((c1y*v2 - c2y*c12) / (v1*v2 - c12*c12), 6) AS beta_qty,
+               ROUND((c2y*v1 - c1y*c12) / (v1*v2 - c12*c12), 6) AS beta_disc,
+               ROUND(my - (c1y*v2 - c2y*c12) / (v1*v2 - c12*c12) * mx1
+                        - (c2y*v1 - c1y*c12) / (v1*v2 - c12*c12) * mx2, 4)
+                   AS beta0,
+               ROUND(((c1y*v2 - c2y*c12) * c1y + (c2y*v1 - c1y*c12) * c2y)
+                     / ((v1*v2 - c12*c12) * vy), 8) AS r2
+        FROM s
+    """,
+    tags=("ml", "regression", "aggregate", "closed-form"),
+)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount) per return flag,
+    solved in closed form from ONE aggregation pass: the centered
+    normal equations ``C·β = c_y`` inverted by Cramer's rule on the
+    2×2 covariance matrix; intercept recovered from the means, R² =
+    β·c_y / var(y).
+
+    Everything is an algebraic moment — partial-aggregable, one
+    shuffle, O(groups) rows out. This is the fit MLlib's iterative
+    LinearRegression converges to, computed exactly in one scan and
+    cross-engine verified (the gate can't do that for an iterative
+    solver)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.avg(x1).alias("mx1"),
+        F.avg(x2).alias("mx2"),
+        F.avg(y).alias("my"),
+        F.covar_pop(x1, y).alias("c1y"),
+        F.covar_pop(x2, y).alias("c2y"),
+        F.covar_pop(x1, x2).alias("c12"),
+        F.var_pop(x1).alias("v1"),
+        F.var_pop(x2).alias("v2"),
+        F.var_pop(y).alias("vy"),
+    )
+    det = F.col("v1") * F.col("v2") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c1y") * F.col("v2") - F.col("c2y") * F.col("c12")) / det
+    b2 = (F.col("c2y") * F.col("v1") - F.col("c1y") * F.col("c12")) / det
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(
+            F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4
+        ).alias("beta0"),
+        F.round(
+            (b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("vy"), 8
+        ).alias("r2"),
+    )
+
+
+@query(
+    "ml_naive_bayes_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   UNNEST(list_filter(string_split(text, ' '),
+                          t -> t <> '')) AS tok
+            FROM documents
+        ),
+        cls AS (
+            SELECT lang AS c, CAST(COUNT(*) AS DOUBLE) AS nd
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all FROM documents),
+        vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM toks),
+        wc AS (
+            SELECT lang AS c, tok, CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM toks GROUP BY lang, tok
+        ),
+        ctot AS (SELECT c, SUM(cnt) AS ctoks FROM wc GROUP BY c),
+        scored AS (
+            SELECT t.doc_id, t.lang AS actual, cls.c,
+                   ROUND(SUM(LN((COALESCE(wc.cnt, 0) + 1)
+                                / (ctot.ctoks + vocab.v)))
+                         + LN(cls.nd / tot.n_all), 6) AS score
+            FROM toks t
+            CROSS JOIN cls
+            JOIN ctot ON ctot.c = cls.c
+            CROSS JOIN vocab
+            CROSS JOIN tot
+            LEFT JOIN wc ON wc.c = cls.c AND wc.tok = t.tok
+            GROUP BY t.doc_id, t.lang, cls.c, cls.nd, ctot.ctoks,
+                     vocab.v, tot.n_all
+        ),
+        pred AS (
+            SELECT doc_id, actual, c AS pred_lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, c
+                   ) AS rk
+            FROM scored
+        )
+        SELECT actual AS lang, pred_lang, COUNT(*) AS n_docs
+        FROM pred WHERE rk = 1
+        GROUP BY actual, pred_lang
+    """,
+    tags=("ml", "text", "classifier", "documents", "closed-form"),
+)
+def ml_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes (predict ``lang`` from tokens, add-1
+    smoothing, resubstitution eval) as pure aggregates: class priors +
+    per-(class, token) likelihoods from two groupBys; scoring explodes
+    each document's tokens × k classes, LEFT-joins the broadcastable
+    class-conditional table, sums log-probabilities per (doc, class),
+    and takes the per-doc argmax (score rounded before ranking, class
+    name as tiebreak — cross-engine deterministic). Output is the
+    k×k confusion rollup.
+
+    Scale: only (doc_id, tok) pairs shuffle; the likelihood table is
+    vocab×k (broadcast), priors/vocab-size are scalar broadcasts, and
+    the argmax window partitions by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    cls = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("double").alias("nd")
+    )
+    tot = docs.agg(F.count("*").cast("double").alias("n_all"))
+    vocab = toks.agg(F.countDistinct("tok").cast("double").alias("v"))
+    wc = toks.groupBy(F.col("lang").alias("c"), "tok").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    ctot = wc.groupBy("c").agg(F.sum("cnt").alias("ctoks"))
+    scored = (
+        toks.alias("t")
+        .crossJoin(F.broadcast(cls))
+        .join(F.broadcast(ctot), "c")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                wc.select(
+                    F.col("c").alias("wc_c"),
+                    F.col("tok").alias("wc_tok"),
+                    "cnt",
+                )
+            ),
+            (F.col("wc_c") == F.col("c")) & (F.col("wc_tok") == F.col("t.tok")),
+            "left",
+        )
+        .groupBy(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("t.lang").alias("actual"),
+            "c",
+            "nd",
+            "ctoks",
+            "v",
+            "n_all",
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.ln(
+                        (F.coalesce(F.col("cnt"), F.lit(0.0)) + 1)
+                        / (F.col("ctoks") + F.col("v"))
+                    )
+                )
+                + F.ln(F.col("nd") / F.col("n_all")),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("c"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy(F.col("actual").alias("lang"), F.col("c").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )

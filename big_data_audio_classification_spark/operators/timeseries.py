@@ -1,0 +1,278 @@
+"""Time-series analytics over the events/orders streams: Markov
+transition matrices, autocorrelation (ACF), CUSUM change-point
+detection, and day-of-week seasonal indices.
+
+These extend the event-analytics family (sessionization, funnels,
+EWMA — `analytics.py`) with the sequence/series diagnostics a
+monitoring or forecasting pipeline runs next: "what follows what"
+(Markov), "how persistent is the signal" (ACF), "did the level shift"
+(CUSUM), and "what is the weekly shape" (seasonality). The reference's
+pipeline is a sequence model over audio frames
+(`/root/reference/src/voice_classifier.py:200` — temporal conv over
+ordered windows); these queries are the relational counterparts of
+that temporal structure.
+
+Scale notes:
+* Markov: one LEAD window partitioned by user (events are user-keyed,
+  so state is O(1) per user-partition run) + one (cur,next)-keyed
+  aggregation. The probability normalization windows over the k²-row
+  transition AGGREGATE, never the event stream.
+* ACF / CUSUM / seasonal: events collapse to a per-DAY aggregate first
+  (bounded by calendar span, ~2.4k rows at any SF), and every window
+  or self-join runs over that day spine — the 100 TB shape is "reduce
+  to the spine, then do the serial math on the spine". The unpartitioned
+  windows here span the day aggregate, not data (cf. the distributed-KS
+  rework for windows that must span raw rows).
+* CUSUM's recursive S_t = max(0, S_{t-1} + y_t) is evaluated in closed
+  form (S_t = cum_t − min(0, running-min of cum)) so it stays a pure
+  window composition — no iterative driver loop, no UDF.
+* Per-day partial sums are ROUNDed before the series math so the
+  row-order-dependent low bits of the float SUM can't leak into the
+  cross-engine comparison (same idiom as the drift monitor).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS cur_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        c AS (
+            SELECT cur_type, next_type, COUNT(*) AS n_trans
+            FROM pairs WHERE next_type IS NOT NULL
+            GROUP BY cur_type, next_type
+        )
+        SELECT cur_type, next_type, n_trans,
+               ROUND(CAST(n_trans AS DOUBLE)
+                     / SUM(n_trans) OVER (PARTITION BY cur_type), 6) AS p_next
+        FROM c
+    """,
+    tags=("events", "timeseries", "markov", "window"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next | cur) with exact counts.
+
+    One LEAD window (user-partitioned, ordered by the unique
+    (ts, event_id) key so ties can't reorder cross-engine), one
+    (cur,next) aggregation; the normalizing SUM window runs over the
+    k²-row transition aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    norm = Window.partitionBy("cur_type")
+    return counts.select(
+        "cur_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(norm), 6
+        ).alias("p_next"),
+    )
+
+
+ACF_MAX_LAG = 14
+
+
+@query(
+    "analytics_acf_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        m AS (
+            SELECT AVG(rev) AS mu,
+                   SUM(POWER(rev - (SELECT AVG(rev) FROM daily), 2)) AS ss
+            FROM daily
+        ),
+        lags AS (
+            SELECT CAST(UNNEST(generate_series(1, {ACF_MAX_LAG})) AS INTEGER)
+                   AS lag_d
+        )
+        SELECT lag_d,
+               COUNT(*) AS n_pairs,
+               ROUND(SUM((d1.rev - mu) * (d2.rev - mu)) / MAX(ss), 6) AS acf
+        FROM lags
+        JOIN daily d1 ON TRUE
+        JOIN daily d2 ON d2.d = d1.d + to_days(lag_d)
+        CROSS JOIN m
+        GROUP BY lag_d
+    """,
+    tags=("timeseries", "acf", "orders", "join"),
+)
+def analytics_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..14:
+    r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)².
+
+    Orders collapse to the day spine first (one shuffle); the lag
+    self-join and moment math run over that bounded aggregate (both
+    sides broadcastable). Per-day sums are rounded to cents before the
+    series math so float summation order can't diverge engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    # mean + centered sum-of-squares as one broadcastable scalar row
+    mu_row = daily.agg(F.avg("rev").alias("mu"))
+    ss_row = (
+        daily.crossJoin(F.broadcast(mu_row))
+        .agg(F.sum(F.pow(F.col("rev") - F.col("mu"), 2)).alias("ss"))
+    )
+    scalars = F.broadcast(mu_row.crossJoin(ss_row))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag_d")
+    )
+    d1 = daily.alias("d1")
+    d2 = daily.alias("d2")
+    joined = (
+        F.broadcast(lags)
+        .crossJoin(d1)
+        .join(d2, F.col("d2.d") == F.expr("date_add(d1.d, lag_d)"))
+        .crossJoin(scalars)
+    )
+    return joined.groupBy("lag_d").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(
+                (F.col("d1.rev") - F.col("mu")) * (F.col("d2.rev") - F.col("mu"))
+            )
+            / F.max("ss"),
+            6,
+        ).alias("acf"),
+    )
+
+
+CUSUM_TOP = 20
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS x
+            FROM events GROUP BY 1
+        ),
+        g AS (
+            SELECT AVG(x) AS mu, stddev_pop(x) AS sd FROM daily
+        ),
+        c AS (
+            SELECT d, x, mu, sd,
+                   SUM(x - mu - 0.5 * sd) OVER (ORDER BY d) AS cum
+            FROM daily CROSS JOIN g
+        ),
+        s AS (
+            SELECT d, x, sd,
+                   cum - LEAST(0, MIN(cum) OVER (ORDER BY d)) AS s_pos
+            FROM c
+        )
+        SELECT d, ROUND(x, 6) AS day_mean,
+               ROUND(s_pos, 6) AS cusum_pos,
+               CASE WHEN s_pos > 4 * sd THEN TRUE ELSE FALSE END AS alarm
+        FROM s
+        ORDER BY ROUND(s_pos, 6) DESC, d
+        LIMIT {CUSUM_TOP}
+    """,
+    tags=("timeseries", "cusum", "events", "window"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point screen on the daily mean of
+    `events.value`: S_t = max(0, S_{t-1} + (x_t − μ − 0.5σ)), alarm at
+    S_t > 4σ; top-20 days by CUSUM height.
+
+    The recursion is evaluated in CLOSED FORM — S_t = cum_t − min(0,
+    min_{j≤t} cum_j) — so the whole statistic is two running windows
+    over the ~2.4k-row day aggregate; no iterative loop, no UDF, and
+    the running sums evaluate left-to-right identically in both
+    engines. Top-20 via TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+    )
+    g = F.broadcast(
+        daily.agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd"))
+    )
+    wcum = Window.orderBy("d")  # spans the day aggregate, not raw events
+    c = daily.crossJoin(g).withColumn(
+        "cum",
+        F.sum(F.col("x") - F.col("mu") - 0.5 * F.col("sd")).over(wcum),
+    )
+    s = c.withColumn(
+        "s_pos", F.col("cum") - F.least(F.lit(0.0), F.min("cum").over(wcum))
+    )
+    return (
+        s.select(
+            "d",
+            F.round("x", 6).alias("day_mean"),
+            F.round("s_pos", 6).alias("cusum_pos"),
+            (F.col("s_pos") > 4 * F.col("sd")).alias("alarm"),
+        )
+        .orderBy(F.col("cusum_pos").desc(), "d")
+        .limit(CUSUM_TOP)
+    )
+
+
+@query(
+    "events_seasonal_dow_index",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 6) AS v
+            FROM events GROUP BY 1
+        ),
+        g AS (SELECT AVG(v) AS gmu FROM daily)
+        SELECT EXTRACT(ISODOW FROM d) AS dow,
+               COUNT(*) AS n_days,
+               ROUND(AVG(v), 6) AS dow_mean,
+               ROUND(AVG(v) / MAX(gmu), 6) AS seasonal_index
+        FROM daily CROSS JOIN g
+        GROUP BY 1
+    """,
+    tags=("timeseries", "seasonality", "events"),
+)
+def events_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of daily event value: mean per ISO
+    weekday over the global daily mean (index > 1 = above-trend day).
+
+    One reduction to the day spine, one 7-row aggregation over it with
+    a broadcast scalar. ISO weekday (1=Mon) is stated explicitly in
+    both engines (Spark's default dayofweek is Sunday-based)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    g = F.broadcast(daily.agg(F.avg("v").alias("gmu")))
+    return (
+        daily.crossJoin(g)
+        .groupBy((F.weekday("d") + F.lit(1)).cast("bigint").alias("dow"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg("v"), 6).alias("dow_mean"),
+            F.round(F.avg("v") / F.max("gmu"), 6).alias("seasonal_index"),
+        )
+    )

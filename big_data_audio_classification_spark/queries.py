@@ -32,4 +32,8 @@ import big_data_audio_classification_spark.operators.baskets  # noqa: F401
 import big_data_audio_classification_spark.operators.warehouse  # noqa: F401
 import big_data_audio_classification_spark.operators.cnn  # noqa: F401
 import big_data_audio_classification_spark.operators.linkage  # noqa: F401
+import big_data_audio_classification_spark.operators.timeseries  # noqa: F401
+import big_data_audio_classification_spark.operators.geo  # noqa: F401
+import big_data_audio_classification_spark.operators.ml_closed_form  # noqa: F401
+import big_data_audio_classification_spark.operators.sketch_cms  # noqa: F401
 import big_data_audio_classification_spark.streaming.events  # noqa: F401

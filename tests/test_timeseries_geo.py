@@ -1,0 +1,221 @@
+"""Invariant tests for the round-3 timeseries/geo/closed-form-ML/CMS
+batch, complementing the tri-SF DuckDB oracle gate with properties the
+oracle cannot state (recursion parity, dominance soundness, brute-force
+distance parity, one-sided sketch guarantees, numpy OLS parity).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from big_data_audio_classification_spark.operators.geo import (
+    GEO_LAT_MULT,
+    GEO_LON_MULT,
+    GEO_MOD,
+    GEO_RADIUS_KM,
+    analytics_skyline_pareto,
+    geo_cell_distance_join,
+)
+from big_data_audio_classification_spark.operators.graph import (
+    KHOP_SEEDS,
+    graph_khop_reachability,
+)
+from big_data_audio_classification_spark.operators.ml_closed_form import (
+    ml_naive_bayes_tokens,
+    ml_ols_normal_equations,
+)
+from big_data_audio_classification_spark.operators.sketch_cms import (
+    CMS_DOMAIN,
+    CMS_EPS,
+    CMS_SEED,
+    cms_estimate_long,
+    decode_cms,
+)
+from big_data_audio_classification_spark.operators.timeseries import (
+    events_cusum_changepoint,
+    events_markov_transitions,
+)
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    rows = events_markov_transitions(spark, sf_dir).collect()
+    by_cur: dict[str, float] = {}
+    for r in rows:
+        by_cur[r["cur_type"]] = by_cur.get(r["cur_type"], 0.0) + r["p_next"]
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-4, (cur, total)
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """S_t = cum_t − min(0, min cum) must equal the textbook recursion
+    S_t = max(0, S_{t-1} + y_t) replayed directly on the day series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    mu = sum(xs) / len(xs)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / len(xs))
+    s, expected = 0.0, {}
+    for r, x in zip(daily, xs):
+        s = max(0.0, s + (x - mu - 0.5 * sd))
+        expected[r["d"]] = s
+    got = events_cusum_changepoint(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        assert abs(r["cusum_pos"] - expected[r["d"]]) < 1e-4, r
+
+
+def test_skyline_frontier_is_sound_and_complete(spark, sf_dir):
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in parts
+        )
+
+    expected = {p[0] for p in parts if not dominated(p)}
+    got = {
+        r["p_partkey"] for r in analytics_skyline_pareto(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_geo_join_matches_bruteforce(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+
+    def coords(key):
+        return (
+            (key * GEO_LAT_MULT) % GEO_MOD / 1e4,
+            (key * GEO_LON_MULT) % GEO_MOD / 1e4,
+        )
+
+    def hav(lat1, lon1, lat2, lon2):
+        dlat = math.radians(lat2 - lat1)
+        dlon = math.radians(lon2 - lon1)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    brute = []
+    for c in cust:
+        clat, clon = coords(c["c_custkey"])
+        for s in supp:
+            slat, slon = coords(s["s_suppkey"])
+            d = round(hav(clat, clon, slat, slon), 3)
+            if d <= GEO_RADIUS_KM:
+                brute.append((d, c["c_custkey"], s["s_suppkey"]))
+    brute.sort()
+    got = [
+        (r["dist_km"], r["c_custkey"], r["s_suppkey"])
+        for r in geo_cell_distance_join(spark, sf_dir).collect()
+    ]
+    assert got == brute[: len(got)]
+
+
+def test_khop_hops_are_consistent(spark, sf_dir):
+    rows = graph_khop_reachability(spark, sf_dir).collect()
+    hops = {r["node"]: r["min_hop"] for r in rows}
+    seeds = {n for n, h in hops.items() if h == 0}
+    keys = [
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    assert seeds == {k for k in keys if k <= KHOP_SEEDS}
+    n = max(keys)
+    for node, h in hops.items():
+        if h == 0:
+            continue
+        preds = [
+            u
+            for u, hu in hops.items()
+            if hu == h - 1
+            and node in (1 + u * 48271 % n, 1 + u * 16807 % n)
+            and node != u
+        ]
+        assert preds, (node, h)
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    got = {r["l_returnflag"]: r for r in ml_ols_normal_equations(spark, sf_dir).collect()}
+    for flag in got:
+        rows = [r for r in li if r["l_returnflag"] == flag]
+        X = np.array([[1.0, r["l_quantity"], r["l_discount"]] for r in rows])
+        y = np.array([r["l_extendedprice"] for r in rows])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        assert abs(got[flag]["beta0"] - beta[0]) < 1e-2
+        assert abs(got[flag]["beta_qty"] - beta[1]) < 1e-4
+        assert abs(got[flag]["beta_disc"] - beta[2]) < 1e-2
+        resid = y - X @ beta
+        r2 = 1 - resid @ resid / ((y - y.mean()) @ (y - y.mean()))
+        assert abs(got[flag]["r2"] - r2) < 1e-6
+
+
+def test_naive_bayes_covers_every_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    docs_n = docs.count()
+    majority = (
+        docs.groupBy("lang").count().agg(F.max("count")).collect()[0][0]
+    )
+    rows = ml_naive_bayes_tokens(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == docs_n
+    diag = sum(r["n_docs"] for r in rows if r["lang"] == r["pred_lang"])
+    # resubstitution NB must beat the majority-class baseline (the
+    # synthetic corpus shares most vocabulary across langs, so the
+    # margin is real but not dramatic)
+    assert diag > majority, (diag, majority, docs_n)
+
+
+def test_cms_estimate_is_one_sided_for_all_keys(spark, sf_dir):
+    """CMS overestimates only — est ≥ exact must hold DETERMINISTICALLY
+    for every key in the domain (not just the 8 probes), and the ε·N
+    bound must hold for the vast majority."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % CMS_DOMAIN).alias("k")
+    )
+    blob = bytes(
+        o.agg(
+            F.expr(
+                f"count_min_sketch(k, {CMS_EPS}d, 0.99d, {CMS_SEED})"
+            ).alias("s")
+        ).collect()[0]["s"]
+    )
+    total, hash_a, table = decode_cms(blob)
+    exact = {
+        r["k"]: r["cnt"]
+        for r in o.groupBy("k").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert total == sum(exact.values())
+    slack = math.ceil(CMS_EPS * total)
+    n_out_of_bound = 0
+    for k, cnt in exact.items():
+        est = cms_estimate_long(k, hash_a, table)
+        assert est >= cnt, (k, est, cnt)
+        if est > cnt + slack:
+            n_out_of_bound += 1
+    assert n_out_of_bound <= max(1, len(exact) // 100)
