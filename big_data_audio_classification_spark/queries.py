@@ -36,4 +36,5 @@ import big_data_audio_classification_spark.operators.timeseries  # noqa: F401
 import big_data_audio_classification_spark.operators.geo  # noqa: F401
 import big_data_audio_classification_spark.operators.ml_closed_form  # noqa: F401
 import big_data_audio_classification_spark.operators.sketch_cms  # noqa: F401
+import big_data_audio_classification_spark.operators.experiments  # noqa: F401
 import big_data_audio_classification_spark.streaming.events  # noqa: F401
