@@ -100,18 +100,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_ewma_deviation",
     "window_range_interval",
     "array_posexplode_outer",
-    "dedup_ngram_jaccard",
     "stats_psi_drift",
     "sim_ivf_assign",
     "er_blocked_fuzzy_parts",
     "set_intersectall_flags",
     "grouped_zscore_applyinpandas",
-    "sink_parquet_partitioned_roundtrip",
     "join_asof_tolerance",
     "ml_distinct_classes",
     "skew_salted_join",
     "tpch_q18_large_orders",
-    "scalar_to_json",
     "stats_mann_whitney_u",
     # first-time: this round's new / determinism-hardened queries
     "mm_wav_decode_stats",
@@ -122,12 +119,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "snapshot_diff_orders",
     "retrieval_ranking_metrics",
     "scd2_point_in_time_join",
-    "stats_mad_outliers",
-    "profile_benford_first_digit",
-    "curation_weighted_sample_aes",
-    "events_sequence_pattern",
-    "ml_hard_negative_mining",
     "retrieval_phrase_positions",
+    # round-3c: eight never-driver-checked NEW families (timeseries/
+    # CUSUM, spatial join, closed-form OLS, relational naive Bayes,
+    # count-min sketch, k-hop BFS, Kaplan-Meier survival, skyline)
+    # displace eight first-time entries whose every family tag stays
+    # window-covered (the displaced eight remain tri-SF green in the
+    # local gate and their families are sampled by other members).
+    "events_cusum_changepoint",
+    "geo_cell_distance_join",
+    "ml_ols_normal_equations",
+    "ml_naive_bayes_tokens",
+    "agg_count_min_sketch",
+    "graph_khop_reachability",
+    "stats_kaplan_meier",
+    "analytics_skyline_pareto",
     # already-certified anchors: sole carriers of a required family tag
     "agg_rollup",
     "scalar_math_functions",
