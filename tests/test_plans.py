@@ -313,3 +313,66 @@ def test_linkage_collapse_joins_distinct_names_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan  # verify happens post-join, JVM-side
     assert not introspect.has_python_udf(df)
+
+
+def test_geo_cell_join_is_equi_not_nlj(spark, sf_dir):
+    """The spatial join must meet on cell ids (hash/merge equi-join) —
+    never a cartesian or nested-loop distance filter."""
+    from big_data_audio_classification_spark.operators import geo
+
+    plan = introspect.formatted_plan(geo.geo_cell_distance_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never globally sorts
+
+
+def test_naive_bayes_likelihood_join_broadcasts(spark, sf_dir):
+    """The vocab×k likelihood table and every scalar must broadcast —
+    only (doc_id, tok) pairs may shuffle."""
+    from big_data_audio_classification_spark.operators import ml_closed_form
+
+    df = ml_closed_form.ml_naive_bayes_tokens(spark, sf_dir)
+    assert introspect.uses_broadcast_join(df)
+    assert "CartesianProduct" not in introspect.formatted_plan(df)
+
+
+def test_skyline_windows_over_distinct_grid_only(spark, sf_dir):
+    """The skyline's one unpartitioned window must be fed by the
+    DISTINCT (price, size) aggregate, not raw part rows."""
+    from big_data_audio_classification_spark.operators import geo
+
+    plan = introspect.formatted_plan(geo.analytics_skyline_pareto(spark, sf_dir))
+    # the window's child is the distinct aggregate, and the final join
+    # back to parts is a broadcast equi semi-join
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kaplan_meier_windows_are_segment_partitioned(spark, sf_dir):
+    """Every KM window partitions by segment — no global single-task
+    window over subjects."""
+    from big_data_audio_classification_spark.operators import experiments
+
+    df = experiments.stats_kaplan_meier(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "segment" in spec, spec
+
+
+def test_ols_is_single_aggregation_pass(spark, sf_dir):
+    """The OLS fit must be one partial-aggregable pass: exactly one
+    shuffle (the group-key exchange), no join, no window."""
+    from big_data_audio_classification_spark.operators import ml_closed_form
+
+    plan = introspect.formatted_plan(
+        ml_closed_form.ml_ols_normal_equations(spark, sf_dir)
+    )
+    # exactly one exchange node in the plan tree (the group-key
+    # shuffle); partial_* aggregate functions prove map-side combine
+    assert plan.count("Exchange (") == 1
+    assert "partial_covar_pop" in plan
+    assert "Join" not in plan and "Window" not in plan
