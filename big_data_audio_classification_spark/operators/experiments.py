@@ -1,5 +1,6 @@
 """Experimentation & survival analytics: Kaplan-Meier product-limit
-curves and the two-proportion A/B z-test.
+curves, the two-proportion A/B z-test, Benjamini-Hochberg FDR
+control, and cross-source quantile normalization.
 
 Rounds out the hypothesis-testing family (Welch t, Mann-Whitney U,
 chi², KS, effect sizes — stats.py) with the two remaining staples of a
@@ -241,4 +242,206 @@ def stats_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b, 6).alias("p_b"),
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.959963985).alias("significant_95"),
+    )
+
+
+BH_Q = 0.10  # FDR level
+# Abramowitz & Stegun 7.1.26 erf polynomial — stated with identical
+# arithmetic in both engines so the only divergence is libm ulps,
+# absorbed by rounding p before the BH ranking.
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+
+
+def _erf_expr(x):
+    """erf(x) for x >= 0 via the A&S 7.1.26 polynomial (|err| < 1.5e-7)."""
+    t = 1.0 / (1.0 + _AS_P * x)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = (
+        a1 * t
+        + a2 * F.pow(t, 2)
+        + a3 * F.pow(t, 3)
+        + a4 * F.pow(t, 4)
+        + a5 * F.pow(t, 5)
+    )
+    return 1.0 - poly * F.exp(-x * x)
+
+
+def _erf_sql(x: str) -> str:
+    a1, a2, a3, a4, a5 = _AS_A
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    return (
+        f"(1.0 - ({a1} * {t} + {a2} * POWER({t}, 2) + {a3} * POWER({t}, 3)"
+        f" + {a4} * POWER({t}, 4) + {a5} * POWER({t}, 5))"
+        f" * EXP(-({x}) * ({x})))"
+    )
+
+
+_BH_Z = (
+    "(cell_mean - g.mu) * SQRT(CAST(n AS DOUBLE)) / g.sd"
+)
+
+
+@query(
+    "stats_bh_fdr",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type, EXTRACT(ISODOW FROM CAST(ts AS DATE)) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   AVG(value) AS cell_mean
+            FROM events GROUP BY event_type, EXTRACT(ISODOW FROM CAST(ts AS DATE))
+        ),
+        g AS (
+            SELECT AVG(value) AS mu, stddev_pop(value) AS sd,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events
+        ),
+        pvals AS (
+            SELECT event_type, dow, n,
+                   ROUND({_BH_Z}, 6) AS z,
+                   ROUND(1.0 - {_erf_sql(f"ABS({_BH_Z}) / SQRT(2.0)")}, 6) AS p
+            FROM cells CROSS JOIN g
+        ),
+        ranked AS (
+            SELECT event_type, dow, n, z, p,
+                   ROW_NUMBER() OVER (ORDER BY p, event_type, dow) AS rk,
+                   CAST(COUNT(*) OVER () AS DOUBLE) AS m
+            FROM pvals
+        ),
+        cutoff AS (
+            SELECT COALESCE(MAX(CASE WHEN p <= rk * {BH_Q} / m
+                                     THEN rk END), 0) AS k_star
+            FROM ranked
+        )
+        SELECT event_type, CAST(dow AS BIGINT) AS dow, n, z, p,
+               CAST(rk AS BIGINT) AS rk,
+               rk <= k_star AS rejected
+        FROM ranked CROSS JOIN cutoff
+    """,
+    tags=("stats", "fdr", "multiple-testing", "events", "window"),
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over 35 simultaneous hypotheses (mean
+    event value per (event_type, ISO weekday) cell vs the global
+    mean): per-cell z from global σ, two-sided p via the A&S erf
+    polynomial (identical arithmetic both engines, rounded before
+    ranking), then the BH step-up: reject every p ranked at or below
+    k* = max{{i : p_i ≤ i·q/m}} at q = 0.10.
+
+    One cell aggregation over events + one scalar aggregate; ranking,
+    the k* cutoff, and the step-up all window over the m-row
+    hypothesis AGGREGATE — multiple-testing control costs nothing at
+    100 TB because m is the number of hypotheses, not rows."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.weekday(F.col("ts").cast("date")) + 1).cast("bigint").alias("dow"),
+    ).agg(F.count("*").alias("n"), F.avg("value").alias("cell_mean"))
+    g = F.broadcast(
+        e.agg(
+            F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+        )
+    )
+    z = (
+        (F.col("cell_mean") - F.col("mu"))
+        * F.sqrt(F.col("n").cast("double"))
+        / F.col("sd")
+    )
+    pvals = cells.crossJoin(g).select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(z, 6).alias("z"),
+        F.round(1.0 - _erf_expr(F.abs(z) / F.sqrt(F.lit(2.0))), 6).alias("p"),
+    )
+    w_rank = Window.orderBy("p", "event_type", "dow")
+    w_all = Window.partitionBy()
+    ranked = pvals.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count("*").over(w_all).cast("double")
+    )
+    ranked = ranked.withColumn(
+        "k_star",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rk") * BH_Q / F.col("m"), F.col("rk")
+                )
+            ).over(w_all),
+            F.lit(0),
+        ),
+    )
+    return ranked.select(
+        "event_type",
+        "dow",
+        "n",
+        "z",
+        "p",
+        F.col("rk").cast("bigint").alias("rk"),
+        (F.col("rk") <= F.col("k_star")).alias("rejected"),
+    )
+
+
+QN_BUCKETS = 10
+
+
+@query(
+    "stats_quantile_normalize",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT source, n_chars,
+                   NTILE({QN_BUCKETS}) OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS decile
+            FROM documents
+        ),
+        per_cell AS (
+            SELECT source, decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   AVG(CAST(n_chars AS DOUBLE)) AS raw_mean
+            FROM bucketed GROUP BY source, decile
+        ),
+        target AS (
+            SELECT decile, AVG(raw_mean) AS qnorm_value
+            FROM per_cell GROUP BY decile
+        )
+        SELECT p.source, CAST(p.decile AS INTEGER) AS decile, p.n_docs,
+               ROUND(p.raw_mean, 6) AS raw_mean,
+               ROUND(t.qnorm_value, 6) AS qnorm_value
+        FROM per_cell p JOIN target t ON t.decile = p.decile
+    """,
+    tags=("stats", "normalization", "documents", "window"),
+)
+def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed quantile normalization of document lengths across
+    sources: each source's docs rank into 10 source-local deciles
+    (NTILE over the unique (n_chars, doc_id) order), and every decile
+    maps to the cross-source mean of that decile's means — the
+    distribution-alignment step a multi-source curation pipeline runs
+    before mixing.
+
+    The NTILE window partitions by source (parallel across sources);
+    everything downstream aggregates the source×decile grid. Output
+    is the alignment table (source, decile → normalized value), not
+    per-doc rows — at 100 TB you broadcast this table back onto docs."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    bucketed = d.select(
+        "source", "n_chars", F.ntile(QN_BUCKETS).over(w).alias("decile")
+    )
+    per_cell = bucketed.groupBy("source", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("raw_mean"),
+    )
+    target = per_cell.groupBy("decile").agg(
+        F.avg("raw_mean").alias("qnorm_value")
+    )
+    return (
+        per_cell.join(F.broadcast(target), "decile")
+        .select(
+            "source",
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            F.round("raw_mean", 6).alias("raw_mean"),
+            F.round("qnorm_value", 6).alias("qnorm_value"),
+        )
     )

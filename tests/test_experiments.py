@@ -103,3 +103,50 @@ def test_ab_test_z_matches_manual(spark, sf_dir):
     )
     assert abs(row["z"] - z) < 1e-5
     assert row["significant_95"] == (abs(z) > 1.959963985)
+
+
+def test_bh_fdr_step_up_property(spark, sf_dir):
+    """BH validity: rejections form exactly the prefix {rk <= k*} of the
+    p-ascending order, with k* the largest rank where p <= rk*q/m, and
+    the erf-based p-values agree with math.erfc."""
+    from big_data_audio_classification_spark.operators.experiments import (
+        BH_Q,
+        stats_bh_fdr,
+    )
+
+    rows = sorted(stats_bh_fdr(spark, sf_dir).collect(), key=lambda r: r["rk"])
+    m = len(rows)
+    k_star = max((r["rk"] for r in rows if r["p"] <= r["rk"] * BH_Q / m), default=0)
+    for r in rows:
+        assert r["rejected"] == (r["rk"] <= k_star), r
+        # A&S polynomial |err| < 1.5e-7, plus the 1e-6 rounding
+        exact_p = math.erfc(abs(r["z"]) / math.sqrt(2))
+        assert abs(r["p"] - exact_p) < 5e-6, r
+    ps = [r["p"] for r in rows]
+    assert ps == sorted(ps)
+
+
+def test_quantile_normalize_aligns_deciles(spark, sf_dir):
+    """Every source's decile maps to the SAME target value (that's the
+    point of quantile normalization), decile cell sizes are balanced
+    (NTILE), and the target is the cross-source mean of raw means."""
+    from collections import defaultdict
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        stats_quantile_normalize,
+    )
+
+    rows = stats_quantile_normalize(spark, sf_dir).collect()
+    by_decile = defaultdict(list)
+    for r in rows:
+        by_decile[r["decile"]].append(r)
+    for dec, cells in by_decile.items():
+        targets = {r["qnorm_value"] for r in cells}
+        assert len(targets) == 1, (dec, targets)
+        mean_raw = sum(r["raw_mean"] for r in cells) / len(cells)
+        assert abs(next(iter(targets)) - mean_raw) < 1e-4
+    sizes = defaultdict(set)
+    for r in rows:
+        sizes[r["source"]].add(r["n_docs"])
+    for src, ns in sizes.items():
+        assert max(ns) - min(ns) <= 1, (src, ns)  # NTILE balance
