@@ -76,6 +76,11 @@ HEADLINE = [
     "stats_mann_whitney_u",
     "events_ewma_deviation",
     "text_bigram_logprob",
+    # round-3c flagship additions: the cell-bucketed spatial join, the
+    # aggregate-only survival curve, and the relational NB classifier
+    "geo_cell_distance_join",
+    "stats_kaplan_meier",
+    "ml_naive_bayes_tokens",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a

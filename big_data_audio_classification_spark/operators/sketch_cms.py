@@ -141,3 +141,23 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cms_est") <= F.col("exact_cnt") + F.lit(slack))
         ).alias("within_bounds"),
     )
+
+
+def merge_cms_blobs(blobs: list[bytes]) -> tuple[int, list[int], list[tuple[int, ...]]]:
+    """Cellwise-add CMS grids built with the same eps/conf/seed — the
+    mergeability that makes the sketch a streaming/rollup partial.
+    Refuses blobs whose geometry or hash family differ (different
+    seeds don't share a hash family; adding their grids is
+    meaningless)."""
+    total, hash_a, table = decode_cms(blobs[0])
+    grid = [list(row) for row in table]
+    for b in blobs[1:]:
+        t2, h2, tab2 = decode_cms(b)
+        if h2 != hash_a or len(tab2) != len(grid) or len(tab2[0]) != len(grid[0]):
+            raise ValueError("incompatible CMS partials (geometry/hash family)")
+        total += t2
+        for i, row in enumerate(tab2):
+            gi = grid[i]
+            for j, v in enumerate(row):
+                gi[j] += v
+    return total, hash_a, [tuple(r) for r in grid]

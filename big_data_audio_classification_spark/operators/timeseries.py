@@ -276,3 +276,75 @@ def events_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("v") / F.max("gmu"), 6).alias("seasonal_index"),
         )
     )
+
+
+FC_SEASON = 7  # seasonal-naive horizon (days)
+
+
+@query(
+    "analytics_forecast_eval",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        fc AS (
+            SELECT a.d, a.rev AS actual, f.rev AS forecast
+            FROM daily a JOIN daily f ON a.d = f.d + to_days({FC_SEASON})
+        ),
+        nv AS (
+            SELECT a.d, ABS(a.rev - p.rev) AS naive_ae
+            FROM daily a JOIN daily p ON a.d = p.d + to_days(1)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+               ROUND(AVG(ABS(actual - forecast)), 2) AS mae,
+               ROUND(AVG(ABS(actual - forecast) / ABS(actual)), 6) AS mape,
+               ROUND(AVG(2 * ABS(actual - forecast)
+                         / (ABS(actual) + ABS(forecast))), 6) AS smape,
+               ROUND(AVG(ABS(actual - forecast))
+                     / (SELECT AVG(naive_ae) FROM nv), 6) AS mase
+        FROM fc
+    """,
+    tags=("timeseries", "forecast", "orders", "join"),
+)
+def analytics_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality scorecard for the seasonal-naive baseline
+    (forecast day t = actual at t−7): MAE, MAPE, SMAPE, and MASE
+    (scaled by the one-step-naive in-sample MAE, the standard
+    scale-free denominator).
+
+    Both the forecast pairing and the naive-1 denominator are
+    day-offset equi-joins over the ~2.4k-row day spine — the raw
+    orders stream is touched exactly once (the per-day reduction).
+    This is the evaluation harness a forecasting pipeline runs per
+    model; the seasonal-naive column doubles as the MASE reference."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .localCheckpoint(eager=True)  # spine reused by three consumers
+    )
+    a, f_, p = daily.alias("a"), daily.alias("f"), daily.alias("p")
+    fc = a.join(f_, F.col("a.d") == F.expr("date_add(f.d, " + str(FC_SEASON) + ")"))
+    nv = (
+        daily.alias("a2")
+        .join(p, F.col("a2.d") == F.expr("date_add(p.d, 1)"))
+        .agg(F.avg(F.abs(F.col("a2.rev") - F.col("p.rev"))).alias("naive_mae"))
+    )
+    err = F.abs(F.col("a.rev") - F.col("f.rev"))
+    return (
+        fc.crossJoin(F.broadcast(nv))
+        .agg(
+            F.count("*").alias("n_forecasts"),
+            F.round(F.avg(err), 2).alias("mae"),
+            F.round(F.avg(err / F.abs(F.col("a.rev"))), 6).alias("mape"),
+            F.round(
+                F.avg(
+                    2 * err / (F.abs(F.col("a.rev")) + F.abs(F.col("f.rev")))
+                ),
+                6,
+            ).alias("smape"),
+            F.round(F.avg(err) / F.max("naive_mae"), 6).alias("mase"),
+        )
+    )

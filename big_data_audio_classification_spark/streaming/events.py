@@ -507,3 +507,36 @@ def psi_from_partials(partials: DataFrame) -> DataFrame:
             9,
         ).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min partials: the CMS analog of the drift monitor's
+# histogram partials. Each micro-batch emits ONE sketch blob (built with
+# the same eps/conf/seed, so every blob shares the same hash family);
+# blobs OR-merge by cellwise addition — exact, whatever the batch
+# boundaries. Merge/probe helpers live in operators/sketch_cms.py.
+
+
+def cms_partials(df: DataFrame, key_col, eps: float, conf: float, seed: int) -> DataFrame:
+    """One count_min_sketch blob over ``key_col``; runs identically on
+    a batch DataFrame or inside foreachBatch."""
+    return df.select(key_col.alias("k")).agg(
+        F.expr(f"count_min_sketch(k, {eps}d, {conf}d, {seed})").alias("sketch")
+    )
+
+
+def cms_partials_sink(events_stream: DataFrame, partials_dir: str,
+                      eps: float, conf: float, seed: int):
+    """foreachBatch sink appending each micro-batch's CMS blob (plus
+    the batch id for idempotent replay auditing). Keys events by
+    ``event_id % 512`` to match the batch probe query."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_partials(batch_df, F.col("event_id") % 512, eps, conf, seed)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    return events_stream.writeStream.foreachBatch(sink)

@@ -609,3 +609,62 @@ def test_stream_drift_partials_merge_equals_batch(spark, tmp_path):
         spark.read.parquet(partials_dir).select("batch_id").distinct().count()
     )
     assert n_batches >= 2
+
+
+def test_stream_cms_partials_merge_equals_batch(spark, tmp_path):
+    """Streaming CMS: per-micro-batch sketch blobs, appended by
+    foreachBatch and cellwise-merged on read, must equal the
+    single-shot batch sketch EXACTLY — same hash family (same seed)
+    means grid addition is the sketch's native merge."""
+    from big_data_audio_classification_spark.operators.sketch_cms import (
+        cms_estimate_long,
+        decode_cms,
+        merge_cms_blobs,
+    )
+    from big_data_audio_classification_spark.streaming.events import (
+        cms_partials,
+        cms_partials_sink,
+    )
+
+    eps, conf, seed = 0.01, 0.95, 7
+    rows = _event_rows()
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src_dir = str(tmp_path / "cms_stream")
+    for i in range(3):
+        df.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    partials_dir = str(tmp_path / "cms_partials")
+    q = (
+        cms_partials_sink(stream, partials_dir, eps, conf, seed)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    blobs = [
+        bytes(r["sketch"])
+        for r in spark.read.parquet(partials_dir).collect()
+    ]
+    assert len(blobs) == 3  # one per micro-batch
+    total_m, hash_m, grid_m = merge_cms_blobs(blobs)
+
+    batch_blob = bytes(
+        cms_partials(df, F.col("event_id") % 512, eps, conf, seed)
+        .collect()[0]["sketch"]
+    )
+    total_b, hash_b, grid_b = decode_cms(batch_blob)
+    assert (total_m, hash_m, grid_m) == (total_b, hash_b, grid_b)
+    for k in range(0, 512, 37):  # spot-probe the merged sketch
+        assert cms_estimate_long(k, hash_m, grid_m) == cms_estimate_long(
+            k, hash_b, grid_b
+        )
