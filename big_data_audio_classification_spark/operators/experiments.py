@@ -445,3 +445,122 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("qnorm_value", 6).alias("qnorm_value"),
         )
     )
+
+
+BANDIT_Z95 = 1.959963985
+
+
+@query(
+    "stats_bandit_posteriors",
+    oracle=f"""
+        WITH arms AS (
+            SELECT event_id % 4 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+            FROM events GROUP BY event_id % 4
+        ),
+        post AS (
+            SELECT arm, n, conv,
+                   CAST(conv + 1 AS DOUBLE) AS alpha,
+                   CAST(n - conv + 1 AS DOUBLE) AS beta
+            FROM arms
+        ),
+        moments AS (
+            SELECT arm, n, conv, alpha, beta,
+                   alpha / (alpha + beta) AS pmean,
+                   SQRT(alpha * beta
+                        / (POWER(alpha + beta, 2) * (alpha + beta + 1)))
+                       AS psd
+            FROM post
+        ),
+        best AS (
+            SELECT MAX(pmean) AS best_mean FROM moments
+        ),
+        scored AS (
+            SELECT m.arm, m.n, m.conv,
+                   ROUND(m.pmean, 6) AS post_mean,
+                   ROUND(m.psd, 6) AS post_sd,
+                   ROUND(m.pmean - {BANDIT_Z95} * m.psd, 6) AS ci_lo,
+                   ROUND(m.pmean + {BANDIT_Z95} * m.psd, 6) AS ci_hi,
+                   m.pmean = b.best_mean AS is_leader,
+                   ROUND(0.5 * (1.0 + CASE
+                       WHEN b.best_mean = m.pmean THEN 1.0
+                       ELSE {_erf_sql("((SELECT pmean FROM moments ORDER BY pmean DESC, arm LIMIT 1) - m.pmean) / SQRT(2.0 * (POWER(m.psd, 2) + (SELECT POWER(psd, 2) FROM moments ORDER BY pmean DESC, arm LIMIT 1)))")}
+                   END), 6) AS p_best_beats
+            FROM moments m CROSS JOIN best b
+        )
+        SELECT arm, n, conv, post_mean, post_sd, ci_lo, ci_hi, is_leader,
+               p_best_beats
+        FROM scored
+    """,
+    tags=("stats", "bandit", "abtest", "events"),
+)
+def stats_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian bandit monitor over 4 arms (event_id mod 4, success =
+    'purchase'): Beta(1+conv, 1+n−conv) posterior mean/sd, 95%
+    credible interval, and P(leader beats arm) under the
+    normal-approximate posterior difference (the same A&S erf
+    arithmetic both engines, so the probability is cross-engine
+    reproducible — exact Beta tail integrals are not).
+
+    One 4-row aggregate; the leader comparison is scalar algebra
+    against the broadcast best arm. This is the nightly report an
+    adaptive-allocation experiment prints at any scale — cost is
+    O(arms), not rows."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("event_id") % 4).alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    post = arms.select(
+        "arm",
+        "n",
+        "conv",
+        (F.col("conv") + 1).cast("double").alias("alpha"),
+        (F.col("n") - F.col("conv") + 1).cast("double").alias("beta"),
+    )
+    moments = post.select(
+        "arm",
+        "n",
+        "conv",
+        (F.col("alpha") / (F.col("alpha") + F.col("beta"))).alias("pmean"),
+        F.sqrt(
+            F.col("alpha")
+            * F.col("beta")
+            / (
+                F.pow(F.col("alpha") + F.col("beta"), 2)
+                * (F.col("alpha") + F.col("beta") + 1)
+            )
+        ).alias("psd"),
+    )
+    leader = F.broadcast(
+        moments.orderBy(F.col("pmean").desc(), "arm")
+        .limit(1)
+        .select(
+            F.col("pmean").alias("best_mean"), F.col("psd").alias("best_sd")
+        )
+    )
+    diff_z = (F.col("best_mean") - F.col("pmean")) / F.sqrt(
+        2.0 * (F.pow(F.col("psd"), 2) + F.pow(F.col("best_sd"), 2))
+    )
+    return moments.crossJoin(leader).select(
+        "arm",
+        "n",
+        "conv",
+        F.round("pmean", 6).alias("post_mean"),
+        F.round("psd", 6).alias("post_sd"),
+        F.round(F.col("pmean") - BANDIT_Z95 * F.col("psd"), 6).alias("ci_lo"),
+        F.round(F.col("pmean") + BANDIT_Z95 * F.col("psd"), 6).alias("ci_hi"),
+        (F.col("pmean") == F.col("best_mean")).alias("is_leader"),
+        F.round(
+            0.5
+            * (
+                1.0
+                + F.when(F.col("best_mean") == F.col("pmean"), F.lit(1.0))
+                .otherwise(_erf_expr(diff_z))
+            ),
+            6,
+        ).alias("p_best_beats"),
+    )

@@ -322,3 +322,45 @@ def scale_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+@query(
+    "profile_join_skew",
+    oracle="""
+        WITH mult AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(c) AS BIGINT)            AS n_rows,
+               CAST(COUNT(*) AS BIGINT)          AS n_keys,
+               CAST(MAX(c) AS BIGINT)            AS max_mult,
+               ROUND(QUANTILE_CONT(c, 0.5), 4)   AS p50_mult,
+               ROUND(QUANTILE_CONT(c, 0.99), 4)  AS p99_mult,
+               ROUND(CAST(MAX(c) AS DOUBLE) / AVG(c), 4) AS skew_ratio,
+               CAST(SUM(c * c) AS BIGINT)        AS selfjoin_rows
+        FROM mult
+    """,
+    tags=("scale", "skew", "profiling", "aggregate"),
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for `lineitem.l_partkey` — the report
+    you run BEFORE picking a join strategy: key multiplicity extremes
+    and quantiles, the max/mean skew ratio (how unbalanced the biggest
+    reduce task will be), and Σc² (the exact output cardinality of a
+    self-equi-join on this key — the quadratic-blowup predictor that
+    decides salting vs broadcast vs prefix-filtering).
+
+    One key-histogram aggregation (map-side combined), then scalar
+    aggregates over the |keys|-row histogram; the percentile runs over
+    the histogram, never raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mult = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    return mult.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_mult"),
+        F.round(F.expr("percentile(c, 0.5)"), 4).alias("p50_mult"),
+        F.round(F.expr("percentile(c, 0.99)"), 4).alias("p99_mult"),
+        F.round(F.max("c").cast("double") / F.avg("c"), 4).alias("skew_ratio"),
+        F.sum(F.col("c") * F.col("c")).alias("selfjoin_rows"),
+    )

@@ -150,3 +150,53 @@ def test_quantile_normalize_aligns_deciles(spark, sf_dir):
         sizes[r["source"]].add(r["n_docs"])
     for src, ns in sizes.items():
         assert max(ns) - min(ns) <= 1, (src, ns)  # NTILE balance
+
+
+def test_bandit_posteriors_match_beta_moments(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.experiments import (
+        stats_bandit_posteriors,
+    )
+
+    rows = stats_bandit_posteriors(spark, sf_dir).collect()
+    assert len(rows) == 4
+    leaders = [r for r in rows if r["is_leader"]]
+    assert len(leaders) >= 1
+    best_mean = max(r["post_mean"] for r in rows)
+    for r in rows:
+        a, b = r["conv"] + 1, r["n"] - r["conv"] + 1
+        mean = a / (a + b)
+        sd = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1)))
+        assert abs(r["post_mean"] - mean) < 1e-5
+        assert abs(r["post_sd"] - sd) < 1e-5
+        assert r["ci_lo"] < mean < r["ci_hi"]
+        if r["is_leader"]:
+            assert r["post_mean"] == best_mean
+            assert r["p_best_beats"] == 1.0
+        else:
+            assert 0.5 <= r["p_best_beats"] <= 1.0
+
+
+def test_join_skew_selfjoin_prediction_is_exact(spark, sf_dir):
+    from collections import Counter
+
+    from big_data_audio_classification_spark.operators.scale_patterns import (
+        profile_join_skew,
+    )
+
+    keys = [
+        r["l_partkey"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .collect()
+    ]
+    counts = Counter(keys)
+    row = profile_join_skew(spark, sf_dir).collect()[0]
+    assert row["n_rows"] == len(keys)
+    assert row["n_keys"] == len(counts)
+    assert row["max_mult"] == max(counts.values())
+    assert row["selfjoin_rows"] == sum(c * c for c in counts.values())
+    assert row["p50_mult"] <= row["p99_mult"] <= row["max_mult"]
+    # the prediction is literally the self-join's output cardinality
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    joined = li.alias("a").join(li.alias("b"), "l_partkey").count()
+    assert joined == row["selfjoin_rows"]
