@@ -185,8 +185,17 @@ def ml_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("cnt")
     )
     ctot = wc.groupBy("c").agg(F.sum("cnt").alias("ctoks"))
+    # collapse to term frequencies BEFORE the ×k class explode: a token
+    # appearing tf times contributes tf·ln(p) — identical sum, but the
+    # scored relation shrinks from (total tokens × k) to (distinct
+    # tokens per doc × k) rows. The oracle states the per-occurrence
+    # form; the values agree exactly (the 1e-6 rounding absorbs the
+    # re-associated float sum).
+    dtf = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").cast("double").alias("tf")
+    )
     scored = (
-        toks.alias("t")
+        dtf.alias("t")
         .crossJoin(F.broadcast(cls))
         .join(F.broadcast(ctot), "c")
         .crossJoin(F.broadcast(vocab))
@@ -214,7 +223,8 @@ def ml_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.ln(
+                    F.col("tf")
+                    * F.ln(
                         (F.coalesce(F.col("cnt"), F.lit(0.0)) + 1)
                         / (F.col("ctoks") + F.col("v"))
                     )

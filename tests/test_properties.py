@@ -276,3 +276,70 @@ def test_interpolation_bounded_by_neighbors(spark, sf_dir):
                 assert lo <= r["v_filled_micros"] <= hi
                 checked_gaps += 1
     assert checked_gaps > 0, "fixture produced no gaps to check"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=40
+    )
+)
+def test_skyline_window_form_equals_dominance_definition(spark, pts):
+    """The single-window skyline over the distinct grid must equal the
+    O(n²) dominance definition on arbitrary (price, size) multisets —
+    including duplicate points, ties on one axis, and degenerate
+    single-point inputs."""
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    grid = df.select("price", "size").distinct()
+    w = (
+        Window.orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        grid.withColumn("prev_max", F.max("size").over(w))
+        .where(F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+        .select("price", "size")
+    )
+    got = {
+        r["id"]
+        for r in df.join(frontier, ["price", "size"], "left_semi").collect()
+    }
+    expected = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            q_p <= p and q_s >= s and (q_p < p or q_s > s) for q_p, q_s in pts
+        )
+    }
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=60,
+    ),
+    mu=st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+    k=st.floats(0, 2, allow_nan=False, allow_infinity=False),
+)
+def test_cusum_closed_form_equals_recursion_on_random_series(spark, xs, mu, k):
+    """S_t = cum_t − min(0, running-min cum) must replicate the
+    textbook recursion S_t = max(0, S_{t−1} + (x_t − μ − k)) on
+    arbitrary series — the algebraic identity the CUSUM operator
+    rests on, checked beyond the fixed testdata."""
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "t int, x double")
+    w = Window.orderBy("t")
+    got = {
+        r["t"]: r["s"]
+        for r in df.withColumn("cum", F.sum(F.col("x") - mu - k).over(w))
+        .withColumn("s", F.col("cum") - F.least(F.lit(0.0), F.min("cum").over(w)))
+        .collect()
+    }
+    s = 0.0
+    for i, x in enumerate(xs):
+        s = max(0.0, s + (x - mu - k))
+        assert abs(got[i] - s) < 1e-6 * max(1.0, abs(s)), (i, got[i], s)
