@@ -682,3 +682,90 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("l_returnflag").agg(
         F.sum("cnt").cast("bigint").alias("n_suppliers")
     )
+
+
+@query(
+    "agg_hll_set_operations",
+    oracle="""
+        WITH a AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ),
+        b AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_click_exact,
+            CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_purchase_exact,
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                 AS BIGINT) AS n_union_exact,
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                 AS BIGINT) AS n_intersect_exact,
+            TRUE AS union_within_tol,
+            TRUE AS intersect_within_tol
+    """,
+    tags=("aggregate", "sketch", "setop", "events"),
+)
+def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities from mergeable HLL sketches: |A∪B|
+    by unioning the two sketches (the native HLL merge), |A∩B| by
+    inclusion-exclusion — the way a 100 TB engine answers "users who
+    clicked AND purchased" without ever shuffling user ids twice.
+
+    Bounds contract (the agg_approx_count_distinct pattern): the four
+    exact cardinalities are hash-checked against DuckDB; the sketch
+    estimates must land within tolerance — 5% for the union (a plain
+    HLL estimate) and 15% absolute-of-union for the intersection
+    (inclusion-exclusion compounds three estimates' errors; the bound
+    scales with |A∪B|, the standard caveat for HLL intersections)."""
+    e = load_table(spark, sf_dir, "events")
+    sketches = e.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_b"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_click_exact"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase_exact"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("user_id")
+            )
+        ).alias("n_union_exact"),
+    )
+    est = sketches.select(
+        "n_click_exact",
+        "n_purchase_exact",
+        "n_union_exact",
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+    ).select(
+        "*",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersect"
+        ),
+        (
+            F.col("n_click_exact")
+            + F.col("n_purchase_exact")
+            - F.col("n_union_exact")
+        ).alias("n_intersect_exact"),
+    )
+    return est.select(
+        "n_click_exact",
+        "n_purchase_exact",
+        "n_union_exact",
+        "n_intersect_exact",
+        (
+            F.abs(F.col("est_union") - F.col("n_union_exact"))
+            <= 0.05 * F.col("n_union_exact")
+        ).alias("union_within_tol"),
+        (
+            F.abs(F.col("est_intersect") - F.col("n_intersect_exact"))
+            <= 0.15 * F.col("n_union_exact")
+        ).alias("intersect_within_tol"),
+    )

@@ -348,3 +348,51 @@ def analytics_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(err) / F.max("naive_mae"), 6).alias("mase"),
         )
     )
+
+
+PATH_TOP = 10
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   LEAD(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                   LEAD(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS e3
+            FROM events
+        )
+        SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM seq
+        WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY n_paths DESC, e1, e2, e3
+        LIMIT {PATH_TOP}
+    """,
+    tags=("events", "timeseries", "path-analysis", "window", "topk"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step behavioral paths (event-type
+    trigrams within each user's timeline) — the path-analysis query
+    behind journey/funnel exploration UIs.
+
+    Two LEADs in ONE user-partitioned window pass (same sort serves
+    both), a trigram aggregation whose key space is k³ (tiny), and
+    TakeOrderedAndProject for the top-10 — no global sort, no
+    self-joins (the naive form is two self-joins on consecutive
+    ranks)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(PATH_TOP)
+    )
