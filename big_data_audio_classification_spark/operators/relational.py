@@ -730,3 +730,55 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_ALIAS)
+
+
+# Shared verbatim by the Spark front door AND the DuckDB oracle — one
+# ANSI text, two engines, hash-identical results.
+_RECURSIVE_REACH_SQL = """
+        WITH RECURSIVE bounds AS (SELECT MAX(c_custkey) AS nn FROM customer),
+        edges AS (
+            SELECT c_custkey AS src, 1 + (c_custkey * 48271) % nn AS dst
+            FROM customer CROSS JOIN bounds
+            WHERE 1 + (c_custkey * 48271) % nn <> c_custkey
+            UNION ALL
+            SELECT c_custkey, 1 + (c_custkey * 16807) % nn
+            FROM customer CROSS JOIN bounds
+            WHERE 1 + (c_custkey * 16807) % nn <> c_custkey
+        ),
+        reach AS (
+            SELECT c_custkey AS node, 0 AS hop
+            FROM customer WHERE c_custkey <= 3
+            UNION ALL
+            SELECT e.dst, r.hop + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.hop < 4
+        )
+        SELECT node, CAST(MIN(hop) AS INTEGER) AS min_hop
+        FROM reach GROUP BY node
+"""
+
+
+@query(
+    "sql_recursive_reachability",
+    oracle=_RECURSIVE_REACH_SQL,
+    tags=("relational", "sql", "recursive", "graph"),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIVEN recursive CTE through the SQL front door (Spark 4.1
+    UnionLoop execution): min-hop reachability over the key-derived
+    referral graph, the recursion JOINING a real table each step — not
+    just a generated spine (cf. sql_recursive_month_rollup). The ONE
+    SQL text here is executed verbatim by BOTH engines, so the oracle
+    row is a literal same-query cross-engine differential.
+
+    The iterative-DataFrame twin (`graph_khop_reachability`) pins the
+    equivalent hand-scheduled plan; this entry proves the declarative
+    spelling lands on the same fixpoint. Each recursive step is an
+    equi-join on src — the scale shape is one co-located join per hop,
+    frontier-bounded."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_REACH_SQL)

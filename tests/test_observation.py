@@ -1,0 +1,48 @@
+"""Observation API: single-pass runtime QC metrics.
+
+At 100 TB you cannot afford a second scan just to count rows or audit
+value ranges of a pipeline stage — `df.observe(...)` piggybacks
+aggregate metrics onto the SAME job that produces the output. These
+tests pin that the observed metrics equal a separately-computed
+aggregate, i.e. the piggyback is exact, on both a plain scan and a
+registered contract query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Observation
+
+from big_data_audio_classification_spark.operators.dedup import dedup_exact_hash
+from big_data_audio_classification_spark.sources.catalog import load_table
+
+
+def test_observe_metrics_match_direct_aggregates(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_qc")
+    # NB: DISTINCT aggregates are rejected in observed metrics
+    # (INVALID_OBSERVED_METRICS) — use approx_count_distinct there.
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("sum_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.approx_count_distinct("o_orderstatus").alias("n_status_approx"),
+    ]
+    observed = o.observe(obs, *metrics)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    direct = o.agg(*metrics).collect()[0]
+    assert got["n_rows"] == direct["n_rows"]
+    assert abs(got["sum_price"] - direct["sum_price"]) < 1e-6
+    assert got["min_date"] == direct["min_date"]
+    assert got["n_status_approx"] == direct["n_status_approx"]
+
+
+def test_observe_piggybacks_on_contract_query(spark, sf_dir):
+    """Attach QC metrics to a registered query's output without a
+    second scan: observed row count must equal the query's count."""
+    df = dedup_exact_hash(spark, sf_dir)
+    obs = Observation("dedup_qc")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n_out"))
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["n_out"] == df.count()
