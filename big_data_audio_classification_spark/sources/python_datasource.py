@@ -276,3 +276,71 @@ def sink_python_datasource_roundtrip(
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, total double"
     ).json(out_dir)
+
+
+def make_jsonl_stream_sink_datasource():
+    """Pluggable Python STREAMING sink (Spark 4
+    ``DataSourceStreamWriter``), completing the Python DataSource API
+    matrix: batch reader (``segments``), batch writer (``jsonl_sink``),
+    stream reader (``ticks``), and now the stream writer.
+
+    Two-phase per micro-batch: executors stream their partition's rows
+    to STAGED ``.tmp`` part files and return commit messages; the
+    driver's ``commit(messages, batchId)`` promotes the staged files to
+    batch-id-stamped finals, and ``abort`` deletes them — so a failed
+    or replayed batch never leaks half-written files into the visible
+    set, and replays of a committed batch id are detectable by name.
+    Readers consume only ``batch-*.jsonl`` finals."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _StagedPart(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            fn = _os.path.join(
+                self.path, f"staged-{_uuid.uuid4().hex}.jsonl.tmp"
+            )
+            n = 0
+            with open(fn, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return _StagedPart(fn, n)
+
+        def commit(self, messages, batchId) -> None:
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                final = _os.path.join(
+                    self.path, f"batch-{batchId}-{i:05d}.jsonl"
+                )
+                _os.rename(m.path, final)
+
+        def abort(self, messages, batchId) -> None:
+            for m in messages:
+                if m is not None and _os.path.exists(m.path):
+                    _os.remove(m.path)
+
+    class JsonlStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite: bool):
+            return JsonlStreamWriter(self.options)
+
+    return JsonlStreamSinkDataSource

@@ -150,3 +150,60 @@ def test_udtf_analyze_schema_tracks_constant_arg(spark, sf_dir):
         "SELECT * FROM udtf_tiny t, LATERAL word_ngrams(t.text, 2) g"
     ).collect()
     assert {tuple(r)[1:] for r in rows} == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_python_datasource_stream_writer_drains_exactly(spark, sf_dir, tmp_path):
+    """The pluggable Python streaming sink (DataSourceStreamWriter with
+    staged .tmp parts promoted in commit) must surface EXACTLY the
+    streamed rows — no leaked staging files, batch-id-stamped finals
+    only."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.sources.python_datasource import (
+        make_jsonl_stream_sink_datasource,
+    )
+
+    spark.dataSource.register(make_jsonl_stream_sink_datasource())
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src_dir = str(tmp_path / "stream_src")
+    for i in range(3):
+        src.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    out_dir = str(tmp_path / "sink_out")
+    os.makedirs(out_dir)
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.format("jsonl_stream_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    files = sorted(os.listdir(out_dir))
+    assert files and all(f.startswith("batch-") and f.endswith(".jsonl") for f in files)
+    assert not any(f.endswith(".tmp") for f in files)  # no leaked staging
+    batch_ids = {f.split("-")[1] for f in files}
+    assert len(batch_ids) == 3  # one commit per micro-batch
+
+    got = (
+        spark.read.schema("event_id long, event_type string, value double")
+        .json(out_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    want = (
+        src.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
