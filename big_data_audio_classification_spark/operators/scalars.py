@@ -619,3 +619,37 @@ def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_encoded"),
         F.concat(F.lower(host), F.lit("/"), F.col("lang")).alias("norm_key"),
     )
+
+
+@query(
+    "scalar_hash_functions",
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name) AS name_md5,
+               sha256(c_name) AS name_sha256,
+               substr(md5(c_name || '|' || c_mktsegment), 1, 16)
+                   AS composite_bucket
+        FROM customer
+        WHERE c_custkey < 200
+    """,
+    tags=("scalar", "hash", "customer"),
+)
+def scalar_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashes as portable dedup/bucket keys:
+    md5 and sha256 are ALGORITHM-DEFINED, so the same bytes give the
+    same digest in every engine — unlike engine-native hash()/xxhash64
+    whose values are implementation details. This is the digest
+    discipline the exact-dedup family builds on (dedup_exact_hash):
+    derive keys from content hashes and any engine can reproduce the
+    partition assignment.
+
+    Pure codegen scalar work over a pushed-down key filter."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.substring(
+            F.md5(F.concat_ws("|", "c_name", "c_mktsegment")), 1, 16
+        ).alias("composite_bucket"),
+    )

@@ -618,3 +618,83 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "text_readability_scores",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> t <> '')) AS DOUBLE) AS words,
+                   CAST(GREATEST(len(list_filter(
+                            regexp_split_to_array(text, '[.!?]+'),
+                            s -> trim(s) <> '')), 1) AS DOUBLE) AS sents,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS DOUBLE) AS syls
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(words AS BIGINT) AS n_words,
+               CAST(sents AS BIGINT) AS n_sentences,
+               CAST(syls AS BIGINT) AS n_syllables,
+               ROUND(0.39 * (words / sents) + 11.8 * (syls / words)
+                     - 15.59, 4) AS fk_grade,
+               ROUND(206.835 - 1.015 * (words / sents)
+                     - 84.6 * (syls / words), 4) AS flesch_ease
+        FROM m
+        WHERE words > 0
+    """,
+    tags=("text", "quality", "readability", "documents"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading-ease per document from
+    three regex counts (words, sentence splits, vowel-group syllable
+    proxy) — the classic readability features a text-quality filter
+    adds next to the Gopher signals (text_quality_score,
+    text_repetition_signals).
+
+    Row-local codegen regex work, no shuffle at all; both engines
+    state the identical counting rules, so scores hash-match
+    exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast(
+        "double"
+    )
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", "[.!?]+"), lambda s: F.trim(s) != ""
+            )
+        ),
+        F.lit(1),
+    ).cast("double")
+    syls = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("double")
+    m = d.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        sents.alias("sents"),
+        syls.alias("syls"),
+    ).where(F.col("words") > 0)
+    return m.select(
+        "doc_id",
+        "lang",
+        F.col("words").cast("bigint").alias("n_words"),
+        F.col("sents").cast("bigint").alias("n_sentences"),
+        F.col("syls").cast("bigint").alias("n_syllables"),
+        F.round(
+            0.39 * (F.col("words") / F.col("sents"))
+            + 11.8 * (F.col("syls") / F.col("words"))
+            - 15.59,
+            4,
+        ).alias("fk_grade"),
+        F.round(
+            206.835
+            - 1.015 * (F.col("words") / F.col("sents"))
+            - 84.6 * (F.col("syls") / F.col("words")),
+            4,
+        ).alias("flesch_ease"),
+    )

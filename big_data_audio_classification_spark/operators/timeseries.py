@@ -396,3 +396,88 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
         .limit(PATH_TOP)
     )
+
+
+MIGRATION_SPLIT = "1998-07-01"
+
+
+@query(
+    "analytics_segment_migration",
+    oracle=f"""
+        WITH h1 AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+            FROM orders WHERE CAST(o_orderdate AS DATE) < '{MIGRATION_SPLIT}'
+            GROUP BY o_custkey
+        ),
+        h2 AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+            FROM orders WHERE CAST(o_orderdate AS DATE) >= '{MIGRATION_SPLIT}'
+            GROUP BY o_custkey
+        ),
+        q1 AS (
+            SELECT o_custkey,
+                   NTILE(5) OVER (ORDER BY spend, o_custkey) AS seg_before
+            FROM h1
+        ),
+        q2 AS (
+            SELECT o_custkey,
+                   NTILE(5) OVER (ORDER BY spend, o_custkey) AS seg_after
+            FROM h2
+        ),
+        mat AS (
+            SELECT seg_before, seg_after, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM q1 JOIN q2 USING (o_custkey)
+            GROUP BY seg_before, seg_after
+        )
+        SELECT CAST(seg_before AS INTEGER) AS seg_before,
+               CAST(seg_after AS INTEGER) AS seg_after,
+               n_customers,
+               ROUND(CAST(n_customers AS DOUBLE)
+                     / SUM(n_customers) OVER (PARTITION BY seg_before), 6)
+                   AS p_move
+        FROM mat
+    """,
+    tags=("timeseries", "analytics", "migration", "window", "orders"),
+)
+def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend quintile in the first
+    half of the timeline vs the second (the entity-state counterpart
+    of the event-type Markov matrix) — P(move to segment j | was in
+    segment i) for customers active in both halves.
+
+    Two per-customer collapses (one scan each half), two NTILE windows
+    over the customer-spend aggregates, one equi-join on custkey, and
+    the normalization window runs over the 25-row matrix. Spend is
+    rounded to cents before ranking so float sum order can't flip a
+    quintile boundary; (spend, custkey) ordering makes NTILE
+    deterministic under ties."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(MIGRATION_SPLIT).cast("date")
+    w_rank = Window.orderBy("spend", "o_custkey")
+
+    def half(cond, seg_alias: str) -> DataFrame:
+        return (
+            o.where(cond)
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+            .select("o_custkey", F.ntile(5).over(w_rank).alias(seg_alias))
+        )
+
+    q1 = half(F.col("o_orderdate").cast("date") < split, "seg_before")
+    q2 = half(F.col("o_orderdate").cast("date") >= split, "seg_after")
+    mat = (
+        q1.join(q2, "o_custkey")
+        .groupBy("seg_before", "seg_after")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    norm = Window.partitionBy("seg_before")
+    return mat.select(
+        F.col("seg_before").cast("int").alias("seg_before"),
+        F.col("seg_after").cast("int").alias("seg_after"),
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(norm),
+            6,
+        ).alias("p_move"),
+    )
