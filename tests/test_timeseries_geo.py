@@ -219,3 +219,65 @@ def test_cms_estimate_is_one_sided_for_all_keys(spark, sf_dir):
         if est > cnt + slack:
             n_out_of_bound += 1
     assert n_out_of_bound <= max(1, len(exact) // 100)
+
+
+def test_acf_matches_numpy_on_day_series(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.timeseries import (
+        analytics_acf_daily,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .orderBy("d")
+        .collect()
+    )
+    by_day = {r["d"]: r["rev"] for r in daily}
+    xs = np.array([r["rev"] for r in daily])
+    mu, ss = xs.mean(), ((xs - xs.mean()) ** 2).sum()
+    import datetime
+
+    got = {r["lag_d"]: r for r in analytics_acf_daily(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 15))
+    for k, r in got.items():
+        num, n_pairs = 0.0, 0
+        for rr in daily:
+            d2 = rr["d"] + datetime.timedelta(days=k)
+            if d2 in by_day:
+                num += (rr["rev"] - mu) * (by_day[d2] - mu)
+                n_pairs += 1
+        assert r["n_pairs"] == n_pairs
+        assert abs(r["acf"] - num / ss) < 1e-4, (k, r["acf"], num / ss)
+        assert -1.0 <= r["acf"] <= 1.0
+
+
+def test_forecast_eval_mase_denominator_is_naive1(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.timeseries import (
+        analytics_forecast_eval,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .orderBy("d")
+        .collect()
+    )
+    import datetime
+
+    by_day = {r["d"]: r["rev"] for r in daily}
+    errs, naive = [], []
+    for r in daily:
+        prev7 = r["d"] - datetime.timedelta(days=7)
+        prev1 = r["d"] - datetime.timedelta(days=1)
+        if prev7 in by_day:
+            errs.append(abs(r["rev"] - by_day[prev7]))
+        if prev1 in by_day:
+            naive.append(abs(r["rev"] - by_day[prev1]))
+    row = analytics_forecast_eval(spark, sf_dir).collect()[0]
+    assert row["n_forecasts"] == len(errs)
+    mae = sum(errs) / len(errs)
+    assert abs(row["mae"] - mae) < 0.02
+    assert abs(row["mase"] - mae / (sum(naive) / len(naive))) < 1e-4
+    assert 0.0 < row["smape"] < 2.0
