@@ -190,3 +190,96 @@ def analytics_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(
         frontier, ["p_retailprice", "p_size"], "left_semi"
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+GEO_KNN_CUST_CAP = 500  # output grain: customers with c_custkey < cap
+
+
+@query(
+    "geo_nearest_supplier",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   CAST((c_custkey * {GEO_LAT_MULT}) % {GEO_MOD} AS DOUBLE)/1e4 AS clat,
+                   CAST((c_custkey * {GEO_LON_MULT}) % {GEO_MOD} AS DOUBLE)/1e4 AS clon
+            FROM customer WHERE c_custkey < {GEO_KNN_CUST_CAP}
+        ),
+        s AS (
+            SELECT s_suppkey,
+                   CAST((s_suppkey * {GEO_LAT_MULT}) % {GEO_MOD} AS DOUBLE)/1e4 AS slat,
+                   CAST((s_suppkey * {GEO_LON_MULT}) % {GEO_MOD} AS DOUBLE)/1e4 AS slon
+            FROM supplier
+        ),
+        pairs AS (
+            SELECT c_custkey, s_suppkey,
+                   ROUND(2 * {EARTH_R_KM} * ASIN(SQRT(
+                       POWER(SIN(RADIANS(slat - clat)/2), 2)
+                       + COS(RADIANS(clat)) * COS(RADIANS(slat))
+                         * POWER(SIN(RADIANS(slon - clon)/2), 2))), 3) AS dist_km
+            FROM c CROSS JOIN s
+        )
+        SELECT c_custkey, s_suppkey AS nearest_suppkey, dist_km
+        FROM pairs
+        WHERE dist_km <= {GEO_RADIUS_KM}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) = 1
+    """,
+    tags=("geo", "join", "knn", "window", "customer", "supplier"),
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity spatial nearest neighbor: each (capped) customer's
+    closest supplier within 50 km, via the same cell + 3×3-neighbor
+    EQUI-join as the pair query, then a per-customer rank-1 window
+    (rounded distance, supplier-key tiebreak — cross-engine
+    deterministic). Customers with no supplier inside the covered
+    radius drop out, which the radius predicate makes explicit.
+
+    The oracle states the naive cross-join + QUALIFY; the engine's
+    candidate set is bounded by local density. The per-customer window
+    partitions on c_custkey — no global sort anywhere."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < GEO_KNN_CUST_CAP)
+        .select("c_custkey", *_coords("c_custkey", "clat", "clon"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", *_coords("s_suppkey", "slat", "slon")
+    )
+    cust_c = cust.withColumn(
+        "cell",
+        F.floor(F.col("clat") / GEO_CELL_DEG) * 4096
+        + F.floor(F.col("clon") / GEO_CELL_DEG),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+    )
+    supp_c = (
+        supp.withColumn("o", F.explode(offsets))
+        .withColumn(
+            "cell",
+            (F.floor(F.col("slat") / GEO_CELL_DEG) + F.col("o.dr")) * 4096
+            + (F.floor(F.col("slon") / GEO_CELL_DEG) + F.col("o.dc")),
+        )
+        .drop("o")
+    )
+    dist = F.round(
+        _haversine_km(F.col("clat"), F.col("clon"), F.col("slat"), F.col("slon")),
+        3,
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        cust_c.join(supp_c, "cell")
+        .select("c_custkey", "s_suppkey", dist.alias("dist_km"))
+        .where(F.col("dist_km") <= GEO_RADIUS_KM)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            "dist_km",
+        )
+    )
