@@ -564,3 +564,104 @@ def stats_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_best_beats"),
     )
+
+
+@query(
+    "stats_runs_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        moves AS (
+            SELECT d,
+                   CASE WHEN rev > LAG(rev) OVER (ORDER BY d) THEN 1
+                        WHEN rev < LAG(rev) OVER (ORDER BY d) THEN -1
+                   END AS s
+            FROM daily
+        ),
+        seq AS (
+            SELECT s,
+                   CASE WHEN s <> LAG(s) OVER (ORDER BY d)
+                        OR LAG(s) OVER (ORDER BY d) IS NULL
+                        THEN 1 ELSE 0 END AS new_run
+            FROM moves WHERE s IS NOT NULL
+        ),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+                   CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+                   CAST(SUM(new_run) AS BIGINT) AS n_runs
+            FROM seq
+        )
+        SELECT n_up, n_down, n_runs,
+               ROUND(2.0 * n_up * n_down / (n_up + n_down) + 1, 6) AS expected_runs,
+               ROUND((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+                     / SQRT(2.0 * n_up * n_down
+                            * (2.0 * n_up * n_down - n_up - n_down)
+                            / (POWER(CAST(n_up + n_down AS DOUBLE), 2)
+                               * (n_up + n_down - 1))), 6) AS z,
+               ABS((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+                   / SQRT(2.0 * n_up * n_down
+                          * (2.0 * n_up * n_down - n_up - n_down)
+                          / (POWER(CAST(n_up + n_down AS DOUBLE), 2)
+                             * (n_up + n_down - 1)))) > 1.959963985
+                   AS significant_95
+        FROM agg
+    """,
+    tags=("stats", "runs-test", "timeseries", "window", "orders"),
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue up/down sequence —
+    "is the series random or trending/mean-reverting": observed runs
+    vs E[R] = 2n₁n₂/(n₁+n₂)+1 with the exact variance, z-scored, and
+    the fixed-critical-value 95% decision (no CDF).
+
+    Orders reduce to the day spine; the sign LAG and run-boundary LAG
+    are two windows over that aggregate; the statistic is scalar
+    algebra. Flat days (rev equal to previous) are excluded, stated
+    identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    wd = Window.orderBy("d")
+    moves = daily.select(
+        "d",
+        F.when(F.col("rev") > F.lag("rev").over(wd), 1)
+        .when(F.col("rev") < F.lag("rev").over(wd), -1)
+        .alias("s"),
+    )
+    seq = moves.where(F.col("s").isNotNull()).select(
+        "s",
+        F.when(
+            (F.col("s") != F.lag("s").over(wd))
+            | F.lag("s").over(wd).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = seq.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n_down"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    e_runs = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (F.pow((n1 + n2).cast("double"), 2) * (n1 + n2 - 1))
+    )
+    z = (r - e_runs) / F.sqrt(var)
+    return agg.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(e_runs, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959963985).alias("significant_95"),
+    )
