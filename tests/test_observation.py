@@ -10,6 +10,7 @@ registered contract query.
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 from pyspark.sql import Observation
 
@@ -17,8 +18,19 @@ from big_data_audio_classification_spark.operators.dedup import dedup_exact_hash
 from big_data_audio_classification_spark.sources.catalog import load_table
 
 
-def test_observe_metrics_match_direct_aggregates(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
+@pytest.fixture()
+def obs_spark(spark):
+    """Isolated session for Observation tests: registering an
+    Observation leaves a non-serializable ObservationManager in the
+    session state that a LATER task closure (an MLlib fit elsewhere in
+    the suite) can capture → ``Task not serializable``. newSession()
+    shares the SparkContext but gets its own session state, so the
+    observation never leaks into the shared session."""
+    return spark.newSession()
+
+
+def test_observe_metrics_match_direct_aggregates(obs_spark, sf_dir):
+    o = load_table(obs_spark, sf_dir, "orders")
     obs = Observation("orders_qc")
     # NB: DISTINCT aggregates are rejected in observed metrics
     # (INVALID_OBSERVED_METRICS) — use approx_count_distinct there.
@@ -38,10 +50,10 @@ def test_observe_metrics_match_direct_aggregates(spark, sf_dir):
     assert got["n_status_approx"] == direct["n_status_approx"]
 
 
-def test_observe_piggybacks_on_contract_query(spark, sf_dir):
+def test_observe_piggybacks_on_contract_query(obs_spark, sf_dir):
     """Attach QC metrics to a registered query's output without a
     second scan: observed row count must equal the query's count."""
-    df = dedup_exact_hash(spark, sf_dir)
+    df = dedup_exact_hash(obs_spark, sf_dir)
     obs = Observation("dedup_qc")
     observed = df.observe(obs, F.count(F.lit(1)).alias("n_out"))
     observed.write.format("noop").mode("overwrite").save()
