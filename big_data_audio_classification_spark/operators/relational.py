@@ -782,3 +782,39 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+@query(
+    "sql_parameterized_identifier",
+    oracle="""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_totalprice > 100000.0
+        GROUP BY o_orderstatus
+    """,
+    tags=("relational", "sql", "parameterized"),
+)
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with the IDENTIFIER() clause (Spark 4 front
+    door): the table name binds through ``IDENTIFIER(:tbl)`` and the
+    predicate through a typed ``:thresh`` parameter — the
+    injection-safe templating surface a query service exposes instead
+    of string interpolation. The oracle states the fully-resolved
+    query; binding must change nothing about the plan (same pushdown,
+    same aggregate)."""
+    from big_data_audio_classification_spark.sources.catalog import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :thresh
+        GROUP BY o_orderstatus
+        """,
+        args={"tbl": "orders", "thresh": 100000.0},
+    )
