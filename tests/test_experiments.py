@@ -200,3 +200,31 @@ def test_join_skew_selfjoin_prediction_is_exact(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     joined = li.alias("a").join(li.alias("b"), "l_partkey").count()
     assert joined == row["selfjoin_rows"]
+
+
+def test_runs_test_matches_manual_replay(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.experiments import (
+        stats_runs_test,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .orderBy("d")
+        .collect()
+    )
+    signs = []
+    for prev, cur in zip(daily, daily[1:]):
+        if cur["rev"] > prev["rev"]:
+            signs.append(1)
+        elif cur["rev"] < prev["rev"]:
+            signs.append(-1)
+    n1 = signs.count(1)
+    n2 = signs.count(-1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    row = stats_runs_test(spark, sf_dir).collect()[0]
+    assert (row["n_up"], row["n_down"], row["n_runs"]) == (n1, n2, runs)
+    e = 2 * n1 * n2 / (n1 + n2) + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    assert abs(row["z"] - (runs - e) / math.sqrt(var)) < 1e-5

@@ -281,3 +281,113 @@ def test_forecast_eval_mase_denominator_is_naive1(spark, sf_dir):
     assert abs(row["mae"] - mae) < 0.02
     assert abs(row["mase"] - mae / (sum(naive) / len(naive))) < 1e-4
     assert 0.0 < row["smape"] < 2.0
+
+
+def test_seasonal_indices_average_to_one_weighted(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.timeseries import (
+        events_seasonal_dow_index,
+    )
+
+    rows = events_seasonal_dow_index(spark, sf_dir).collect()
+    assert {r["dow"] for r in rows} == set(range(1, 8))
+    n = sum(r["n_days"] for r in rows)
+    weighted = sum(r["seasonal_index"] * r["n_days"] for r in rows) / n
+    assert abs(weighted - 1.0) < 1e-4  # Σ n_d·(mean_d/gmu) / N = 1
+
+
+def test_top_paths_match_bruteforce_trigrams(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from big_data_audio_classification_spark.operators.timeseries import (
+        events_top_paths,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    tri = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            tri[tuple(types[i : i + 3])] += 1
+    got = events_top_paths(spark, sf_dir).collect()
+    ranked = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [(k[0], k[1], k[2], n) for k, n in ranked[: len(got)]]
+    assert [(r["e1"], r["e2"], r["e3"], r["n_paths"]) for r in got] == want
+
+
+def test_segment_migration_rows_normalize_and_cover(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.timeseries import (
+        analytics_segment_migration,
+    )
+
+    rows = analytics_segment_migration(spark, sf_dir).collect()
+    assert all(1 <= r["seg_before"] <= 5 and 1 <= r["seg_after"] <= 5 for r in rows)
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        by_from[r["seg_before"]] += r["p_move"]
+    for seg, total in by_from.items():
+        assert abs(total - 1.0) < 1e-4, (seg, total)
+
+
+def test_nearest_supplier_matches_bruteforce(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.geo import (
+        GEO_KNN_CUST_CAP,
+        geo_nearest_supplier,
+    )
+
+    cust = [
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < GEO_KNN_CUST_CAP)
+        .select("c_custkey")
+        .collect()
+    ]
+    supp = [
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey")
+        .collect()
+    ]
+
+    def coords(key):
+        return (
+            (key * GEO_LAT_MULT) % GEO_MOD / 1e4,
+            (key * GEO_LON_MULT) % GEO_MOD / 1e4,
+        )
+
+    def hav(lat1, lon1, lat2, lon2):
+        dlat = math.radians(lat2 - lat1)
+        dlon = math.radians(lon2 - lon1)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    want = {}
+    for c in cust:
+        clat, clon = coords(c)
+        best = None
+        for s in supp:
+            slat, slon = coords(s)
+            d = round(hav(clat, clon, slat, slon), 3)
+            if d <= 50.0 and (best is None or (d, s) < best):
+                best = (d, s)
+        if best:
+            want[c] = (best[1], best[0])
+    got = {
+        r["c_custkey"]: (r["nearest_suppkey"], r["dist_km"])
+        for r in geo_nearest_supplier(spark, sf_dir).collect()
+    }
+    assert got == want
