@@ -481,3 +481,88 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_move"),
     )
+
+
+COVER_PAD_S = 150  # activity interval: event ±150 s
+
+
+@query(
+    "events_interval_coverage",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) - {COVER_PAD_S} AS s,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) + {COVER_PAD_S} AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), -1e18) THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                   ) AS island_id
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, island_id,
+                   MIN(s) AS island_start, MAX(e) AS island_end
+            FROM islands GROUP BY user_id, island_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(island_end - island_start) AS BIGINT)
+                   AS covered_seconds
+        FROM merged GROUP BY user_id
+    """,
+    tags=("events", "timeseries", "intervals", "window"),
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length per user: pad each event to a ±150 s
+    activity interval and measure the total time covered by the UNION
+    of those intervals (overlaps merged, not double-counted) — the
+    "true active time" metric naive SUM(duration) overstates.
+
+    Classic sweep: per-user sort by start, an island starts where the
+    start exceeds the running max of all previous ends, islands merge
+    by (min start, max end), lengths sum. Two user-partitioned windows
+    + two aggregations; epoch-second integers end to end, so the
+    cross-engine comparison is exact."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        (F.unix_timestamp("ts") - COVER_PAD_S).alias("s"),
+        (F.unix_timestamp("ts") + COVER_PAD_S).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1e18)),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("s", "e")
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_cum)
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("covered_seconds"),
+    )
