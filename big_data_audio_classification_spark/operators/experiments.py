@@ -665,3 +665,226 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.959963985).alias("significant_95"),
     )
+
+
+DID_SPLIT = "1998-01-01"  # pre/post boundary (orders span 1995-2001)
+DID_Z95 = 1.959963985  # two-sided 95% critical value
+
+
+@query(
+    "stats_diff_in_diff",
+    oracle=f"""
+        WITH j AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_totalprice AS price,
+                   (c_nationkey % 2 = 0) AS treat,
+                   (o_orderdate >= TIMESTAMP '{DID_SPLIT}') AS post
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        cells AS (
+            SELECT
+              COUNT(CASE WHEN treat AND post THEN 1 END)      AS n_tp,
+              COUNT(CASE WHEN treat AND NOT post THEN 1 END)  AS n_t0,
+              COUNT(CASE WHEN NOT treat AND post THEN 1 END)  AS n_cp,
+              COUNT(CASE WHEN NOT treat AND NOT post THEN 1 END) AS n_c0,
+              SUM(CASE WHEN treat AND post THEN cents END)      AS s_tp,
+              SUM(CASE WHEN treat AND NOT post THEN cents END)  AS s_t0,
+              SUM(CASE WHEN NOT treat AND post THEN cents END)  AS s_cp,
+              SUM(CASE WHEN NOT treat AND NOT post THEN cents END) AS s_c0,
+              VAR_SAMP(CASE WHEN treat AND post THEN price END)     AS v_tp,
+              VAR_SAMP(CASE WHEN treat AND NOT post THEN price END) AS v_t0,
+              VAR_SAMP(CASE WHEN NOT treat AND post THEN price END) AS v_cp,
+              VAR_SAMP(CASE WHEN NOT treat AND NOT post THEN price END) AS v_c0
+            FROM j
+        )
+        SELECT n_tp, n_t0, n_cp, n_c0,
+               ROUND(s_tp / 100.0 / n_tp, 6) AS m_treat_post,
+               ROUND(s_t0 / 100.0 / n_t0, 6) AS m_treat_pre,
+               ROUND(s_cp / 100.0 / n_cp, 6) AS m_ctrl_post,
+               ROUND(s_c0 / 100.0 / n_c0, 6) AS m_ctrl_pre,
+               ROUND((s_tp / 100.0 / n_tp - s_t0 / 100.0 / n_t0)
+                     - (s_cp / 100.0 / n_cp - s_c0 / 100.0 / n_c0), 6)
+                   AS did_estimate,
+               ROUND(SQRT(v_tp / n_tp + v_t0 / n_t0
+                          + v_cp / n_cp + v_c0 / n_c0), 4) AS se,
+               ROUND(((s_tp / 100.0 / n_tp - s_t0 / 100.0 / n_t0)
+                      - (s_cp / 100.0 / n_cp - s_c0 / 100.0 / n_c0))
+                     / SQRT(v_tp / n_tp + v_t0 / n_t0
+                            + v_cp / n_cp + v_c0 / n_c0), 4) AS z_score,
+               ABS(((s_tp / 100.0 / n_tp - s_t0 / 100.0 / n_t0)
+                    - (s_cp / 100.0 / n_cp - s_c0 / 100.0 / n_c0))
+                   / SQRT(v_tp / n_tp + v_t0 / n_t0
+                          + v_cp / n_cp + v_c0 / n_c0)) > {DID_Z95}
+                   AS significant_95
+        FROM cells
+    """,
+    tags=("stats", "causal", "experiment", "aggregate"),
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the order-value shift
+    around {DID_SPLIT}: treatment = customers of even-keyed nations,
+    control = odd-keyed, pre/post by order date. Reports the four cell
+    means, the DiD estimate (ΔT − ΔC), its large-sample standard error
+    sqrt(Σ s²_g/n_g), the z score, and the fixed-critical-value 95%
+    decision (same no-CDF contract as ``stats_ab_proportion_test``).
+
+    One dimension join (customer — broadcastable) and ONE conditional-
+    aggregation pass produce a single scalar row: no pivot, no second
+    scan, map-side combined everywhere. Cell means come from EXACT
+    integer cent sums (o_totalprice is cents-exact; Σ cents < 2^63 up
+    to ~sf100), so they are bit-identical cross-engine; only the
+    variance terms are float aggregates, and they enter the output
+    through sqrt(v/n) — relative error ~1e-12 — rounded at 4."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("c_nationkey") % 2 == 0).alias("treat"),
+        (F.col("o_orderdate") >= F.lit(DID_SPLIT).cast("timestamp")).alias("post"),
+    )
+    cond = {
+        "tp": F.col("treat") & F.col("post"),
+        "t0": F.col("treat") & ~F.col("post"),
+        "cp": ~F.col("treat") & F.col("post"),
+        "c0": ~F.col("treat") & ~F.col("post"),
+    }
+    cells = j.agg(
+        *[F.count(F.when(cnd, 1)).alias(f"n_{k}") for k, cnd in cond.items()],
+        *[F.sum(F.when(cnd, F.col("cents"))).alias(f"s_{k}") for k, cnd in cond.items()],
+        *[F.var_samp(F.when(cnd, F.col("price"))).alias(f"v_{k}") for k, cnd in cond.items()],
+    )
+    m = {k: F.col(f"s_{k}") / 100.0 / F.col(f"n_{k}") for k in cond}
+    did = (m["tp"] - m["t0"]) - (m["cp"] - m["c0"])
+    se = F.sqrt(
+        sum(F.col(f"v_{k}") / F.col(f"n_{k}") for k in cond)
+    )
+    return cells.select(
+        "n_tp", "n_t0", "n_cp", "n_c0",
+        F.round(m["tp"], 6).alias("m_treat_post"),
+        F.round(m["t0"], 6).alias("m_treat_pre"),
+        F.round(m["cp"], 6).alias("m_ctrl_post"),
+        F.round(m["c0"], 6).alias("m_ctrl_pre"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(se, 4).alias("se"),
+        F.round(did / se, 4).alias("z_score"),
+        (F.abs(did / se) > DID_Z95).alias("significant_95"),
+    )
+
+
+CI_B = 1024  # histogram bins for the two-phase order-statistic lookup
+
+
+@query(
+    "stats_median_ci",
+    oracle=f"""
+        WITH v AS (SELECT o_totalprice AS x FROM orders),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        k AS (
+            SELECT n,
+                   GREATEST(1, CAST(FLOOR((n - {DID_Z95} * SQRT(n)) / 2)
+                                    AS BIGINT)) AS klo,
+                   LEAST(n, CAST(CEIL((n + {DID_Z95} * SQRT(n)) / 2)
+                                 AS BIGINT) + 1) AS khi,
+                   CAST(FLOOR((n + 1) / 2) AS BIGINT) AS km1,
+                   CAST(FLOOR(n / 2) AS BIGINT) + 1 AS km2
+            FROM nn
+        ),
+        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk FROM v)
+        SELECT n,
+               MAX(CASE WHEN rk = klo THEN x END) AS ci_lo,
+               ROUND((MAX(CASE WHEN rk = km1 THEN x END)
+                      + MAX(CASE WHEN rk = km2 THEN x END)) / 2, 4)
+                   AS median_exact,
+               MAX(CASE WHEN rk = khi THEN x END) AS ci_hi
+        FROM r CROSS JOIN k
+        GROUP BY n
+    """,
+    tags=("stats", "percentile", "scale", "inference"),
+)
+def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of
+    order value via binomial ORDER STATISTICS: ranks floor((n±1.96√n)/2)
+    (clamped, the standard large-sample sign-test inversion) — no
+    normality assumption on the data, only on the rank distribution.
+
+    The oracle states the textbook definition (a global ROW_NUMBER —
+    exactly the single-partition sort that does NOT scale). The engine
+    side extracts the four needed order statistics with the two-phase
+    histogram idiom (``agg_percentiles_twophase``): one 1024-bin
+    histogram pass, a running count over the ≤1024-row bin LEDGER to
+    locate each rank's bin, then ranking only inside the ~n/1024-row
+    candidate bins. No global sort, no per-group buffering; ties share
+    a value so tie-order inside a bin cannot change the picked value."""
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v")
+    )
+    st = x.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    n = F.col("n")
+    # 0-based ranks == the oracle's 1-based ranks − 1, algebraically:
+    # GREATEST(1, f)−1 = GREATEST(0, f−1); LEAST(n, c+1)−1 = LEAST(n−1, c).
+    t = st.select(
+        "n", "mn", "mx",
+        F.greatest(
+            F.lit(0),
+            F.floor((n - DID_Z95 * F.sqrt(n)) / 2).cast("bigint") - 1,
+        ).alias("klo"),
+        F.least(
+            n - 1,
+            F.ceil((n + DID_Z95 * F.sqrt(n)) / 2).cast("bigint"),
+        ).alias("khi"),
+        (F.floor((n + 1) / 2).cast("bigint") - 1).alias("km1"),
+        F.floor(n / 2).cast("bigint").alias("km2"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(CI_B)
+    binned = x.crossJoin(F.broadcast(st)).select(
+        "v",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("v") - F.col("mn")) / width), F.lit(CI_B - 1))
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    )
+    ranks = (
+        t.select(
+            F.explode(
+                F.array(F.col("klo"), F.col("km1"), F.col("km2"), F.col("khi"))
+            ).alias("r")
+        ).distinct()
+    )
+    rank_bins = ranks.join(
+        F.broadcast(hist),
+        (F.col("r") >= F.col("cum_before"))
+        & (F.col("r") < F.col("cum_before") + F.col("cnt")),
+    ).select("r", "b")
+    cand = rank_bins.select("b").distinct()
+    wbin = Window.partitionBy("b").orderBy("v")
+    picked = (
+        binned.join(F.broadcast(cand), "b", "left_semi")
+        .join(F.broadcast(hist.select("b", "cum_before")), "b")
+        .withColumn("r", F.row_number().over(wbin) - 1 + F.col("cum_before"))
+        .join(F.broadcast(rank_bins.select("r")), "r", "left_semi")
+        .select("r", "v")
+    )
+    out = t
+    for nm in ("klo", "km1", "km2", "khi"):
+        out = out.join(
+            F.broadcast(
+                picked.select(F.col("r").alias(nm), F.col("v").alias(f"v_{nm}"))
+            ),
+            nm,
+        )
+    return out.select(
+        "n",
+        F.col("v_klo").alias("ci_lo"),
+        F.round((F.col("v_km1") + F.col("v_km2")) / 2, 4).alias("median_exact"),
+        F.col("v_khi").alias("ci_hi"),
+    )

@@ -566,3 +566,273 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("covered_seconds"),
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM ud),
+        wau AS (
+            SELECT days.d AS day, COUNT(DISTINCT ud.user_id) AS wau_7d
+            FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+            GROUP BY days.d
+        ),
+        dau AS (
+            SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+            FROM ud GROUP BY d
+        )
+        SELECT dau.day, dau.dau, wau.wau_7d,
+               ROUND(CAST(dau.dau AS DOUBLE) / wau.wau_7d, 4) AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    tags=("events", "timeseries", "rolling", "distinct", "window"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU) per observed day, plus
+    DAU and the DAU/WAU stickiness ratio — the engagement dashboard
+    query whose naive form is a per-day range-joined COUNT(DISTINCT).
+
+    Window frames can't host COUNT(DISTINCT), and a per-day range join
+    against the raw stream is |days|x|events|. The engine form is the
+    bounded FAN-OUT idiom: dedup to (user, day) once, explode each
+    user-day to the <=7 trailing days it covers (``sequence`` +
+    ``explode`` — a x7 row multiplier, NOT a join), keep covered days
+    that exist in the observed-day spine (broadcast — the spine is
+    calendar-bounded), and run ONE distinct-count aggregation keyed by
+    day. Shuffles: the (user, day) dedup, then the day-keyed counts;
+    the same shape at any SF. The DuckDB oracle states the naive
+    range-join definition, so the gate proves fan-out == range join."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    covered = ud.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    wau = (
+        covered.join(F.broadcast(days.select(F.col("d").alias("day"))), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau_7d",
+        F.round(F.col("dau").cast("double") / F.col("wau_7d"), 4).alias(
+            "stickiness"
+        ),
+    )
+
+
+@query(
+    "analytics_stl_decomposition",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        tr AS (
+            SELECT d, rev,
+                   CASE WHEN COUNT(*) OVER w7 = 7
+                        THEN ROUND(AVG(rev) OVER w7, 4) END AS trend
+            FROM daily
+            WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        dt AS (
+            SELECT *, EXTRACT(ISODOW FROM d) AS dow,
+                   rev - trend AS detr
+            FROM tr
+        ),
+        sidx AS (
+            SELECT dow, AVG(detr) AS s_raw
+            FROM dt WHERE detr IS NOT NULL GROUP BY dow
+        ),
+        sc AS (
+            SELECT dow,
+                   ROUND(s_raw - AVG(s_raw) OVER (), 4) AS seasonal
+            FROM sidx
+        ),
+        rem AS (
+            SELECT dt.d, dt.rev, dt.trend, sc.seasonal,
+                   ROUND(dt.rev - dt.trend - sc.seasonal, 4) AS remainder
+            FROM dt JOIN sc ON dt.dow = sc.dow
+        ),
+        m AS (
+            SELECT MEDIAN(remainder) AS med FROM rem
+        ),
+        mad AS (
+            SELECT MEDIAN(ABS(remainder - med)) AS mad FROM rem CROSS JOIN m
+        )
+        SELECT rem.d, rem.rev, rem.trend, rem.seasonal, rem.remainder,
+               CASE WHEN remainder IS NULL OR mad = 0 THEN NULL
+                    ELSE ROUND(0.6745 * (remainder - med) / mad, 4)
+               END AS robust_z,
+               CASE WHEN remainder IS NULL OR mad = 0 THEN NULL
+                    ELSE ABS(0.6745 * (remainder - med) / mad) > 3.5
+               END AS is_anomaly
+        FROM rem CROSS JOIN m CROSS JOIN mad
+    """,
+    tags=("timeseries", "decomposition", "anomaly", "window"),
+)
+def analytics_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition of daily revenue
+    with a MAD-robust anomaly flag on the remainder: trend = centered
+    7-day moving average (full windows only), seasonal = mean-centered
+    ISO-weekday index of the detrended series, remainder = rev - trend
+    - seasonal, anomaly when the modified z-score |0.6745*(r-med)/MAD|
+    exceeds 3.5 (the Iglewicz-Hoaglin screen, cf. ``stats_mad_outliers``).
+
+    The 100 TB shape: raw orders collapse to the calendar-bounded day
+    spine FIRST; every window (moving average, seasonal centering) and
+    both medians run over that spine or the 7-row index table, never
+    over raw rows. Per-day sums are rounded before the series math so
+    float sum-order low bits can't leak cross-engine (house idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "rev",
+        F.when(F.count("*").over(w7) == 7, F.round(F.avg("rev").over(w7), 4)).alias(
+            "trend"
+        ),
+    )
+    dt = tr.withColumn("dow", (F.weekday("d") + F.lit(1)).cast("bigint")).withColumn(
+        "detr", F.col("rev") - F.col("trend")
+    )
+    sidx = dt.where(F.col("detr").isNotNull()).groupBy("dow").agg(
+        F.avg("detr").alias("s_raw")
+    )
+    sc = sidx.select(
+        "dow",
+        F.round(
+            F.col("s_raw") - F.avg("s_raw").over(Window.partitionBy()), 4
+        ).alias("seasonal"),
+    )
+    rem = dt.join(F.broadcast(sc), "dow").select(
+        "d",
+        "rev",
+        "trend",
+        "seasonal",
+        F.round(F.col("rev") - F.col("trend") - F.col("seasonal"), 4).alias(
+            "remainder"
+        ),
+    )
+    m = rem.agg(F.median("remainder").alias("med"))
+    madt = (
+        rem.crossJoin(F.broadcast(m))
+        .agg(F.median(F.abs(F.col("remainder") - F.col("med"))).alias("mad"))
+    )
+    z = 0.6745 * (F.col("remainder") - F.col("med")) / F.col("mad")
+    guard = F.col("remainder").isNull() | (F.col("mad") == 0)
+    return (
+        rem.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(madt))
+        .select(
+            "d",
+            "rev",
+            "trend",
+            "seasonal",
+            "remainder",
+            F.when(~guard, F.round(z, 4)).alias("robust_z"),
+            F.when(~guard, F.abs(z) > 3.5).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "stats_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        dx AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+                   rev
+            FROM daily
+        ),
+        slopes AS (
+            SELECT (b.rev - a.rev) / (b.x - a.x) AS m
+            FROM dx a JOIN dx b ON a.x < b.x
+        ),
+        s AS (
+            SELECT ROUND(MEDIAN(m), 6) AS ts_slope,
+                   COUNT(*) AS n_pairs
+            FROM slopes
+        ),
+        i AS (
+            SELECT ROUND(MEDIAN(rev - ts_slope * x), 4) AS ts_intercept
+            FROM dx CROSS JOIN s
+        ),
+        o AS (
+            SELECT ROUND(REGR_SLOPE(rev, x), 6) AS ols_slope,
+                   ROUND(REGR_INTERCEPT(rev, x), 4) AS ols_intercept,
+                   COUNT(*) AS n_days
+            FROM dx
+        )
+        SELECT n_days, n_pairs, ts_slope, ts_intercept, ols_slope, ols_intercept
+        FROM o CROSS JOIN s CROSS JOIN i
+    """,
+    tags=("timeseries", "stats", "regression", "robust"),
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily revenue — the median of
+    all pairwise slopes (breakdown point 29%, immune to the outlier
+    days that drag OLS around) with the Sen intercept
+    median(y - m*x), reported next to the OLS fit for comparison.
+
+    Pairwise slopes look quadratic but the self-join runs over the
+    calendar-bounded DAY SPINE (~2.4k days -> ~2.9M pairs), never raw
+    orders: cost grows with time-span squared, not data volume. Both
+    medians aggregate the bounded pair/spine tables (single small-group
+    buffer, same envelope as the spine itself). x is integer epoch-days
+    and per-day revenue is rounded first, so the slope arithmetic is
+    bit-identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    dx = daily.select(
+        F.datediff("d", F.lit("1970-01-01").cast("date")).cast("bigint").alias("x"),
+        "rev",
+    )
+    a, b = dx.alias("a"), dx.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.x") - F.col("a.x"))).alias("m")
+    )
+    s = slopes.agg(
+        F.round(F.median("m"), 6).alias("ts_slope"),
+        F.count("*").alias("n_pairs"),
+    )
+    i = (
+        dx.crossJoin(F.broadcast(s.select("ts_slope")))
+        .agg(
+            F.round(
+                F.median(F.col("rev") - F.col("ts_slope") * F.col("x")), 4
+            ).alias("ts_intercept")
+        )
+    )
+    ols = dx.agg(
+        F.round(F.regr_slope("rev", "x"), 6).alias("ols_slope"),
+        F.round(F.regr_intercept("rev", "x"), 4).alias("ols_intercept"),
+        F.count("*").alias("n_days"),
+    )
+    return (
+        ols.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(i))
+        .select(
+            "n_days", "n_pairs", "ts_slope", "ts_intercept",
+            "ols_slope", "ols_intercept",
+        )
+    )
