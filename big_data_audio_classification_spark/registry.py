@@ -113,13 +113,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # first-time: this round's new / determinism-hardened queries
     "mm_wav_decode_stats",
     "stats_ks_two_sample",
-    "stats_ks_binned_ecdf",
-    "events_ohlc_bars",
     "merge_upsert_orders",
-    "snapshot_diff_orders",
     "retrieval_ranking_metrics",
     "scd2_point_in_time_join",
-    "retrieval_phrase_positions",
+    # round-3d: five NEW never-driver-checked families (rolling distinct
+    # actives, seasonal-trend decomposition, robust Theil-Sen trend,
+    # difference-in-differences causal inference, order-statistic
+    # median CI) displace four first-time entries whose every family
+    # tag stays window-covered (stats_ks_binned_ecdf by
+    # stats_ks_two_sample + agg_count_min_sketch; events_ohlc_bars by
+    # cusum/ewma; snapshot_diff_orders by merge_upsert + scd2;
+    # retrieval_phrase_positions by retrieval_ranking_metrics) and the
+    # one certified anchor whose family tag is no longer solely carried
+    # (agg_regression_by_flag, r01-green; 'regression' now carried by
+    # ml_ols_normal_equations and stats_theil_sen). The displaced five
+    # remain tri-SF green in the local gate.
+    "events_rolling_active_users",
+    "analytics_stl_decomposition",
+    "stats_theil_sen",
+    "stats_diff_in_diff",
+    "stats_median_ci",
     # round-3c: eight never-driver-checked NEW families (timeseries/
     # CUSUM, spatial join, closed-form OLS, relational naive Bayes,
     # count-min sketch, k-hop BFS, Kaplan-Meier survival, skyline)
@@ -143,7 +156,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
-    "agg_regression_by_flag",
     "ml_confusion_matrix",
     "ref_power_to_db",
     "events_session_window",

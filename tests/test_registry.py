@@ -63,6 +63,12 @@ REQUIRED_FAMILY_TAGS = [
     "sink",
     "csv",
     "sql",
+    # round-3d families
+    "rolling",
+    "decomposition",
+    "robust",
+    "causal",
+    "inference",
 ]
 
 
