@@ -376,3 +376,54 @@ def test_ols_is_single_aggregation_pass(spark, sf_dir):
     assert plan.count("Exchange (") == 1
     assert "partial_covar_pop" in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_rolling_actives_fanout_has_no_range_join(spark, sf_dir):
+    """The DAU/WAU rolling-distinct query must be the bounded fan-out
+    form: explode+equi-join only — the oracle's |days| x |user-days|
+    range join (a nested-loop shape) must not appear in the plan."""
+    from big_data_audio_classification_spark.operators import timeseries
+
+    plan = introspect.formatted_plan(
+        timeseries.events_rolling_active_users(spark, sf_dir)
+    )
+    assert "NestedLoopJoin" not in plan, plan
+    assert "Generate" in plan  # the sequence/explode fan-out
+    assert "BroadcastHashJoin" in plan  # spine + final day-keyed joins
+
+
+def test_diff_in_diff_is_one_pass_over_broadcast_join(spark, sf_dir):
+    """DiD must be a single conditional-aggregation pass over one
+    broadcast dimension join: no pivot/window, map-side partial
+    aggregation, and only the dim broadcast plus the final scalar
+    exchange."""
+    from big_data_audio_classification_spark.operators import experiments
+
+    plan = introspect.formatted_plan(
+        experiments.stats_diff_in_diff(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan and "partial_var_samp" in plan
+    # one broadcast exchange (dim) + one scalar-agg exchange; the
+    # leading space excludes BroadcastExchange from the count
+    assert plan.count(" Exchange (") == 1
+    assert plan.count("BroadcastExchange (") == 1
+
+
+def test_median_ci_has_no_buffering_agg_or_global_sort_of_fact(spark, sf_dir):
+    """The order-statistic CI must resolve ranks via the two-phase
+    histogram: no built-in percentile()/collect buffering aggregate and
+    no global sort of the fact — the only Sorts allowed are inside the
+    per-bin row_number window (partitioned by bin) and ledger-sized
+    windows (<=1024 rows)."""
+    from big_data_audio_classification_spark.operators import experiments
+
+    plan = introspect.formatted_plan(experiments.stats_median_ci(spark, sf_dir))
+    for buffering in ("percentile(", "collect_list", "collect_set"):
+        assert buffering not in plan, buffering
+    # the oracle's shape — a global row_number over ALL values — would
+    # plan Exchange SinglePartition feeding a Sort over column v with no
+    # bin partitioning; the engine plan partitions the fact-sized
+    # window by bin id `b`
+    assert "partitionBy=[b" in plan or "hashpartitioning(b" in plan, plan
