@@ -769,3 +769,45 @@ def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("n_union_exact")
         ).alias("intersect_within_tol"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderstatus,
+               o_orderpriority AS mode_priority,
+               cnt AS mode_count
+        FROM c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY cnt DESC, o_orderpriority DESC
+        ) = 1
+    """,
+    tags=("aggregate", "mode", "orders"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group. The built-in
+    ``mode()`` breaks frequency ties arbitrarily — useless for a
+    cross-engine contract — so the engine form is count + ``max_by``
+    over a (count, value) struct: ties resolve to the lexicographically
+    LARGEST value, stated identically in the oracle's window ordering.
+
+    Two map-side-combined aggregations, both keyed (no windows over
+    data-sized input); the second groups the tiny (status, priority)
+    count grid."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    return c.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderpriority", F.struct(F.col("cnt"), F.col("o_orderpriority"))
+        ).alias("mode_priority"),
+        F.max_by(
+            "cnt", F.struct(F.col("cnt"), F.col("o_orderpriority"))
+        ).alias("mode_count"),
+    )

@@ -888,3 +888,69 @@ def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("v_km1") + F.col("v_km2")) / 2, 4).alias("median_exact"),
         F.col("v_khi").alias("ci_hi"),
     )
+
+
+PWR_Z80 = 0.8416212336  # one-sided 80% power quantile
+PWR_REL_EFFECT = 0.02  # minimum detectable effect: 2% of the group mean
+
+
+@query(
+    "stats_power_analysis",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_obs,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+                   STDDEV_SAMP(o_totalprice) AS sd
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n_obs,
+               ROUND(cents / 100.0 / n_obs, 6) AS mean_value,
+               ROUND(sd, 4) AS sd_value,
+               ROUND({PWR_REL_EFFECT} * cents / 100.0 / n_obs, 6) AS mde,
+               ROUND(2 * POWER(({DID_Z95} + {PWR_Z80}) * sd
+                               / ({PWR_REL_EFFECT} * cents / 100.0 / n_obs),
+                               2), 2) AS n_required_per_arm
+        FROM g
+    """,
+    tags=("stats", "experiment", "power", "aggregate"),
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sample-size calculator per market segment: the
+    two-sample-means power formula n = 2·((z_{{α/2}}+z_β)·σ/δ)² with
+    δ = 2% of the observed segment mean, α = 5% two-sided, power = 80%
+    (fixed quantile constants — no inverse-CDF to keep in cross-engine
+    lockstep). The planning query run before ``stats_diff_in_diff``-
+    style experiments.
+
+    One broadcast dim join + one segment-keyed aggregation. Means come
+    from exact cent sums; σ enters only through the stable one-pass
+    stddev (relative error ~1e-12), and the output is the REAL-valued
+    requirement rounded at 2 — no ceil, whose knife-edge integer
+    boundary would be the one nondeterministic bit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+            F.stddev_samp("o_totalprice").alias("sd"),
+        )
+    )
+    mean = F.col("cents") / 100.0 / F.col("n_obs")
+    mde = PWR_REL_EFFECT * mean
+    return g.select(
+        "c_mktsegment",
+        "n_obs",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.col("sd"), 4).alias("sd_value"),
+        F.round(mde, 6).alias("mde"),
+        F.round(
+            2 * F.pow((DID_Z95 + PWR_Z80) * F.col("sd") / mde, F.lit(2)), 2
+        ).alias("n_required_per_arm"),
+    )

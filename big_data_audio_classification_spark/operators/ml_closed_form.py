@@ -241,3 +241,98 @@ def ml_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("actual").alias("lang"), F.col("c").alias("pred_lang"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "ml_isotonic_minimax",
+    oracle="""
+        WITH mo AS (
+            SELECT CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+                        + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s
+            FROM orders GROUP BY 1
+        ),
+        pref AS (
+            SELECT m, n, s,
+                   SUM(s) OVER (ORDER BY m) AS cs,
+                   SUM(n) OVER (ORDER BY m) AS cn
+            FROM mo
+        ),
+        iv AS (
+            SELECT a.m AS i, b.m AS j,
+                   CAST(b.cs - (a.cs - a.s) AS DOUBLE)
+                       / (b.cn - (a.cn - a.n)) / 100.0 AS avg_ij
+            FROM pref a JOIN pref b ON a.m <= b.m
+        ),
+        sm AS (
+            SELECT i, j,
+                   MIN(avg_ij) OVER (PARTITION BY i ORDER BY j DESC) AS mn
+            FROM iv
+        ),
+        fit AS (SELECT j AS m, MAX(mn) AS fit_raw FROM sm GROUP BY j)
+        SELECT mo.m AS month_idx,
+               mo.n AS n_orders,
+               ROUND(CAST(mo.s AS DOUBLE) / 100.0 / mo.n, 6) AS y_mean,
+               ROUND(fit.fit_raw, 6) AS fit_isotonic
+        FROM mo JOIN fit ON mo.m = fit.m
+    """,
+    tags=("ml", "regression", "isotonic", "closed-form", "orders"),
+)
+def ml_isotonic_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic (monotone non-decreasing) regression of mean
+    monthly order value vs month index, solved in CLOSED FORM by the
+    minimax identity ŷ_k = max_{i≤k} min_{j≥k} avg(y_i..y_j) — the
+    exact PAVA (pool-adjacent-violators) solution without PAVA's
+    sequential pooling loop, so it is expressible as pure windows and
+    cross-engine verifiable (a pytest proves minimax == numpy PAVA).
+
+    The 100 TB shape: raw orders collapse to the calendar-bounded MONTH
+    spine first (one aggregation); the interval-average table is built
+    from integer-exact prefix sums over that ~80-row spine, the suffix
+    min is one i-partitioned window over the ≤k² interval grid, and the
+    final max is a j-keyed aggregation of the same grid. Every division
+    is exact-int/exact-int → double, so min/max comparisons are
+    bit-identical in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    mo = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("s"),
+    )
+    wp = Window.orderBy("m")
+    pref = mo.select(
+        "m", "n", "s",
+        F.sum("s").over(wp).alias("cs"),
+        F.sum("n").over(wp).alias("cn"),
+    )
+    a = pref.select(
+        F.col("m").alias("i"),
+        (F.col("cs") - F.col("s")).alias("s_before"),
+        (F.col("cn") - F.col("n")).alias("n_before"),
+    )
+    b = pref.select(
+        F.col("m").alias("j"), F.col("cs").alias("cs_j"), F.col("cn").alias("cn_j")
+    )
+    iv = a.join(b, F.col("i") <= F.col("j")).select(
+        "i", "j",
+        (
+            (F.col("cs_j") - F.col("s_before")).cast("double")
+            / (F.col("cn_j") - F.col("n_before"))
+            / 100.0
+        ).alias("avg_ij"),
+    )
+    wsuf = Window.partitionBy("i").orderBy(F.col("j").desc())
+    sm = iv.withColumn("mn", F.min("avg_ij").over(wsuf))
+    fit = sm.groupBy(F.col("j").alias("m")).agg(F.max("mn").alias("fit_raw"))
+    return mo.join(fit, "m").select(
+        F.col("m").alias("month_idx"),
+        F.col("n").alias("n_orders"),
+        F.round(F.col("s").cast("double") / 100.0 / F.col("n"), 6).alias("y_mean"),
+        F.round(F.col("fit_raw"), 6).alias("fit_isotonic"),
+    )

@@ -698,3 +698,74 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch_ease"),
     )
+
+
+ZIPF_TOP = 500  # head of the rank-frequency curve the power law is fit on
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH toks AS (
+            SELECT UNNEST(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ),
+        c AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        top AS (SELECT tok, c FROM c ORDER BY c DESC, tok LIMIT {ZIPF_TOP}),
+        r AS (
+            SELECT c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+            FROM top
+        ),
+        v AS (SELECT COUNT(*) AS n_vocab, SUM(c) AS n_tokens FROM c)
+        SELECT n_vocab, CAST(n_tokens AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_fit,
+               ROUND(REGR_SLOPE(LN(c), LN(rnk)), 6) AS zipf_slope,
+               ROUND(REGR_INTERCEPT(LN(c), LN(rnk)), 6) AS zipf_intercept,
+               ROUND(REGR_R2(LN(c), LN(rnk)), 6) AS r2
+        FROM r CROSS JOIN v
+        GROUP BY n_vocab, n_tokens
+    """,
+    tags=("text", "corpus-stats", "regression", "documents"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ln(frequency) on ln(rank) over the top-500 tokens (slope ≈ −1 for
+    natural language; the deviation is a corpus-health diagnostic the
+    curation stack reads next to the Gopher signals).
+
+    Scale shape: one token-keyed count (map-side combined), the head
+    selected by ``TakeOrderedAndProject`` on (count desc, token) — rank
+    ties cannot flip cross-engine because the ordering key is unique —
+    and the regression aggregates run over the 500-row head only. The
+    vocabulary size/token total ride along from the same count table."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    v = c.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    top = c.orderBy(F.col("c").desc(), "tok").limit(ZIPF_TOP)
+    r = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "tok"))
+        .alias("rnk"),
+    )
+    lnc, lnr = F.log(F.col("c").cast("double")), F.log(F.col("rnk").cast("double"))
+    return (
+        r.crossJoin(F.broadcast(v))
+        .groupBy("n_vocab", "n_tokens")
+        .agg(
+            F.count("*").alias("n_fit"),
+            F.round(F.regr_slope(lnc, lnr), 6).alias("zipf_slope"),
+            F.round(F.regr_intercept(lnc, lnr), 6).alias("zipf_intercept"),
+            F.round(F.regr_r2(lnc, lnr), 6).alias("r2"),
+        )
+    )

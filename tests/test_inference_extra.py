@@ -154,3 +154,100 @@ def test_median_ci_matches_order_stat_replay(spark, sf_dir):
         out["median_exact"], (v[km1 - 1] + v[km2 - 1]) / 2, abs_tol=5.01e-5
     )
     assert out["ci_lo"] <= out["median_exact"] <= out["ci_hi"]
+
+
+def test_isotonic_minimax_equals_numpy_pava(spark, sf_dir):
+    """The closed-form minimax fit must equal the sequential weighted
+    PAVA solution (the classical identity the query's design rests on),
+    and be monotone non-decreasing in the month index."""
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        ml_isotonic_minimax,
+    )
+
+    rows = ml_isotonic_minimax(spark, sf_dir).orderBy("month_idx").collect()
+    y = np.array([r["y_mean"] for r in rows])
+    w = np.array([r["n_orders"] for r in rows], dtype=np.float64)
+    fit = np.array([r["fit_isotonic"] for r in rows])
+    # weighted PAVA via pooling stacks: each block is [Σwy, Σw, members]
+    blocks = []
+    for yi, wi in zip(y, w):
+        blocks.append([wi * yi, wi, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] >= blocks[-1][0] / blocks[-1][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    expanded = []
+    for swy, sw, cnt in blocks:
+        expanded.extend([swy / sw] * cnt)
+    assert len(expanded) == len(fit)
+    assert np.allclose(fit, expanded, atol=1e-4)
+    assert np.all(np.diff(fit) >= -1e-9)  # monotone
+
+
+def test_zipf_fit_matches_numpy_replay(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.text import (
+        ZIPF_TOP,
+        text_zipf_fit,
+    )
+
+    out = text_zipf_fit(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    from collections import Counter
+
+    c = Counter()
+    for r in docs:
+        c.update(t for t in r["text"].split(" ") if t)
+    assert out["n_vocab"] == len(c)
+    assert out["n_tokens"] == sum(c.values())
+    head = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    lnr = np.log(np.arange(1, len(head) + 1, dtype=np.float64))
+    lnc = np.log(np.array([n for _, n in head], dtype=np.float64))
+    slope, intercept = np.polyfit(lnr, lnc, 1)
+    assert math.isclose(out["zipf_slope"], slope, abs_tol=1e-4)
+    assert math.isclose(out["zipf_intercept"], intercept, abs_tol=1e-4)
+    assert out["zipf_slope"] < 0  # frequency decays with rank
+    assert 0.0 <= out["r2"] <= 1.0
+
+
+def test_mode_deterministic_matches_counter(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.aggregates import (
+        agg_mode_deterministic,
+    )
+
+    out = {
+        r["o_orderstatus"]: (r["mode_priority"], r["mode_count"])
+        for r in agg_mode_deterministic(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for r in rows:
+        per[r["o_orderstatus"]][r["o_orderpriority"]] += 1
+    for status, cnt in per.items():
+        # ties resolve to the lexicographically largest value
+        best = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+        assert out[status] == (best[0], best[1])
+
+
+def test_power_analysis_matches_formula(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.experiments import (
+        PWR_REL_EFFECT,
+        PWR_Z80,
+        stats_power_analysis,
+    )
+
+    for r in stats_power_analysis(spark, sf_dir).collect():
+        assert math.isclose(
+            r["mde"], PWR_REL_EFFECT * r["mean_value"], abs_tol=2e-6
+        )
+        expected = 2 * ((DID_Z95 + PWR_Z80) * r["sd_value"] / r["mde"]) ** 2
+        assert math.isclose(r["n_required_per_arm"], expected, rel_tol=1e-3)
+        assert r["n_required_per_arm"] > 0
