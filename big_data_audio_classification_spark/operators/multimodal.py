@@ -469,3 +469,122 @@ import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+WAV_SR_OUT = 4000  # R9 resample target: 8 kHz -> 4 kHz by 2:1 decimation
+
+
+@query(
+    "mm_wav_resample_sink",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   200 + doc_id % 57 AS n,
+                   3 + doc_id % 11  AS k
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(FLOOR((n + 1) / 2) AS BIGINT) AS n2,
+                   (unnest(range(0, n, 2)) * k + doc_id) % 2048 - 1024 AS smp
+            FROM d
+        ),
+        f AS (
+            SELECT doc_id,
+                   MAX(n2)        AS n_samples,
+                   MAX(ABS(smp))  AS peak,
+                   SUM(smp)       AS ssum,
+                   SUM(smp * smp) AS energy
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id % 8                     AS bucket,
+               CAST(COUNT(*) AS BIGINT)       AS n_media,
+               CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+               CAST(MAX(peak) AS BIGINT)      AS max_peak,
+               CAST(SUM(ssum) AS BIGINT)      AS sum_amplitude,
+               CAST(SUM(energy) AS BIGINT)    AS total_energy,
+               CAST(4000 AS INTEGER)          AS sr_out
+        FROM f GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("multimodal", "mapInPandas", "wav", "resample", "sink"),
+)
+def mm_wav_resample_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's R9 resample+encode SINK
+    (``/root/reference/src/data_generator.py:26-27`` — load, set frame
+    rate, export) executed for real: synthesize → encode WAV 8 kHz →
+    RESAMPLE to 4 kHz by 2:1 integer decimation inside a map-only
+    kernel (decode → take every 2nd sample → re-encode, pure integer so
+    it is engine-reproducible, unlike an interpolating polyphase whose
+    float taps would not be) → write the resampled blobs to a PARQUET
+    SINK → read them back → decode with the independent RIFF parser and
+    aggregate statistics of the decoded samples. The oracle recomputes
+    the stats from the even-index waveform formula, so the row only
+    matches if resample, container write, file sink, scan, and decode
+    are all byte-faithful — closing the one reference behavior
+    (R9) previously stub-gated.
+
+    Scale: every media-touching stage is map-only (blobs never
+    shuffle); the sink is a plain columnar write whose binary column
+    any engine can scan back; post-decode rows are 6 ints each."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_wavs = [], []
+            for i in pdf["doc_id"]:
+                wav8 = encode_wav_pcm16(synth_samples(int(i)), WAV_SR)
+                sr, smp = decode_wav_pcm16(wav8)
+                assert sr == WAV_SR
+                out_ids.append(i)
+                out_wavs.append(encode_wav_pcm16(smp[::2], WAV_SR_OUT))
+            yield pd.DataFrame({"media_id": out_ids, "wav": out_wavs})
+
+    wavs = d.mapInPandas(resample, schema="media_id long, wav binary")
+    path = os.path.join(
+        f"/root/repo/.scratch/pid{os.getpid()}", "mm_wav_resample_sink"
+    )
+    wavs.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["wav"]):
+                sr, smp = decode_wav_pcm16(bytes(blob))
+                s64 = smp.astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        sr,
+                        len(smp),
+                        int(np.abs(s64).max()),
+                        int(s64.sum()),
+                        int((s64 * s64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sr", "n_samples", "peak", "ssum", "energy"],
+            )
+
+    feats = back.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, sr int, n_samples long, peak long,"
+            " ssum long, energy long"
+        ),
+    )
+    return (
+        feats.groupBy((F.col("media_id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_samples").alias("total_samples"),
+            F.max("peak").alias("max_peak"),
+            F.sum("ssum").alias("sum_amplitude"),
+            F.sum("energy").alias("total_energy"),
+            F.max("sr").alias("sr_out"),
+        )
+        .orderBy("bucket")
+    )

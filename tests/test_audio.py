@@ -179,3 +179,19 @@ def test_synth_samples_deterministic_and_bounded():
     assert a.dtype == np.int16
     assert len(a) == 200 + 123 % 57
     assert a.min() >= -1024 and a.max() <= 1023
+
+
+def test_wav_resample_kernel_is_exact_decimation():
+    """The 2:1 resample kernel (decode -> [::2] -> re-encode at 4 kHz)
+    must keep exactly the even-index samples, byte-faithfully."""
+    import numpy as np
+
+    for doc_id in (0, 7, 56, 123, 499):
+        smp = multimodal.synth_samples(doc_id)
+        wav8 = multimodal.encode_wav_pcm16(smp, multimodal.WAV_SR)
+        sr8, dec8 = multimodal.decode_wav_pcm16(wav8)
+        wav4 = multimodal.encode_wav_pcm16(dec8[::2], multimodal.WAV_SR_OUT)
+        sr4, dec4 = multimodal.decode_wav_pcm16(wav4)
+        assert sr8 == multimodal.WAV_SR and sr4 == multimodal.WAV_SR_OUT
+        assert np.array_equal(dec4, smp[::2])
+        assert len(dec4) == (len(smp) + 1) // 2
