@@ -235,3 +235,85 @@ def baskets_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(RULE_TOPN)
     )
+
+
+PSPAN_PREFIX_LEN = 5  # sequence = each user's first N events
+PSPAN_MIN_SUPPORT = 0.2  # fraction of sequences a pattern must appear in
+
+
+@query(
+    "ml_prefixspan_sequences",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, pos FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS pos
+                FROM events
+            ) WHERE pos <= {PSPAN_PREFIX_LEN}
+        ),
+        n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM seq),
+        p1 AS (
+            SELECT event_type AS pattern,
+                   COUNT(DISTINCT user_id) AS freq
+            FROM seq GROUP BY 1
+        ),
+        p2 AS (
+            SELECT a.event_type || '>' || b.event_type AS pattern,
+                   COUNT(DISTINCT a.user_id) AS freq
+            FROM seq a JOIN seq b
+              ON a.user_id = b.user_id AND a.pos < b.pos
+            GROUP BY 1
+        )
+        SELECT pattern, freq
+        FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        CROSS JOIN n
+        WHERE freq >= CEIL({PSPAN_MIN_SUPPORT} * n_users)
+    """,
+    tags=("baskets", "ml", "sequence-mining", "events"),
+)
+def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (MLlib PrefixSpan) over each user's
+    first-5 event prefix, patterns up to length 2 at 20% minimum
+    support — the "what do new users do, in what order" mining query.
+
+    The Spark side runs MLlib's distributed PrefixSpan (local pattern
+    growth per projected-database partition); the DuckDB oracle states
+    the DEFINITION — a pattern's frequency is the number of sequences
+    containing it as a (not necessarily contiguous) subsequence, via a
+    position self-join bounded by the 5-event prefix. Engine mining
+    algorithm vs relational ground truth is exactly the differential
+    this gate exists for. Patterns are rendered 'a>b' so the contract
+    schema is plain (string, bigint)."""
+    from pyspark.ml.fpm import PrefixSpan
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pref = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("pos"))
+        .where(F.col("pos") <= PSPAN_PREFIX_LEN)
+    )
+    seqs = (
+        pref.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "event_type"))
+                ),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+        .select("sequence")
+    )
+    ps = PrefixSpan(
+        minSupport=PSPAN_MIN_SUPPORT,
+        maxPatternLength=2,
+        maxLocalProjDBSize=32_000_000,
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    return pats.select(
+        F.array_join(F.flatten("sequence"), ">").alias("pattern"),
+        F.col("freq"),
+    )

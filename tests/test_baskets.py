@@ -60,3 +60,35 @@ def test_fpgrowth_singleton_supports_match_item_frequencies(spark, sf_dir):
     assert singles
     for item, freq in singles.items():
         assert freqs[item] == freq
+
+
+def test_prefixspan_patterns_are_antimonotone(spark, sf_dir):
+    """Sequential-pattern support is anti-monotone: a length-2 pattern
+    can never be more frequent than either of its items, and every
+    returned pattern meets the minimum-support threshold."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.operators.baskets import (
+        PSPAN_MIN_SUPPORT,
+        PSPAN_PREFIX_LEN,
+        ml_prefixspan_sequences,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = {r["pattern"]: r["freq"] for r in ml_prefixspan_sequences(spark, sf_dir).collect()}
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    thresh = math.ceil(PSPAN_MIN_SUPPORT * n_users)
+    assert rows, "no frequent patterns found"
+    for pat, freq in rows.items():
+        assert freq >= thresh
+        parts = pat.split(">")
+        assert 1 <= len(parts) <= 2
+        if len(parts) == 2:
+            for p in parts:
+                # components of a frequent pattern are frequent (and at
+                # least as frequent) — Apriori property
+                assert p in rows and rows[p] >= freq
