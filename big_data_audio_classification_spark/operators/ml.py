@@ -818,3 +818,57 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc, 6).alias("auc"),
         F.round(2 * auc - 1, 6).alias("gini_coefficient"),
     )
+
+
+ALS_ITEMS = 100  # synthetic catalog size (order keys folded onto it)
+ALS_TOPK = 3
+
+
+@query("ml_als_recommend", oracle=None, tags=("ml", "recommendation", "mllib"))
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering via MLlib ALS (distributed alternating
+    least squares): a deterministic implicit-ish rating matrix derived
+    from orders (user = customer, item = o_orderkey % 100, rating =
+    1..5 from the cent value — pure integer arithmetic, reproducible),
+    rank-8 factorization, top-3 recommendations per user flattened to
+    (user, rec_item, rec_rating) rows.
+
+    Rows-only contract: factor initialization is seeded but
+    engine-internal, so recommendation VALUES are not cross-engine
+    reproducible; the pytest invariant pins what is — the fit beats the
+    global-mean baseline RMSE on its own training data, every user gets
+    exactly k recommendations, and rows/schema stay stable. Scale:
+    ALS is the canonical distributed MF (block-to-block joins of user/
+    item factor partitions — no driver-side matrix)."""
+    from pyspark.ml.recommendation import ALS
+
+    o = load_table(spark, sf_dir, "orders")
+    ratings = o.select(
+        F.col("o_custkey").cast("int").alias("user"),
+        (F.col("o_orderkey") % ALS_ITEMS).cast("int").alias("item"),
+        (
+            1.0
+            + (F.round(F.col("o_totalprice") * 100).cast("bigint") % 400)
+            / 100.0
+        ).alias("rating"),
+    )
+    als = ALS(
+        rank=8,
+        maxIter=8,
+        regParam=0.1,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(ALS_TOPK)
+    return recs.select(
+        "user",
+        F.explode("recommendations").alias("rec"),
+    ).select(
+        F.col("user"),
+        F.col("rec.item").alias("rec_item"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("rec_rating"),
+    )

@@ -207,3 +207,49 @@ def test_roc_auc_matches_brute_force_pair_count(spark, sf_dir):
     assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
     assert abs(got["auc"] - auc_bf) < 1e-6
     assert abs(got["gini_coefficient"] - (2 * auc_bf - 1)) < 2e-6
+
+
+def test_als_beats_mean_baseline_and_covers_users(spark, sf_dir):
+    """ALS invariants (values are engine-internal): every user gets
+    exactly k recommendations with finite scores, and the model's
+    train-set RMSE beats the global-mean baseline."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark.ml.recommendation import ALS
+
+    from big_data_audio_classification_spark.operators.ml import (
+        ALS_ITEMS,
+        ALS_TOPK,
+        ml_als_recommend,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    recs = ml_als_recommend(spark, sf_dir)
+    per_user = recs.groupBy("user").count().collect()
+    assert per_user and all(r["count"] == ALS_TOPK for r in per_user)
+    assert recs.where(~F.isnan("rec_rating")).count() == recs.count()
+
+    o = load_table(spark, sf_dir, "orders")
+    ratings = o.select(
+        F.col("o_custkey").cast("int").alias("user"),
+        (F.col("o_orderkey") % ALS_ITEMS).cast("int").alias("item"),
+        (
+            1.0
+            + (F.round(F.col("o_totalprice") * 100).cast("bigint") % 400) / 100.0
+        ).alias("rating"),
+    )
+    model = ALS(
+        rank=8, maxIter=8, regParam=0.1, seed=42,
+        userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop",
+    ).fit(ratings)
+    pred = model.transform(ratings)
+    rmse_model = math.sqrt(
+        pred.select(F.avg((F.col("prediction") - F.col("rating")) ** 2)).first()[0]
+    )
+    mu = ratings.select(F.avg("rating")).first()[0]
+    rmse_base = math.sqrt(
+        ratings.select(F.avg((F.lit(mu) - F.col("rating")) ** 2)).first()[0]
+    )
+    assert rmse_model < rmse_base
