@@ -954,3 +954,134 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.pow((DID_Z95 + PWR_Z80) * F.col("sd") / mde, F.lit(2)), 2
         ).alias("n_required_per_arm"),
     )
+
+
+@query(
+    "stats_nelson_aalen",
+    oracle=f"""
+        WITH horizon AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+        ),
+        subj AS (
+            SELECT c.c_mktsegment AS segment,
+                   date_diff('day', MIN(CAST(o.o_orderdate AS DATE)),
+                             MAX(CAST(o.o_orderdate AS DATE))) AS duration,
+                   CASE WHEN date_diff('day',
+                                       MAX(CAST(o.o_orderdate AS DATE)),
+                                       MAX(h.maxd)) > {KM_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END AS event
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            CROSS JOIN horizon h
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        seg AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_subjects
+            FROM subj GROUP BY segment
+        ),
+        steps AS (
+            SELECT segment, duration AS t,
+                   CAST(SUM(event) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS leaving
+            FROM subj GROUP BY segment, duration
+        ),
+        risk AS (
+            SELECT s.segment, s.t, s.d,
+                   g.n_subjects
+                   - COALESCE(SUM(s.leaving) OVER (
+                         PARTITION BY s.segment ORDER BY s.t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+            FROM steps s JOIN seg g ON g.segment = s.segment
+        ),
+        na AS (
+            SELECT segment, t, d, n_risk,
+                   ROUND(SUM(CAST(d AS DOUBLE) / n_risk) OVER (
+                       PARTITION BY segment ORDER BY t
+                   ), 6) AS h_na,
+                   ROUND(EXP(-SUM(CAST(d AS DOUBLE) / n_risk) OVER (
+                       PARTITION BY segment ORDER BY t
+                   )), 6) AS s_fh
+            FROM risk
+            WHERE d > 0
+        )
+        SELECT segment, CAST(t AS BIGINT) AS t,
+               d, CAST(n_risk AS BIGINT) AS n_risk, h_na, s_fh
+        FROM na
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY segment ORDER BY t)
+                <= {KM_MAX_STEPS}
+    """,
+    tags=("stats", "survival", "window", "orders", "customer"),
+)
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ d_i/n_i per market
+    segment, with the Fleming-Harrington survival transform
+    S_FH = exp(−H) — the additive-hazard companion to
+    ``stats_kaplan_meier`` (same subjects, durations, censoring, and
+    risk-set construction; a running SUM window instead of the
+    product-limit). Since 1−x ≤ e^−x, S_KM ≤ S_FH pointwise — pinned in
+    pytest as the cross-estimator consistency check.
+
+    Same 100 TB shape as KM: one customer-grain aggregation, then every
+    window runs over the distinct-duration AGGREGATE per segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    subj = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("duration"),
+            F.when(
+                F.datediff(
+                    F.max(F.col("maxd")), F.max(F.col("o_orderdate").cast("date"))
+                )
+                > KM_CENSOR_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    seg = subj.groupBy("segment").agg(F.count("*").alias("n_subjects"))
+    steps = subj.groupBy("segment", F.col("duration").alias("t")).agg(
+        F.sum("event").alias("d"), F.count("*").alias("leaving")
+    )
+    w_prev = (
+        Window.partitionBy("segment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = steps.join(F.broadcast(seg), "segment").select(
+        "segment",
+        "t",
+        "d",
+        (
+            F.col("n_subjects")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.partitionBy("segment").orderBy("t")
+    hterm = F.col("d").cast("double") / F.col("n_risk")
+    na = (
+        risk.withColumn("h_cum", F.sum(hterm).over(w_cum))
+        .where(F.col("d") > 0)
+        .select(
+            "segment",
+            F.col("t").cast("bigint").alias("t"),
+            "d",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.round(F.col("h_cum"), 6).alias("h_na"),
+            F.round(F.exp(-F.col("h_cum")), 6).alias("s_fh"),
+        )
+    )
+    w_rank = Window.partitionBy("segment").orderBy("t")
+    return (
+        na.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= KM_MAX_STEPS)
+        .drop("rn")
+    )

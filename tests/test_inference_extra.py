@@ -251,3 +251,32 @@ def test_power_analysis_matches_formula(spark, sf_dir):
         expected = 2 * ((DID_Z95 + PWR_Z80) * r["sd_value"] / r["mde"]) ** 2
         assert math.isclose(r["n_required_per_arm"], expected, rel_tol=1e-3)
         assert r["n_required_per_arm"] > 0
+
+
+def test_nelson_aalen_dominates_kaplan_meier(spark, sf_dir):
+    """Cross-estimator consistency: since 1−x ≤ e^−x, the Fleming-
+    Harrington survival exp(−H_NA) must be ≥ the Kaplan-Meier product
+    limit at every shared step, and H_NA must be non-decreasing."""
+    from collections import defaultdict
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        stats_kaplan_meier,
+        stats_nelson_aalen,
+    )
+
+    km = {
+        (r["segment"], r["t"]): r["s_km"]
+        for r in stats_kaplan_meier(spark, sf_dir).collect()
+    }
+    na_rows = stats_nelson_aalen(spark, sf_dir).collect()
+    assert na_rows
+    by_seg = defaultdict(list)
+    for r in na_rows:
+        by_seg[r["segment"]].append((r["t"], r["h_na"], r["s_fh"]))
+        key = (r["segment"], r["t"])
+        assert key in km  # same steps: shared subject/risk construction
+        assert r["s_fh"] >= km[key] - 1e-6
+    for steps in by_seg.values():
+        steps.sort()
+        hs = [h for _, h, _ in steps]
+        assert all(b >= a - 1e-9 for a, b in zip(hs, hs[1:]))
