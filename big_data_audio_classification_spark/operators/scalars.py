@@ -653,3 +653,46 @@ def scalar_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("|", "c_name", "c_mktsegment")), 1, 16
         ).alias("composite_bucket"),
     )
+
+
+@query(
+    "scalar_decimal_exact",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(14,2)) AS price
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(price) AS DOUBLE) AS total_exact,
+               CAST(SUM(price * CAST(0.07 AS DECIMAL(3,2))) AS DOUBLE)
+                   AS tax_exact,
+               CAST(SUM(price) AS DOUBLE) / COUNT(*) AS avg_exact
+        FROM d GROUP BY o_orderstatus
+    """,
+    tags=("scalar", "decimal", "aggregate", "orders"),
+)
+def scalar_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-typed exact aggregation: prices cast to DECIMAL(14,2)
+    (the cents-exact doubles resolve unambiguously), summed and
+    tax-multiplied in exact fixed-point — NO rounding idiom needed,
+    unlike every double SUM in this repo, because decimal addition is
+    associative and order-independent. The final cast to DOUBLE is
+    itself exact (totals < 2^53 at these scales), so the cross-engine
+    hash matches without tolerance.
+
+    Scale note: Spark decimal aggregation stays in Tungsten (long-backed
+    Decimal128 for precision ≤ 38) with map-side partial sums — the
+    exactness costs no extra shuffle. This is the idiom for money math
+    at 100 TB; the repo's ROUND-before-compare discipline elsewhere is
+    only needed where doubles are the storage type."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    tax = price * F.lit("0.07").cast("decimal(3,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(price).cast("double").alias("total_exact"),
+        F.sum(tax).cast("double").alias("tax_exact"),
+        (F.sum(price).cast("double") / F.count("*")).alias("avg_exact"),
+    )
