@@ -580,3 +580,86 @@ def udtf_analyze_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT {NGRAM_TOPN}
         """
     )
+
+
+# --------------------------------------------------------------------------
+# UDTF with a TABLE argument (Spark 4): per-partition streaming state —
+# eval() sees each partition's rows in ORDER BY order, terminate() emits
+# the partition summary. The input-table half of the UDTF surface
+# (constant-arg half: udtf_analyze_ngrams; static-schema: udtf_split_words).
+# --------------------------------------------------------------------------
+UDTF_SESSION_GAP_S = 1800  # 30 min, matches events_session_window
+
+
+@query(
+    "udtf_table_arg_sessions",
+    oracle=f"""
+        WITH x AS (
+            SELECT user_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w)
+                                > {UDTF_SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(new_s) AS INTEGER) AS n_sessions,
+               CAST(COUNT(*) AS INTEGER) AS n_events
+        FROM x GROUP BY user_id
+    """,
+    tags=("udtf", "table-arg", "session", "events"),
+)
+def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming ``TABLE(events) PARTITION BY user_id
+    ORDER BY ts`` — Spark 4's per-partition stateful table-function
+    contract: ``eval`` streams one user's rows in event-time order with
+    O(1) state (last timestamp + counters), ``terminate`` emits the
+    per-user summary row (session count at a 30-min gap, event count).
+    The oracle restates sessionization as the LAG/gap-islands SQL, so
+    the differential proves the partition-ordered delivery contract.
+
+    Scale: state is O(1) per user; Spark shuffles once on the PARTITION
+    BY key and sorts within partitions — the same exchange any grouped
+    aggregation needs. Gap logic uses integer epoch seconds; timestamp
+    ties produce gap 0 regardless of intra-tie delivery order, so the
+    session count is tie-order invariant."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_sessions int, n_events int")
+    class Sessionizer:
+        def __init__(self):
+            self.user = None
+            self.last_epoch = None
+            self.sessions = 0
+            self.events = 0
+
+        def eval(self, row):
+            import datetime as _dt
+
+            self.user = row["user_id"]
+            # naive-UTC epoch via subtraction: .timestamp() would apply
+            # the worker's LOCAL zone to the naive datetime
+            e = int(
+                (row["ts"] - _dt.datetime(1970, 1, 1)).total_seconds()
+            )
+            if self.last_epoch is None or e - self.last_epoch > UDTF_SESSION_GAP_S:
+                self.sessions += 1
+            self.last_epoch = e
+            self.events += 1
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.sessions, self.events
+
+    spark.udtf.register("sessionize_udtf", Sessionizer)
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_for_udtf")
+    return spark.sql(
+        """
+        SELECT * FROM sessionize_udtf(
+            TABLE(SELECT user_id, ts FROM events_for_udtf)
+            PARTITION BY user_id ORDER BY ts
+        )
+        """
+    )

@@ -187,3 +187,31 @@ def test_hll_partial_merge_tracks_direct_sketch(spark, sf_dir):
     for flag, n in e.items():
         assert abs(m[flag] - d[flag]) / n < 0.01
         assert abs(m[flag] - n) / n < 0.05
+
+
+def test_udtf_table_arg_sessions_match_session_window(spark, sf_dir):
+    """Cross-API consistency: the TABLE-arg UDTF's per-user session
+    count must equal the number of session_window groups per user (same
+    30-min gap; micro-precision timestamps make the exact-boundary
+    half-open edge unreachable), and event counts must total the
+    stream."""
+    from collections import Counter
+
+    from big_data_audio_classification_spark.operators.advanced import (
+        udtf_table_arg_sessions,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+    from big_data_audio_classification_spark.streaming.events import (
+        events_session_window,
+    )
+
+    out = {r["user_id"]: r for r in udtf_table_arg_sessions(spark, sf_dir).collect()}
+    total_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out.values()) == total_events
+    sw = Counter(
+        r["user_id"] for r in events_session_window(spark, sf_dir).collect()
+    )
+    assert set(out) == set(sw)
+    for uid, r in out.items():
+        assert r["n_sessions"] == sw[uid]
+        assert 1 <= r["n_sessions"] <= r["n_events"]
