@@ -836,3 +836,134 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ols_slope", "ols_intercept",
         )
     )
+
+
+MK_Z95 = 1.959963985
+
+
+@query(
+    "stats_mann_kendall_trend",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        dx AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+                   rev
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                                 WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_stat
+            FROM dx a JOIN dx b ON a.x < b.x
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM dx),
+        ties AS (
+            SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                       AS tie_var_term,
+                   COALESCE(CAST(SUM(t * (t - 1) / 2) AS BIGINT), 0)
+                       AS tie_pair_term
+            FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev) g
+            WHERE t > 1
+        ),
+        calc AS (
+            SELECT n_days, s_stat,
+                   (n_days * (n_days - 1) * (2 * n_days + 5) - tie_var_term)
+                       / 18.0 AS var_s,
+                   n_days * (n_days - 1) / 2 - tie_pair_term AS d_rev,
+                   n_days * (n_days - 1) / 2 AS d_full
+            FROM s CROSS JOIN n CROSS JOIN ties
+        )
+        SELECT n_days, s_stat,
+               ROUND(var_s, 2) AS var_s,
+               ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                          WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                          ELSE 0.0 END, 4) AS z,
+               ROUND(s_stat / SQRT(CAST(d_rev AS DOUBLE) * d_full), 6)
+                   AS kendall_tau_b,
+               CASE WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                               WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                               ELSE 0.0 END) > {MK_Z95} THEN 'increasing'
+                    WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                               WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                               ELSE 0.0 END) < -{MK_Z95} THEN 'decreasing'
+                    ELSE 'no trend' END AS trend
+        FROM calc
+    """,
+    tags=("timeseries", "stats", "hypothesis-test", "robust"),
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue — the
+    non-parametric companion to ``stats_theil_sen`` (the pair): S = Σ
+    sign(y_j − y_i) over ordered pairs, tie-corrected variance
+    (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, continuity-corrected z, plus
+    Kendall's τ-b effect size, decided against the fixed ±1.96 critical
+    value (no CDF — house contract).
+
+    Everything is INTEGER until the final divisions: sign sums, tie
+    counts, and pair counts are exact bigints over the calendar-bounded
+    day-spine pair join, so the z and τ arithmetic is bit-identical
+    cross-engine. Same scale envelope as Theil-Sen: cost grows with
+    time-span², never data volume."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    dx = daily.select(
+        F.datediff("d", F.lit("1970-01-01").cast("date")).cast("bigint").alias("x"),
+        "rev",
+    )
+    a, b = dx.alias("a"), dx.alias("b")
+    s = a.join(b, F.col("a.x") < F.col("b.x")).agg(
+        F.sum(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = dx.agg(F.count("*").cast("bigint").alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count("*").alias("t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint"), F.lit(0)
+            ).alias("tie_var_term"),
+            F.coalesce(
+                F.sum(t * (t - 1) / 2).cast("bigint"), F.lit(0)
+            ).alias("tie_pair_term"),
+        )
+    )
+    nd, ss = F.col("n_days"), F.col("s_stat")
+    var_s = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_var_term")) / 18.0
+    d_full = nd * (nd - 1) / 2
+    d_rev = d_full - F.col("tie_pair_term")
+    z = (
+        F.when(ss > 0, (ss - 1) / F.sqrt(var_s))
+        .when(ss < 0, (ss + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            F.round(var_s, 2).alias("var_s"),
+            F.round(z, 4).alias("z"),
+            F.round(ss / F.sqrt(d_rev.cast("double") * d_full), 6).alias(
+                "kendall_tau_b"
+            ),
+            F.when(z > MK_Z95, "increasing")
+            .when(z < -MK_Z95, "decreasing")
+            .otherwise("no trend")
+            .alias("trend"),
+        )
+    )

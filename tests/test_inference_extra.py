@@ -280,3 +280,35 @@ def test_nelson_aalen_dominates_kaplan_meier(spark, sf_dir):
         steps.sort()
         hs = [h for _, h, _ in steps]
         assert all(b >= a - 1e-9 for a, b in zip(hs, hs[1:]))
+
+
+def test_mann_kendall_matches_numpy_replay(spark, sf_dir):
+    """Direct S/variance/tau replay from the daily series, and
+    agreement in direction with the Theil-Sen slope sign."""
+    from big_data_audio_classification_spark.operators.timeseries import (
+        stats_mann_kendall_trend,
+    )
+
+    out = stats_mann_kendall_trend(spark, sf_dir).collect()[0]
+    daily = _daily_revenue(spark, sf_dir)
+    y = np.array([rev for _, rev in daily])
+    n = len(y)
+    i, j = np.triu_indices(n, k=1)
+    s = int(np.sign(y[j] - y[i]).sum())
+    assert out["n_days"] == n
+    assert out["s_stat"] == s
+    _, counts = np.unique(y, return_counts=True)
+    tie_var = int(sum(t * (t - 1) * (2 * t + 5) for t in counts if t > 1))
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_var) / 18.0
+    assert math.isclose(out["var_s"], var_s, abs_tol=0.006)
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else ((s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+    assert math.isclose(out["z"], z, abs_tol=5.01e-5)
+    tie_pairs = int(sum(t * (t - 1) // 2 for t in counts if t > 1))
+    d_full = n * (n - 1) / 2
+    tau = s / math.sqrt((d_full - tie_pairs) * d_full)
+    assert math.isclose(out["kendall_tau_b"], tau, abs_tol=5.01e-7)
+    ts = stats_theil_sen(spark, sf_dir).collect()[0]
+    if out["trend"] == "increasing":
+        assert ts["ts_slope"] > 0
+    elif out["trend"] == "decreasing":
+        assert ts["ts_slope"] < 0
