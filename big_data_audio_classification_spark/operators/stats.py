@@ -1269,3 +1269,102 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("r_pb", 6).alias("point_biserial"),
     )
+
+
+def _bucketed_avg_ranks(df, valcol: str, out: str, buckets: int = 512):
+    """(value -> average rank) for ``valcol`` without a global sort:
+    ties collapse in a groupBy, values range-bucket by broadcast
+    (min,max), local cumulative counts run in a bucket-PARTITIONED
+    window, and bucket offsets come from a broadcast triangular join —
+    the ``stats_mann_whitney_u`` rank idiom, factored for reuse.
+    Average rank of a tie block = cum_before + (t+1)/2, exactly the
+    mean of its 1-based row numbers."""
+    d = df.groupBy(F.col(valcol).alias("v")).agg(F.count("*").alias("t"))
+    lim = d.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("vmax") - F.col("vmin")
+    b = d.crossJoin(F.broadcast(lim)).withColumn(
+        "bucket",
+        F.when(span == 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((F.col("v") - F.col("vmin")) * buckets / span),
+            )
+        ).cast("int"),
+    )
+    loc = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = b.select(
+        "bucket", "v", "t",
+        (F.sum("t").over(loc) - F.col("t")).alias("local_before"),
+    )
+    bt = b.groupBy("bucket").agg(F.sum("t").alias("bt"))
+    x, y = bt.alias("x"), bt.alias("y")
+    off = (
+        x.join(F.broadcast(y), F.col("y.bucket") < F.col("x.bucket"), "left")
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("y.bt"), F.lit(0)).alias("off"))
+    )
+    return b.join(F.broadcast(off), "bucket").select(
+        F.col("v").alias(valcol),
+        (
+            F.col("off") + F.col("local_before") + (F.col("t") + 1) / 2.0
+        ).alias(out),
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+        WITH d AS (
+            SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        ),
+        rx AS (
+            SELECT x, AVG(r) AS rank_x
+            FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r FROM d)
+            GROUP BY x
+        ),
+        ry AS (
+            SELECT y, AVG(r) AS rank_y
+            FROM (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS r FROM d)
+            GROUP BY y
+        ),
+        j AS (
+            SELECT rank_x, rank_y, x, y
+            FROM d JOIN rx USING (x) JOIN ry USING (y)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CORR(rank_x, rank_y), 6) AS spearman_rho,
+               ROUND(CORR(x, y), 6) AS pearson_r
+        FROM j
+    """,
+    tags=("stats", "correlation", "ranks", "lineitem"),
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    (with the Pearson r alongside — their gap diagnoses non-linearity
+    when a relation exists; this generator's columns are near-
+    independent, which the estimate correctly reports as ρ≈0).
+    ρ = Pearson correlation of tie-averaged ranks, the estimator that
+    survives outliers and monotone transforms.
+
+    The oracle states the textbook global ROW_NUMBER ranking — the
+    single-partition sort that does NOT scale. The engine side computes
+    both columns' average ranks with the bucketed two-phase idiom
+    (``_bucketed_avg_ranks``): no global sort, every window partitioned
+    by bucket, offsets from a broadcast triangular join; ranks attach
+    back by value-keyed equi-joins. Average ranks are exact integers
+    plus halves (< 2^53), so both engines feed IDENTICAL rank vectors
+    into their stable one-pass correlation — round 6 absorbs the
+    accumulation-order ulps."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    rx = _bucketed_avg_ranks(li, "x", "rank_x")
+    ry = _bucketed_avg_ranks(li, "y", "rank_y")
+    j = li.join(F.broadcast(rx), "x").join(ry, "y")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("rank_x", "rank_y"), 6).alias("spearman_rho"),
+        F.round(F.corr("x", "y"), 6).alias("pearson_r"),
+    )

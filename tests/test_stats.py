@@ -314,3 +314,44 @@ def test_effect_sizes_match_numpy(spark, sf_dir):
     assert abs(got["cohens_d"] - d) < 1e-5
     assert abs(got["hedges_g"]) <= abs(got["cohens_d"])  # shrinkage
     assert -1.0 <= got["point_biserial"] <= 1.0
+
+
+def test_spearman_matches_scipy_free_replay(spark, sf_dir):
+    """Direct replay: tie-averaged ranks via numpy argsort averaging,
+    Pearson on ranks (this generator's quantity and price are close to
+    independent, so the value check is agreement, not sign)."""
+    import numpy as np
+
+    from big_data_audio_classification_spark.operators.stats import (
+        stats_spearman_corr,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    out = stats_spearman_corr(spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    x = pdf["l_quantity"].to_numpy()
+    y = pdf["l_extendedprice"].to_numpy()
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rho = np.corrcoef(avg_ranks(x), avg_ranks(y))[0, 1]
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n"] == len(x)
+    assert abs(out["spearman_rho"] - rho) < 1e-5
+    assert abs(out["pearson_r"] - r) < 1e-5
+    assert -1.0 <= out["spearman_rho"] <= 1.0
