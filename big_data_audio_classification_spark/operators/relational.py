@@ -818,3 +818,50 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "thresh": 100000.0},
     )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                                       THEN o_totalprice END), 0), 2) AS f_total,
+               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                                       THEN o_totalprice END), 0), 2) AS o_total,
+               ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                                       THEN o_totalprice END), 0), 2) AS p_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql", "pivot", "orders"),
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (Spark 4 surface — the declarative sibling
+    of the DataFrame ``groupBy().pivot()`` in ``agg_pivot_status``):
+    revenue by priority pivoted wide over the three order statuses.
+    The oracle states the engine-neutral conditional-aggregation
+    desugaring, which is also the PHYSICAL plan Spark compiles PIVOT
+    to — one map-side-combined aggregation, no extra shuffle for the
+    pivot itself.
+
+    Pivot values are enumerated literally (IN ('F','O','P')): at 100 TB
+    an unenumerated pivot would need a distinct-scan planning pass, so
+    the explicit list is the scale-safe form."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_for_pivot")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(COALESCE(f_total, 0), 2) AS f_total,
+               ROUND(COALESCE(o_total, 0), 2) AS o_total,
+               ROUND(COALESCE(p_total, 0), 2) AS p_total
+        FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice
+            FROM orders_for_pivot
+        )
+        PIVOT (
+            SUM(o_totalprice)
+            FOR o_orderstatus IN ('F' AS f_total, 'O' AS o_total, 'P' AS p_total)
+        )
+        """
+    )

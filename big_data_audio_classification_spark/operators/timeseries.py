@@ -967,3 +967,47 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        adds AS (
+            SELECT first_day AS day, COUNT(*) AS new_users
+            FROM firsts GROUP BY first_day
+        )
+        SELECT d.day,
+               COALESCE(a.new_users, 0) AS new_users,
+               SUM(COALESCE(a.new_users, 0)) OVER (ORDER BY d.day)
+                   AS cumulative_users
+        FROM days d LEFT JOIN adds a ON a.day = d.day
+    """,
+    tags=("events", "timeseries", "distinct", "window", "growth"),
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users ever seen, per day (the growth-curve
+    query). A windowed COUNT(DISTINCT) is unsupported and the naive
+    day-by-day distinct is |days| passes; the engine form is the
+    FIRST-SEEN reduction: each user contributes once at MIN(day), new
+    users per day aggregate to the calendar-bounded spine, and one
+    running sum over that spine yields the cumulative count. Two keyed
+    aggregations; the only window runs over ~spine rows."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    adds = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day")
+    return (
+        days.join(F.broadcast(adds), "day", "left")
+        .select("day", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+    )

@@ -312,3 +312,20 @@ def test_mann_kendall_matches_numpy_replay(spark, sf_dir):
         assert ts["ts_slope"] > 0
     elif out["trend"] == "decreasing":
         assert ts["ts_slope"] < 0
+
+
+def test_cumulative_users_is_monotone_and_totals(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.timeseries import (
+        events_cumulative_distinct_users,
+    )
+
+    rows = (
+        events_cumulative_distinct_users(spark, sf_dir).orderBy("day").collect()
+    )
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    cums = [r["cumulative_users"] for r in rows]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))  # monotone
+    assert cums[-1] == total_users  # every user counted exactly once
+    assert sum(r["new_users"] for r in rows) == total_users
