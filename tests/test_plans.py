@@ -427,3 +427,32 @@ def test_median_ci_has_no_buffering_agg_or_global_sort_of_fact(spark, sf_dir):
     # bin partitioning; the engine plan partitions the fact-sized
     # window by bin id `b`
     assert "partitionBy=[b" in plan or "hashpartitioning(b" in plan, plan
+
+
+def test_spearman_ranks_have_no_unpartitioned_fact_window(spark, sf_dir):
+    """Both rank computations must be the bucketed two-phase idiom:
+    every WindowExec partitioned (by bucket) — no single-partition
+    global sort of either value column."""
+    import re
+
+    from big_data_audio_classification_spark.operators import stats
+
+    plan = introspect.formatted_plan(stats.stats_spearman_corr(spark, sf_dir))
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n){0,3}[^\n]*Window",
+        plan,
+    ), plan
+    assert "Window" in plan  # the bucket-partitioned local cumulative
+
+
+def test_mann_kendall_and_theil_sen_share_spine_shape(spark, sf_dir):
+    """Both trend statistics reduce to the day spine FIRST: the raw
+    orders scan feeds exactly one aggregation before any join, and the
+    pair join is a broadcast NLJ over spine-sized inputs (never a
+    fact-fact shuffle join)."""
+    from big_data_audio_classification_spark.operators import timeseries
+
+    for fn in (timeseries.stats_mann_kendall_trend, timeseries.stats_theil_sen):
+        plan = introspect.formatted_plan(fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan  # spine pair join
+        assert "SortMergeJoin" not in plan  # no fact-sized shuffle join
