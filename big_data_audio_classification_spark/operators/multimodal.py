@@ -588,3 +588,113 @@ def mm_wav_resample_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+TTS_CHARS = 8  # synthesize the first N characters of each document
+TTS_SAMPLES_PER_CHAR = 64
+
+
+@query(
+    "mm_tts_synthesize_stats",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id, unicode(substr(text, i, 1)) AS code
+            FROM documents, UNNEST(range(1, {TTS_CHARS + 1})) AS t(i)
+            WHERE length(text) >= i
+        ),
+        s AS (
+            SELECT doc_id,
+                   (unnest(range(0, {TTS_SAMPLES_PER_CHAR}))
+                        * (3 + code % 11) + code) % 2048 - 1024 AS smp
+            FROM chars
+        ),
+        f AS (
+            SELECT doc_id,
+                   COUNT(*)          AS n_samples,
+                   MAX(ABS(smp))     AS peak,
+                   SUM(smp)          AS ssum,
+                   SUM(smp * smp)    AS energy
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id % 8                     AS bucket,
+               CAST(COUNT(*) AS BIGINT)       AS n_media,
+               CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+               CAST(MAX(peak) AS BIGINT)      AS max_peak,
+               CAST(SUM(ssum) AS BIGINT)      AS sum_amplitude,
+               CAST(SUM(energy) AS BIGINT)    AS total_energy
+        FROM f GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("multimodal", "mapInPandas", "wav", "tts"),
+)
+def mm_tts_synthesize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's R4 TTS contract (``/root/reference/src/tts.py:4-16``
+    — text in, audio container out) executed for real: a deterministic
+    per-character tone synthesizer (char code -> sawtooth parameters,
+    pure integer arithmetic — pyttsx3 is absent AND non-reproducible,
+    so the mandate's deterministic stand-in IS the cross-engine
+    contract) renders each document's first 8 characters to PCM16,
+    encodes a real WAV container, and a second map stage decodes it
+    with the independent RIFF parser and aggregates decoded-sample
+    statistics. The oracle recomputes the same statistics from the
+    character formula (chars x samples double-unnest), so the row
+    matches only if text->samples->container->decode is byte-faithful.
+    Upgrades R4 from a stub-gated shape to an executed path, like R9's
+    resample sink.
+
+    Scale: text never shuffles (synthesis is map-only); decoded
+    features are 4 ints per document."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wavs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                pieces = []
+                for ch in (text or "")[:TTS_CHARS]:
+                    code = ord(ch)
+                    k = 3 + code % 11
+                    i = np.arange(TTS_SAMPLES_PER_CHAR, dtype=np.int64)
+                    pieces.append((i * k + code) % 2048 - 1024)
+                if not pieces:
+                    continue
+                samples = np.concatenate(pieces).astype(np.int16)
+                ids.append(did)
+                wavs.append(encode_wav_pcm16(samples, WAV_SR))
+            yield pd.DataFrame({"media_id": ids, "wav": wavs})
+
+    wavs = d.mapInPandas(synth, schema="media_id long, wav binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["wav"]):
+                _, smp = decode_wav_pcm16(bytes(blob))
+                s64 = smp.astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        len(smp),
+                        int(np.abs(s64).max()),
+                        int(s64.sum()),
+                        int((s64 * s64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "peak", "ssum", "energy"]
+            )
+
+    feats = wavs.mapInPandas(
+        decode,
+        schema="media_id long, n_samples long, peak long, ssum long, energy long",
+    )
+    return (
+        feats.groupBy((F.col("media_id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_samples").alias("total_samples"),
+            F.max("peak").alias("max_peak"),
+            F.sum("ssum").alias("sum_amplitude"),
+            F.sum("energy").alias("total_energy"),
+        )
+        .orderBy("bucket")
+    )
