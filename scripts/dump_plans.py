@@ -131,6 +131,24 @@ SHOWCASE = [
         "never the events; the (min,max) bounds arrive as a 1-row "
         "broadcast.",
     ),
+    (
+        "stats_median_ci",
+        "Order statistics WITHOUT a global sort: the fact is binned "
+        "against a broadcast (min,max), the only unpartitioned window "
+        "runs over the <=1024-row bin LEDGER, and the fact-sized "
+        "row_number window is PARTITIONED BY bin — the oracle's "
+        "ROW_NUMBER-over-everything shape (Exchange SinglePartition -> "
+        "Sort) never appears.",
+    ),
+    (
+        "events_rolling_active_users",
+        "Rolling distinct actives via bounded fan-out: Generate "
+        "(sequence+explode, a x7 row multiplier) replaces the naive "
+        "|days| x |user-days| range join — no NestedLoopJoin in the "
+        "plan; the observed-day spine and the final DAU/WAU pairing "
+        "arrive as BroadcastHashJoins, and both distinct counts are "
+        "ordinary partial-aggregated exchanges.",
+    ),
 ]
 
 
