@@ -1011,3 +1011,108 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         .select("day", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"))
         .withColumn("cumulative_users", F.sum("new_users").over(w))
     )
+
+
+import math as _math
+
+# sin/cos(2πk/7) for k=0..6 as shortest-round-trip literals: the SAME
+# double constants are embedded in the Spark plan and the oracle SQL, so
+# no cross-engine libm call (whose last ulp may differ) is ever taken.
+_SIN7 = [repr(_math.sin(2 * _math.pi * k / 7)) for k in range(7)]
+_COS7 = [repr(_math.cos(2 * _math.pi * k / 7)) for k in range(7)]
+
+
+def _case7(col: str, lits: list[str]) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN {col} = {k} THEN {v}" for k, v in enumerate(lits))
+        + " END"
+    )
+
+
+@query(
+    "analytics_harmonic_fit",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        f AS (
+            SELECT rev,
+                   {_case7("(EXTRACT(ISODOW FROM d) - 1)", _SIN7)} AS s,
+                   {_case7("(EXTRACT(ISODOW FROM d) - 1)", _COS7)} AS c
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   AVG(rev) AS my, AVG(s) AS ms, AVG(c) AS mc,
+                   covar_pop(s, rev) AS csy,
+                   covar_pop(c, rev) AS ccy,
+                   covar_pop(s, c)   AS csc,
+                   var_pop(s) AS vs, var_pop(c) AS vc, var_pop(rev) AS vy
+            FROM f
+        )
+        SELECT n_days,
+               ROUND((csy*vc - ccy*csc) / (vs*vc - csc*csc), 4) AS b_sin,
+               ROUND((ccy*vs - csy*csc) / (vs*vc - csc*csc), 4) AS b_cos,
+               ROUND(my - (csy*vc - ccy*csc) / (vs*vc - csc*csc) * ms
+                        - (ccy*vs - csy*csc) / (vs*vc - csc*csc) * mc, 4)
+                   AS level,
+               ROUND(SQRT(POWER((csy*vc - ccy*csc) / (vs*vc - csc*csc), 2)
+                          + POWER((ccy*vs - csy*csc) / (vs*vc - csc*csc), 2)),
+                     4) AS amplitude,
+               ROUND(((csy*vc - ccy*csc) * csy + (ccy*vs - csy*csc) * ccy)
+                     / ((vs*vc - csc*csc) * vy), 8) AS r2
+        FROM m
+    """,
+    tags=("timeseries", "seasonality", "regression", "closed-form"),
+)
+def analytics_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-harmonic Fourier fit of the weekly cycle in daily revenue:
+    OLS of rev on (sin, cos) of the weekday angle 2πk/7, solved by the
+    2-feature covariance Cramer (``ml_ols_normal_equations`` pattern) —
+    level, sin/cos coefficients, the weekly AMPLITUDE sqrt(b²+c²), and
+    the share of daily variance the single harmonic explains (r²). The
+    spectral companion to ``events_seasonal_dow_index``'s categorical
+    indices.
+
+    Cross-engine determinism: only 7 distinct angles exist, so their
+    sin/cos are embedded as shortest-round-trip LITERALS shared by both
+    engines — no runtime libm call whose final ulp could differ. All
+    aggregates run over the calendar-bounded day spine."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    sin_arr = F.array(*[F.lit(float(v)) for v in _SIN7])
+    cos_arr = F.array(*[F.lit(float(v)) for v in _COS7])
+    f = daily.select(
+        "rev",
+        F.element_at(sin_arr, F.weekday("d") + 1).alias("s"),
+        F.element_at(cos_arr, F.weekday("d") + 1).alias("c"),
+    )
+    m = f.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.avg("rev").alias("my"), F.avg("s").alias("ms"), F.avg("c").alias("mc"),
+        F.covar_pop("s", "rev").alias("csy"),
+        F.covar_pop("c", "rev").alias("ccy"),
+        F.covar_pop("s", "c").alias("csc"),
+        F.var_pop("s").alias("vs"), F.var_pop("c").alias("vc"),
+        F.var_pop("rev").alias("vy"),
+    )
+    det = F.col("vs") * F.col("vc") - F.col("csc") * F.col("csc")
+    b_sin = (F.col("csy") * F.col("vc") - F.col("ccy") * F.col("csc")) / det
+    b_cos = (F.col("ccy") * F.col("vs") - F.col("csy") * F.col("csc")) / det
+    return m.select(
+        "n_days",
+        F.round(b_sin, 4).alias("b_sin"),
+        F.round(b_cos, 4).alias("b_cos"),
+        F.round(
+            F.col("my") - b_sin * F.col("ms") - b_cos * F.col("mc"), 4
+        ).alias("level"),
+        F.round(F.sqrt(b_sin * b_sin + b_cos * b_cos), 4).alias("amplitude"),
+        F.round(
+            (b_sin * F.col("csy") + b_cos * F.col("ccy")) / F.col("vy"), 8
+        ).alias("r2"),
+    )

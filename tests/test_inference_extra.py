@@ -329,3 +329,34 @@ def test_cumulative_users_is_monotone_and_totals(spark, sf_dir):
     assert all(b >= a for a, b in zip(cums, cums[1:]))  # monotone
     assert cums[-1] == total_users  # every user counted exactly once
     assert sum(r["new_users"] for r in rows) == total_users
+
+
+def test_harmonic_fit_matches_numpy_lstsq(spark, sf_dir):
+    """Direct replay: design matrix [1, sin(2πdow/7), cos(2πdow/7)]
+    least squares vs the covariance-Cramer closed form, plus the
+    amplitude identity."""
+    from big_data_audio_classification_spark.operators.timeseries import (
+        analytics_harmonic_fit,
+    )
+
+    out = analytics_harmonic_fit(spark, sf_dir).collect()[0]
+    daily = _daily_revenue(spark, sf_dir)
+    y = np.array([rev for _, rev in daily])
+    dow = np.array([d.isoweekday() - 1 for d, _ in daily])
+    s = np.sin(2 * np.pi * dow / 7)
+    c = np.cos(2 * np.pi * dow / 7)
+    X = np.column_stack([np.ones_like(s), s, c])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert out["n_days"] == len(y)
+    assert math.isclose(out["level"], beta[0], abs_tol=5e-3)
+    assert math.isclose(out["b_sin"], beta[1], abs_tol=5e-3)
+    assert math.isclose(out["b_cos"], beta[2], abs_tol=5e-3)
+    assert math.isclose(
+        out["amplitude"],
+        math.hypot(out["b_sin"], out["b_cos"]),
+        abs_tol=2e-4,
+    )
+    resid = y - X @ beta
+    r2 = 1 - resid.var() / y.var()
+    assert math.isclose(out["r2"], r2, abs_tol=1e-6)
+    assert 0.0 <= out["r2"] <= 1.0
