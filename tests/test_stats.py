@@ -355,3 +355,28 @@ def test_spearman_matches_scipy_free_replay(spark, sf_dir):
     assert abs(out["spearman_rho"] - rho) < 1e-5
     assert abs(out["pearson_r"] - r) < 1e-5
     assert -1.0 <= out["spearman_rho"] <= 1.0
+
+
+def test_bucketed_avg_ranks_partition_identity(spark, sf_dir):
+    """Rank-sum identity: Σ (avg_rank · multiplicity) over distinct
+    values must equal n(n+1)/2 exactly, and ranks must be strictly
+    increasing with the value."""
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.operators.stats import (
+        _bucketed_avg_ranks,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("y")
+    )
+    n = li.count()
+    ranks = _bucketed_avg_ranks(li, "y", "r")
+    joined = (
+        li.groupBy("y").count().join(ranks, "y").orderBy("y").collect()
+    )
+    total = sum(row["r"] * row["count"] for row in joined)
+    assert total == n * (n + 1) / 2
+    rs = [row["r"] for row in joined]
+    assert all(b > a for a, b in zip(rs, rs[1:]))
