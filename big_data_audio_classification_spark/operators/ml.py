@@ -872,3 +872,60 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").alias("rec_item"),
         F.round(F.col("rec.rating").cast("double"), 4).alias("rec_rating"),
     )
+
+
+GMM_K = 4
+
+
+@query("ml_gmm_clusters", oracle=None, tags=("ml", "clustering", "mllib"))
+def ml_gmm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft clustering via MLlib GaussianMixture (distributed EM) over
+    the embeddings table: k=4 full-covariance components on the first
+    4 embedding dimensions, reporting per-cluster size, mixing weight,
+    and mean responsibility — the probabilistic companion to the hard
+    k-means assignments (``ml_kmeans_lloyd_step_sql``).
+
+    Rows-only contract: EM initialization is seeded but engine-
+    internal. The pytest pins what is invariant — weights sum to 1,
+    responsibilities are proper distributions, every point lands in a
+    cluster, and the k-component model's log-likelihood beats a single
+    Gaussian's. Scale: EM's E-step is map-only (broadcast params), the
+    M-step is one aggregation per iteration — MLlib's distributed
+    shape."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        array_to_vector(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 4)
+        ).alias("features"),
+    )
+    gmm = GaussianMixture(k=GMM_K, maxIter=30, seed=42, featuresCol="features")
+    model = gmm.fit(feats)
+    pred = model.transform(feats)
+    weights = spark.createDataFrame(
+        [(int(i), float(w)) for i, w in enumerate(model.weights)],
+        "cluster int, weight double",
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    return (
+        pred.select(
+            F.col("prediction").cast("int").alias("cluster"),
+            F.array_max(vector_to_array("probability")).alias("resp"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("resp"), 4).alias("mean_responsibility"),
+        )
+        .join(F.broadcast(weights), "cluster")
+        .select(
+            "cluster",
+            "n_points",
+            F.round(F.col("weight"), 4).alias("weight"),
+            "mean_responsibility",
+        )
+    )

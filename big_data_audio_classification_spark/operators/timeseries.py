@@ -1116,3 +1116,50 @@ def analytics_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (b_sin * F.col("csy") + b_cos * F.col("ccy")) / F.col("vy"), 8
         ).alias("r2"),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT d, rev,
+               CASE WHEN COUNT(*) OVER w7 = 7
+                    THEN ROUND(MEDIAN(rev) OVER w7, 4) END AS med7,
+               CASE WHEN COUNT(*) OVER w7 = 7
+                    THEN ROUND(rev - MEDIAN(rev) OVER w7, 4) END AS resid
+        FROM daily
+        WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+    tags=("timeseries", "window", "robust", "median"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day rolling MEDIAN of daily revenue (the robust
+    smoother: one outlier day cannot move it, unlike the moving average
+    in ``analytics_stl_decomposition``), full windows only, plus the
+    residual against the smoother.
+
+    Spark rejects median()/percentile() with a window FRAME, so the
+    engine form is the sorted-frame-array idiom: collect the ≤7-row
+    frame, array_sort, take the 4th element — for a full 7-row window
+    that IS the median (odd count, no interpolation), bounded state by
+    construction. Inputs are the rounded per-day sums and the middle
+    element is an exact pick, so the value is identical cross-engine.
+    The only window runs over the calendar-bounded day spine."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    arr = F.array_sort(F.collect_list("rev").over(w7))
+    full = F.size(arr) == 7
+    med = F.element_at(arr, 4)
+    return daily.select(
+        "d",
+        "rev",
+        F.when(full, F.round(med, 4)).alias("med7"),
+        F.when(full, F.round(F.col("rev") - med, 4)).alias("resid"),
+    )

@@ -253,3 +253,53 @@ def test_als_beats_mean_baseline_and_covers_users(spark, sf_dir):
         ratings.select(F.avg((F.lit(mu) - F.col("rating")) ** 2)).first()[0]
     )
     assert rmse_model < rmse_base
+
+
+def test_gmm_weights_and_likelihood(spark, sf_dir):
+    """GMM invariants: cluster sizes cover the table, weights form a
+    distribution, responsibilities are in (1/k, 1], and the k-component
+    log-likelihood beats a single Gaussian fit on the same features."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.functions import array_to_vector
+
+    from big_data_audio_classification_spark.operators.ml import (
+        GMM_K,
+        ml_gmm_clusters,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = ml_gmm_clusters(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    assert sum(r["n_points"] for r in rows) == n
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 5e-3
+    for r in rows:
+        assert 1.0 / GMM_K < r["mean_responsibility"] <= 1.0 + 1e-9
+
+    feats = e.select(
+        array_to_vector(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 4)
+        ).alias("features")
+    )
+    m_k = GaussianMixture(k=GMM_K, maxIter=30, seed=42).fit(feats)
+    # single-Gaussian baseline log-likelihood computed exactly (MLlib
+    # requires k >= 2, so the k=1 MLE is done in closed form)
+    import numpy as np
+
+    X = np.array(
+        [r["features"].toArray() for r in feats.collect()]
+    )
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, bias=True)
+    d = X.shape[1]
+    inv, det = np.linalg.inv(cov), np.linalg.det(cov)
+    c = X - mu
+    ll_1 = float(
+        -0.5 * (np.einsum("ij,jk,ik->i", c, inv, c)).sum()
+        - 0.5 * len(X) * (d * np.log(2 * np.pi) + np.log(det))
+    )
+    assert m_k.summary.logLikelihood > ll_1, (
+        m_k.summary.logLikelihood,
+        ll_1,
+    )
