@@ -663,3 +663,34 @@ def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "sink_xml_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("sink", "xml", "nation"),
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML FILE source/sink (Spark 4 native spark-xml): write the
+    nation table as XML row documents, scan it back with an explicit
+    schema — completing the format matrix (parquet/ORC/CSV/JSONL/
+    binaryFile/XML) with the one self-describing hierarchical format.
+    The scalar to_xml/from_xml pair is ``scalar_xml_roundtrip``; this
+    exercises the DataSource path (rowTag parsing, schema projection).
+
+    Scale note: XML is a line-splittable-only-with-care format — Spark
+    parallelizes by rowTag element, and an explicit schema avoids the
+    full-corpus inference scan (same discipline as the CSV reader)."""
+    path = os.path.join(_SCRATCH, "sink_xml_roundtrip")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").format("xml").option("rowTag", "nation").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .load(path)
+    )
