@@ -1085,3 +1085,94 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= KM_MAX_STEPS)
         .drop("rn")
     )
+
+
+ANOVA_F95_K5 = 2.372  # F(4, inf) upper 5% critical value (df1 = 5-1)
+
+
+@query(
+    "stats_anova_oneway",
+    oracle=f"""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+                   VAR_SAMP(o_totalprice) AS v
+            FROM orders GROUP BY o_orderpriority
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(cents) / 100.0 / SUM(n) AS grand_mean
+            FROM g
+        ),
+        parts AS (
+            SELECT n_total, k,
+                   SUM(n * POWER(cents / 100.0 / n - grand_mean, 2))
+                       AS ss_between,
+                   SUM((n - 1) * v) AS ss_within
+            FROM g CROSS JOIN tot
+            GROUP BY n_total, k
+        )
+        SELECT n_total, k,
+               ROUND(ss_between / (k - 1), 2) AS ms_between,
+               ROUND(ss_within / (n_total - k), 2) AS ms_within,
+               ROUND((ss_between / (k - 1)) / (ss_within / (n_total - k)), 6)
+                   AS f_stat,
+               (ss_between / (k - 1)) / (ss_within / (n_total - k))
+                   > {ANOVA_F95_K5} AS significant_95,
+               ROUND(ss_between / (ss_between + ss_within), 8) AS eta_squared
+        FROM parts
+    """,
+    tags=("stats", "hypothesis-test", "anova", "aggregate"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across the five
+    order priorities? F = MS_between/MS_within from ONE group-keyed
+    aggregation pass (k=5 rows), with η² effect size and the fixed
+    F(4, ∞) critical-value decision (no CDF — house contract; the
+    within degrees of freedom is ~n so the asymptotic critical value is
+    exact to the shown precision).
+
+    Determinism: group means and the grand mean come from EXACT integer
+    cent sums; SS_within uses the stable one-pass sample variances
+    (relative error ~1e-12) — both F and η² round clean at 6/8. The
+    scalar cross joins touch only the k-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.var_samp("o_totalprice").alias("v"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("k"),
+        (F.sum("cents") / 100.0 / F.sum("n")).alias("grand_mean"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n_total", "k")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    F.col("cents") / 100.0 / F.col("n") - F.col("grand_mean"),
+                    F.lit(2),
+                )
+            ).alias("ss_between"),
+            F.sum((F.col("n") - 1) * F.col("v")).alias("ss_within"),
+        )
+    )
+    msb = F.col("ss_between") / (F.col("k") - 1)
+    msw = F.col("ss_within") / (F.col("n_total") - F.col("k"))
+    return parts.select(
+        "n_total",
+        "k",
+        F.round(msb, 2).alias("ms_between"),
+        F.round(msw, 2).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+        (msb / msw > ANOVA_F95_K5).alias("significant_95"),
+        F.round(
+            F.col("ss_between") / (F.col("ss_between") + F.col("ss_within")), 8
+        ).alias("eta_squared"),
+    )

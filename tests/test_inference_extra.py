@@ -360,3 +360,27 @@ def test_harmonic_fit_matches_numpy_lstsq(spark, sf_dir):
     r2 = 1 - resid.var() / y.var()
     assert math.isclose(out["r2"], r2, abs_tol=1e-6)
     assert 0.0 <= out["r2"] <= 1.0
+
+
+def test_anova_matches_pandas_replay(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.experiments import (
+        stats_anova_oneway,
+    )
+
+    out = stats_anova_oneway(spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    groups = [g["o_totalprice"].to_numpy() for _, g in pdf.groupby("o_orderpriority")]
+    n_total = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = pdf["o_totalprice"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum((len(g) - 1) * g.var(ddof=1) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n_total - k))
+    assert out["n_total"] == n_total and out["k"] == k
+    assert math.isclose(out["f_stat"], f, rel_tol=1e-4)
+    assert math.isclose(out["eta_squared"], ssb / (ssb + ssw), abs_tol=1e-6)
+    assert 0.0 <= out["eta_squared"] <= 1.0
