@@ -1033,3 +1033,82 @@ def analytics_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("r"), 2).alias("revenue"),
         F.round(F.sum("r") / F.max("tot"), 6).alias("revenue_share"),
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT event_id AS touch_id, event_type AS touch_type,
+                   user_id, ts
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        j AS (
+            SELECT p.purchase_id, p.value, t.touch_type
+            FROM p JOIN t
+              ON t.user_id = p.user_id
+             AND t.ts <= p.ts
+             AND epoch_us(p.ts) - epoch_us(t.ts)
+                 <= {ATTR_WINDOW_MIN * 60_000_000}
+        ),
+        w AS (
+            SELECT purchase_id, value, touch_type,
+                   COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches_p
+            FROM j
+        )
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               ROUND(SUM(1.0 / n_touches_p), 4) AS attributed_conversions,
+               ROUND(SUM(value / n_touches_p), 2) AS attributed_value
+        FROM w GROUP BY touch_type
+    """,
+    tags=("events", "analytics", "attribution", "join"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the fairness
+    counterpoint to ``events_attribution_last_touch``: every click/view
+    in the 7-day lookback before a purchase shares the conversion (and
+    its value) equally, credit 1/n per touch.
+
+    The purchase↔touch pairing is a user-keyed join with a time-range
+    predicate: pair count is bounded by touches-per-user within the
+    lookback (per-user bounded, never |events|²); the per-purchase
+    touch count comes from one purchase-keyed window over the joined
+    pairs. Credits are exact rationals cnt/n summed in double — rounded
+    at 4/2 so accumulation order can't leak cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = e.where(F.col("event_type").isin(*ATTR_TOUCHES)).select(
+        F.col("event_type").alias("touch_type"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("t_ts")
+            <= ATTR_WINDOW_MIN * 60_000_000
+        ),
+    ).select("purchase_id", "value", "touch_type")
+    w = Window.partitionBy("purchase_id")
+    credited = j.withColumn("n_touches_p", F.count("*").over(w))
+    return credited.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum(1.0 / F.col("n_touches_p")), 4).alias(
+            "attributed_conversions"
+        ),
+        F.round(F.sum(F.col("value") / F.col("n_touches_p")), 2).alias(
+            "attributed_value"
+        ),
+    )

@@ -129,3 +129,45 @@ def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_linear_attribution_conserves_conversions(spark, sf_dir):
+    """Credit conservation: total attributed conversions across touch
+    types equals the number of purchases that HAVE at least one touch
+    in the lookback, and every touch's credit is positive."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.operators.analytics import (
+        ATTR_TOUCHES,
+        ATTR_WINDOW_MIN,
+        events_attribution_linear,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = events_attribution_linear(spark, sf_dir).collect()
+    total_credit = sum(r["attributed_conversions"] for r in rows)
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    t = e.where(F.col("event_type").isin(*ATTR_TOUCHES)).select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tts")
+    )
+    touched = (
+        p.join(
+            t,
+            (F.col("tu") == F.col("pu"))
+            & (F.col("tts") <= F.col("pts"))
+            & (
+                F.unix_micros("pts") - F.unix_micros("tts")
+                <= ATTR_WINDOW_MIN * 60_000_000
+            ),
+            "left_semi",
+        ).count()
+    )
+    assert math.isclose(total_credit, touched, abs_tol=0.05)
+    assert all(r["attributed_conversions"] > 0 for r in rows)
+    assert {r["touch_type"] for r in rows} <= set(ATTR_TOUCHES)
