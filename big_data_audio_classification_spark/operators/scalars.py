@@ -696,3 +696,78 @@ def scalar_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tax).cast("double").alias("tax_exact"),
         (F.sum(price).cast("double") / F.count("*")).alias("avg_exact"),
     )
+
+
+@query(
+    "scalar_timezone_functions",
+    oracle="""
+        SELECT event_id,
+               CAST(epoch_us(timezone('UTC', ts)) AS BIGINT) AS utc_micros,
+               CAST(EXTRACT(hour FROM
+                    timezone('America/New_York', timezone('UTC', ts)))
+                    AS INTEGER) AS ny_hour,
+               CAST(CAST(timezone('Australia/Sydney', timezone('UTC', ts))
+                         AS DATE) AS VARCHAR) AS sydney_date,
+               CAST((epoch_us(timezone('America/New_York', ts))
+                     - epoch_us(timezone('UTC', ts))) / 3600000000
+                    AS INTEGER) AS ny_offset_hours
+        FROM events
+    """,
+    tags=("scalar", "timezone", "events"),
+)
+def scalar_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-zone conversion battery over the event stream (IANA tzdata
+    in both engines): the UTC instant in micros, the New-York local
+    hour, the Sydney local date (crosses the date line for evening UTC
+    events), and the NY offset-from-UTC in hours recovered by
+    re-interpreting the same wall time in both zones (5 in January,
+    4 under DST — the derivation a tz-correct engine must get right).
+
+    Session-timezone independence: every expression goes through an
+    explicit zone (interpret-as-UTC first), never the ambient session
+    zone — the only portable discipline for tz math, restated
+    identically in the oracle (DuckDB ICU timezone())."""
+    e = load_table(spark, sf_dir, "events")
+    ny_instant = F.to_utc_timestamp("ts", "America/New_York")
+    utc_instant = F.col("ts")  # catalog normalizes ts to naive UTC
+    return e.select(
+        "event_id",
+        F.unix_micros(utc_instant).alias("utc_micros"),
+        F.hour(F.from_utc_timestamp("ts", "America/New_York")).alias("ny_hour"),
+        F.from_utc_timestamp("ts", "Australia/Sydney")
+        .cast("date")
+        .cast("string")
+        .alias("sydney_date"),
+        (
+            (F.unix_micros(ny_instant) - F.unix_micros(utc_instant))
+            / 3_600_000_000
+        )
+        .cast("int")
+        .alias("ny_offset_hours"),
+    )
+
+
+@query(
+    "scalar_base64_roundtrip",
+    oracle="""
+        SELECT c_custkey,
+               to_base64(CAST(c_name AS BLOB)) AS name_b64,
+               decode(from_base64(to_base64(CAST(c_name AS BLOB))))
+                   = c_name AS roundtrip_ok
+        FROM customer
+    """,
+    tags=("scalar", "string", "codec", "customer"),
+)
+def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode battery (the blob-over-text transport
+    codec): RFC 4648 output is engine-independent, so the encoded
+    string itself is hash-compared, and the decode closes the loop."""
+    c = load_table(spark, sf_dir, "customer")
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        (F.unbase64(b64).cast("string") == F.col("c_name")).alias(
+            "roundtrip_ok"
+        ),
+    )
