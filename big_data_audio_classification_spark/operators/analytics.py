@@ -1112,3 +1112,73 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view'
+                            THEN epoch_us(ts) END) AS first_view,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS first_purchase
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id,
+                   first_purchase - first_view AS lag_us
+            FROM f
+            WHERE first_view IS NOT NULL
+              AND first_purchase IS NOT NULL
+              AND first_purchase >= first_view
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+               CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+               ROUND(SUM(lag_us) / COUNT(*) / 3600000000.0, 4)
+                   AS avg_lag_hours,
+               CAST(SUM(CASE WHEN lag_us <= 86400000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted_within_1d
+        FROM conv
+    """,
+    tags=("events", "analytics", "funnel", "latency"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, the lag from FIRST view to FIRST
+    purchase (users whose first purchase precedes any view are
+    excluded — no view-driven conversion to measure), with the
+    within-24h conversion count — the funnel-velocity companion to
+    ``events_funnel_conversion``.
+
+    One user-keyed conditional-MIN aggregation collapses the stream to
+    a row per user; everything downstream is a scalar aggregate of
+    integer microsecond lags (EXACT sums — the average divides an exact
+    integer, so the output is bit-identical cross-engine)."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = f.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("lag_us"))
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.min("lag_us").cast("bigint").alias("min_lag_us"),
+        F.max("lag_us").cast("bigint").alias("max_lag_us"),
+        F.round(
+            F.sum("lag_us") / F.count("*") / 3_600_000_000.0, 4
+        ).alias("avg_lag_hours"),
+        F.sum(
+            F.when(F.col("lag_us") <= 86_400_000_000, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted_within_1d"),
+    )
