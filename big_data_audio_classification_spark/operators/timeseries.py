@@ -190,7 +190,7 @@ CUSUM_TOP = 20
                    cum - LEAST(0, MIN(cum) OVER (ORDER BY d)) AS s_pos
             FROM c
         )
-        SELECT d, ROUND(x, 6) AS day_mean,
+        SELECT CAST(d AS VARCHAR) AS d, ROUND(x, 6) AS day_mean,
                ROUND(s_pos, 6) AS cusum_pos,
                CASE WHEN s_pos > 4 * sd THEN TRUE ELSE FALSE END AS alarm
         FROM s
@@ -227,7 +227,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.select(
-            "d",
+            F.col("d").cast("string").alias("d"),
             F.round("x", 6).alias("day_mean"),
             F.round("s_pos", 6).alias("cusum_pos"),
             (F.col("s_pos") > 4 * F.col("sd")).alias("alarm"),
@@ -584,7 +584,7 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT d AS day, COUNT(DISTINCT user_id) AS dau
             FROM ud GROUP BY d
         )
-        SELECT dau.day, dau.dau, wau.wau_7d,
+        SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau_7d,
                ROUND(CAST(dau.dau AS DOUBLE) / wau.wau_7d, 4) AS stickiness
         FROM dau JOIN wau ON dau.day = wau.day
     """,
@@ -621,7 +621,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("dau")
     )
     return dau.join(wau, "day").select(
-        "day",
+        F.col("day").cast("string").alias("day"),
         "dau",
         "wau_7d",
         F.round(F.col("dau").cast("double") / F.col("wau_7d"), 4).alias(
@@ -670,7 +670,8 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad AS (
             SELECT MEDIAN(ABS(remainder - med)) AS mad FROM rem CROSS JOIN m
         )
-        SELECT rem.d, rem.rev, rem.trend, rem.seasonal, rem.remainder,
+        SELECT CAST(rem.d AS VARCHAR) AS d, rem.rev, rem.trend,
+               rem.seasonal, rem.remainder,
                CASE WHEN remainder IS NULL OR mad = 0 THEN NULL
                     ELSE ROUND(0.6745 * (remainder - med) / mad, 4)
                END AS robust_z,
@@ -738,7 +739,7 @@ def analytics_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         rem.crossJoin(F.broadcast(m))
         .crossJoin(F.broadcast(madt))
         .select(
-            "d",
+            F.col("d").cast("string").alias("d"),
             "rev",
             "trend",
             "seasonal",
@@ -981,10 +982,10 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT first_day AS day, COUNT(*) AS new_users
             FROM firsts GROUP BY first_day
         )
-        SELECT d.day,
+        SELECT CAST(d.day AS VARCHAR) AS day,
                COALESCE(a.new_users, 0) AS new_users,
-               SUM(COALESCE(a.new_users, 0)) OVER (ORDER BY d.day)
-                   AS cumulative_users
+               CAST(SUM(COALESCE(a.new_users, 0)) OVER (ORDER BY d.day)
+                    AS BIGINT) AS cumulative_users
         FROM days d LEFT JOIN adds a ON a.day = d.day
     """,
     tags=("events", "timeseries", "distinct", "window", "growth"),
@@ -1010,6 +1011,11 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         days.join(F.broadcast(adds), "day", "left")
         .select("day", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"))
         .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "new_users",
+            "cumulative_users",
+        )
     )
 
 
@@ -1126,7 +1132,7 @@ def analytics_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROUND(SUM(o_totalprice), 2) AS rev
             FROM orders GROUP BY 1
         )
-        SELECT d, rev,
+        SELECT CAST(d AS VARCHAR) AS d, rev,
                CASE WHEN COUNT(*) OVER w7 = 7
                     THEN ROUND(MEDIAN(rev) OVER w7, 4) END AS med7,
                CASE WHEN COUNT(*) OVER w7 = 7
@@ -1158,7 +1164,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = F.size(arr) == 7
     med = F.element_at(arr, 4)
     return daily.select(
-        "d",
+        F.col("d").cast("string").alias("d"),
         "rev",
         F.when(full, F.round(med, 4)).alias("med7"),
         F.when(full, F.round(F.col("rev") - med, 4)).alias("resid"),

@@ -36,7 +36,12 @@ def _daily_revenue(spark, sf_dir):
 
 
 def test_rolling_actives_matches_set_replay(spark, sf_dir):
-    out = {r["day"]: r for r in events_rolling_active_users(spark, sf_dir).collect()}
+    from datetime import date
+
+    out = {
+        date.fromisoformat(r["day"]): r
+        for r in events_rolling_active_users(spark, sf_dir).collect()
+    }
     ud = (
         load_table(spark, sf_dir, "events")
         .select(F.col("ts").cast("date").alias("d"), "user_id")
@@ -82,9 +87,11 @@ def test_stl_decomposition_identities(spark, sf_dir):
             )
             assert r["is_anomaly"] == (abs(r["robust_z"]) > 3.5)
     # Mean-centered weekday indices: 7 distinct values summing to ~0.
+    from datetime import date
+
     seasonal_by_dow = {}
     for r in rows:
-        seasonal_by_dow[r["d"].isoweekday()] = r["seasonal"]
+        seasonal_by_dow[date.fromisoformat(r["d"]).isoweekday()] = r["seasonal"]
     assert len(seasonal_by_dow) == 7
     assert abs(sum(seasonal_by_dow.values())) < 7 * 5e-5 + 1e-9
 

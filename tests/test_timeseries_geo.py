@@ -66,7 +66,7 @@ def test_cusum_closed_form_equals_recursion(spark, sf_dir):
     s, expected = 0.0, {}
     for r, x in zip(daily, xs):
         s = max(0.0, s + (x - mu - 0.5 * sd))
-        expected[r["d"]] = s
+        expected[str(r["d"])] = s
     got = events_cusum_changepoint(spark, sf_dir).collect()
     assert len(got) > 0
     for r in got:
