@@ -1176,3 +1176,145 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ss_between") / (F.col("ss_between") + F.col("ss_within")), 8
         ).alias("eta_squared"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds, P(X <= k) for k = 0..5, shared as
+# literals by the Spark plan and the oracle so neither engine evaluates
+# exp() at runtime (same fixed-constant contract as the z/F critical
+# values above). Counts past 6 are folded into w = 6 (P ~ 6e-4).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+BOOT_REPLICATES = 64
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 2147483648  # glibc rand()
+
+_POISSON_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    + " ELSE 6 END"
+)
+
+
+@query(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+        WITH rows_r AS (
+            SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+                   ((({LCG_A} * (({LCG_A} * ((o.o_orderkey * {BOOT_REPLICATES}
+                        + r.rep) % {LCG_M}) + {LCG_C}) % {LCG_M})
+                      + {LCG_C}) % {LCG_M}) / {float(LCG_M)!r}) AS u,
+                   r.rep AS rep
+            FROM orders o
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {BOOT_REPLICATES - 1}))
+                        AS rep) r
+        ),
+        weighted AS (
+            SELECT rep, {_POISSON_CASE_SQL} AS w, cents FROM rows_r
+        ),
+        replicate AS (
+            SELECT rep,
+                   ROUND(SUM(w * cents) / 100.0 / SUM(w), 6) AS m
+            FROM weighted GROUP BY rep HAVING SUM(w) > 0
+        ),
+        moments AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS r_n,
+                   SUM(m) AS s1, SUM(m * m) AS s2
+            FROM replicate
+        ),
+        point AS (
+            SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                       / COUNT(*) AS pt
+            FROM orders
+        )
+        SELECT r_n AS n_replicates,
+               ROUND(pt, 6) AS point_mean,
+               ROUND(s1 / r_n, 6) AS boot_mean,
+               ROUND(SQRT((s2 - s1 * s1 / r_n) / (r_n - 1)), 4) AS boot_se,
+               ROUND(pt - 1.959964
+                     * SQRT((s2 - s1 * s1 / r_n) / (r_n - 1)), 2) AS ci_lo,
+               ROUND(pt + 1.959964
+                     * SQRT((s2 - s1 * s1 / r_n) / (r_n - 1)), 2) AS ci_hi
+        FROM moments, point
+    """,
+    tags=("stats", "resampling", "bootstrap", "orders"),
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean order value — resampling
+    inference in ONE pass over the fact table, no per-replicate rescans.
+
+    The classical bootstrap draws R independent samples-with-replacement
+    (R full shuffles of 100 TB — a non-starter). The Poisson bootstrap
+    observes that each row's multiplicity in a resample is ~Binomial(n,
+    1/n) -> Poisson(1), independent per row, so ALL R replicates are
+    materialized by one explode(x R) whose per-row weights come from a
+    counter-based PRNG on (o_orderkey, rep) — deterministic, seedable,
+    and cross-engine reproducible via pure integer arithmetic (a
+    two-round glibc LCG mod 2^31; headroom bound: o_orderkey * 64 must
+    stay under 2^63, i.e. keys < 2^57). Weights are drawn by inverse
+    CDF against fixed Poisson(1) literals, so no runtime exp()/RNG
+    whose platform could diverge.
+
+    Scale shape: project-then-explode keeps only (cents, key) wide;
+    the replicate aggregation is algebraic (map-side combine folds the
+    x64 blow-up back to 64 partials per task before the shuffle), the
+    64-row replicate table reduces to explicit moments, and the normal
+    CI point +/- 1.959964 * se closes the estimate. Replicate means are
+    rounded to 6 dp before the moment pass (the repo's partial-sum
+    rounding idiom); se/CI use the explicit sum-of-squares identity so
+    both engines run the same algebra rather than their own variance
+    kernels. Reference analog: the accuracy point estimates of
+    `/root/reference/src/voice_classifier.py:232` (score on one split,
+    no uncertainty) upgraded to a distribution-free interval.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))
+    ).alias("rep")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rows_r = o.select(
+        cents.alias("cents"), F.col("o_orderkey"), rep
+    )
+    s0 = (F.col("o_orderkey") * BOOT_REPLICATES + F.col("rep")) % F.lit(LCG_M)
+    x1 = (F.lit(LCG_A) * s0 + F.lit(LCG_C)) % F.lit(LCG_M)
+    x2 = (F.lit(LCG_A) * x1 + F.lit(LCG_C)) % F.lit(LCG_M)
+    u = x2 / F.lit(float(LCG_M))
+    w = F.lit(6)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    replicate = (
+        rows_r.select("rep", w.alias("w"), "cents")
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wc"),
+            F.sum("w").alias("ws"),
+        )
+        .filter(F.col("ws") > 0)
+        .select(F.round(F.col("wc") / 100.0 / F.col("ws"), 6).alias("m"))
+    )
+    moments = replicate.agg(
+        F.count("*").cast("bigint").alias("r_n"),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    point = o.agg(
+        (F.sum(cents) / 100.0 / F.count("*")).alias("pt")
+    )
+    se = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("r_n"))
+        / (F.col("r_n") - 1)
+    )
+    return moments.crossJoin(F.broadcast(point)).select(
+        F.col("r_n").alias("n_replicates"),
+        F.round(F.col("pt"), 6).alias("point_mean"),
+        F.round(F.col("s1") / F.col("r_n"), 6).alias("boot_mean"),
+        F.round(se, 4).alias("boot_se"),
+        F.round(F.col("pt") - 1.959964 * se, 2).alias("ci_lo"),
+        F.round(F.col("pt") + 1.959964 * se, 2).alias("ci_hi"),
+    )

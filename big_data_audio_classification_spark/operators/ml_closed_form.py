@@ -336,3 +336,145 @@ def ml_isotonic_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s").cast("double") / 100.0 / F.col("n"), 6).alias("y_mean"),
         F.round(F.col("fit_raw"), 6).alias("fit_isotonic"),
     )
+
+
+STUMP_BINS = 128  # histogram resolution for split finding
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+            FROM lineitem
+        ),
+        hist AS (
+            SELECT LEAST({STUMP_BINS - 1},
+                         CAST(FLOOR((l.l_extendedprice - b.lo)
+                                    / ((b.hi - b.lo) / {STUMP_BINS}))
+                              AS BIGINT)) AS bin,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+            FROM lineitem l, bounds b
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin,
+                   SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS nl,
+                   SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pl,
+                   SUM(n) OVER () AS nt,
+                   SUM(p) OVER () AS pt
+            FROM hist
+        ),
+        cand AS (
+            SELECT bin, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt,
+                   (nl * (1.0 - POWER(pl * 1.0 / nl, 2)
+                              - POWER((nl - pl) * 1.0 / nl, 2))
+                    + (nt - nl) * (1.0 - POWER((pt - pl) * 1.0 / (nt - nl), 2)
+                              - POWER(((nt - nl) - (pt - pl)) * 1.0
+                                      / (nt - nl), 2))) / nt AS gini_w
+            FROM cum WHERE nl > 0 AND nt - nl > 0
+        ),
+        best AS (
+            SELECT * FROM cand ORDER BY gini_w, bin LIMIT 1
+        )
+        SELECT CAST(bin AS BIGINT) AS split_bin,
+               ROUND((SELECT lo FROM bounds)
+                     + (bin + 1) * (((SELECT hi FROM bounds)
+                                     - (SELECT lo FROM bounds))
+                                    / {STUMP_BINS}), 6) AS split_value,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right,
+               CAST(pl AS BIGINT) AS pos_left,
+               CAST(pr AS BIGINT) AS pos_right,
+               ROUND(1.0 - POWER(pt * 1.0 / nt, 2)
+                         - POWER((nt - pt) * 1.0 / nt, 2), 6) AS gini_root,
+               ROUND(gini_w, 6) AS gini_split,
+               ROUND(1.0 - POWER(pt * 1.0 / nt, 2)
+                         - POWER((nt - pt) * 1.0 / nt, 2) - gini_w, 6) AS gain
+        FROM best
+    """,
+    tags=("ml", "classifier", "tree", "closed-form"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump induction (is this line item a
+    return?) — the split-finding kernel of every gradient-boosted-tree
+    system (XGBoost approx / LightGBM) expressed as pure relational
+    aggregation, so the exact best split on 100 TB costs two scans and
+    a 128-row window.
+
+    Phase 1 computes the global feature range (1-row broadcast); phase
+    2 folds the fact table into a 128-bin (count, positives)
+    histogram — algebraic, map-side combined, one shuffle of at most
+    128 rows. Every candidate threshold's weighted Gini impurity
+    then comes from cumulative sums OVER the tiny histogram: the
+    O(n * candidates) naive search collapses to O(n + bins). The split
+    decision (argmin weighted Gini, ties to the lowest bin) and the
+    root-impurity gain are exact integer-count algebra, shared
+    verbatim with the oracle; empty-side candidates are excluded.
+
+    Reference analog: the feature-scoring + best-feature argmax of
+    `/root/reference/src/voice_classifier.py:150-153`, upgraded from
+    scoring whole columns to scoring every threshold within a column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / STUMP_BINS
+    hist = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(STUMP_BINS - 1),
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+            ).alias("bin"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("p"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("p").over(wcum).alias("pl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("p").over(wall).alias("pt"),
+    )
+
+    def gini(pos, n):
+        return (
+            1.0
+            - F.pow(pos * 1.0 / n, 2)
+            - F.pow((n - pos) * 1.0 / n, 2)
+        )
+
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("nt") - F.col("nl"), F.col("pt") - F.col("pl")
+    cand = cum.filter((nl > 0) & (nr > 0)).select(
+        "bin", "nl", "pl", "nt", "pt",
+        nr.alias("nr"), pr.alias("pr"),
+        ((nl * gini(pl, nl) + nr * gini(pr, nr)) / F.col("nt")).alias(
+            "gini_w"
+        ),
+    )
+    best = cand.orderBy("gini_w", "bin").limit(1)
+    root = gini(F.col("pt"), F.col("nt"))
+    return best.crossJoin(F.broadcast(bounds)).select(
+        F.col("bin").cast("bigint").alias("split_bin"),
+        F.round(
+            F.col("lo") + (F.col("bin") + 1) * width, 6
+        ).alias("split_value"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        F.col("pr").cast("bigint").alias("pos_right"),
+        F.round(root, 6).alias("gini_root"),
+        F.round(F.col("gini_w"), 6).alias("gini_split"),
+        F.round(root - F.col("gini_w"), 6).alias("gain"),
+    )

@@ -5,6 +5,8 @@ two-proportion z recomputation."""
 from __future__ import annotations
 
 import math
+
+import pytest
 from collections import defaultdict
 
 import pyspark.sql.functions as F
@@ -228,3 +230,53 @@ def test_runs_test_matches_manual_replay(spark, sf_dir):
     e = 2 * n1 * n2 / (n1 + n2) + 1
     var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
     assert abs(row["z"] - (runs - e) / math.sqrt(var)) < 1e-5
+
+
+def test_poisson_bootstrap_matches_numpy_lcg_replay(spark, sf_dir):
+    """Replicate the counter-based LCG + inverse-CDF weights in numpy
+    and recompute every output column independently."""
+    import numpy as np
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        BOOT_REPLICATES,
+        LCG_A,
+        LCG_C,
+        LCG_M,
+        POISSON1_CDF,
+        stats_poisson_bootstrap_ci,
+    )
+
+    out = stats_poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    keys = np.array([r["o_orderkey"] for r in o], dtype=np.int64)
+    cents = np.rint(
+        np.array([r["o_totalprice"] for r in o]) * 100
+    ).astype(np.int64)
+    reps = np.arange(BOOT_REPLICATES, dtype=np.int64)
+    s0 = (keys[:, None] * BOOT_REPLICATES + reps[None, :]) % LCG_M
+    x1 = (LCG_A * s0 + LCG_C) % LCG_M
+    x2 = (LCG_A * x1 + LCG_C) % LCG_M
+    u = x2 / float(LCG_M)
+    w = np.searchsorted(np.array(POISSON1_CDF), u, side="right")
+    m = np.round(
+        (w * cents[:, None]).sum(axis=0) / 100.0 / w.sum(axis=0), 6
+    )
+    point = cents.sum() / 100.0 / len(cents)
+    se = float(np.sqrt(((m - m.mean()) ** 2).sum() / (len(m) - 1)))
+
+    assert out["n_replicates"] == BOOT_REPLICATES
+    assert out["point_mean"] == pytest.approx(round(point, 6), abs=1e-6)
+    assert out["boot_mean"] == pytest.approx(float(m.mean()), abs=1e-4)
+    assert out["boot_se"] == pytest.approx(se, rel=1e-6)
+    # the interval brackets the point estimate and is symmetric
+    assert out["ci_lo"] < out["point_mean"] < out["ci_hi"]
+    assert (out["ci_hi"] - out["point_mean"]) == pytest.approx(
+        out["point_mean"] - out["ci_lo"], abs=0.02
+    )
+    # weights behave like Poisson(1): overall mean multiplicity ~ 1
+    assert abs(w.mean() - 1.0) < 0.01

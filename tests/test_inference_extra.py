@@ -9,6 +9,7 @@ import math
 from collections import defaultdict
 
 import numpy as np
+import pytest
 import pyspark.sql.functions as F
 
 from big_data_audio_classification_spark.operators.experiments import (
@@ -391,3 +392,56 @@ def test_anova_matches_pandas_replay(spark, sf_dir):
     assert math.isclose(out["f_stat"], f, rel_tol=1e-4)
     assert math.isclose(out["eta_squared"], ssb / (ssb + ssw), abs_tol=1e-6)
     assert 0.0 <= out["eta_squared"] <= 1.0
+
+
+def test_decision_stump_matches_numpy_exhaustive_replay(spark, sf_dir):
+    """Recompute the histogram split search in numpy: identical
+    binning, exhaustive weighted-Gini argmin, same tie-break."""
+    import numpy as np
+
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        STUMP_BINS,
+        ml_decision_stump,
+    )
+
+    out = ml_decision_stump(spark, sf_dir).collect()[0]
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", "l_returnflag")
+        .collect()
+    )
+    x = np.array([r["l_extendedprice"] for r in rows])
+    y = np.array([1 if r["l_returnflag"] == "R" else 0 for r in rows])
+    lo, hi = x.min(), x.max()
+    bins = np.minimum(
+        STUMP_BINS - 1,
+        np.floor((x - lo) / ((hi - lo) / STUMP_BINS)).astype(np.int64),
+    )
+    n_b = np.bincount(bins, minlength=STUMP_BINS)
+    p_b = np.bincount(bins, weights=y, minlength=STUMP_BINS)
+    nl, pl = np.cumsum(n_b), np.cumsum(p_b)
+    nt, pt = nl[-1], pl[-1]
+    valid = (nl > 0) & (nt - nl > 0)
+
+    def gini(p, n):
+        return 1.0 - (p / n) ** 2 - ((n - p) / n) ** 2
+
+    gw = np.where(
+        valid,
+        (nl * gini(np.maximum(pl, 0), np.maximum(nl, 1))
+         + (nt - nl) * gini(pt - pl, np.maximum(nt - nl, 1))) / nt,
+        np.inf,
+    )
+    best = int(np.argmin(gw))  # argmin takes the first (lowest bin) tie
+
+    assert out["split_bin"] == best
+    assert out["n_left"] == nl[best] and out["n_right"] == nt - nl[best]
+    assert out["pos_left"] == pl[best] and out["pos_right"] == pt - pl[best]
+    assert out["gini_split"] == pytest.approx(gw[best], abs=1e-6)
+    assert out["gini_root"] == pytest.approx(gini(pt, nt), abs=1e-6)
+    assert out["gain"] == pytest.approx(gini(pt, nt) - gw[best], abs=1e-6)
+    assert out["gain"] >= 0
+    assert out["split_value"] == pytest.approx(
+        lo + (best + 1) * (hi - lo) / STUMP_BINS, abs=1e-6
+    )
