@@ -456,3 +456,43 @@ def test_mann_kendall_and_theil_sen_share_spine_shape(spark, sf_dir):
         plan = introspect.formatted_plan(fn(spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan  # spine pair join
         assert "SortMergeJoin" not in plan  # no fact-sized shuffle join
+
+
+def test_poisson_bootstrap_combines_mapside_and_stays_jvm(spark, sf_dir):
+    """The x64 explode must fold back to 64 partials BEFORE any
+    shuffle (partial_sum on the replicate key), with no Python UDF and
+    no fact-sized sort; only the projected (cents, key) columns reach
+    the explode."""
+    from big_data_audio_classification_spark.operators import experiments
+
+    df = experiments.stats_poisson_bootstrap_ci(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert not introspect.has_python_udf(df)
+    assert "partial_sum" in plan
+    assert "Generate" in plan and "explode" in plan  # the x64 blow-up
+    # replicate weights are computed inline; the fact table is never
+    # sorted and no per-replicate value buffering exists
+    for buffering in ("percentile(", "collect_list", "collect_set"):
+        assert buffering not in plan
+    cols = set(introspect.pruned_columns(df))
+    assert cols <= {"o_orderkey", "o_totalprice"}, cols
+
+
+def test_decision_stump_is_two_scans_and_a_tiny_window(spark, sf_dir):
+    """Split finding = range pass (broadcast 1-row) + histogram pass
+    (partial-aggregated to <=128 rows). The only window runs over the
+    histogram aggregate, never the fact; the final argmin is a
+    TakeOrderedAndProject-style limit, not a global fact sort."""
+    from big_data_audio_classification_spark.operators import ml_closed_form
+
+    df = ml_closed_form.ml_decision_stump(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert not introspect.has_python_udf(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # both scans read only the two needed fact columns
+    cols = set(introspect.pruned_columns(df))
+    assert cols <= {"l_extendedprice", "l_returnflag"}, cols
+    # the argmin over <=127 candidates is a limit-sort, not a shuffle
+    # of lineitem rows
+    assert "TakeOrderedAndProject" in plan
