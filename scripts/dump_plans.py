@@ -149,6 +149,24 @@ SHOWCASE = [
         "arrive as BroadcastHashJoins, and both distinct counts are "
         "ordinary partial-aggregated exchanges.",
     ),
+    (
+        "stats_poisson_bootstrap_ci",
+        "Resampling in ONE pass: Generate(explode) multiplies each "
+        "order by the 64 replicates, but partial_sum on the replicate "
+        "key folds the blow-up back to 64 partials per task BEFORE the "
+        "exchange — the shuffle carries 64 rows per map task, never "
+        "the x64 fact. ReadSchema shows only (o_orderkey, o_totalprice) "
+        "leave the scan; the LCG weights are codegen'd integer "
+        "arithmetic, no Python, no RNG state.",
+    ),
+    (
+        "ml_decision_stump",
+        "XGBoost-approx split finding: the feature range arrives as a "
+        "1-row BroadcastNestedLoopJoin, the fact folds into a <=128-bin "
+        "partial-aggregated histogram, and every downstream window/"
+        "argmin runs over those 128 rows — TakeOrderedAndProject picks "
+        "the best split; no fact-sized sort or window anywhere.",
+    ),
 ]
 
 
