@@ -93,7 +93,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # first-time: greedy family cover over never-driver-checked queries
     "tpch_q3_shipping_priority",
     "scalar_regexp_functions",
-    "sim_blocked_gemm_topk",
+    # round-3e: the two NEW families added at round close (one-pass
+    # Poisson-bootstrap resampling; histogram decision-stump tree
+    # induction) displace sim_blocked_gemm_topk and
+    # ml_ols_normal_equations — the only two members every one of
+    # whose family tags stays window-covered (sim/topk/embeddings by
+    # sim_ivf_assign + er_blocked_fuzzy_parts; ml/regression/
+    # closed-form by ml_naive_bayes_tokens + stats_theil_sen +
+    # ml_isotonic... carriers). Both displaced entries remain tri-SF
+    # green in the local gate.
+    "stats_poisson_bootstrap_ci",
+    "ml_decision_stump",
     "ref_interval_join_bucketed",
     "ml_best_feature_by_mi",
     "sql_lateral_top_customer",
@@ -141,7 +151,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # local gate and their families are sampled by other members).
     "events_cusum_changepoint",
     "geo_cell_distance_join",
-    "ml_ols_normal_equations",
     "ml_naive_bayes_tokens",
     "agg_count_min_sketch",
     "graph_khop_reachability",
