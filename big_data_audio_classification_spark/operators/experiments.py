@@ -1318,3 +1318,140 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pt") - 1.959964 * se, 2).alias("ci_lo"),
         F.round(F.col("pt") + 1.959964 * se, 2).alias("ci_hi"),
     )
+
+
+CUPED_SPLIT = "2024-01-16"  # pre-period = days 1-15, experiment = 16-30
+
+
+@query(
+    "stats_cuped_adjustment",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id % 2 AS arm,
+                   SUM(CASE WHEN ts <  TIMESTAMP '{CUPED_SPLIT}'
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS x_cents,
+                   SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS y_cents
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id % 2, user_id
+        ),
+        arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x_cents) AS sx_c, SUM(y_cents) AS sy_c,
+                   SUM((x_cents / 100.0) * (x_cents / 100.0)) AS sxx,
+                   SUM((x_cents / 100.0) * (y_cents / 100.0)) AS sxy,
+                   SUM((y_cents / 100.0) * (y_cents / 100.0)) AS syy
+            FROM per_user GROUP BY arm
+        ),
+        pooled AS (
+            SELECT SUM(n) AS nn, SUM(sx_c) / 100.0 AS sx,
+                   SUM(sy_c) / 100.0 AS sy,
+                   SUM(sxx) AS xx, SUM(sxy) AS xy
+            FROM arms
+        ),
+        g AS (
+            SELECT arm, n, sx_c, sy_c, sxx, sxy, syy,
+                   (xy - sx * sy / nn) / (xx - sx * sx / nn) AS theta,
+                   sx / nn AS xbar
+            FROM arms CROSS JOIN pooled
+        )
+        SELECT arm, n,
+               ROUND(sy_c / 100.0 / n, 6) AS mean_metric,
+               ROUND(sy_c / 100.0 / n
+                     - theta * (sx_c / 100.0 / n - xbar), 6) AS mean_cuped,
+               ROUND(theta, 6) AS theta,
+               ROUND(100 * (1 - (syy / n - POWER(sy_c / 100.0 / n, 2)
+                                 + theta * theta
+                                   * (sxx / n - POWER(sx_c / 100.0 / n, 2))
+                                 - 2 * theta
+                                   * (sxy / n - (sx_c / 100.0 / n)
+                                                * (sy_c / 100.0 / n)))
+                               / (syy / n - POWER(sy_c / 100.0 / n, 2))),
+                     4) AS var_reduction_pct
+        FROM g ORDER BY arm
+    """,
+    tags=("stats", "abtest", "experimentation", "cuped", "events", "aggregate"),
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    experiment-period metric by its pre-experiment covariate,
+    ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled over both arms —
+    the standard trick that cuts A/B test runtime by the squared
+    pre/post correlation. Units are purchase-active users; arm =
+    user_id parity (assignment-independent of the pre-period); x = pre-
+    period purchase revenue (days 1–15), y = experiment-period revenue.
+
+    Engine shape — ONE scan, user-grain shuffle, then scalar algebra:
+    the events scan pushes event_type = 'purchase' into parquet, a
+    single groupBy(user) folds both periods' revenues as EXACT integer
+    cent sums (conditional aggregation, no second pass), a 2-row
+    groupBy(arm) collects the six sufficient statistics (n, Σx, Σy,
+    Σx², Σxy, Σy²), and θ, x̄, the adjusted means, and the per-arm
+    variance-reduction percentage are closed-form algebra over that
+    2-row frame (pop-variance identities — no per-user second pass, no
+    window). At 100 TB the only shuffle is the user-grain combine,
+    map-side partial-aggregated; everything after is O(arms) rows.
+
+    Determinism: first moments are exact cents; the second-moment sums
+    are doubles over per-user values that are themselves bit-identical
+    (cents/100.0) in both engines, so reorder drift is ~1e-15 relative
+    — far inside the ROUND(6/4) contract (same idiom as
+    stats_anova_oneway).
+
+    Reference analog: the reference's holdout evaluation compares raw
+    per-arm score means (`/root/reference/src/voice_classifier.py:
+    238-247`); CUPED is that comparison upgraded with the covariate
+    adjustment a 100 TB experimentation stack runs by default.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.col("ts") < F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = e.groupBy((F.col("user_id") % 2).alias("arm"), "user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).alias("x_cents"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).alias("y_cents"),
+    )
+    x = F.col("x_cents") / 100.0
+    y = F.col("y_cents") / 100.0
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_cents").alias("sx_c"),
+        F.sum("y_cents").alias("sy_c"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    pooled = arms.agg(
+        F.sum("n").alias("nn"),
+        (F.sum("sx_c") / 100.0).alias("sx"),
+        (F.sum("sy_c") / 100.0).alias("sy"),
+        F.sum("sxx").alias("xx"),
+        F.sum("sxy").alias("xy"),
+    )
+    g = arms.crossJoin(F.broadcast(pooled)).select(
+        "arm", "n", "sx_c", "sy_c", "sxx", "sxy", "syy",
+        (
+            (F.col("xy") - F.col("sx") * F.col("sy") / F.col("nn"))
+            / (F.col("xx") - F.col("sx") * F.col("sx") / F.col("nn"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("nn")).alias("xbar"),
+    )
+    mx = F.col("sx_c") / 100.0 / F.col("n")
+    my = F.col("sy_c") / 100.0 / F.col("n")
+    var_y = F.col("syy") / F.col("n") - my * my
+    var_x = F.col("sxx") / F.col("n") - mx * mx
+    cov_xy = F.col("sxy") / F.col("n") - mx * my
+    theta = F.col("theta")
+    var_adj = var_y + theta * theta * var_x - 2 * theta * cov_xy
+    return g.select(
+        "arm",
+        "n",
+        F.round(my, 6).alias("mean_metric"),
+        F.round(my - theta * (mx - F.col("xbar")), 6).alias("mean_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(100 * (1 - var_adj / var_y), 4).alias("var_reduction_pct"),
+    ).orderBy("arm")

@@ -280,3 +280,50 @@ def test_poisson_bootstrap_matches_numpy_lcg_replay(spark, sf_dir):
     )
     # weights behave like Poisson(1): overall mean multiplicity ~ 1
     assert abs(w.mean() - 1.0) < 0.01
+
+
+def test_cuped_matches_numpy_replay(spark, sf_dir):
+    """Recompute theta, the adjusted means, and the variance-reduction
+    percentages from scratch in numpy, and check the CUPED invariant
+    that pooled-weighted adjustments cancel (Σ n·(adj − raw) = 0)."""
+    import numpy as np
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        CUPED_SPLIT,
+        stats_cuped_adjustment,
+    )
+
+    out = {r["arm"]: r for r in stats_cuped_adjustment(spark, sf_dir).collect()}
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    split = __import__("datetime").datetime.fromisoformat(CUPED_SPLIT)
+    per_user = defaultdict(lambda: [0, 0])  # user -> [x_cents, y_cents]
+    for r in rows:
+        per_user[r["user_id"]][0 if r["ts"] < split else 1] += int(
+            round(r["value"] * 100)
+        )
+    users = sorted(per_user)
+    x = np.array([per_user[u][0] / 100.0 for u in users])
+    y = np.array([per_user[u][1] / 100.0 for u in users])
+    arm = np.array([u % 2 for u in users])
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    xbar = x.mean()
+    deltas = []
+    for a in (0, 1):
+        m = arm == a
+        raw = y[m].mean()
+        adj = raw - theta * (x[m].mean() - xbar)
+        assert out[a]["n"] == int(m.sum())
+        assert out[a]["mean_metric"] == pytest.approx(raw, abs=1e-5)
+        assert out[a]["mean_cuped"] == pytest.approx(adj, abs=1e-5)
+        assert out[a]["theta"] == pytest.approx(theta, abs=1e-5)
+        y_adj = y[m] - theta * x[m]
+        red = 100 * (1 - np.var(y_adj) / np.var(y[m]))
+        assert out[a]["var_reduction_pct"] == pytest.approx(red, abs=1e-3)
+        deltas.append(m.sum() * (adj - raw))
+    assert abs(sum(deltas)) < 1e-6 * len(users)
