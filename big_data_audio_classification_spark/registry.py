@@ -108,7 +108,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ml_best_feature_by_mi",
     "sql_lateral_top_customer",
     "events_ewma_deviation",
-    "window_range_interval",
+    # round-3f: CUPED covariate adjustment (a NEW experimentation
+    # family) displaces window_range_interval — the plain window
+    # family was driver-certified in r01/r02 and stays sampled by
+    # events_cusum_changepoint / analytics_skyline_pareto /
+    # stats_kaplan_meier; range frames remain tri-SF green locally.
+    "stats_cuped_adjustment",
     "array_posexplode_outer",
     "stats_psi_drift",
     "sim_ivf_assign",
