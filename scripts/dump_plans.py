@@ -167,6 +167,16 @@ SHOWCASE = [
         "argmin runs over those 128 rows — TakeOrderedAndProject picks "
         "the best split; no fact-sized sort or window anywhere.",
     ),
+    (
+        "stats_cuped_adjustment",
+        "CUPED covariate adjustment: the purchase predicate is PUSHED "
+        "into the events scan (PushedFilters) with only (user_id, ts, "
+        "value) read; ONE user-grain combine is partial-aggregated "
+        "map-side, the 2-row arm frame carries the six sufficient "
+        "statistics, and theta / adjusted means / variance reduction "
+        "are scalar algebra behind a 1-row broadcast — no window, no "
+        "second fact pass.",
+    ),
 ]
 
 

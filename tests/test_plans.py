@@ -496,3 +496,22 @@ def test_decision_stump_is_two_scans_and_a_tiny_window(spark, sf_dir):
     # the argmin over <=127 candidates is a limit-sort, not a shuffle
     # of lineitem rows
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cuped_is_one_fact_pass_with_pushed_filter(spark, sf_dir):
+    """CUPED reads only (user_id, ts, value) with the purchase
+    predicate pushed to the scan, partial-aggregates the user-grain
+    combine map-side, and finishes with scalar algebra over the 2-row
+    arm frame — no window, no value buffering, no Python UDF."""
+    from big_data_audio_classification_spark.operators import experiments
+
+    df = experiments.stats_cuped_adjustment(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert not introspect.has_python_udf(df)
+    assert "partial_sum" in plan
+    assert "PushedFilters" in plan and "event_type" in plan
+    cols = set(introspect.pruned_columns(df))
+    assert cols <= {"user_id", "ts", "value", "event_type"}, cols
+    for buffering in ("percentile(", "collect_list", "collect_set"):
+        assert buffering not in plan
+    assert "Window" not in plan
