@@ -104,8 +104,8 @@ def ml_transpose_long_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ml_distinct_classes",
     oracle="""
-        SELECT list_sort(list(DISTINCT label)) AS classes,
-               COUNT(DISTINCT label)           AS n_classes
+        SELECT array_to_string(list_sort(list(DISTINCT label)), ',') AS classes,
+               COUNT(DISTINCT label)                                 AS n_classes
         FROM embeddings
     """,
     tags=("ml", "encoding"),
@@ -113,10 +113,12 @@ def ml_transpose_long_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_distinct_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R29+R33: distinct class values as a sorted list + count
     (``unique().tolist()`` / ``len(np.unique)``). collect_set is safe
-    here by contract: class cardinality is tiny."""
+    here by contract: class cardinality is tiny. The list is serialized
+    with array_join because the driver's pandas canonicalizer cannot
+    hash raw array cells."""
     em = load_table(spark, sf_dir, "embeddings")
     return em.agg(
-        F.sort_array(F.collect_set("label")).alias("classes"),
+        F.array_join(F.sort_array(F.collect_set("label")), ",").alias("classes"),
         F.countDistinct("label").alias("n_classes"),
     )
 

@@ -360,7 +360,7 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                regexp_extract(props, '[0-9]+', 0)             AS first_num,
-               regexp_extract_all(props, '[0-9]+')            AS all_nums,
+               array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS all_nums,
                len(regexp_extract_all(props, '[0-9]+'))       AS n_nums,
                regexp_replace(props, '[0-9]', '#', 'g')       AS masked,
                regexp_matches(props, '"k": [0-9]{2}')         AS two_digit_k
@@ -371,15 +371,19 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex battery over the JSON-string props column: extract (group
     0 on both engines — Spark defaults to group 1, DuckDB to the full
-    match), extract-all into an array, count, replace-all (Spark
-    replaces all matches by default; DuckDB needs the 'g' flag), and
-    rlike. All JVM regex — no Python."""
+    match), extract-all (serialized with array_join so the driver's
+    pandas canonicalizer can hash the column — raw array cells are
+    unhashable there), count, replace-all (Spark replaces all matches
+    by default; DuckDB needs the 'g' flag), and rlike. All JVM regex —
+    no Python."""
     e = load_table(spark, sf_dir, "events")
     p = F.col("props")
     return e.select(
         "event_id",
         F.regexp_extract(p, "[0-9]+", 0).alias("first_num"),
-        F.regexp_extract_all(p, F.lit("[0-9]+"), 0).alias("all_nums"),
+        F.array_join(F.regexp_extract_all(p, F.lit("[0-9]+"), 0), ",").alias(
+            "all_nums"
+        ),
         F.size(F.regexp_extract_all(p, F.lit("[0-9]+"), 0)).alias("n_nums"),
         F.regexp_replace(p, "[0-9]", "#").alias("masked"),
         p.rlike('"k": [0-9]{2}').alias("two_digit_k"),

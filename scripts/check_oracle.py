@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+from pyspark.sql.types import ArrayType, MapType
 
 from big_data_audio_classification_spark.registry import all_queries
 from big_data_audio_classification_spark.session import get_spark
@@ -113,6 +114,20 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        if q.oracle is not None:
+            # The driver's pandas canonicalizer cannot hash array/map
+            # cells — SQL-oracled queries must serialize them (e.g.
+            # array_join) before returning.
+            bad_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType))
+            ]
+            if bad_cols:
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL  {name}: array/map output columns {bad_cols}")
+                continue
         if q.oracle is None:
             n_rows_only += 1
             print(f"rows  {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")

@@ -94,3 +94,25 @@ def test_window_samples_every_family():
 def test_no_duplicate_registrations():
     names = list(all_queries())
     assert len(names) == len(set(names))
+
+
+def test_no_array_or_map_outputs_in_sql_oracled_queries(spark, sf_dir):
+    """The driver's pandas canonicalizer sorts/hashes object cells and
+    dies on unhashable array/map values (CORRECTNESS_r03: the only two
+    `err` rows). Every SQL-oracled query must serialize such columns
+    (array_join / to_json) before returning."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = {}
+    for name, q in all_queries().items():
+        if q.oracle is None:
+            continue
+        df = q.fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"array/map output columns in SQL-oracled queries: {offenders}"
