@@ -43,9 +43,8 @@ _SQL_COSINE = """
 """
 
 
-@query(
-    "sim_cosine_topk",
-    oracle=f"""
+# Named so sim_ivf_recall_at_k can reuse it as a CTE body.
+_EXACT_TOPK_ORACLE = f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
         scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -57,7 +56,12 @@ _SQL_COSINE = """
                         ORDER BY cos_sim DESC, neighbor_id) AS rn
               FROM scored)
         WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=_EXACT_TOPK_ORACLE,
     tags=("similarity", "embeddings"),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,9 +169,8 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # cells each query probes
 
 
-@query(
-    "sim_ivf_topk",
-    oracle=f"""
+# Named so sim_ivf_recall_at_k can reuse it as a CTE body.
+_IVF_TOPK_ORACLE = f"""
         WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
                    WHERE vec_id < {IVF_CELLS}),
         cand AS (
@@ -206,7 +209,12 @@ N_PROBE = 2  # cells each query probes
         FROM (SELECT DISTINCT query_id, neighbor_id, cos_sim FROM scored)
         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
-    """,
+    """
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
     tags=("similarity", "embeddings", "ivf"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,4 +852,46 @@ def ml_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(same, F.col("cos_sim"))).alias("hard_positive_sim"),
         F.max_by("cand_id", ord_neg).alias("hard_negative_id"),
         F.max(F.when(~same, F.col("cos_sim"))).alias("hard_negative_sim"),
+    )
+
+
+@query(
+    "sim_ivf_recall_at_k",
+    oracle=f"""
+        WITH exact AS ({_EXACT_TOPK_ORACLE}),
+        approx AS ({_IVF_TOPK_ORACLE})
+        SELECT e.query_id,
+               COUNT(*)                 AS n_exact,
+               COUNT(a.neighbor_id)     AS n_hit,
+               ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+                                        AS recall_at_k
+        FROM exact e
+        LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+    tags=("similarity", "embeddings", "ivf", "recall", "evaluation"),
+)
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@k of the IVF probe search against the
+    exact brute-force ranking on the same embeddings. Both rankings are
+    deterministic (shared (cos_sim DESC, neighbor_id) tiebreak), so the
+    recall fraction itself is exactly SQL-oracle-checkable — the quality
+    harness the 100 TB ANN story needs (sample Q exact-scored queries,
+    measure recall, tune nprobe/cells from measurements, not guesses).
+    A pytest (tests/test_similarity_pq.py) pins a recall floor."""
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        sim_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
     )

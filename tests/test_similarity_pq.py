@@ -62,3 +62,16 @@ def test_pq_topk_is_k_rows_per_query(spark, sf_dir):
     counts = df.groupBy("query_id").count().collect()
     assert len(counts) == similarity.N_QUERIES
     assert all(c["count"] == similarity.TOP_K for c in counts)
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """ANN quality gate: IVF probe search must retain most of the exact
+    brute-force top-k at the demo nprobe/cell settings. Observed recall
+    at sf0.001 is 0.8-1.0 per query (mean 0.9); the floor leaves jitter
+    room without letting a broken probe path (recall ~k/cells) pass."""
+    rows = similarity.sim_ivf_recall_at_k(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES
+    recalls = {r.query_id: r.recall_at_k for r in rows}
+    assert all(v >= 0.6 for v in recalls.values()), recalls
+    assert sum(recalls.values()) / len(recalls) >= 0.8, recalls
+    assert all(r.n_exact == similarity.TOP_K for r in rows)
