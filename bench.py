@@ -5,10 +5,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Methodology: per-query cost at sf0.1 is dominated by one-time plan/
 codegen compile (~0.3-0.6 s; warm reruns are 2-7x faster), so each query
-is timed twice — ``queries`` holds the cold (first-run) times, directly
-comparable to BENCH_r01, and ``queries_warm`` holds the second-run times
-where compile variance is gone. Regressions should be judged warm-for-
-warm; ``value`` stays the cold total for driver compatibility.
+is timed cold (first run, directly comparable to BENCH_r01) and then
+warm as the MEDIAN OF 3 reruns (single warm runs showed ~2x jitter on
+sub-second queries in r03). Regressions should be judged warm-for-warm;
+``value`` stays the cold total for driver compatibility.
+
+The r03 driver capture truncated the JSON line once the headline set
+grew past ~30 queries (BENCH_r03.json has ``parsed: null``), so the
+printed line now carries only metric/value/unit/sf/queries(cold)/
+value_warm; the full detail (warm medians, warm samples, run-once
+timings) is written to BENCH_LOCAL.json in-repo.
 
 ``ref_e2e_train`` (the reference's full audio->features->PCA->MI->MLP
 lifecycle) is timed once — an MLlib fit is not a rerunnable lazy plan —
@@ -107,9 +113,11 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {}
     for name in names:
         cold[name] = _run(qs, name, spark, sf_dir)
-        warm[name] = _run(qs, name, spark, sf_dir)
+        warm_samples[name] = sorted(_run(qs, name, spark, sf_dir) for _ in range(3))
+        warm[name] = warm_samples[name][1]
     # RUN_ONCE actions (MLlib training) are reported separately so
     # "value" stays the lazy-query total, comparable round-over-round.
     once: dict[str, float] = {}
@@ -118,6 +126,23 @@ def main() -> None:
             once[name] = _run(qs, name, spark, sf_dir)
 
     total = round(sum(cold.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": cold,
+        "queries_warm": warm,
+        "warm_samples": warm_samples,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_once": once,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # Keep the printed line short enough for the driver's capture:
+    # cold per-query dict (the driver contract) but no warm/once detail.
     print(
         json.dumps(
             {
@@ -125,10 +150,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": cold,
-                "queries_warm": warm,
                 "value_warm": round(sum(warm.values()), 3),
-                "queries_once": once,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -34,10 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
 
-# Scratch dir for sink round-trips (inside the repo, gitignored).
-# Process-unique: a concurrently running test suite / oracle gate must
-# not overwrite each other's sink outputs mid-read.
-_SCRATCH = f"/root/repo/.scratch/pid{os.getpid()}"
+from big_data_audio_classification_spark.scratch import SCRATCH_DIR as _SCRATCH
 
 
 # --------------------------------------------------------------------------
@@ -597,8 +594,8 @@ UDTF_SESSION_GAP_S = 1800  # 30 min, matches events_session_window
         WITH x AS (
             SELECT user_id,
                    CASE WHEN LAG(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(LAG(ts) OVER w)
-                                > {UDTF_SESSION_GAP_S}
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > {UDTF_SESSION_GAP_S} * 1000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -621,7 +618,10 @@ def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is O(1) per user; Spark shuffles once on the PARTITION
     BY key and sorts within partitions — the same exchange any grouped
-    aggregation needs. Gap logic uses integer epoch seconds; timestamp
+    aggregation needs. Gap logic uses exact integer epoch MICROseconds
+    on both engines (timedelta fields here, epoch_us in the oracle) so
+    a gap fractionally above the threshold cannot diverge cross-engine
+    the way float epoch()/truncated-seconds comparisons could; timestamp
     ties produce gap 0 regardless of intra-tie delivery order, so the
     session count is tie-order invariant."""
     from pyspark.sql.functions import udtf
@@ -639,11 +639,16 @@ def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             self.user = row["user_id"]
             # naive-UTC epoch via subtraction: .timestamp() would apply
-            # the worker's LOCAL zone to the naive datetime
-            e = int(
-                (row["ts"] - _dt.datetime(1970, 1, 1)).total_seconds()
-            )
-            if self.last_epoch is None or e - self.last_epoch > UDTF_SESSION_GAP_S:
+            # the worker's LOCAL zone to the naive datetime. Integer
+            # microseconds from the timedelta fields — total_seconds()
+            # is a float and truncating to whole seconds diverges from
+            # the oracle for fractional-second gaps at the threshold.
+            td = row["ts"] - _dt.datetime(1970, 1, 1)
+            e = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            if (
+                self.last_epoch is None
+                or e - self.last_epoch > UDTF_SESSION_GAP_S * 1_000_000
+            ):
                 self.sessions += 1
             self.last_epoch = e
             self.events += 1

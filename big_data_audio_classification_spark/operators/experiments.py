@@ -27,6 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from big_data_audio_classification_spark.constants import Z95_TWO_SIDED
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
 
@@ -447,9 +448,6 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BANDIT_Z95 = 1.959963985
-
-
 @query(
     "stats_bandit_posteriors",
     oracle=f"""
@@ -480,8 +478,8 @@ BANDIT_Z95 = 1.959963985
             SELECT m.arm, m.n, m.conv,
                    ROUND(m.pmean, 6) AS post_mean,
                    ROUND(m.psd, 6) AS post_sd,
-                   ROUND(m.pmean - {BANDIT_Z95} * m.psd, 6) AS ci_lo,
-                   ROUND(m.pmean + {BANDIT_Z95} * m.psd, 6) AS ci_hi,
+                   ROUND(m.pmean - {Z95_TWO_SIDED} * m.psd, 6) AS ci_lo,
+                   ROUND(m.pmean + {Z95_TWO_SIDED} * m.psd, 6) AS ci_hi,
                    m.pmean = b.best_mean AS is_leader,
                    ROUND(0.5 * (1.0 + CASE
                        WHEN b.best_mean = m.pmean THEN 1.0
@@ -551,8 +549,8 @@ def stats_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv",
         F.round("pmean", 6).alias("post_mean"),
         F.round("psd", 6).alias("post_sd"),
-        F.round(F.col("pmean") - BANDIT_Z95 * F.col("psd"), 6).alias("ci_lo"),
-        F.round(F.col("pmean") + BANDIT_Z95 * F.col("psd"), 6).alias("ci_hi"),
+        F.round(F.col("pmean") - Z95_TWO_SIDED * F.col("psd"), 6).alias("ci_lo"),
+        F.round(F.col("pmean") + Z95_TWO_SIDED * F.col("psd"), 6).alias("ci_hi"),
         (F.col("pmean") == F.col("best_mean")).alias("is_leader"),
         F.round(
             0.5
@@ -668,7 +666,6 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DID_SPLIT = "1998-01-01"  # pre/post boundary (orders span 1995-2001)
-DID_Z95 = 1.959963985  # two-sided 95% critical value
 
 
 @query(
@@ -714,7 +711,7 @@ DID_Z95 = 1.959963985  # two-sided 95% critical value
                ABS(((s_tp / 100.0 / n_tp - s_t0 / 100.0 / n_t0)
                     - (s_cp / 100.0 / n_cp - s_c0 / 100.0 / n_c0))
                    / SQRT(v_tp / n_tp + v_t0 / n_t0
-                          + v_cp / n_cp + v_c0 / n_c0)) > {DID_Z95}
+                          + v_cp / n_cp + v_c0 / n_c0)) > {Z95_TWO_SIDED}
                    AS significant_95
         FROM cells
     """,
@@ -768,7 +765,7 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 6).alias("did_estimate"),
         F.round(se, 4).alias("se"),
         F.round(did / se, 4).alias("z_score"),
-        (F.abs(did / se) > DID_Z95).alias("significant_95"),
+        (F.abs(did / se) > Z95_TWO_SIDED).alias("significant_95"),
     )
 
 
@@ -782,9 +779,9 @@ CI_B = 1024  # histogram bins for the two-phase order-statistic lookup
         nn AS (SELECT COUNT(*) AS n FROM v),
         k AS (
             SELECT n,
-                   GREATEST(1, CAST(FLOOR((n - {DID_Z95} * SQRT(n)) / 2)
+                   GREATEST(1, CAST(FLOOR((n - {Z95_TWO_SIDED} * SQRT(n)) / 2)
                                     AS BIGINT)) AS klo,
-                   LEAST(n, CAST(CEIL((n + {DID_Z95} * SQRT(n)) / 2)
+                   LEAST(n, CAST(CEIL((n + {Z95_TWO_SIDED} * SQRT(n)) / 2)
                                  AS BIGINT) + 1) AS khi,
                    CAST(FLOOR((n + 1) / 2) AS BIGINT) AS km1,
                    CAST(FLOOR(n / 2) AS BIGINT) + 1 AS km2
@@ -829,11 +826,11 @@ def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "mn", "mx",
         F.greatest(
             F.lit(0),
-            F.floor((n - DID_Z95 * F.sqrt(n)) / 2).cast("bigint") - 1,
+            F.floor((n - Z95_TWO_SIDED * F.sqrt(n)) / 2).cast("bigint") - 1,
         ).alias("klo"),
         F.least(
             n - 1,
-            F.ceil((n + DID_Z95 * F.sqrt(n)) / 2).cast("bigint"),
+            F.ceil((n + Z95_TWO_SIDED * F.sqrt(n)) / 2).cast("bigint"),
         ).alias("khi"),
         (F.floor((n + 1) / 2).cast("bigint") - 1).alias("km1"),
         F.floor(n / 2).cast("bigint").alias("km2"),
@@ -909,7 +906,7 @@ PWR_REL_EFFECT = 0.02  # minimum detectable effect: 2% of the group mean
                ROUND(cents / 100.0 / n_obs, 6) AS mean_value,
                ROUND(sd, 4) AS sd_value,
                ROUND({PWR_REL_EFFECT} * cents / 100.0 / n_obs, 6) AS mde,
-               ROUND(2 * POWER(({DID_Z95} + {PWR_Z80}) * sd
+               ROUND(2 * POWER(({Z95_TWO_SIDED} + {PWR_Z80}) * sd
                                / ({PWR_REL_EFFECT} * cents / 100.0 / n_obs),
                                2), 2) AS n_required_per_arm
         FROM g
@@ -951,7 +948,7 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sd"), 4).alias("sd_value"),
         F.round(mde, 6).alias("mde"),
         F.round(
-            2 * F.pow((DID_Z95 + PWR_Z80) * F.col("sd") / mde, F.lit(2)), 2
+            2 * F.pow((Z95_TWO_SIDED + PWR_Z80) * F.col("sd") / mde, F.lit(2)), 2
         ).alias("n_required_per_arm"),
     )
 

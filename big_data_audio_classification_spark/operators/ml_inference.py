@@ -50,7 +50,7 @@ from big_data_audio_classification_spark.sources.catalog import load_table
 
 # process-unique: concurrent gate/test runs must not clash on the
 # saved-model directory (overwrite-during-load is a transient corruption)
-_SCRATCH = f"/root/repo/.scratch/pid{os.getpid()}"
+from big_data_audio_classification_spark.scratch import SCRATCH_DIR as _SCRATCH
 N_DIMS = 4
 
 

@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from big_data_audio_classification_spark.registry import query
+from big_data_audio_classification_spark.scratch import SCRATCH_DIR as _SCRATCH
 from big_data_audio_classification_spark.sources.catalog import load_table
 
 try:  # real decoders are not shipped in this container
@@ -542,9 +543,7 @@ def mm_wav_resample_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": out_ids, "wav": out_wavs})
 
     wavs = d.mapInPandas(resample, schema="media_id long, wav binary")
-    path = os.path.join(
-        f"/root/repo/.scratch/pid{os.getpid()}", "mm_wav_resample_sink"
-    )
+    path = os.path.join(_SCRATCH, "mm_wav_resample_sink")
     wavs.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
 

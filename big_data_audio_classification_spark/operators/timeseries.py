@@ -36,6 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from big_data_audio_classification_spark.constants import Z95_TWO_SIDED
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
 
@@ -839,9 +840,6 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MK_Z95 = 1.959963985
-
-
 @query(
     "stats_mann_kendall_trend",
     oracle=f"""
@@ -887,10 +885,10 @@ MK_Z95 = 1.959963985
                    AS kendall_tau_b,
                CASE WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
                                WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
-                               ELSE 0.0 END) > {MK_Z95} THEN 'increasing'
+                               ELSE 0.0 END) > {Z95_TWO_SIDED} THEN 'increasing'
                     WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
                                WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
-                               ELSE 0.0 END) < -{MK_Z95} THEN 'decreasing'
+                               ELSE 0.0 END) < -{Z95_TWO_SIDED} THEN 'decreasing'
                     ELSE 'no trend' END AS trend
         FROM calc
     """,
@@ -962,8 +960,8 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ss / F.sqrt(d_rev.cast("double") * d_full), 6).alias(
                 "kendall_tau_b"
             ),
-            F.when(z > MK_Z95, "increasing")
-            .when(z < -MK_Z95, "decreasing")
+            F.when(z > Z95_TWO_SIDED, "increasing")
+            .when(z < -Z95_TWO_SIDED, "decreasing")
             .otherwise("no trend")
             .alias("trend"),
         )
