@@ -240,26 +240,16 @@ def total_frames(n_samples: int) -> int:
     return (n_samples - N_FFT) // HOP + 1
 
 
-@query("ref_e2e_train", oracle=None, tags=("reference", "audio", "ml", "pipeline"))
-def ref_e2e_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's full training lifecycle (R48,
-    ``/root/reference/src/voice_classifier.py:45-62``) as ONE lazy Spark
-    plan over the synthetic audio corpus:
-
-    recordings → overlap-chunked mel (R14) → global-max dB (R15) →
-    StandardScaler(withMean)+PCA(k=4) (R21) → binned-MI component select
-    (R26) → (Time, X) features (R22/R27) → StringIndexer (R28) →
-    randomSplit(seed=42) (R31) → MLP [2,50,50,50,k] (R35/R36, the
-    Conv1D stack's MLP equivalent) → holdout accuracy/logloss (R37) +
-    confusion counts (R44).
-
-    Rows-only (training is iterative); separability is pytest-asserted
-    (two-harmonic corpora at 110/220 Hz are linearly separable in mel
-    space, so holdout accuracy must be high)."""
+def _mel_pca_mi(spark: SparkSession):
+    """Shared front half of the reference lifecycle: recordings →
+    overlap-chunked mel (R14) → global-max dB (R15) →
+    StandardScaler(withMean)+PCA(k=4) (R21) → binned-MI component
+    select (R26). Returns ``(frames_pc, best)`` — the per-frame
+    principal-component DataFrame and the argmax-MI component name —
+    consumed by both final-stage variants (MLP: ``ref_e2e_train``;
+    Conv1D: ``ref_e2e_train_cnn``)."""
     from pyspark.ml import Pipeline
-    from pyspark.ml.classification import MultilayerPerceptronClassifier
-    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-    from pyspark.ml.feature import PCA, StandardScaler, StringIndexer, VectorAssembler
+    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
     recs = recordings(spark)
@@ -325,6 +315,32 @@ def ref_e2e_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     best = mi.orderBy(F.col("mi").desc(), "dim").first()["dim"]  # e.g. 'pc2'
+    return frames_pc, best
+
+
+@query("ref_e2e_train", oracle=None, tags=("reference", "audio", "ml", "pipeline"))
+def ref_e2e_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full training lifecycle (R48,
+    ``/root/reference/src/voice_classifier.py:45-62``) as ONE lazy Spark
+    plan over the synthetic audio corpus:
+
+    recordings → overlap-chunked mel (R14) → global-max dB (R15) →
+    StandardScaler(withMean)+PCA(k=4) (R21) → binned-MI component select
+    (R26) → (Time, X) features (R22/R27) → StringIndexer (R28) →
+    randomSplit(seed=42) (R31) → MLP [2,50,50,50,k] (R35/R36, the
+    Conv1D stack's MLP equivalent) → holdout accuracy/logloss (R37) +
+    confusion counts (R44). For the architecture-faithful Conv1D final
+    stage see ``ref_e2e_train_cnn``.
+
+    Rows-only (training is iterative); separability is pytest-asserted
+    (two-harmonic corpora at 110/220 Hz are linearly separable in mel
+    space, so holdout accuracy must be high)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    frames_pc, best = _mel_pca_mi(spark)
 
     # R27: (Time, X, speaker); R28/R31/R35-R37/R44 below
     ts = frames_pc.select("t", F.col(best).alias("x"), "speaker")
@@ -369,6 +385,37 @@ def ref_e2e_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "best_component string, accuracy double, logloss double, n_train long, "
         "n_test long, c00 long, c01 long, c10 long, c11 long",
+    )
+
+
+@query(
+    "ref_e2e_train_cnn",
+    oracle=None,
+    tags=("reference", "audio", "ml", "cnn", "pipeline", "mapInPandas"),
+)
+def ref_e2e_train_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e2e lifecycle with the ARCHITECTURE-FAITHFUL final stage
+    (reference ``src/voice_classifier.py:200-265``): the same mel →
+    PCA → MI front half picks (and reports) the best component, then
+    the Conv1D+BN stack (cnn.py, from-scratch numpy — the container
+    has no DL framework) trains on the distributed pipeline's
+    spectrogram windows and is evaluated on the holdout via an
+    Arrow-batched forward pass. ``ref_e2e_train`` (MLP) stays the
+    default exemplar; this closes the topology gap. The mel features
+    are computed once per branch (each localCheckpoints) — an
+    exemplar-level concession, not the production shape.
+
+    Rows-only: both stages are iterative/seeded; separability and CNN
+    gradient correctness are pytest-asserted (tests/test_cnn.py)."""
+    from big_data_audio_classification_spark.operators.cnn import ml_cnn_train_eval
+
+    _, best = _mel_pca_mi(spark)
+    return ml_cnn_train_eval(spark, sf_dir).select(
+        F.lit(best).alias("best_component"),
+        "accuracy",
+        "logloss",
+        "n_train",
+        "n_test",
     )
 
 

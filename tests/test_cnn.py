@@ -81,3 +81,15 @@ def test_cnn_query_separates_two_harmonic_corpus(spark, sf_dir):
     assert row["n_train"] > 0 and row["n_test"] > 0
     assert row["accuracy"] >= 0.9
     assert row["logloss"] < 0.5
+
+
+def test_e2e_cnn_lifecycle(spark, sf_dir):
+    """mel → PCA → MI component select → Conv1D train/eval in one
+    entry: the reported best component must be a real pc name and the
+    two-harmonic corpus must stay separable through the CNN stage."""
+    from big_data_audio_classification_spark.operators.audio import ref_e2e_train_cnn
+
+    row = ref_e2e_train_cnn(spark, sf_dir).collect()[0]
+    assert row.best_component in {"pc0", "pc1", "pc2", "pc3"}
+    assert row.accuracy >= 0.9
+    assert row.n_train > 0 and row.n_test > 0
