@@ -13,7 +13,7 @@ import pytest
 import pyspark.sql.functions as F
 
 from big_data_audio_classification_spark.operators.experiments import (
-    DID_Z95,
+    Z95_TWO_SIDED,
     stats_diff_in_diff,
     stats_median_ci,
 )
@@ -143,7 +143,7 @@ def test_diff_in_diff_matches_pandas_replay(spark, sf_dir):
     assert math.isclose(out["did_estimate"], did, abs_tol=5e-6)
     assert math.isclose(out["se"], se, rel_tol=1e-6, abs_tol=1e-3)
     assert math.isclose(out["z_score"], did / se, rel_tol=1e-3, abs_tol=2e-4)
-    assert out["significant_95"] == (abs(did / se) > DID_Z95)
+    assert out["significant_95"] == (abs(did / se) > Z95_TWO_SIDED)
 
 
 def test_median_ci_matches_order_stat_replay(spark, sf_dir):
@@ -153,8 +153,8 @@ def test_median_ci_matches_order_stat_replay(spark, sf_dir):
     )
     n = len(v)
     assert out["n"] == n
-    klo = max(1, math.floor((n - DID_Z95 * math.sqrt(n)) / 2))
-    khi = min(n, math.ceil((n + DID_Z95 * math.sqrt(n)) / 2) + 1)
+    klo = max(1, math.floor((n - Z95_TWO_SIDED * math.sqrt(n)) / 2))
+    khi = min(n, math.ceil((n + Z95_TWO_SIDED * math.sqrt(n)) / 2) + 1)
     km1, km2 = (n + 1) // 2, n // 2 + 1
     assert out["ci_lo"] == v[klo - 1]
     assert out["ci_hi"] == v[khi - 1]
@@ -256,7 +256,7 @@ def test_power_analysis_matches_formula(spark, sf_dir):
         assert math.isclose(
             r["mde"], PWR_REL_EFFECT * r["mean_value"], abs_tol=2e-6
         )
-        expected = 2 * ((DID_Z95 + PWR_Z80) * r["sd_value"] / r["mde"]) ** 2
+        expected = 2 * ((Z95_TWO_SIDED + PWR_Z80) * r["sd_value"] / r["mde"]) ** 2
         assert math.isclose(r["n_required_per_arm"], expected, rel_tol=1e-3)
         assert r["n_required_per_arm"] > 0
 
