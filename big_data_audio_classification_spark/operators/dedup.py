@@ -155,7 +155,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(inner: str = "documents") -> str:
     band_exprs = ", ".join(
         "CONCAT_WS('_', "
         + ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
@@ -167,7 +167,7 @@ def _lsh_pairs_sql() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""
-        WITH sig AS ({_minhash_sql()}),
+        WITH sig AS ({_minhash_sql(inner)}),
         sig_bands AS (SELECT doc_id, {band_exprs} FROM sig),
         bands AS (
             {unions}
@@ -824,3 +824,122 @@ def dedup_cc_transitive_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < CC_ORACLE_CAP
     )
     return _cc_min_label(_lsh_band_table(d))
+
+
+_RECALL_CAP = 300  # fixed doc sample for the quality gate
+_RECALL_TAU_NUM, _RECALL_TAU_DEN = 9, 10  # tau = 0.9, compared in integers
+
+
+def _lsh_recall_sql() -> str:
+    inner = f"(SELECT * FROM documents WHERE doc_id < {_RECALL_CAP})"
+    return f"""
+        WITH cand AS ({_lsh_pairs_sql(inner)}),
+        sets AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok
+                  FROM documents WHERE doc_id < {_RECALL_CAP})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sets a JOIN sets b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.id_a
+            JOIN sizes sb ON sb.doc_id = inter.id_b
+            WHERE {_RECALL_TAU_DEN} * i >= {_RECALL_TAU_NUM} * (sa.sz + sb.sz - i)
+        ),
+        hit AS (
+            SELECT COUNT(*) AS n_hit
+            FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+        )
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM cand)  AS n_candidates,
+               n_hit,
+               ROUND(n_hit * 1.0 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4)
+                   AS recall,
+               ROUND(n_hit * 1.0 / NULLIF((SELECT COUNT(*) FROM cand), 0), 4)
+                   AS precision_tau
+        FROM hit
+    """
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=_lsh_recall_sql(),
+    tags=("dedup", "minhash", "lsh", "recall", "quality"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the banded-MinHash candidate generator (the
+    dedup mirror of sim_ivf_recall_at_k): on a fixed doc sample, exact
+    distinct-token Jaccard >= 0.9 pairs are ground truth; recall = the
+    fraction the 4x4 banded LSH surfaces as candidates (theory:
+    1-(1-J^4)^4 ≈ 0.99 at J = 0.9), precision_tau = the fraction of
+    candidates that truly clear tau.
+
+    Pair membership depends only on the two docs' signatures, so
+    restricting to the sample BEFORE banding yields exactly the
+    in-sample candidate set — the gate measures the production
+    generator, not a variant. Ground truth is an inverted-index
+    equi-join on tokens (sample-bounded here; at 100 TB the truth side
+    stays a sampled audit — recall is always estimated on a sample, the
+    LSH path itself is the linear production form). The tau comparison
+    is cross-multiplied integers — no float threshold ambiguity.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _RECALL_CAP)
+    cand = lsh_candidate_pairs(minhash_signature(d, "doc_id", "text"))
+    sets = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))),
+            "id_b",
+        )
+        .where(
+            _RECALL_TAU_DEN * F.col("i")
+            >= _RECALL_TAU_NUM * (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+        )
+        .select("id_a", "id_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_hit.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0)), 4
+            ).alias("precision_tau"),
+        )
+    )

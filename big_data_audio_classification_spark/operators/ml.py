@@ -929,3 +929,83 @@ def ml_gmm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_responsibility",
         )
     )
+
+
+@query(
+    "ml_stratified_split",
+    oracle="""
+        WITH ranked AS (
+            SELECT label, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r,
+                   COUNT(*) OVER (PARTITION BY label) AS n
+            FROM embeddings
+        ),
+        assigned AS (
+            SELECT label, vec_id, n,
+                   CASE WHEN r <= CAST(FLOOR(0.8 * n) AS BIGINT)
+                        THEN 'train' ELSE 'test' END AS split
+            FROM ranked
+        )
+        SELECT label, split,
+               COUNT(*)                          AS n_rows,
+               MIN(n)                            AS stratum_n,
+               CAST(SUM(vec_id) AS BIGINT)       AS sum_vec_id,
+               MIN(vec_id)                       AS min_vec_id,
+               MAX(vec_id)                       AS max_vec_id
+        FROM assigned
+        GROUP BY label, split
+        ORDER BY label, split
+    """,
+    tags=("ml", "split", "sampling", "embeddings"),
+)
+def ml_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/test split with EXACT per-stratum quotas
+    (R31 upgraded from the statistical-contract randomSplit): rows are
+    ordered within each label stratum by a deterministic keyed hash
+    (md5 of the id) and the first floor(0.8*n) take 'train'. Unlike
+    randomSplit, membership is reproducible across engines, so the
+    oracle certifies WHICH rows landed in each split (sum/min/max of
+    ids per cell), not just the counts.
+
+    100 TB design: the only shuffle is the per-stratum window
+    (hash-partitioned by label). For few/huge strata the same exact
+    semantics come from the repo's two-phase order-statistic idiom
+    (rank the md5 keys against per-stratum cut quantiles computed in a
+    first aggregate pass); the map-only approximate form (split on the
+    hash value itself) needs no shuffle at all. This exemplar keeps the
+    windowed exact form, which is the one the oracle can certify.
+    """
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    wn = Window.partitionBy("label")
+    assigned = em.select(
+        "label",
+        "vec_id",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "label",
+        "vec_id",
+        "n",
+        F.when(
+            F.col("r") <= F.floor(0.8 * F.col("n")).cast("bigint"), "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("label", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n").alias("stratum_n"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("label", "split")
+    )

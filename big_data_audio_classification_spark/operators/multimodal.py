@@ -697,3 +697,133 @@ def mm_tts_synthesize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_PHASH_ORACLE = """
+    WITH reps AS (
+        SELECT MIN(doc_id) AS media_id, MIN(length(text)) AS L, MIN(text) AS text
+        FROM documents
+        WHERE length(text) > 1
+        GROUP BY md5(text)
+    ),
+    h AS (
+        SELECT media_id,
+               list_sum(list_transform(range(0,32), i ->
+                 CASE WHEN ascii(substring(text, CAST(1 + (i*(L-1))//65 AS INT), 1))
+                         > ascii(substring(text, CAST(1 + ((i+1)*(L-1))//65 AS INT), 1))
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS h1,
+               list_sum(list_transform(range(32,64), i ->
+                 CASE WHEN ascii(substring(text, CAST(1 + (i*(L-1))//65 AS INT), 1))
+                         > ascii(substring(text, CAST(1 + ((i+1)*(L-1))//65 AS INT), 1))
+                      THEN (1::BIGINT << (i-32)) ELSE 0::BIGINT END)) AS h2
+        FROM reps
+    ),
+    bands AS (
+        SELECT media_id, h1, h2, b.band_no,
+               CASE b.band_no WHEN 0 THEN h1 & 65535 WHEN 1 THEN h1 // 65536
+                              WHEN 2 THEN h2 & 65535 ELSE h2 // 65536 END AS band_val
+        FROM h, (SELECT unnest(range(0,4)) AS band_no) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.h1, b.h1))
+                  + bit_count(xor(a.h2, b.h2)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_val = b.band_val
+         AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, hamming
+    FROM cand ORDER BY hamming, id_a, id_b LIMIT 200
+"""
+
+
+def _dhash_half(lo: int, hi: int, shift: int):
+    """One 32-bit half of the 64-bit dHash, packed into a non-negative
+    BIGINT (two halves avoid the signed shiftleft(1L, 63) overflow)."""
+    return F.expr(
+        f"""
+        aggregate(sequence({lo}, {hi - 1}), 0L, (acc, i) -> acc +
+          CASE WHEN ascii(substring(text, CAST(1 + (i*(L-1)) div 65 AS INT), 1))
+                  > ascii(substring(text, CAST(1 + ((i+1)*(L-1)) div 65 AS INT), 1))
+               THEN shiftleft(1L, i - {shift}) ELSE 0L END)
+        """
+    )
+
+
+@query(
+    "mm_phash_banded_neardup",
+    oracle=_PHASH_ORACLE,
+    tags=("multimodal", "dedup", "lsh", "documents"),
+)
+def mm_phash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate candidate join over blob content:
+    a 64-bit dHash (compare 65 evenly-sampled bytes pairwise) per blob,
+    banded into 4x16-bit keys, candidates via band equi-join, exact
+    Hamming verification, top-200 closest pairs.
+
+    This is the image-dedup shape (reference has no analog; mandated
+    multimodal surface): with real codecs the 65 samples would be the
+    9x8 downscaled grayscale grid of pydub/PIL pixels instead of text
+    bytes — the banding, join, and verify stages are identical.
+
+    100 TB design: exact duplicates collapse FIRST on a 128-bit digest
+    (text/blob never shuffles — the hash halves are computed map-side
+    and only (digest, id, h1, h2) moves); the candidate join is an
+    equi-join on (band_no, band_val) — Hamming-space LSH, never
+    all-pairs; verification is a constant-time xor/bit_count on the
+    joined row. Output is bounded via TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 1)
+    perdoc = d.select(
+        F.col("doc_id"),
+        F.md5("text").alias("dig"),
+        F.length("text").alias("L"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "dig",
+        _dhash_half(0, 32, 0).alias("h1"),
+        _dhash_half(32, 64, 32).alias("h2"),
+    )
+    reps = perdoc.groupBy("dig").agg(
+        F.min("doc_id").alias("media_id"),
+        F.min("h1").alias("h1"),
+        F.min("h2").alias("h2"),
+    )
+    bands = reps.select(
+        "media_id",
+        "h1",
+        "h2",
+        F.posexplode(
+            F.array(
+                F.col("h1").bitwiseAND(F.lit(65535)),
+                F.shiftright("h1", 16),
+                F.col("h2").bitwiseAND(F.lit(65535)),
+                F.shiftright("h2", 16),
+            )
+        ).alias("band_no", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_no") == F.col("b.band_no"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+                + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.orderBy("hamming", "id_a", "id_b").limit(200)

@@ -778,3 +778,116 @@ def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+_MAXSIM_N_QUERIES = 3
+_MAXSIM_TOKENS = 4
+_MAXSIM_DIM = 16  # 64-dim embedding sliced into 4 x 16-dim pseudo-tokens
+_MAXSIM_TOPK = 5
+
+
+@query(
+    "retrieval_maxsim_late_interaction",
+    oracle=f"""
+        WITH tok AS (
+            SELECT vec_id, t.tok_no,
+                   list_transform(
+                       list_slice(embedding,
+                                  {_MAXSIM_DIM} * t.tok_no + 1,
+                                  {_MAXSIM_DIM} * (t.tok_no + 1)),
+                       x -> CAST(x AS DOUBLE)) AS tvec
+            FROM embeddings,
+                 (SELECT unnest(range(0, {_MAXSIM_TOKENS})) AS tok_no) t
+        ),
+        qtok AS (SELECT vec_id AS query_id, tok_no AS q_tok, tvec AS qvec
+                 FROM tok WHERE vec_id < {_MAXSIM_N_QUERIES}),
+        dtok AS (SELECT vec_id AS doc_id, tvec AS dvec
+                 FROM tok WHERE vec_id >= {_MAXSIM_N_QUERIES}),
+        per_qtok AS (
+            SELECT q.query_id, d.doc_id, q.q_tok,
+                   MAX(list_sum(list_transform(list_zip(q.qvec, d.dvec),
+                                p -> p[1] * p[2]))) AS best_dot
+            FROM qtok q JOIN dtok d ON true
+            GROUP BY q.query_id, d.doc_id, q.q_tok
+        ),
+        scored AS (
+            SELECT query_id, doc_id, ROUND(SUM(best_dot), 6) AS score
+            FROM per_qtok GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score,
+               CAST(rnk AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_MAXSIM_TOPK}
+        ORDER BY query_id, rank
+    """,
+    tags=("retrieval", "similarity", "embeddings", "topk"),
+)
+def retrieval_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring: each vector is sliced
+    into 4 pseudo-token sub-vectors; score(q, d) = Σ over query tokens
+    of the max dot-product against any document token (MaxSim), then
+    top-5 docs per query. With a real multi-vector encoder the slices
+    would be per-token embeddings — the scoring plan is identical.
+
+    100 TB design: query tokens (queries x 4 rows) broadcast; document
+    tokens stream map-side — per-doc work is linear in corpus size and
+    the two aggregations (max per query-token, sum per doc) are
+    map-side-combinable hash aggs keyed by (query, doc). The final
+    per-query top-k is a tiny window over queries x docs scores after
+    aggregation; at corpus scale the candidate set would first be cut
+    by an ANN stage (sim_ivf_topk) and MaxSim re-ranks only candidates
+    — the standard two-stage retrieval shape.
+    """
+    from pyspark.sql import Window
+
+    from big_data_audio_classification_spark.functions.vector import dot, to_double
+
+    em = load_table(spark, sf_dir, "embeddings")
+    tok = em.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    to_double(
+                        F.slice("embedding", _MAXSIM_DIM * t + 1, _MAXSIM_DIM)
+                    )
+                    for t in range(_MAXSIM_TOKENS)
+                ]
+            )
+        ).alias("tok_no", "tvec"),
+    )
+    qtok = tok.filter(F.col("vec_id") < _MAXSIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tok_no").alias("q_tok"),
+        F.col("tvec").alias("qvec"),
+    )
+    dtok = tok.filter(F.col("vec_id") >= _MAXSIM_N_QUERIES).select(
+        F.col("vec_id").alias("doc_id"), F.col("tvec").alias("dvec")
+    )
+    per_qtok = (
+        dtok.join(F.broadcast(qtok))
+        .select(
+            "query_id",
+            "doc_id",
+            "q_tok",
+            dot(F.col("qvec"), F.col("dvec")).alias("dp"),
+        )
+        .groupBy("query_id", "doc_id", "q_tok")
+        .agg(F.max("dp").alias("best_dot"))
+    )
+    scored = per_qtok.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("best_dot"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= _MAXSIM_TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -195,3 +195,53 @@ def test_wav_resample_kernel_is_exact_decimation():
         assert sr8 == multimodal.WAV_SR and sr4 == multimodal.WAV_SR_OUT
         assert np.array_equal(dec4, smp[::2])
         assert len(dec4) == (len(smp) + 1) // 2
+
+
+def test_phash_neardup_matches_bruteforce_replay(spark, sf_dir):
+    """mm_phash_banded_neardup: an independent pure-Python dHash +
+    all-pairs Hamming replay at sf0.001 must reproduce the banded join's
+    candidate set exactly (every emitted pair collides on >=1 band) and
+    the top-200 ordering."""
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.multimodal import (
+        mm_phash_banded_neardup,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = {}
+    for did, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        if len(text) > 1:
+            docs.setdefault(text, min(docs.get(text, did), did))
+
+    def dhash(text):
+        L = len(text)
+        h = 0
+        for i in range(64):
+            p1 = (i * (L - 1)) // 65
+            p2 = ((i + 1) * (L - 1)) // 65
+            if ord(text[p1]) > ord(text[p2]):
+                h |= 1 << i
+        return h
+
+    reps = {mid: dhash(t) for t, mid in docs.items()}
+
+    def bands(h):
+        return [(b, (h >> (16 * b)) & 0xFFFF) for b in range(4)]
+
+    ids = sorted(reps)
+    expected = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if set(bands(reps[a])) & set(bands(reps[b])):
+                expected.append((bin(reps[a] ^ reps[b]).count("1"), a, b))
+    expected.sort()
+    expected = expected[:200]
+
+    got = [
+        (r.hamming, r.id_a, r.id_b)
+        for r in mm_phash_banded_neardup(spark, sf_dir).collect()
+    ]
+    assert got == expected

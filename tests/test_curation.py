@@ -175,3 +175,17 @@ def test_token_weighted_median_splits_token_mass(spark, sf_dir):
         assert at_or_below >= tot / 2.0
         assert strictly_below < tot / 2.0
         assert got[src]["total_tokens"] == tot
+
+
+def test_lsh_recall_gate_floor(spark, sf_dir):
+    """The banded-MinHash generator must surface >= 85% of true
+    Jaccard>=0.9 pairs on the audit sample (theory predicts ~0.95+ for
+    the J>=0.9 mixture at b=4, r=4), and the counters must be
+    internally consistent."""
+    from big_data_audio_classification_spark.operators.dedup import dedup_lsh_recall
+
+    row = dedup_lsh_recall(spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert row.n_hit <= row.n_truth
+    assert row.n_hit <= row.n_candidates
+    assert row.recall >= 0.85

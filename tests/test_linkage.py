@@ -53,3 +53,33 @@ def test_ranking_metrics_bounds(spark, sf_dir):
 def test_ranking_topk_avoids_global_sort(spark, sf_dir):
     df = retrieval.retrieval_ranking_metrics(spark, sf_dir)
     assert "TakeOrderedAndProject" in introspect.formatted_plan(df)
+
+
+def test_maxsim_matches_numpy_replay(spark, sf_dir):
+    """Late-interaction MaxSim: a dense numpy replay (slice -> per-token
+    max dot -> sum -> top-5) must reproduce the distributed ranking."""
+    import numpy as np
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64).reshape(
+            retrieval._MAXSIM_TOKENS, retrieval._MAXSIM_DIM
+        )
+        for r in em
+    }
+    nq = retrieval._MAXSIM_N_QUERIES
+    expected = []
+    for qid in sorted(v for v in vecs if v < nq):
+        scores = []
+        for did in sorted(v for v in vecs if v >= nq):
+            dots = vecs[qid] @ vecs[did].T  # (q_tok, d_tok)
+            scores.append((round(float(dots.max(axis=1).sum()), 6), did))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, did) in enumerate(scores[: retrieval._MAXSIM_TOPK], 1):
+            expected.append((qid, did, score, rank))
+
+    got = [
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in retrieval.retrieval_maxsim_late_interaction(spark, sf_dir).collect()
+    ]
+    assert got == expected

@@ -303,3 +303,33 @@ def test_gmm_weights_and_likelihood(spark, sf_dir):
         m_k.summary.logLikelihood,
         ll_1,
     )
+
+
+def test_stratified_split_exact_quotas(spark, sf_dir):
+    """Every stratum's train cell holds EXACTLY floor(0.8*n) rows and
+    the two cells partition the stratum (sum of ids conserved)."""
+    import math
+
+    from big_data_audio_classification_spark.operators.ml import ml_stratified_split
+
+    rows = ml_stratified_split(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, {})[r.split] = r
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = {
+        r.label: (r.n, r.s)
+        for r in em.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s"))
+        .collect()
+    }
+    assert set(by_label) == set(truth)
+    for label, cells in by_label.items():
+        n, s = truth[label]
+        tr = cells.get("train")
+        te = cells.get("test")
+        n_tr = tr.n_rows if tr else 0
+        n_te = te.n_rows if te else 0
+        assert n_tr == math.floor(0.8 * n)
+        assert n_tr + n_te == n
+        assert (tr.sum_vec_id if tr else 0) + (te.sum_vec_id if te else 0) == s

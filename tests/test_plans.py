@@ -515,3 +515,17 @@ def test_cuped_is_one_fact_pass_with_pushed_filter(spark, sf_dir):
     for buffering in ("percentile(", "collect_list", "collect_set"):
         assert buffering not in plan
     assert "Window" not in plan
+
+
+def test_phash_neardup_is_band_equi_join(spark, sf_dir):
+    """The Hamming-LSH candidate stage must be an equi-join on
+    (band_no, band_val) with a bounded TakeOrdered output — never a
+    cartesian all-pairs product."""
+    from big_data_audio_classification_spark.operators.multimodal import (
+        mm_phash_banded_neardup,
+    )
+
+    plan = introspect.formatted_plan(mm_phash_banded_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
