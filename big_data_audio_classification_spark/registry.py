@@ -72,8 +72,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   * 33 more FIRST-TIME entries chosen by greedy family cover over the
 #     174 never-driver-checked SQL-oracled queries (sql/tpch/sketch/
 #     window/dedup-CC/text/curation/similarity/multimodal/profiling/
-#     warehouse/timeseries families), including the new
-#     sim_ivf_recall_at_k ANN quality gate (sole 'ivf' carrier), and
+#     warehouse/timeseries families), including the round-4 additions
+#     sim_ivf_recall_at_k (sole 'ivf' carrier), dedup_lsh_recall, and
+#     mm_phash_banded_neardup (the last two swapped in for the equally
+#     never-checked dedup_ngram_jaccard / mm_frame_sample, which stay
+#     tri-SF green locally and rotate into r05), and
 #   * 15 already-certified anchors kept ONLY because they are the
 #     sole remaining carriers of a required family tag (asof,
 #     grouping, math, variant, map, simhash, tfidf, feature-selection,
@@ -104,7 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "array_higher_order_predicates",
     # first-time: dedup / text / curation
     "dedup_cc_transitive_oracle",
-    "dedup_ngram_jaccard",
+    "dedup_lsh_recall",
     "text_langid_heuristic",
     "text_bigram_logprob",
     "text_zipf_fit",
@@ -120,7 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ml_argmax_probability",
     "ref_dedup_by_key",
     # first-time: multimodal / scale / skew / streaming-time / UDTF
-    "mm_frame_sample",
+    "mm_phash_banded_neardup",
     "profile_join_skew",
     "bucketed_colocated_join",
     "events_tumbling_window",
