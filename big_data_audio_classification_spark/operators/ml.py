@@ -1009,3 +1009,102 @@ def ml_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "split")
     )
+
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 10  # pseudo-observations of the global mean
+
+
+@query(
+    "ml_target_encoding_oof",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderpriority AS category,
+                   o_orderkey % {_TE_FOLDS} AS fold,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        cf AS (
+            SELECT category, fold,
+                   CAST(SUM(cents) AS BIGINT) AS s_cf,
+                   COUNT(*) AS n_cf
+            FROM base GROUP BY category, fold
+        ),
+        c AS (
+            SELECT category,
+                   CAST(SUM(s_cf) AS BIGINT) AS s_c,
+                   CAST(SUM(n_cf) AS BIGINT) AS n_c
+            FROM cf GROUP BY category
+        ),
+        g AS (
+            SELECT CAST(SUM(s_c) AS BIGINT) AS s_g,
+                   CAST(SUM(n_c) AS BIGINT) AS n_g
+            FROM c
+        )
+        SELECT cf.category AS category, cf.fold AS fold, cf.n_cf AS n_rows,
+               c.n_c - cf.n_cf AS oof_n,
+               ROUND(
+                   ((c.s_c - cf.s_cf) + {_TE_SMOOTH} * (g.s_g * 1.0 / g.n_g))
+                   / ((c.n_c - cf.n_cf + {_TE_SMOOTH}) * 100.0), 6)
+                   AS encoded
+        FROM cf JOIN c ON cf.category = c.category CROSS JOIN g
+        ORDER BY category, fold
+    """,
+    tags=("ml", "encoding", "cv", "orders"),
+)
+def ml_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding with additive
+    smoothing: each (category, fold) cell is encoded by the target mean
+    of the OTHER folds' rows in that category, shrunk toward the global
+    mean by m pseudo-observations — the standard high-cardinality
+    categorical encoder for tabular training pipelines (no reference
+    analog; mandated ML-pipeline surface).
+
+    Determinism: target sums are exact integer cents (the repo's
+    cross-engine float idiom), folds are id-modulo, and the only float
+    math is the final division — identical in both engines.
+
+    100 TB design: three stacked aggregations where each level REUSES
+    the previous level's partials ((cat, fold) -> cat -> global), all
+    map-side combinable; the per-category frame is tiny (|categories| x
+    k rows), so applying the encoding to the fact table is a broadcast
+    join. No window over fact data, no second fact pass.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cf = o.groupBy("category", "fold").agg(
+        F.sum("cents").cast("bigint").alias("s_cf"),
+        F.count(F.lit(1)).alias("n_cf"),
+    )
+    c = cf.groupBy("category").agg(
+        F.sum("s_cf").cast("bigint").alias("s_c"),
+        F.sum("n_cf").cast("bigint").alias("n_c"),
+    )
+    g = c.agg(
+        F.sum("s_c").cast("bigint").alias("s_g"),
+        F.sum("n_c").cast("bigint").alias("n_g"),
+    )
+    return (
+        cf.join(F.broadcast(c), "category")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            "fold",
+            F.col("n_cf").alias("n_rows"),
+            (F.col("n_c") - F.col("n_cf")).alias("oof_n"),
+            F.round(
+                (
+                    (F.col("s_c") - F.col("s_cf"))
+                    + _TE_SMOOTH * (F.col("s_g") * 1.0 / F.col("n_g"))
+                )
+                / ((F.col("n_c") - F.col("n_cf") + _TE_SMOOTH) * 100.0),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("category", "fold")
+    )

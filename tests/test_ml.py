@@ -333,3 +333,36 @@ def test_stratified_split_exact_quotas(spark, sf_dir):
         assert n_tr == math.floor(0.8 * n)
         assert n_tr + n_te == n
         assert (tr.sum_vec_id if tr else 0) + (te.sum_vec_id if te else 0) == s
+
+
+def test_target_encoding_matches_pandas_replay(spark, sf_dir):
+    """Out-of-fold smoothed target encoding must match an independent
+    pandas replay cell-for-cell (exact integer-cent arithmetic)."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ]
+    pdf["fold"] = pdf["o_orderkey"] % ml._TE_FOLDS
+    pdf["cents"] = (pdf["o_totalprice"] * 100).round().astype("int64")
+    g_mean = pdf["cents"].sum() / len(pdf)
+    cf = (
+        pdf.groupby(["o_orderpriority", "fold"])["cents"]
+        .agg(["sum", "count"])
+        .reset_index()
+    )
+    c = cf.groupby("o_orderpriority")[["sum", "count"]].sum().reset_index()
+    m = cf.merge(c, on="o_orderpriority", suffixes=("_cf", "_c"))
+    m["encoded"] = (
+        (m["sum_c"] - m["sum_cf"]) + ml._TE_SMOOTH * g_mean
+    ) / ((m["count_c"] - m["count_cf"] + ml._TE_SMOOTH) * 100.0)
+    expected = {
+        (r.o_orderpriority, r.fold): round(r.encoded, 6)
+        for r in m.itertuples()
+    }
+
+    got = ml.ml_target_encoding_oof(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert expected[(r.category, r.fold)] == r.encoded
+        assert r.oof_n > 0
