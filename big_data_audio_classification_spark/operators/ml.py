@@ -1030,24 +1030,21 @@ _TE_SMOOTH = 10  # pseudo-observations of the global mean
                    COUNT(*) AS n_cf
             FROM base GROUP BY category, fold
         ),
-        c AS (
-            SELECT category,
-                   CAST(SUM(s_cf) AS BIGINT) AS s_c,
-                   CAST(SUM(n_cf) AS BIGINT) AS n_c
-            FROM cf GROUP BY category
-        ),
-        g AS (
-            SELECT CAST(SUM(s_c) AS BIGINT) AS s_g,
-                   CAST(SUM(n_c) AS BIGINT) AS n_g
-            FROM c
+        lev AS (
+            SELECT category, fold, s_cf, n_cf,
+                   CAST(SUM(s_cf) OVER (PARTITION BY category) AS BIGINT) AS s_c,
+                   CAST(SUM(n_cf) OVER (PARTITION BY category) AS BIGINT) AS n_c,
+                   CAST(SUM(s_cf) OVER () AS BIGINT) AS s_g,
+                   CAST(SUM(n_cf) OVER () AS BIGINT) AS n_g
+            FROM cf
         )
-        SELECT cf.category AS category, cf.fold AS fold, cf.n_cf AS n_rows,
-               c.n_c - cf.n_cf AS oof_n,
+        SELECT category, fold, n_cf AS n_rows,
+               n_c - n_cf AS oof_n,
                ROUND(
-                   ((c.s_c - cf.s_cf) + {_TE_SMOOTH} * (g.s_g * 1.0 / g.n_g))
-                   / ((c.n_c - cf.n_cf + {_TE_SMOOTH}) * 100.0), 6)
+                   ((s_c - s_cf) + {_TE_SMOOTH} * (s_g * 1.0 / n_g))
+                   / ((n_c - n_cf + {_TE_SMOOTH}) * 100.0), 6)
                    AS encoded
-        FROM cf JOIN c ON cf.category = c.category CROSS JOIN g
+        FROM lev
         ORDER BY category, fold
     """,
     tags=("ml", "encoding", "cv", "orders"),
@@ -1064,12 +1061,15 @@ def ml_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float idiom), folds are id-modulo, and the only float
     math is the final division — identical in both engines.
 
-    100 TB design: three stacked aggregations where each level REUSES
-    the previous level's partials ((cat, fold) -> cat -> global), all
-    map-side combinable; the per-category frame is tiny (|categories| x
-    k rows), so applying the encoding to the fact table is a broadcast
-    join. No window over fact data, no second fact pass.
+    100 TB design: ONE pass over the fact table (a map-side-combinable
+    (category, fold) hash aggregate); the category and global levels
+    are window sums over the resulting |categories| x k frame — a few
+    dozen rows, so the unpartitioned window is over an aggregate, never
+    fact data. Applying the encoding to the fact table is a broadcast
+    join of this tiny frame.
     """
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("category"),
         (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
@@ -1081,30 +1081,29 @@ def ml_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("s_cf"),
         F.count(F.lit(1)).alias("n_cf"),
     )
-    c = cf.groupBy("category").agg(
-        F.sum("s_cf").cast("bigint").alias("s_c"),
-        F.sum("n_cf").cast("bigint").alias("n_c"),
+    w_c = Window.partitionBy("category")
+    w_g = Window.partitionBy()
+    lev = cf.select(
+        "category",
+        "fold",
+        "s_cf",
+        "n_cf",
+        F.sum("s_cf").over(w_c).cast("bigint").alias("s_c"),
+        F.sum("n_cf").over(w_c).cast("bigint").alias("n_c"),
+        F.sum("s_cf").over(w_g).cast("bigint").alias("s_g"),
+        F.sum("n_cf").over(w_g).cast("bigint").alias("n_g"),
     )
-    g = c.agg(
-        F.sum("s_c").cast("bigint").alias("s_g"),
-        F.sum("n_c").cast("bigint").alias("n_g"),
-    )
-    return (
-        cf.join(F.broadcast(c), "category")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "category",
-            "fold",
-            F.col("n_cf").alias("n_rows"),
-            (F.col("n_c") - F.col("n_cf")).alias("oof_n"),
-            F.round(
-                (
-                    (F.col("s_c") - F.col("s_cf"))
-                    + _TE_SMOOTH * (F.col("s_g") * 1.0 / F.col("n_g"))
-                )
-                / ((F.col("n_c") - F.col("n_cf") + _TE_SMOOTH) * 100.0),
-                6,
-            ).alias("encoded"),
-        )
-        .orderBy("category", "fold")
-    )
+    return lev.select(
+        "category",
+        "fold",
+        F.col("n_cf").alias("n_rows"),
+        (F.col("n_c") - F.col("n_cf")).alias("oof_n"),
+        F.round(
+            (
+                (F.col("s_c") - F.col("s_cf"))
+                + _TE_SMOOTH * (F.col("s_g") * 1.0 / F.col("n_g"))
+            )
+            / ((F.col("n_c") - F.col("n_cf") + _TE_SMOOTH) * 100.0),
+            6,
+        ).alias("encoded"),
+    ).orderBy("category", "fold")

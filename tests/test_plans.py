@@ -529,3 +529,18 @@ def test_phash_neardup_is_band_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_target_encoding_is_one_fact_pass(spark, sf_dir):
+    """The OOF encoder must scan orders ONCE (map-side-combinable
+    (category, fold) aggregate); category/global levels are window sums
+    over the tiny aggregate frame, never a second fact pass."""
+    from big_data_audio_classification_spark.operators.ml import (
+        ml_target_encoding_oof,
+    )
+
+    plan = introspect.formatted_plan(ml_target_encoding_oof(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
