@@ -87,6 +87,10 @@ HEADLINE = [
     "geo_cell_distance_join",
     "stats_kaplan_meier",
     "ml_naive_bayes_tokens",
+    # round-4 flagship additions: blob-content Hamming-LSH near-dup and
+    # the banded-MinHash recall quality gate
+    "mm_phash_banded_neardup",
+    "dedup_lsh_recall",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a

@@ -785,3 +785,81 @@ def curation_token_weighted_median(spark: SparkSession, sf_dir: str) -> DataFram
     return stats.join(picked, "source").select(
         "source", "n_docs", "total_tokens", "wmedian_quality"
     )
+
+
+_CURR_BINS = 4
+_CURR_HEAD = 20
+
+
+@query(
+    "curation_curriculum_order",
+    oracle=f"""
+        WITH cuts AS (
+            SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+        ),
+        binned AS (
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CASE WHEN c.hi = c.lo THEN 0
+                        ELSE LEAST(CAST(FLOOR((d.n_chars - c.lo)
+                                 / ((c.hi - c.lo) * 1.0 / {_CURR_BINS}))
+                             AS BIGINT), {_CURR_BINS - 1}) END AS bin,
+                   md5(CAST(d.doc_id AS VARCHAR)) AS k
+            FROM documents d CROSS JOIN cuts c
+        ),
+        head AS (
+            SELECT doc_id, source, n_chars, bin, k
+            FROM binned ORDER BY bin, k, doc_id LIMIT {_CURR_HEAD}
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY bin, k, doc_id) AS INT)
+                   AS sample_order,
+               doc_id, bin, n_chars, source
+        FROM head
+        ORDER BY sample_order
+    """,
+    tags=("curation", "documents", "topk"),
+)
+def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data ordering: documents are binned into
+    difficulty quartiles (length proxy; cut points from one min/max
+    aggregate — the MI-binning idiom, no global quantile window) and
+    the training order is (difficulty bin asc, keyed md5 hash) — easy
+    bins first, deterministic shuffle within each bin. The exemplar
+    certifies the head of the curriculum (first 20 samples).
+
+    100 TB design: the cut frame is a 1-row broadcast; binning is
+    map-only; the certified head is TakeOrderedAndProject (per-
+    partition heaps); materializing the FULL curriculum index at scale
+    uses the repo's two-phase order-statistic idiom (per-bin counts ->
+    broadcast offsets -> rank within bin), never one global window
+    over fact data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cuts = d.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    binned = d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("n_chars") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) * 1.0 / _CURR_BINS)
+                ).cast("bigint"),
+                F.lit(_CURR_BINS - 1),
+            )
+        )
+        .alias("bin"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    head = binned.orderBy("bin", "k", "doc_id").limit(_CURR_HEAD)
+    w = Window.orderBy("bin", "k", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("int").alias("sample_order"),
+        "doc_id",
+        "bin",
+        "n_chars",
+        "source",
+    ).orderBy("sample_order")

@@ -1107,3 +1107,65 @@ def ml_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoded"),
     ).orderBy("category", "fold")
+
+
+_FH_DIM = 16  # hashed feature space size
+
+
+@query(
+    "ml_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(hv % {_FH_DIM} AS INT) AS bucket,
+               CAST(SUM(CASE WHEN (hv // {_FH_DIM}) % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS fval
+        FROM h
+        GROUP BY doc_id, hv % {_FH_DIM}
+    """,
+    tags=("ml", "encoding", "text", "documents"),
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature encoder (signed feature hashing a la
+    Weinberger et al. / sklearn FeatureHasher): token -> portable
+    32-bit md5 hash -> bucket = hv mod d, sign = parity of the next
+    hash bit; per-document signed counts in long (doc, bucket, value)
+    form — the sparse-native layout (densify only at the model
+    boundary). Complements ml_label_encode / ml_target_encoding_oof as
+    the unbounded-vocabulary encoder: no fitted dictionary, so new
+    tokens at inference time need no re-fit.
+
+    100 TB design: map-only explode + one (doc, bucket) hash aggregate
+    (map-side combinable); no vocabulary state, no shuffle of text —
+    only (doc_id, hv) pairs move. d is a constant, so the output is at
+    most d rows per document regardless of corpus vocabulary.
+    """
+    from big_data_audio_classification_spark.operators.dedup import (
+        token_hash,
+        tokens_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", token_hash(F.col("tok")).alias("hv"))
+    return h.groupBy(
+        "doc_id", (F.col("hv") % _FH_DIM).cast("int").alias("bucket")
+    ).agg(
+        F.sum(
+            F.when((F.col("hv") / _FH_DIM).cast("bigint") % 2 == 0, 1).otherwise(
+                -1
+            )
+        )
+        .cast("bigint")
+        .alias("fval")
+    )

@@ -189,3 +189,52 @@ def test_lsh_recall_gate_floor(spark, sf_dir):
     assert row.n_hit <= row.n_truth
     assert row.n_hit <= row.n_candidates
     assert row.recall >= 0.85
+
+
+def test_feature_hashing_matches_python_replay(spark, sf_dir):
+    """Signed feature hashing must match a pure-Python md5 replay for
+    every (doc, bucket) cell."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.ml import (
+        _FH_DIM,
+        ml_feature_hashing,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for did, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        for tok in (t for t in text.split(" ") if t):
+            hv = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            key = (did, hv % _FH_DIM)
+            expected[key] = expected.get(key, 0) + (
+                1 if (hv // _FH_DIM) % 2 == 0 else -1
+            )
+
+    got = {
+        (r.doc_id, r.bucket): r.fval
+        for r in ml_feature_hashing(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_curriculum_head_is_easy_first_and_deterministic(spark, sf_dir):
+    """The certified curriculum head: bins non-decreasing, starts at
+    bin 0, md5-ordered within bin, and stable across invocations."""
+    from big_data_audio_classification_spark.operators.curation import (
+        _CURR_HEAD,
+        curation_curriculum_order,
+    )
+
+    rows = curation_curriculum_order(spark, sf_dir).collect()
+    assert len(rows) == _CURR_HEAD
+    assert [r.sample_order for r in rows] == list(range(1, _CURR_HEAD + 1))
+    bins = [r.bin for r in rows]
+    assert bins == sorted(bins)
+    assert bins[0] == 0
+    again = curation_curriculum_order(spark, sf_dir).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
