@@ -1182,3 +1182,84 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("converted_within_1d"),
     )
+
+
+_BOT_MIN_GAPS = 20
+_BOT_TOPK = 10
+
+
+@query(
+    "analytics_bot_regularity",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ),
+        buckets AS (
+            SELECT user_id,
+                   CAST(FLOOR(LOG2(gap_us // 1000000 + 1)) AS BIGINT) AS bucket
+            FROM ordered WHERE gap_us IS NOT NULL
+        ),
+        bc AS (
+            SELECT user_id, bucket, COUNT(*) AS c
+            FROM buckets GROUP BY user_id, bucket
+        ),
+        ent AS (
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_gaps,
+                   ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6)
+                       AS gap_entropy
+            FROM bc GROUP BY user_id
+        )
+        SELECT user_id, n_gaps, gap_entropy
+        FROM ent WHERE n_gaps >= {_BOT_MIN_GAPS}
+        ORDER BY gap_entropy, user_id LIMIT {_BOT_TOPK}
+    """,
+    tags=("analytics", "events", "anomaly", "entropy", "window", "topk"),
+)
+def analytics_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-arrival regularity: per user,
+    the Shannon entropy of log2-bucketed event gaps — scripted clients
+    fire on fixed timers (one dominant bucket, entropy near 0) while
+    humans spread across gap scales. Surfaces the 10 most-regular
+    high-volume users.
+
+    Determinism: gaps are exact integer epoch MICROseconds (the repo's
+    cross-engine timestamp idiom), the gap bucket is floor(log2) of an
+    integer, and entropy uses the algebraic identity
+    H = log2(n) - sum(c*log2(c))/n so each engine computes the same
+    function of exact integer counts.
+
+    100 TB design: the lag window and both aggregates share ONE
+    user-keyed partitioning (no unpartitioned window ever sees fact
+    data); counts combine map-side; the final top-k is
+    TakeOrderedAndProject over the per-user frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).where(F.col("gap_us").isNotNull())
+    buckets = gaps.select(
+        "user_id",
+        F.floor(F.log2((F.col("gap_us") / 1000000).cast("bigint") + 1))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    bc = buckets.groupBy("user_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ent = bc.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("gap_entropy"),
+    )
+    return (
+        ent.where(F.col("n_gaps") >= _BOT_MIN_GAPS)
+        .orderBy("gap_entropy", "user_id")
+        .limit(_BOT_TOPK)
+    )

@@ -1452,3 +1452,118 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta, 6).alias("theta"),
         F.round(100 * (1 - var_adj / var_y), 4).alias("var_reduction_pct"),
     ).orderBy("arm")
+
+
+@query(
+    "stats_ipw_ate",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderstatus AS stratum,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+            FROM orders
+        ),
+        strata AS (
+            SELECT stratum,
+                   COUNT(*) AS n,
+                   CAST(SUM(t) AS BIGINT) AS n_t,
+                   CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s_t,
+                   CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s_c,
+                   SUM(CASE WHEN t = 1 THEN y * y ELSE 0 END) AS q_t,
+                   SUM(CASE WHEN t = 0 THEN y * y ELSE 0 END) AS q_c
+            FROM base GROUP BY stratum
+        ),
+        ok AS (
+            SELECT *, n - n_t AS n_c FROM strata WHERE n_t > 0 AND n - n_t > 0
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM ok)
+        SELECT (SELECT COUNT(*) FROM strata)                  AS n_strata,
+               (SELECT COUNT(*) FROM ok)                      AS n_strata_used,
+               (SELECT big_n FROM tot)                        AS n_units,
+               ROUND(SUM((n * 1.0 / (SELECT big_n FROM tot))
+                     * (s_t * 1.0 / n_t - s_c * 1.0 / n_c)) / 100.0, 6)
+                   AS ate_ipw,
+               ROUND(SQRT(SUM(POWER(n * 1.0 / (SELECT big_n FROM tot), 2)
+                     * ((q_t * 1.0 / n_t - POWER(s_t * 1.0 / n_t, 2)) / n_t
+                      + (q_c * 1.0 / n_c - POWER(s_c * 1.0 / n_c, 2)) / n_c)))
+                     / 100.0, 6)
+                   AS se_ate
+        FROM ok
+    """,
+    tags=("stats", "causal", "experiment", "aggregate", "orders"),
+)
+def stats_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a
+    plug-in discrete propensity: treatment = urgent priority, outcome =
+    order value, confounder strata = order status. With e(x) estimated
+    by the within-stratum treated share, the Hajek IPW estimator
+    reduces EXACTLY to the stratified difference-of-means — computed
+    that way so the oracle is closed-form; the Neyman SE combines
+    per-stratum population variances (all from exact integer-cent sums
+    and sums of squares). Strata lacking either arm are excluded
+    (positivity violation) and reported via n_strata_used.
+
+    100 TB design: one map-side-combinable aggregate over the fact
+    table (6 sums per stratum), then scalar algebra on the tiny
+    stratum frame — the same one-fact-pass shape as stats_cuped_
+    adjustment; no window, no second pass, no per-unit weights ever
+    materialized.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("stratum"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    strata = o.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s_c"),
+        # y^2 sums overflow int64 at scale; exact 128-bit-wide decimal
+        # sums mirror DuckDB's automatic BIGINT -> HUGEINT promotion
+        F.sum(
+            F.when(
+                F.col("t") == 1,
+                F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q_t"),
+        F.sum(
+            F.when(
+                F.col("t") == 0,
+                F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q_c"),
+    )
+    n_strata = strata.agg(F.count(F.lit(1)).alias("n_strata"))
+    ok = strata.where((F.col("n_t") > 0) & (F.col("n") - F.col("n_t") > 0)).select(
+        "*", (F.col("n") - F.col("n_t")).alias("n_c")
+    )
+    tot = ok.agg(F.sum("n").cast("bigint").alias("big_n"))
+    w = F.col("n") * 1.0 / F.col("big_n")
+    mu_t = F.col("s_t") * 1.0 / F.col("n_t")
+    mu_c = F.col("s_c") * 1.0 / F.col("n_c")
+    var_t = F.col("q_t").cast("double") / F.col("n_t") - mu_t * mu_t
+    var_c = F.col("q_c").cast("double") / F.col("n_c") - mu_c * mu_c
+    return (
+        ok.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_strata_used"),
+            F.min("big_n").alias("n_units"),
+            F.round(F.sum(w * (mu_t - mu_c)) / 100.0, 6).alias("ate_ipw"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        w * w * (var_t / F.col("n_t") + var_c / F.col("n_c"))
+                    )
+                )
+                / 100.0,
+                6,
+            ).alias("se_ate"),
+        )
+        .crossJoin(F.broadcast(n_strata))
+        .select("n_strata", "n_strata_used", "n_units", "ate_ipw", "se_ate")
+    )

@@ -1167,3 +1167,115 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(full, F.round(med, 4)).alias("med7"),
         F.when(full, F.round(F.col("rev") - med, 4)).alias("resid"),
     )
+
+
+_SAX_SEG_DAYS = 7
+_SAX_BP = 0.6745  # gaussian quartile breakpoints for a 4-symbol alphabet
+
+
+@query(
+    "timeseries_paa_sax",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS day_cents
+            FROM orders GROUP BY 1
+        ),
+        anchor AS (SELECT MIN(d) AS d0 FROM daily),
+        stats AS (
+            SELECT COUNT(*) AS n_days,
+                   CAST(SUM(day_cents) AS BIGINT) AS s1,
+                   SUM(day_cents * day_cents) AS s2
+            FROM daily
+        ),
+        segs AS (
+            SELECT (daily.d - anchor.d0) // {_SAX_SEG_DAYS} AS seg_no,
+                   COUNT(*) AS n_days_seg,
+                   CAST(SUM(day_cents) AS BIGINT) AS s_seg
+            FROM daily CROSS JOIN anchor
+            GROUP BY 1
+        ),
+        z AS (
+            SELECT seg_no, n_days_seg,
+                   (s_seg * 1.0 / n_days_seg - s1 * 1.0 / n_days)
+                   / SQRT(s2 * 1.0 / n_days
+                          - POWER(s1 * 1.0 / n_days, 2)) AS zval
+            FROM segs CROSS JOIN stats
+        )
+        SELECT seg_no, n_days_seg,
+               ROUND(zval, 6) AS z,
+               CASE WHEN zval < -{_SAX_BP} THEN 'a'
+                    WHEN zval < 0 THEN 'b'
+                    WHEN zval < {_SAX_BP} THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM z
+        ORDER BY seg_no
+    """,
+    tags=("timeseries", "orders", "pattern", "sketch"),
+)
+def timeseries_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolization of the daily-revenue series (Lin/Keogh):
+    7-day Piecewise Aggregate Approximation means, z-normalized and
+    mapped onto a 4-symbol gaussian-breakpoint alphabet — the classic
+    time-series-mining representation for motif/novelty discovery over
+    very long series.
+
+    Determinism: every statistic derives from exact integer cent sums
+    (daily sums, series Σx and Σx² — the x² sum rides DuckDB's HUGEINT
+    vs Spark's wide-decimal, both exact) so both engines z-score and
+    bin identical doubles; breakpoints are literal constants.
+
+    100 TB design: one date-keyed aggregate over the fact table, then
+    segment/series levels operate on the tiny daily frame (1-row
+    anchor and stats frames broadcast) — the spine-shaped plan family
+    of §9; symbols per segment make downstream motif mining a simple
+    n-gram groupBy over a frame thousands of times smaller than the
+    raw series.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("day_cents")
+    )
+    anchor = daily.agg(F.min("d").alias("d0"))
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day_cents").cast("bigint").alias("s1"),
+        F.sum(
+            F.col("day_cents").cast("decimal(19,0)")
+            * F.col("day_cents").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    segs = (
+        daily.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            F.floor(F.datediff("d", "d0") / _SAX_SEG_DAYS)
+            .cast("bigint")
+            .alias("seg_no")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days_seg"),
+            F.sum("day_cents").cast("bigint").alias("s_seg"),
+        )
+    )
+    mu = F.col("s1") * 1.0 / F.col("n_days")
+    sigma = F.sqrt(
+        F.col("s2").cast("double") / F.col("n_days") - mu * mu
+    )
+    zval = (F.col("s_seg") * 1.0 / F.col("n_days_seg") - mu) / sigma
+    return (
+        segs.crossJoin(F.broadcast(stats))
+        .select(
+            "seg_no",
+            "n_days_seg",
+            F.round(zval, 6).alias("z"),
+            F.when(zval < -_SAX_BP, "a")
+            .when(zval < 0, "b")
+            .when(zval < _SAX_BP, "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+        .orderBy("seg_no")
+    )

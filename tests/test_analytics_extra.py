@@ -171,3 +171,40 @@ def test_linear_attribution_conserves_conversions(spark, sf_dir):
     assert math.isclose(total_credit, touched, abs_tol=0.05)
     assert all(r["attributed_conversions"] > 0 for r in rows)
     assert {r["touch_type"] for r in rows} <= set(ATTR_TOUCHES)
+
+
+def test_bot_regularity_matches_pandas_replay(spark, sf_dir):
+    """Entropy ranking must match an independent pandas replay of the
+    gap-bucket entropy computation."""
+    import math
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.analytics import (
+        _BOT_MIN_GAPS,
+        _BOT_TOPK,
+        analytics_bot_regularity,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    expected = []
+    for uid, g in pdf.groupby("user_id"):
+        us = pd.Series(g["ts"].values.astype("datetime64[us]").astype("int64"))
+        gaps = us.diff().dropna().astype("int64")
+        if len(gaps) < _BOT_MIN_GAPS:
+            continue
+        buckets = (gaps // 1_000_000 + 1).apply(lambda x: math.floor(math.log2(x)))
+        counts = buckets.value_counts()
+        n = counts.sum()
+        ent = math.log2(n) - sum(c * math.log2(c) for c in counts) / n
+        expected.append((round(ent, 6), uid, int(n)))
+    expected.sort()
+    expected = [(u, n, e) for e, u, n in expected[:_BOT_TOPK]]
+
+    got = [
+        (r.user_id, r.n_gaps, r.gap_entropy)
+        for r in analytics_bot_regularity(spark, sf_dir).collect()
+    ]
+    assert got == expected

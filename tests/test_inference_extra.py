@@ -445,3 +445,40 @@ def test_decision_stump_matches_numpy_exhaustive_replay(spark, sf_dir):
     assert out["split_value"] == pytest.approx(
         lo + (best + 1) * (hi - lo) / STUMP_BINS, abs=1e-6
     )
+
+
+def test_ipw_ate_matches_pandas_replay(spark, sf_dir):
+    """Hajek-IPW-with-discrete-propensity == stratified estimator: the
+    pandas replay computes both the point estimate and Neyman SE."""
+    import math
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        stats_ipw_ate,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["t"] = (o["o_orderpriority"] == "1-URGENT").astype(int)
+    o["y"] = (o["o_totalprice"] * 100).round().astype("int64")
+    ate = se2 = 0.0
+    used = 0
+    groups = o.groupby("o_orderstatus")
+    big_n = sum(
+        len(g) for _, g in groups if 0 < g["t"].sum() < len(g)
+    )
+    for _, g in groups:
+        n_t = g["t"].sum()
+        if n_t == 0 or n_t == len(g):
+            continue
+        used += 1
+        w = len(g) / big_n
+        yt, yc = g.loc[g["t"] == 1, "y"], g.loc[g["t"] == 0, "y"]
+        ate += w * (yt.mean() - yc.mean())
+        se2 += w * w * (yt.var(ddof=0) / len(yt) + yc.var(ddof=0) / len(yc))
+
+    row = stats_ipw_ate(spark, sf_dir).collect()[0]
+    assert row.n_strata_used == used
+    assert row.n_units == big_n
+    assert math.isclose(row.ate_ipw, ate / 100.0, abs_tol=2e-5)
+    assert math.isclose(row.se_ate, math.sqrt(se2) / 100.0, rel_tol=1e-6, abs_tol=1e-4)

@@ -391,3 +391,41 @@ def test_nearest_supplier_matches_bruteforce(spark, sf_dir):
         for r in geo_nearest_supplier(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_paa_sax_matches_pandas_replay(spark, sf_dir):
+    """SAX symbols and z-scores must match a pandas replay of the
+    daily-cents -> segment-PAA -> z-normalize -> bin pipeline."""
+    import math
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.timeseries import (
+        _SAX_BP,
+        _SAX_SEG_DAYS,
+        timeseries_paa_sax,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderdate", "o_totalprice"]]
+    o["d"] = o["o_orderdate"].dt.date
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = o.groupby("d")["cents"].sum().sort_index()
+    d0 = daily.index.min()
+    n = len(daily)
+    mu = daily.sum() / n
+    sigma = math.sqrt(float((daily.astype(object) ** 2).sum()) / n - mu * mu)
+    seg = daily.groupby(
+        daily.index.map(lambda d: (d - d0).days // _SAX_SEG_DAYS)
+    ).agg(["sum", "count"])
+    expected = {}
+    for seg_no, row in seg.iterrows():
+        z = (row["sum"] / row["count"] - mu) / sigma
+        sym = "a" if z < -_SAX_BP else "b" if z < 0 else "c" if z < _SAX_BP else "d"
+        expected[seg_no] = (int(row["count"]), round(z, 6), sym)
+
+    got = timeseries_paa_sax(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        nds, z, sym = expected[r.seg_no]
+        assert (r.n_days_seg, r.symbol) == (nds, sym)
+        assert abs(r.z - z) < 2e-6
