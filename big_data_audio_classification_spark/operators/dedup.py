@@ -943,3 +943,108 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_tau"),
         )
     )
+
+
+_CDC_W = 8  # rolling-gram width for boundary detection
+_CDC_DIV = 32  # boundary when gram_hash % DIV == 0 -> ~32-char chunks
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+        WITH cuts AS (
+            SELECT doc_id, i + {_CDC_W} - 1 AS e
+            FROM documents,
+                 UNNEST(generate_series(1, length(text) - {_CDC_W} + 1)) AS t(i)
+            WHERE CAST(('0x' || substr(md5(substring(text, CAST(i AS INT),
+                                       {_CDC_W})), 1, 8)) AS BIGINT)
+                  % {_CDC_DIV} = 0
+            UNION
+            SELECT doc_id, length(text) AS e FROM documents WHERE length(text) > 0
+        ),
+        spans AS (
+            SELECT doc_id, e,
+                   COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+                       AS s
+            FROM cuts
+        ),
+        chunks AS (
+            SELECT sp.doc_id,
+                   md5(substring(d.text, CAST(sp.s AS INT),
+                                 CAST(sp.e - sp.s + 1 AS INT))) AS dig,
+                   sp.e - sp.s + 1 AS clen
+            FROM spans sp JOIN documents d ON sp.doc_id = d.doc_id
+        )
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)  AS n_docs,
+               COUNT(*)                                AS n_chunks,
+               CAST(COUNT(DISTINCT dig) AS BIGINT)     AS n_unique_chunks,
+               ROUND(1.0 - COUNT(DISTINCT dig) * 1.0 / COUNT(*), 6)
+                   AS dedup_ratio,
+               ROUND(SUM(clen) * 1.0 / COUNT(*), 2)    AS avg_chunk_chars
+        FROM chunks
+    """,
+    tags=("dedup", "fingerprint", "documents", "sliding-window"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style) + chunk-level dedup — the
+    storage-dedup shape (restic/borg/LBFS): a rolling 8-gram hash cuts
+    each blob where hash % 32 == 0, so chunk boundaries survive
+    insertions/deletions (unlike fixed-size blocks); identical content
+    anywhere in the corpus dedups at chunk granularity. Reported:
+    corpus-level chunk count, unique-chunk count, dedup ratio, and
+    mean chunk size.
+
+    100 TB design: boundary detection is map-only (explode positions,
+    hash, filter — no shuffle); the cut list (doc_id, end) — a few
+    rows per doc, never the text — rides the doc-keyed lag window;
+    chunk extraction joins the spans BACK to the blob by doc id (one
+    doc-keyed equi-join) so text shuffles once, not once per
+    boundary; the digest distinct-count is sketchable
+    (approx_count_distinct) when exact uniqueness isn't required.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {_CDC_W} + 1, 0)),"
+                f" i -> substring(text, i, {_CDC_W}))"
+            )
+        ).alias("i0", "gram"),
+    )
+    cuts = (
+        grams.where(
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+            % _CDC_DIV
+            == 0
+        )
+        .select("doc_id", (F.col("i0") + _CDC_W).alias("e"))
+        .union(
+            d.where(F.length("text") > 0).select(
+                "doc_id", F.length("text").cast("bigint").alias("e")
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("e")
+    spans = cuts.select(
+        "doc_id", "e", (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("s")
+    )
+    chunks = spans.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.md5(
+            F.expr(f"substring(text, CAST(s AS INT), CAST(e - s + 1 AS INT))")
+        ).alias("dig"),
+        (F.col("e") - F.col("s") + 1).alias("clen"),
+    )
+    return chunks.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("dig").cast("bigint").alias("n_unique_chunks"),
+        F.round(
+            1.0 - F.countDistinct("dig") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("dedup_ratio"),
+        F.round(F.sum("clen") * 1.0 / F.count(F.lit(1)), 2).alias(
+            "avg_chunk_chars"
+        ),
+    )

@@ -238,3 +238,53 @@ def test_curriculum_head_is_easy_first_and_deterministic(spark, sf_dir):
     assert bins[0] == 0
     again = curation_curriculum_order(spark, sf_dir).collect()
     assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+
+
+def test_cdc_chunks_match_python_replay(spark, sf_dir):
+    """Content-defined chunking must match a pure-Python rolling-hash
+    replay: same chunk population, dedup ratio, and mean size."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.dedup import (
+        _CDC_DIV,
+        _CDC_W,
+        dedup_cdc_chunks,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    digs, total, lens = set(), 0, 0
+    ndocs = 0
+    for text in tbl.column("text").to_pylist():
+        if not text:
+            continue
+        ndocs += 1
+        L = len(text)
+        cuts = sorted(
+            {
+                i + _CDC_W - 1
+                for i in range(1, L - _CDC_W + 2)
+                if int(
+                    hashlib.md5(text[i - 1 : i - 1 + _CDC_W].encode()).hexdigest()[:8],
+                    16,
+                )
+                % _CDC_DIV
+                == 0
+            }
+            | {L}
+        )
+        s = 1
+        for e in cuts:
+            chunk = text[s - 1 : e]
+            digs.add(hashlib.md5(chunk.encode()).hexdigest())
+            total += 1
+            lens += len(chunk)
+            s = e + 1
+
+    row = dedup_cdc_chunks(spark, sf_dir).collect()[0]
+    assert row.n_docs == ndocs
+    assert row.n_chunks == total
+    assert row.n_unique_chunks == len(digs)
+    assert row.dedup_ratio == round(1.0 - len(digs) / total, 6)
+    assert row.avg_chunk_chars == round(lens / total, 2)
