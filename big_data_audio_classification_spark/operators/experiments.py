@@ -1567,3 +1567,115 @@ def stats_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_strata))
         .select("n_strata", "n_strata_used", "n_units", "ate_ipw", "se_ate")
     )
+
+
+_EB_SHOW = 10
+
+
+@query(
+    "stats_empirical_bayes_rates",
+    oracle=f"""
+        WITH per AS (
+            SELECT o_custkey AS custkey,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        pool AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS BIGINT) AS sn,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   SUM(x * x * 1.0 / n) AS sxx,
+                   SUM(n * n) AS snn
+            FROM per
+        ),
+        prior AS (
+            SELECT k, sn, sx,
+                   sx * 1.0 / sn AS m,
+                   (sxx - (sx * 1.0 / sn) * sx)
+                   / NULLIF(sn - snn * 1.0 / sn, 0) AS v_between_raw
+            FROM pool
+        ),
+        kap AS (
+            SELECT k, m,
+                   LEAST(GREATEST(
+                       CASE WHEN v_between_raw > 0
+                            THEN m * (1 - m) / v_between_raw - 1
+                            ELSE 1e6 END, 0.0), 1e6) AS kappa
+            FROM prior
+        )
+        SELECT p.custkey, p.n, p.x,
+               ROUND(p.x * 1.0 / p.n, 6)                          AS raw_rate,
+               ROUND((p.x + kap.kappa * kap.m)
+                     / (p.n + kap.kappa), 6)                      AS eb_rate,
+               ROUND(kap.m, 6)                                    AS pooled_m,
+               ROUND(kap.kappa, 4)                                AS kappa
+        FROM per p CROSS JOIN kap
+        ORDER BY p.n, p.custkey LIMIT {_EB_SHOW}
+    """,
+    tags=("stats", "robust", "inference", "orders", "customer"),
+)
+def stats_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-customer urgent-order rates
+    (beta-binomial method of moments, Kleinman's weighted-ANOVA
+    between-group variance): small-sample customers shrink hard toward
+    the pooled rate, high-volume customers keep their own signal — the
+    standard fix for ranking rates computed from unequal denominators.
+    Shown: the {_EB_SHOW} thinnest customers (deterministic integer
+    ordering), where shrinkage is strongest.
+
+    100 TB design: one per-key aggregate over the fact table, one
+    5-number pooled frame (broadcast), and a map-only shrink — the
+    same one-fact-pass + tiny-frame shape as stats_ipw_ate. The only
+    non-integer aggregate is Σx²/n (double); every downstream quantity
+    rounds AFTER identical double algebra in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    pool = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x") * 1.0 / F.col("n")).alias("sxx"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    m = F.col("sx") * 1.0 / F.col("sn")
+    v_raw = (F.col("sxx") - m * F.col("sx")) / F.nullif(
+        F.col("sn") - F.col("snn") * 1.0 / F.col("sn"), F.lit(0.0)
+    )
+    kap = pool.select(
+        m.alias("m"),
+        F.least(
+            F.greatest(
+                F.when(v_raw > 0, m * (1 - m) / v_raw - 1).otherwise(
+                    F.lit(1e6)
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(1e6),
+        ).alias("kappa"),
+    )
+    return (
+        per.crossJoin(F.broadcast(kap))
+        .select(
+            "custkey",
+            "n",
+            "x",
+            F.round(F.col("x") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("x") + F.col("kappa") * F.col("m"))
+                / (F.col("n") + F.col("kappa")),
+                6,
+            ).alias("eb_rate"),
+            F.round(F.col("m"), 6).alias("pooled_m"),
+            F.round(F.col("kappa"), 4).alias("kappa"),
+        )
+        .orderBy("n", "custkey")
+        .limit(_EB_SHOW)
+    )

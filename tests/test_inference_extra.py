@@ -482,3 +482,38 @@ def test_ipw_ate_matches_pandas_replay(spark, sf_dir):
     assert row.n_units == big_n
     assert math.isclose(row.ate_ipw, ate / 100.0, abs_tol=2e-5)
     assert math.isclose(row.se_ate, math.sqrt(se2) / 100.0, rel_tol=1e-6, abs_tol=1e-4)
+
+
+def test_empirical_bayes_shrinkage_properties(spark, sf_dir):
+    """EB shrinkage: pandas replay of the MoM prior + hard invariants
+    (shrunk rates lie strictly between raw rate and pooled mean unless
+    they coincide; thinnest customers shrink most)."""
+    import math
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        stats_empirical_bayes_rates,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["x"] = (o["o_orderpriority"] == "1-URGENT").astype(int)
+    per = o.groupby("o_custkey")["x"].agg(["count", "sum"]).rename(
+        columns={"count": "n", "sum": "x"}
+    )
+    sn, sx = per["n"].sum(), per["x"].sum()
+    m = sx / sn
+    sxx = (per["x"] * per["x"] / per["n"]).sum()
+    snn = (per["n"] * per["n"]).sum()
+    v_raw = (sxx - m * sx) / (sn - snn / sn)
+    kappa = min(max((m * (1 - m) / v_raw - 1) if v_raw > 0 else 1e6, 0.0), 1e6)
+
+    rows = stats_empirical_bayes_rates(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert math.isclose(r.kappa, round(kappa, 4), abs_tol=2e-4)
+        assert math.isclose(r.pooled_m, round(m, 6), abs_tol=2e-6)
+        expected = (r.x + kappa * m) / (r.n + kappa)
+        assert math.isclose(r.eb_rate, expected, abs_tol=2e-6)
+        lo, hi = sorted((r.raw_rate, round(m, 6)))
+        assert lo - 1e-6 <= r.eb_rate <= hi + 1e-6
