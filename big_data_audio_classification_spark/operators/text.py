@@ -769,3 +769,113 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_r2(lnc, lnr), 6).alias("r2"),
         )
     )
+
+
+_CHI2_TOPK = 3
+
+
+@query(
+    "text_chi2_keywords",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS tok
+            FROM documents
+        ),
+        ts AS (
+            SELECT tok, source, COUNT(*) AS a FROM toks GROUP BY tok, source
+        ),
+        lev AS (
+            SELECT tok, source, a,
+                   CAST(SUM(a) OVER (PARTITION BY tok) AS BIGINT)    AS tot_t,
+                   CAST(SUM(a) OVER (PARTITION BY source) AS BIGINT) AS tot_s,
+                   CAST(SUM(a) OVER () AS BIGINT)                    AS big_n
+            FROM ts
+        ),
+        scored AS (
+            SELECT tok, source, a,
+                   tot_t - a AS b, tot_s - a AS c,
+                   big_n - tot_t - tot_s + a AS d,
+                   ROUND(big_n
+                         * POWER(a * 1.0 * (big_n - tot_t - tot_s + a)
+                                 - (tot_t - a) * 1.0 * (tot_s - a), 2)
+                         / (tot_t * 1.0 * (big_n - tot_t)
+                            * tot_s * (big_n - tot_s)), 6) AS chi2
+            FROM lev
+            WHERE a * 1.0 * (big_n - tot_t - tot_s + a)
+                  > (tot_t - a) * 1.0 * (tot_s - a)
+        )
+        SELECT source, tok, a AS n_occurrences, chi2,
+               CAST(rnk AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY chi2 DESC, tok) AS rnk
+              FROM scored)
+        WHERE rnk <= {_CHI2_TOPK}
+        ORDER BY source, rank
+    """,
+    tags=("text", "feature-selection", "documents", "corpus-stats"),
+)
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared keyword extraction: the tokens most over-represented
+    in each source vs the rest of the corpus (the classic chi2 feature
+    selector / distinctive-vocabulary report for corpus triage). Only
+    positively associated tokens kept (ad > bc, compared BEFORE any
+    float math); ranking uses the rounded statistic with a token
+    tiebreak so cross-engine ordering is exact.
+
+    100 TB design: one explode + one (token, source) count aggregate
+    over the corpus; every chi2 input then comes from window sums over
+    that |vocab| x |sources| frame (hundreds of rows), so the fact
+    table is touched once and the statistic algebra is identical
+    integer-derived doubles in both engines.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = (
+        d.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok", "source")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    lev = ts.select(
+        "tok",
+        "source",
+        "a",
+        F.sum("a").over(Window.partitionBy("tok")).cast("bigint").alias("tot_t"),
+        F.sum("a")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("tot_s"),
+        F.sum("a").over(Window.partitionBy()).cast("bigint").alias("big_n"),
+    )
+    ad = F.col("a") * 1.0 * (
+        F.col("big_n") - F.col("tot_t") - F.col("tot_s") + F.col("a")
+    )
+    bc = (F.col("tot_t") - F.col("a")) * 1.0 * (F.col("tot_s") - F.col("a"))
+    chi2 = F.round(
+        F.col("big_n")
+        * F.pow(ad - bc, 2)
+        / (
+            F.col("tot_t")
+            * 1.0
+            * (F.col("big_n") - F.col("tot_t"))
+            * F.col("tot_s")
+            * (F.col("big_n") - F.col("tot_s"))
+        ),
+        6,
+    )
+    scored = lev.where(ad > bc).select(
+        "source", "tok", F.col("a").alias("n_occurrences"), chi2.alias("chi2")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("tok"))
+    return (
+        scored.select(
+            "source",
+            "tok",
+            "n_occurrences",
+            "chi2",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= _CHI2_TOPK)
+        .orderBy("source", "rank")
+    )

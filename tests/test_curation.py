@@ -288,3 +288,61 @@ def test_cdc_chunks_match_python_replay(spark, sf_dir):
     assert row.n_unique_chunks == len(digs)
     assert row.dedup_ratio == round(1.0 - len(digs) / total, 6)
     assert row.avg_chunk_chars == round(lens / total, 2)
+
+
+def test_chi2_keywords_match_python_replay(spark, sf_dir):
+    """Chi2 keyword ranking must match a pure-Python contingency
+    replay, including the positive-association filter and tiebreaks."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.text import (
+        _CHI2_TOPK,
+        text_chi2_keywords,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    ts = Counter()
+    for src, text in zip(
+        tbl.column("source").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        for tok in (t for t in text.split(" ") if t):
+            ts[(tok, src)] += 1
+    tot_t = Counter()
+    tot_s = Counter()
+    for (tok, src), a in ts.items():
+        tot_t[tok] += a
+        tot_s[src] += a
+    big_n = sum(ts.values())
+
+    per_source = {}
+    for (tok, src), a in ts.items():
+        ad = a * 1.0 * (big_n - tot_t[tok] - tot_s[src] + a)
+        bc = (tot_t[tok] - a) * 1.0 * (tot_s[src] - a)
+        if ad <= bc:
+            continue
+        chi2 = round(
+            big_n
+            * (ad - bc) ** 2
+            / (
+                tot_t[tok]
+                * 1.0
+                * (big_n - tot_t[tok])
+                * tot_s[src]
+                * (big_n - tot_s[src])
+            ),
+            6,
+        )
+        per_source.setdefault(src, []).append((-chi2, tok, a))
+    expected = []
+    for src in sorted(per_source):
+        ranked = sorted(per_source[src])[:_CHI2_TOPK]
+        for rank, (negchi, tok, a) in enumerate(ranked, 1):
+            expected.append((src, tok, a, -negchi, rank))
+
+    got = [
+        (r.source, r.tok, r.n_occurrences, r.chi2, r.rank)
+        for r in text_chi2_keywords(spark, sf_dir).collect()
+    ]
+    assert got == expected
