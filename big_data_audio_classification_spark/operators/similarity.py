@@ -895,3 +895,98 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
         )
     )
+
+
+_MRL_DIM = 16  # Matryoshka prefix length evaluated against the full 64
+
+_SQL_COSINE_PREFIX = f"""
+    list_sum(list_transform(list_zip(list_slice(a.embedding, 1, {_MRL_DIM}),
+                                     list_slice(b.embedding, 1, {_MRL_DIM})),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (SQRT(list_sum(list_transform(list_slice(a.embedding, 1, {_MRL_DIM}),
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(list_sum(list_transform(list_slice(b.embedding, 1, {_MRL_DIM}),
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "sim_matryoshka_prefix_eval",
+    oracle=f"""
+        WITH exact AS ({_EXACT_TOPK_ORACLE}),
+        q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+        pscored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_SQL_COSINE_PREFIX}, 6) AS cos_sim
+            FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        prefix AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+                  FROM pscored)
+            WHERE rn <= {TOP_K}
+        )
+        SELECT e.query_id,
+               COUNT(*)             AS n_exact,
+               COUNT(p.neighbor_id) AS n_hit,
+               ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+                                    AS recall_at_k
+        FROM exact e
+        LEFT JOIN prefix p
+          ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+    tags=("similarity", "embeddings", "recall", "evaluation", "quantization"),
+)
+def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/prefix-embedding evaluation: recall@k of a 16-dim
+    PREFIX ranking against the full 64-dim exact ranking — the
+    measurement behind coarse-to-fine retrieval (scan cheap prefixes,
+    re-rank survivors with full vectors), which cuts ANN scan cost 4x
+    when prefix recall holds. Same deterministic tiebreak as the exact
+    ranking, so the recall fraction is exactly oracle-checkable
+    (sibling of sim_ivf_recall_at_k).
+
+    100 TB design: both rankings are broadcast-queries + streamed
+    candidates; the prefix leg reads 4x fewer vector bytes (with
+    column-sliced storage, 4x less IO), and the join/aggregate runs on
+    two k-row-per-query frames.
+    """
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, _MRL_DIM).alias("q_emb"),
+    )
+    cand = em.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice("embedding", 1, _MRL_DIM).alias("c_emb"),
+    )
+    pscored = cand.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine(to_double(F.col("q_emb")), to_double(F.col("c_emb"))), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    prefix = (
+        pscored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(prefix, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
+    )

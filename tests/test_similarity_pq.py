@@ -75,3 +75,21 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert all(v >= 0.6 for v in recalls.values()), recalls
     assert sum(recalls.values()) / len(recalls) >= 0.8, recalls
     assert all(r.n_exact == similarity.TOP_K for r in rows)
+
+
+def test_matryoshka_prefix_recall_floor(spark, sf_dir):
+    """The 16-dim prefix ranking must retain a meaningful fraction of
+    the full-vector top-10 (floor 0.2 — random overlap for k=10 of
+    ~500 would be ~0.02), and counters must be consistent."""
+    from big_data_audio_classification_spark.operators.similarity import (
+        sim_matryoshka_prefix_eval,
+    )
+
+    rows = sim_matryoshka_prefix_eval(spark, sf_dir).collect()
+    assert rows
+    total_hit = total = 0
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_exact
+        total_hit += r.n_hit
+        total += r.n_exact
+    assert total_hit / total >= 0.2
