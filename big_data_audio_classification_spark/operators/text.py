@@ -879,3 +879,110 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _CHI2_TOPK)
         .orderBy("source", "rank")
     )
+
+
+_DELTA_TOP_WORDS = 10
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS tok
+            FROM documents
+        ),
+        top_words AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+                ORDER BY c DESC, tok LIMIT {_DELTA_TOP_WORDS})
+        ),
+        sw AS (
+            SELECT t.source, t.tok, COUNT(*) AS c
+            FROM toks t JOIN top_words w ON t.tok = w.tok
+            GROUP BY t.source, t.tok
+        ),
+        stot AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+        freq AS (
+            SELECT s.source, w.tok,
+                   COALESCE(sw.c, 0) * 1.0 / s.n AS f
+            FROM stot s CROSS JOIN top_words w
+            LEFT JOIN sw ON sw.source = s.source AND sw.tok = w.tok
+        ),
+        z AS (
+            SELECT source, tok,
+                   (f - AVG(f) OVER (PARTITION BY tok))
+                   / STDDEV_POP(f) OVER (PARTITION BY tok) AS zval
+            FROM freq
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               ROUND(AVG(ABS(a.zval - b.zval)), 6) AS delta
+        FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+        ORDER BY source_a, source_b
+    """,
+    tags=("text", "corpus-stats", "documents", "fingerprint"),
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry: pairwise stylistic distance between
+    sources as the mean absolute difference of z-scored relative
+    frequencies of the corpus's most frequent words — the standard
+    authorship-attribution / style-drift measure, here as a
+    source-similarity matrix for corpus triage.
+
+    100 TB design: ONE token pass builds both the global top-M word
+    list (M rows) and per-(source, word) counts; everything after runs
+    on the |sources| x M frame (z-scores via per-word window over
+    |sources| values, pair join over a frame of dozens of rows).
+    STDDEV_POP over integer-derived ratios is identical double algebra
+    in both engines.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    top_words = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_DELTA_TOP_WORDS)
+        .select("tok")
+    )
+    sw = (
+        toks.join(F.broadcast(top_words), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    freq = (
+        stot.crossJoin(F.broadcast(top_words))
+        .join(sw, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n")).alias("f"),
+        )
+    )
+    wt = Window.partitionBy("tok")
+    z = freq.select(
+        "source",
+        "tok",
+        ((F.col("f") - F.avg("f").over(wt)) / F.stddev_pop("f").over(wt)).alias(
+            "zval"
+        ),
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.round(F.avg(F.abs(F.col("a.zval") - F.col("b.zval"))), 6).alias("delta"))
+        .orderBy("source_a", "source_b")
+    )

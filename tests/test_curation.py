@@ -346,3 +346,52 @@ def test_chi2_keywords_match_python_replay(spark, sf_dir):
         for r in text_chi2_keywords(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_burrows_delta_matches_python_replay(spark, sf_dir):
+    """Burrows' Delta must match a pure-Python replay (top-M words,
+    per-source relative freqs, per-word z-scores, pairwise mean |dz|)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.text import (
+        _DELTA_TOP_WORDS,
+        text_burrows_delta,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    counts, stot, glob = {}, Counter(), Counter()
+    for src, text in zip(
+        tbl.column("source").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        for tok in (t for t in text.split(" ") if t):
+            counts[(src, tok)] = counts.get((src, tok), 0) + 1
+            stot[src] += 1
+            glob[tok] += 1
+    top = [
+        t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:_DELTA_TOP_WORDS]
+    sources = sorted(stot)
+    z = {}
+    for tok in top:
+        fs = {s: counts.get((s, tok), 0) / stot[s] for s in sources}
+        mu = sum(fs.values()) / len(sources)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in fs.values()) / len(sources))
+        for s in sources:
+            z[(s, tok)] = (fs[s] - mu) / sd
+    expected = {}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            expected[(sa, sb)] = round(
+                sum(abs(z[(sa, t)] - z[(sb, t)]) for t in top) / len(top), 6
+            )
+
+    got = {
+        (r.source_a, r.source_b): r.delta
+        for r in text_burrows_delta(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 2e-6
