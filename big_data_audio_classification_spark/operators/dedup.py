@@ -1048,3 +1048,75 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chunk_chars"
         ),
     )
+
+
+_WMH_K = 8  # weighted-minhash permutations (first 8 of _A/_B)
+
+
+def _wminhash_sql() -> str:
+    mins = ",\n               ".join(
+        f"MIN((hv * {_A[j]} + {_B[j]}) % {_MERSENNE}) AS m{j}"
+        for j in range(_WMH_K)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {_SQL_TOKENS} AS words FROM documents),
+        t AS (
+            SELECT doc_id, i AS pos, words[i] AS tok
+            FROM w, UNNEST(generate_series(1, len(words))) AS s(i)
+        ),
+        o AS (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                      ORDER BY pos) AS occ
+            FROM t
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok || '#' || occ), 1, 8))
+                        AS BIGINT) AS hv
+            FROM o
+        )
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_minhash_weighted",
+    oracle=_wminhash_sql(),
+    tags=("dedup", "minhash", "weighted", "documents"),
+)
+def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) MinHash: tokens are occurrence-indexed
+    (tok#1, tok#2, ...) before hashing, so signature collisions
+    estimate the WEIGHTED Jaccard Σmin(c_a,c_b)/Σmax(c_a,c_b) —
+    exact for integer weights (Haveliwala-style expansion) — instead
+    of the set resemblance of dedup_minhash_signatures. Matters for
+    near-dup detection over bag-of-words docs where repetition is
+    signal (boilerplate, templates, keyword stuffing).
+
+    100 TB design: one extra doc-keyed window (occurrence rank within
+    (doc, token)) over the exploded tokens, then the identical one-
+    groupBy k-min aggregate; banding/keep-first downstream stages are
+    unchanged. Expansion is bounded by document length — no blowup
+    beyond the token explode every minhash already pays.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"),
+    )
+    wo = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    o = t.select("doc_id", "tok", F.row_number().over(wo).alias("occ"))
+    hv = o.select(
+        "doc_id",
+        token_hash(
+            F.concat(F.col("tok"), F.lit("#"), F.col("occ").cast("string"))
+        ).alias("hv"),
+    )
+    mins = [
+        F.min((F.col("hv") * _A[j] + _B[j]) % _MERSENNE).alias(f"m{j}")
+        for j in range(_WMH_K)
+    ]
+    return hv.groupBy("doc_id").agg(*mins)

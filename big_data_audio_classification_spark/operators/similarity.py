@@ -990,3 +990,108 @@ def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
         )
     )
+
+
+_KNN_K = 5
+_KNN_QUERIES = 50  # classify the first 50 vectors against the rest
+
+
+@query(
+    "ml_knn_classifier_eval",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                   WHERE vec_id < {_KNN_QUERIES}),
+        scored AS (
+            SELECT a.vec_id AS query_id, a.label AS true_label,
+                   b.label AS cand_label,
+                   ROUND({_SQL_COSINE}, 6) AS cos_sim, b.vec_id AS cand_id
+            FROM q a JOIN embeddings b ON b.vec_id >= {_KNN_QUERIES}
+        ),
+        nn AS (
+            SELECT query_id, true_label, cand_label
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rn
+                  FROM scored)
+            WHERE rn <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, true_label, cand_label, COUNT(*) AS v
+            FROM nn GROUP BY query_id, true_label, cand_label
+        ),
+        pred AS (
+            SELECT query_id, true_label,
+                   MIN(cand_label) AS pred_label
+            FROM (SELECT *, MAX(v) OVER (PARTITION BY query_id) AS vmax
+                  FROM votes)
+            WHERE v = vmax
+            GROUP BY query_id, true_label
+        )
+        SELECT COUNT(*) AS n_queries,
+               CAST(SUM(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               ROUND(SUM(CASE WHEN pred_label = true_label
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+                   AS accuracy
+        FROM pred
+    """,
+    tags=("ml", "knn", "similarity", "embeddings", "evaluation"),
+)
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification, fully relational: each held
+    query votes over its 5 nearest corpus neighbors by cosine; ties
+    resolve to the smallest label (deterministic in both engines).
+    Reports holdout accuracy — a trainless baseline every embedding
+    pipeline should clear before fitting anything.
+
+    100 TB design: the same broadcast-queries + streamed-candidates
+    scoring shape as sim_cosine_topk; voting and argmax are two tiny
+    aggregations over k rows per query. At corpus scale the scoring
+    leg swaps to the IVF/prefix candidate join (sim_ivf_topk,
+    sim_matryoshka_prefix_eval) with identical vote semantics.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    cand = em.filter(F.col("vec_id") >= _KNN_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        "embedding",
+        F.col("label").alias("cand_label"),
+    )
+    scored = cand.join(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "cand_label",
+        "cand_id",
+        F.round(
+            cosine(to_double(F.col("q_emb")), to_double(F.col("embedding"))), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    nn = (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "true_label", "cand_label")
+    )
+    votes = nn.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id")
+    pred = (
+        votes.select("*", F.max("v").over(wv).alias("vmax"))
+        .where(F.col("v") == F.col("vmax"))
+        .groupBy("query_id", "true_label")
+        .agg(F.min("cand_label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        F.round(correct * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
+    )

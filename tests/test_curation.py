@@ -395,3 +395,42 @@ def test_burrows_delta_matches_python_replay(spark, sf_dir):
     assert set(got) == set(expected)
     for k in expected:
         assert abs(got[k] - expected[k]) < 2e-6
+
+
+def test_weighted_minhash_matches_python_replay(spark, sf_dir):
+    """Occurrence-indexed (multiset) minhash signatures must match a
+    pure-Python md5 replay for every doc."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.dedup import (
+        _A,
+        _B,
+        _MERSENNE,
+        _WMH_K,
+        dedup_minhash_weighted,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for did, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        seen = Counter()
+        hvs = []
+        for tok in (t for t in text.split(" ") if t):
+            seen[tok] += 1
+            key = f"{tok}#{seen[tok]}"
+            hvs.append(int(hashlib.md5(key.encode()).hexdigest()[:8], 16))
+        expected[did] = tuple(
+            min((hv * _A[j] + _B[j]) % _MERSENNE for hv in hvs)
+            for j in range(_WMH_K)
+        )
+
+    got = {
+        r.doc_id: tuple(r[f"m{j}"] for j in range(_WMH_K))
+        for r in dedup_minhash_weighted(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -93,3 +93,42 @@ def test_matryoshka_prefix_recall_floor(spark, sf_dir):
         total_hit += r.n_hit
         total += r.n_exact
     assert total_hit / total >= 0.2
+
+
+def test_knn_classifier_matches_numpy_replay(spark, sf_dir):
+    """k-NN majority vote must match a dense numpy replay including the
+    smallest-label tie resolution."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.similarity import (
+        _KNN_K,
+        _KNN_QUERIES,
+        ml_knn_classifier_eval,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    y = np.array(tbl.column("label").to_pylist())
+    qm, cm = ids < _KNN_QUERIES, ids >= _KNN_QUERIES
+    Xq, Xc = X[qm], X[cm]
+    yq, yc = y[qm], y[cm]
+    cid = ids[cm]
+    sims = (Xq / np.linalg.norm(Xq, axis=1, keepdims=True)) @ (
+        Xc / np.linalg.norm(Xc, axis=1, keepdims=True)
+    ).T
+    correct = 0
+    for i in range(len(Xq)):
+        order = sorted(zip(-np.round(sims[i], 6), cid, yc))[:_KNN_K]
+        votes = Counter(lbl for _, _, lbl in order)
+        vmax = max(votes.values())
+        pred = min(l for l, v in votes.items() if v == vmax)
+        correct += int(pred == yq[i])
+
+    row = ml_knn_classifier_eval(spark, sf_dir).collect()[0]
+    assert row.n_queries == len(Xq)
+    assert row.n_correct == correct
+    assert row.accuracy == round(correct / len(Xq), 4)
