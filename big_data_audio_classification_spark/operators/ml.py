@@ -1169,3 +1169,93 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fval")
     )
+
+
+_LIFT_DECILES = 10
+
+
+@query(
+    "ml_lift_gains_table",
+    oracle=f"""
+        WITH scored AS (
+            SELECT vec_id,
+                   CAST(embedding[1] AS DOUBLE) AS score,
+                   CASE WHEN label <= 1 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT y,
+                   NTILE({_LIFT_DECILES}) OVER (ORDER BY score DESC, vec_id)
+                       AS decile
+            FROM scored
+        ),
+        per AS (
+            SELECT decile, COUNT(*) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+                   CAST(SUM(pos) AS BIGINT) AS big_p
+            FROM per
+        )
+        SELECT decile, n, pos,
+               ROUND(pos * 1.0 / n, 4)                           AS resp_rate,
+               ROUND((pos * 1.0 / n) / (big_p * 1.0 / big_n), 4) AS lift,
+               ROUND(SUM(pos) OVER (ORDER BY decile) * 1.0 / big_p, 4)
+                   AS cum_capture
+        FROM per CROSS JOIN tot
+        ORDER BY decile
+    """,
+    tags=("ml", "evaluation", "embeddings", "report"),
+)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — the classic model-targeting report:
+    rank units by score (a fixed embedding dimension as the
+    deterministic stand-in scorer), split into 10 deciles, and report
+    per-decile response rate, lift over base rate, and cumulative
+    capture. Decile boundaries use a unique (score, id) ordering so
+    ties are deterministic in both engines.
+
+    100 TB design: the ranked frame is the model's scored OUTPUT
+    (usually orders of magnitude smaller than raw facts); for a
+    fact-sized scoring frame the NTILE swaps to the repo's two-phase
+    order-statistic idiom (count below per broadcast cut). The report
+    itself is one aggregate + a 10-row window.
+    """
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    scored = em.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("score"),
+        F.when(F.col("label") <= 1, 1).otherwise(0).alias("y"),
+    )
+    wd = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    ranked = scored.select("y", F.ntile(_LIFT_DECILES).over(wd).alias("decile"))
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos")
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum("pos").cast("bigint").alias("big_p"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.round(F.col("pos") * 1.0 / F.col("n"), 4).alias("resp_rate"),
+            F.round(
+                (F.col("pos") * 1.0 / F.col("n"))
+                / (F.col("big_p") * 1.0 / F.col("big_n")),
+                4,
+            ).alias("lift"),
+            F.round(
+                F.sum("pos").over(wc) * 1.0 / F.col("big_p"), 4
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )

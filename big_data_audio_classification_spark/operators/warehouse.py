@@ -743,3 +743,82 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue_cents").cast("double") / 100.0 / F.col("n_orders"), 6
         ).alias("avg_price"),
     ).orderBy("o_orderstatus")
+
+
+_ZM_THRESHOLD_CENTS = 40_000_000  # predicate: o_totalprice > $400k
+
+
+@query(
+    "warehouse_zone_map_skipping",
+    oracle=f"""
+        WITH parts AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   COUNT(*) AS n_rows,
+                   MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS lo,
+                   MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS hi
+            FROM orders GROUP BY 1
+        ),
+        cls AS (
+            SELECT day, n_rows,
+                   CASE WHEN hi <= {_ZM_THRESHOLD_CENTS} THEN 'skipped'
+                        WHEN lo >  {_ZM_THRESHOLD_CENTS} THEN 'full_match'
+                        ELSE 'partial' END AS zone
+            FROM parts
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(CASE WHEN zone = 'skipped' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_skipped,
+               CAST(SUM(CASE WHEN zone = 'full_match' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_full_match,
+               CAST(SUM(CASE WHEN zone = 'partial' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_partial,
+               CAST(SUM(CASE WHEN zone = 'skipped' THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_skipped,
+               ROUND(SUM(CASE WHEN zone = 'skipped' THEN n_rows ELSE 0 END)
+                     * 1.0 / SUM(n_rows), 4) AS row_skip_ratio
+        FROM cls
+    """,
+    tags=("warehouse", "layout", "partition-pruning", "orders", "monitoring"),
+)
+def warehouse_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) skipping report: for day-
+    partitioned orders and the predicate totalprice > $400k, classify
+    every partition as skipped (max under threshold), full-match (min
+    over), or partial — exactly the parquet row-group / Iceberg
+    manifest pruning model. The skip ratio is the number layout
+    decisions (partitioning grain, Z-ORDER — see scale_zorder_layout)
+    are made to maximize; this operator MEASURES it instead of
+    guessing.
+
+    100 TB design: the statistics frame is one map-side-combinable
+    aggregate (a real lakehouse reads it from file footers for free);
+    classification and ratios run on the tiny per-partition frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    parts = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(cents).alias("lo"),
+        F.max(cents).alias("hi"),
+    )
+    zone = (
+        F.when(F.col("hi") <= _ZM_THRESHOLD_CENTS, "skipped")
+        .when(F.col("lo") > _ZM_THRESHOLD_CENTS, "full_match")
+        .otherwise("partial")
+    )
+    cls = parts.select("n_rows", zone.alias("zone"))
+    skipped_rows = F.sum(F.when(F.col("zone") == "skipped", F.col("n_rows")).otherwise(0))
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum(F.when(F.col("zone") == "skipped", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skipped"),
+        F.sum(F.when(F.col("zone") == "full_match", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_full_match"),
+        F.sum(F.when(F.col("zone") == "partial", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_partial"),
+        skipped_rows.cast("bigint").alias("rows_skipped"),
+        F.round(skipped_rows * 1.0 / F.sum("n_rows"), 4).alias("row_skip_ratio"),
+    )

@@ -366,3 +366,44 @@ def test_target_encoding_matches_pandas_replay(spark, sf_dir):
     for r in got:
         assert expected[(r.category, r.fold)] == r.encoded
         assert r.oof_n > 0
+
+
+def test_lift_gains_table_invariants(spark, sf_dir):
+    """Gains-table laws: deciles partition the population, cumulative
+    capture is monotone ending at 1.0, and Σ(pos) lifts average to 1."""
+    from big_data_audio_classification_spark.operators.ml import (
+        _LIFT_DECILES,
+        ml_lift_gains_table,
+    )
+
+    rows = ml_lift_gains_table(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, _LIFT_DECILES + 1))
+    em_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n for r in rows) == em_n
+    caps = [r.cum_capture for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r.resp_rate * r.n - r.pos) < 0.5 + 1e-4 * r.n
+
+
+def test_zone_map_skipping_consistency(spark, sf_dir):
+    """Zone classification must reconcile with a direct scan: rows in
+    'skipped' partitions contain NO predicate matches."""
+    from big_data_audio_classification_spark.operators.warehouse import (
+        _ZM_THRESHOLD_CENTS,
+        warehouse_zone_map_skipping,
+    )
+
+    row = warehouse_zone_map_skipping(spark, sf_dir).collect()[0]
+    assert row.n_partitions == row.n_skipped + row.n_full_match + row.n_partial
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    import pyspark.sql.functions as F
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_day = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.max(cents).alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    skipped = per_day.where(F.col("hi") <= _ZM_THRESHOLD_CENTS)
+    assert skipped.count() == row.n_skipped
+    assert (skipped.agg(F.sum("n")).first()[0] or 0) == row.rows_skipped
