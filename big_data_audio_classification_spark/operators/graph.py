@@ -378,3 +378,90 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.groupBy("node").agg(
         F.min("hop").cast("int").alias("min_hop")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+        WITH sim AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROUND({_SQL_COSINE_EMB}, 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        e AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY sim DESC, dst) AS rn
+                FROM sim
+            ) WHERE rn <= {KNN_K}
+        ),
+        ind AS (SELECT dst AS v, COUNT(*) AS d FROM e GROUP BY dst),
+        pairs AS (
+            SELECT COALESCE(sa.d, 0) AS x, COALESCE(sb.d, 0) AS y
+            FROM e LEFT JOIN ind sa ON sa.v = e.src
+                   LEFT JOIN ind sb ON sb.v = e.dst
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM pairs
+        )
+        SELECT n AS n_edges,
+               (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e) AS n_nodes,
+               ROUND((n * 1.0 * sxy - sx * 1.0 * sy)
+                     / (SQRT(n * 1.0 * sxx - sx * 1.0 * sx)
+                        * SQRT(n * 1.0 * syy - sy * 1.0 * sy)), 6)
+                   AS assortativity
+        FROM s
+    """,
+    tags=("graph", "embeddings", "correlation"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the k-NN similarity graph:
+    Pearson correlation of (in-degree(src), in-degree(dst)) across
+    directed edges. Negative values (hubs pointing at low-degree
+    nodes) signal hub-and-spoke cluster cores — a structural curation
+    diagnostic that complements PageRank: it reads the WHOLE degree
+    mixing pattern, not per-node scores.
+
+    Determinism: every correlation input is an exact integer sum
+    (degrees and their products), so r is identical double algebra in
+    both engines. 100 TB design: in-degrees are one edge aggregate;
+    the two degree attachments are keyed equi-joins on the edge list;
+    the correlation is a single 6-sum map-side-combinable aggregate —
+    the one-pass-covariance idiom of ml_closed_form OLS applied to
+    graph structure.
+    """
+    e = knn_edges(spark, sf_dir)
+    ind = e.groupBy(F.col("dst").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        e.join(ind.select(F.col("v").alias("src"), F.col("d").alias("x")), "src", "left")
+        .join(ind.select(F.col("v").alias("dst"), F.col("d").alias("y")), "dst", "left")
+        .select(
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nodes = e.agg(F.countDistinct("src").cast("bigint").alias("n_nodes"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * 1.0 * F.col("sxy") - sx * 1.0 * sy) / (
+        F.sqrt(n * 1.0 * F.col("sxx") - sx * 1.0 * sx)
+        * F.sqrt(n * 1.0 * F.col("syy") - sy * 1.0 * sy)
+    )
+    return s.crossJoin(F.broadcast(nodes)).select(
+        F.col("n").alias("n_edges"),
+        "n_nodes",
+        F.round(r, 6).alias("assortativity"),
+    )

@@ -50,3 +50,47 @@ def test_knn_edges_uniform_outdegree(spark, sf_dir):
         .collect()
     )
     assert [r["count"] for r in deg] == [graph.KNN_K]
+
+
+def test_degree_assortativity_matches_python_replay(spark, sf_dir):
+    """Assortativity must equal a pure-Python replay over the same
+    deterministic k-NN edge list."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from big_data_audio_classification_spark.operators.graph import (
+        KNN_K,
+        graph_degree_assortativity,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(Xn @ Xn.T, 6)
+    edges = []
+    order = np.argsort(ids)
+    ids, sims = ids[order], sims[np.ix_(order, order)]
+    for i, src in enumerate(ids):
+        cand = sorted(
+            (( -sims[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:KNN_K]
+        edges.extend((src, dst) for _, dst in cand)
+    indeg = {}
+    for _, dst in edges:
+        indeg[dst] = indeg.get(dst, 0) + 1
+    xs = np.array([indeg.get(s, 0) for s, _ in edges], dtype=np.int64)
+    ys = np.array([indeg.get(d, 0) for _, d in edges], dtype=np.int64)
+    n = len(edges)
+    num = n * (xs * ys).sum() - xs.sum() * ys.sum()
+    den = math.sqrt(n * (xs * xs).sum() - xs.sum() ** 2) * math.sqrt(
+        n * (ys * ys).sum() - ys.sum() ** 2
+    )
+    expected = round(num / den, 6)
+
+    row = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert row.n_edges == n
+    assert row.n_nodes == len(ids)
+    assert abs(row.assortativity - expected) < 2e-6
