@@ -863,3 +863,71 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "source",
     ).orderBy("sample_order")
+
+
+K_ANON_K = 10  # privacy threshold: classes smaller than this are "at risk"
+K_ANON_BAND_CENTS = 5_000_000  # $50k price bands as the sensitive attribute
+
+
+@query(
+    "curation_k_anonymity",
+    oracle=f"""
+        WITH cls AS (
+            SELECT year(o_orderdate) AS yr, o_orderpriority, o_orderstatus,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT CAST(FLOOR(
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       / {K_ANON_BAND_CENTS}.0) AS BIGINT)) AS l_div
+            FROM orders GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(MIN(n_rows) AS BIGINT) AS k_anonymity,
+               CAST(SUM(CASE WHEN n_rows < {K_ANON_K} THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               ROUND(SUM(CASE WHEN n_rows < {K_ANON_K} THEN n_rows ELSE 0 END)
+                     * 1.0 / SUM(n_rows), 4) AS risk_ratio,
+               CAST(MIN(l_div) AS BIGINT) AS l_diversity
+        FROM cls
+    """,
+    tags=("curation", "privacy", "k-anonymity", "orders", "governance"),
+)
+def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    the privacy gate a training-data release pipeline runs after PII
+    scrubbing (text_pii_scrub removes direct identifiers; this measures
+    whether the REMAINING quasi-identifiers re-identify). QI = (order
+    year, priority, status); sensitive attribute = $50k price band.
+    Reports the equivalence-class count, the k-anonymity level (min
+    class size), rows at risk under k=10, and the l-diversity floor
+    (min distinct sensitive values within any class).
+
+    100 TB design: one map-side-combinable aggregate over the fact
+    table (count + count-distinct per QI class), then a scalar rollup
+    of the tiny class frame — the same shape as profile_dq_rules.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    band = F.floor(cents / F.lit(float(K_ANON_BAND_CENTS))).cast("bigint")
+    cls = (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            "o_orderpriority",
+            "o_orderstatus",
+            band.alias("band"),
+        )
+        .groupBy("yr", "o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("band").alias("l_div"),
+        )
+    )
+    at_risk = F.sum(F.when(F.col("n_rows") < K_ANON_K, F.col("n_rows")).otherwise(0))
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("n_rows").cast("bigint").alias("k_anonymity"),
+        at_risk.cast("bigint").alias("rows_at_risk"),
+        F.round(at_risk * 1.0 / F.sum("n_rows"), 4).alias("risk_ratio"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+    )

@@ -822,3 +822,288 @@ def warehouse_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         skipped_rows.cast("bigint").alias("rows_skipped"),
         F.round(skipped_rows * 1.0 / F.sum("n_rows"), 4).alias("row_skip_ratio"),
     )
+
+
+# --- Bloom-filter runtime semi-join pre-filter ------------------------
+# The row-level data-skipping model behind Spark AQE runtime filters,
+# Iceberg/Parquet bloom metadata, and semi-join pushdown: hash the
+# build-side keys into an m-bit filter, drop probe rows whose bits
+# miss, and pay only a measurable false-positive rate. k=3 hashes via
+# the Kirsch-Mitzenmacher double-hash construction over the portable
+# md5 idiom so both engines compute bit-identical filters.
+
+BLOOM_M = 8192  # filter bits
+BLOOM_K = 3  # hashes per key
+
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_h(prefix: str, key_sql: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}' || CAST({key_sql} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT)"
+    )
+
+
+@query(
+    "warehouse_bloom_filter_semijoin",
+    oracle=f"""
+        WITH ks AS (SELECT UNNEST([0, 1, 2]) AS i),
+        build AS (
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_mktsegment = '{_BLOOM_SEG}'
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   ({_bloom_h('b1', 'c_custkey')}
+                    + i * {_bloom_h('b2', 'c_custkey')}) % {BLOOM_M} AS bit
+            FROM build CROSS JOIN ks
+        ),
+        pk AS (SELECT DISTINCT o_custkey FROM orders),
+        pbits AS (
+            SELECT DISTINCT o_custkey,
+                   ({_bloom_h('b1', 'o_custkey')}
+                    + i * {_bloom_h('b2', 'o_custkey')}) % {BLOOM_M} AS bit
+            FROM pk CROSS JOIN ks
+        ),
+        nb AS (SELECT o_custkey, COUNT(*) AS n_bits FROM pbits GROUP BY 1),
+        nh AS (
+            SELECT p.o_custkey, COUNT(*) AS n_hit
+            FROM pbits p JOIN bits b USING (bit) GROUP BY 1
+        ),
+        pass AS (
+            SELECT nb.o_custkey FROM nb JOIN nh USING (o_custkey)
+            WHERE nh.n_hit = nb.n_bits
+        ),
+        probe AS (
+            SELECT o.o_custkey,
+                   CASE WHEN p.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS bloom_pass,
+                   CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+            FROM orders o
+            LEFT JOIN pass p ON o.o_custkey = p.o_custkey
+            LEFT JOIN build b ON o.o_custkey = b.c_custkey
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build_keys,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+               (SELECT ROUND(COUNT(*) * 1.0 / {BLOOM_M}, 4) FROM bits) AS fill_ratio,
+               CAST(COUNT(*) AS BIGINT) AS n_probe_rows,
+               CAST(SUM(bloom_pass) AS BIGINT) AS n_pass_rows,
+               CAST(SUM(exact_hit) AS BIGINT) AS n_exact_rows,
+               CAST(SUM(bloom_pass) - SUM(exact_hit) AS BIGINT) AS n_fp_rows,
+               ROUND((SUM(bloom_pass) - SUM(exact_hit)) * 1.0
+                     / (COUNT(*) - SUM(exact_hit)), 4) AS observed_fpr
+        FROM probe
+    """,
+    tags=("warehouse", "bloom-filter", "runtime-filter", "join", "orders", "customer"),
+)
+def warehouse_bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter with a measured false-positive
+    rate: build an m=8192-bit, k=3 filter over the BUILDING-segment
+    customer keys, push every order row through it, and compare the
+    bloom verdict against exact membership. This is the row-level
+    data-skipping layer under Spark's AQE runtime filters and
+    Iceberg/Parquet bloom metadata — the zone-map report
+    (warehouse_zone_map_skipping) measures block-level pruning; this
+    measures the row-level residue. Bloom filters never false-negative,
+    so n_pass_rows >= n_exact_rows always, and observed_fpr is the
+    price of skipping the exact join on the fast path.
+
+    100 TB design: the filter is built from the SMALL dimension side
+    (one distinct + explode-k aggregate, <= m rows) and broadcast; the
+    fact table is probed via its distinct-key frame (bounded by key
+    cardinality, not row count) so per-row hashing never shuffles fact
+    rows. Hashes use the portable md5 idiom (dedup.token_hash) so the
+    DuckDB oracle computes a bit-identical filter.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ks = spark.range(BLOOM_K).select(F.col("id").alias("i"))
+
+    def h(prefix: str, col: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    build = (
+        cust.where(F.col("c_mktsegment") == _BLOOM_SEG)
+        .select("c_custkey")
+        .distinct()
+    )
+    bits = (
+        build.crossJoin(F.broadcast(ks))
+        .select(
+            ((h("b1", F.col("c_custkey")) + F.col("i") * h("b2", F.col("c_custkey")))
+             % BLOOM_M).alias("bit")
+        )
+        .distinct()
+    )
+    pk = orders.select("o_custkey").distinct()
+    pbits = (
+        pk.crossJoin(F.broadcast(ks))
+        .select(
+            "o_custkey",
+            ((h("b1", F.col("o_custkey")) + F.col("i") * h("b2", F.col("o_custkey")))
+             % BLOOM_M).alias("bit"),
+        )
+        .distinct()
+    )
+    nb = pbits.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_bits"))
+    nh = (
+        pbits.join(F.broadcast(bits), "bit")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    passed = (
+        nb.join(nh, "o_custkey")
+        .where(F.col("n_hit") == F.col("n_bits"))
+        .select("o_custkey")
+    )
+    probe = (
+        orders.select("o_custkey")
+        .join(F.broadcast(passed.withColumn("bp", F.lit(1))), "o_custkey", "left")
+        .join(
+            F.broadcast(build.withColumnRenamed("c_custkey", "o_custkey")
+                        .withColumn("eh", F.lit(1))),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("bp"), F.lit(0)).alias("bloom_pass"),
+            F.coalesce(F.col("eh"), F.lit(0)).alias("exact_hit"),
+        )
+    )
+    n_build = build.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_bits = bits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.round(F.count(F.lit(1)) * 1.0 / BLOOM_M, 4).alias("fill"),
+    )
+    agg = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_rows"),
+        F.sum("bloom_pass").cast("bigint").alias("n_pass_rows"),
+        F.sum("exact_hit").cast("bigint").alias("n_exact_rows"),
+        (F.sum("bloom_pass") - F.sum("exact_hit")).cast("bigint").alias("n_fp_rows"),
+        F.round(
+            (F.sum("bloom_pass") - F.sum("exact_hit")) * 1.0
+            / (F.count(F.lit(1)) - F.sum("exact_hit")),
+            4,
+        ).alias("observed_fpr"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_build.select(F.col("c").alias("n_build_keys"))))
+        .crossJoin(
+            F.broadcast(
+                n_bits.select(
+                    F.col("c").alias("n_bits_set"), F.col("fill").alias("fill_ratio")
+                )
+            )
+        )
+        .select(
+            "n_build_keys",
+            "n_bits_set",
+            "fill_ratio",
+            "n_probe_rows",
+            "n_pass_rows",
+            "n_exact_rows",
+            "n_fp_rows",
+            "observed_fpr",
+        )
+    )
+
+
+# --- Small-file compaction planning (size-ordered bin packing) --------
+
+COMPACT_TARGET_BYTES = 32_768  # target compacted file size
+COMPACT_ROW_BYTES = 64  # modeled bytes per order row
+
+
+@query(
+    "warehouse_compaction_binpack",
+    oracle=f"""
+        WITH files AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   COUNT(*) * {COMPACT_ROW_BYTES} AS bytes
+            FROM orders GROUP BY 1
+        ),
+        packed AS (
+            SELECT bytes,
+                   CAST(FLOOR(
+                       (SUM(bytes) OVER (ORDER BY bytes DESC, day) - bytes)
+                       * 1.0 / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin
+            FROM files
+        ),
+        bins AS (
+            SELECT bin, SUM(bytes) AS bin_bytes, COUNT(*) AS n_files
+            FROM packed GROUP BY 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM files) AS n_files,
+               (SELECT CAST(SUM(CASE WHEN bytes < {COMPACT_TARGET_BYTES // 2}
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM files) AS n_small_files,
+               (SELECT CAST(SUM(bytes) AS BIGINT) FROM files) AS total_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(MAX(bin_bytes) AS BIGINT) AS max_bin_bytes,
+               CAST(MAX(n_files) AS BIGINT) AS max_files_per_bin,
+               ROUND(SUM(bin_bytes) * 1.0
+                     / (COUNT(*) * {COMPACT_TARGET_BYTES}), 4) AS avg_fill_ratio
+        FROM bins
+    """,
+    tags=("warehouse", "compaction", "layout", "small-files", "orders"),
+)
+def warehouse_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: model each day-partition of orders
+    as one data file (rows x 64 B), then pack files into target-size
+    output bins by size-descending sequential fill — the exact
+    bin-packing rule behind Iceberg's rewriteDataFiles binpack and
+    Spark AQE's shuffle-partition coalescing (cumulative size // target
+    = bin id). Reports the before (file count, small-file count) and
+    after (bin count, max bin size/fanout, fill ratio) of the rewrite
+    so table maintenance is a measured decision, not a guess.
+
+    100 TB design: file statistics come from ONE map-side-combinable
+    aggregate (a real lakehouse reads them from manifest metadata
+    without touching data); the pack itself is a window over the tiny
+    per-file frame — thousands of files, not billions of rows. The
+    single-partition window is bounded by file count by construction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.count(F.lit(1)) * COMPACT_ROW_BYTES).alias("bytes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bytes").desc(), F.col("day"))
+    packed = files.select(
+        "bytes",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")) * 1.0 / COMPACT_TARGET_BYTES
+        ).cast("bigint").alias("bin"),
+    )
+    bins = packed.groupBy("bin").agg(
+        F.sum("bytes").alias("bin_bytes"), F.count(F.lit(1)).alias("n_files")
+    )
+    file_stats = files.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(
+            F.when(F.col("bytes") < COMPACT_TARGET_BYTES // 2, 1).otherwise(0)
+        ).cast("bigint").alias("n_small_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+    )
+    bin_stats = bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.max("bin_bytes").cast("bigint").alias("max_bin_bytes"),
+        F.max("n_files").cast("bigint").alias("max_files_per_bin"),
+        F.round(
+            F.sum("bin_bytes") * 1.0 / (F.count(F.lit(1)) * COMPACT_TARGET_BYTES), 4
+        ).alias("avg_fill_ratio"),
+    )
+    return file_stats.crossJoin(F.broadcast(bin_stats)).select(
+        "n_files",
+        "n_small_files",
+        "total_bytes",
+        "n_bins",
+        "max_bin_bytes",
+        "max_files_per_bin",
+        "avg_fill_ratio",
+    )

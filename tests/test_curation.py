@@ -434,3 +434,31 @@ def test_weighted_minhash_matches_python_replay(spark, sf_dir):
         for r in dedup_minhash_weighted(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_k_anonymity_pandas_replica(spark, sf_dir):
+    """The audit's class frame must match an independent pandas
+    groupby over the same quasi-identifier tuple."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.curation import (
+        K_ANON_BAND_CENTS,
+        K_ANON_K,
+        curation_k_anonymity,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf["yr"] = pd.to_datetime(pdf["o_orderdate"]).dt.year
+    pdf["band"] = (
+        (pdf["o_totalprice"] * 100).round().astype("int64") // K_ANON_BAND_CENTS
+    )
+    g = pdf.groupby(["yr", "o_orderpriority", "o_orderstatus"]).agg(
+        n=("o_orderkey", "size"), l=("band", "nunique")
+    )
+    r = curation_k_anonymity(spark, sf_dir).collect()[0]
+    assert r.n_classes == len(g)
+    assert r.n_rows == int(g["n"].sum())
+    assert r.k_anonymity == int(g["n"].min())
+    assert r.rows_at_risk == int(g.loc[g["n"] < K_ANON_K, "n"].sum())
+    assert r.l_diversity == int(g["l"].min())
+    assert 0.0 <= r.risk_ratio <= 1.0

@@ -69,3 +69,73 @@ def test_winsorize_bounds_hold(spark, sf_dir):
             assert r.avg_wins >= r.avg_raw - 0.01
         if r.n_clamped_lo == 0:
             assert r.avg_wins <= r.avg_raw + 0.01
+
+
+def test_bloom_semijoin_no_false_negatives_and_low_fpr(spark, sf_dir):
+    """Bloom filters never false-negative: every exact-member row must
+    pass, and the observed FPR stays under a loose ceiling implied by
+    the fill ratio (p_fp ~= fill^k)."""
+    from big_data_audio_classification_spark.operators.warehouse import (
+        BLOOM_K,
+        warehouse_bloom_filter_semijoin,
+    )
+
+    r = warehouse_bloom_filter_semijoin(spark, sf_dir).collect()[0]
+    assert r.n_pass_rows >= r.n_exact_rows  # no false negatives
+    assert r.n_fp_rows == r.n_pass_rows - r.n_exact_rows
+    assert 0.0 < r.fill_ratio < 1.0
+    # Kirsch-Mitzenmacher k-hash filter: FPR ~ fill^k; allow 4x slack
+    # for the small-key-set variance at test scale
+    assert r.observed_fpr <= max(4 * r.fill_ratio**BLOOM_K, 0.02)
+
+
+def test_bloom_bitmap_replica(spark, sf_dir):
+    """The Spark-side bit set must equal a pure-Python md5 replica of
+    the Kirsch-Mitzenmacher construction over the build keys."""
+    import hashlib
+
+    from big_data_audio_classification_spark.operators.warehouse import (
+        BLOOM_K,
+        BLOOM_M,
+        _BLOOM_SEG,
+        warehouse_bloom_filter_semijoin,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    keys = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer")
+        .where(f"c_mktsegment = '{_BLOOM_SEG}'")
+        .select("c_custkey")
+        .distinct()
+        .collect()
+    ]
+    bits = set()
+    for k in keys:
+        h1 = int(hashlib.md5(f"b1{k}".encode()).hexdigest()[:8], 16)
+        h2 = int(hashlib.md5(f"b2{k}".encode()).hexdigest()[:8], 16)
+        for i in range(BLOOM_K):
+            bits.add((h1 + i * h2) % BLOOM_M)
+    r = warehouse_bloom_filter_semijoin(spark, sf_dir).collect()[0]
+    assert r.n_build_keys == len(keys)
+    assert r.n_bits_set == len(bits)
+
+
+def test_compaction_binpack_invariants(spark, sf_dir):
+    """Bin packing conserves bytes, caps every bin at target + one
+    file (sequential fill overshoots by at most the file that crosses
+    the boundary), and never increases the file count."""
+    from big_data_audio_classification_spark.operators.warehouse import (
+        COMPACT_TARGET_BYTES,
+        warehouse_compaction_binpack,
+    )
+
+    r = warehouse_compaction_binpack(spark, sf_dir).collect()[0]
+    assert 1 <= r.n_bins <= r.n_files
+    assert r.max_files_per_bin <= r.n_files
+    assert 0 < r.avg_fill_ratio <= 1.0 + 1e-9
+    # sequential fill: a bin holds < target before its last file, and
+    # each file is itself < target here (day partitions are small), so
+    # a bin can overshoot by at most one file's bytes < 2x target
+    assert r.max_bin_bytes < 2 * COMPACT_TARGET_BYTES
+    assert r.total_bytes <= r.n_bins * r.max_bin_bytes
