@@ -478,3 +478,391 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("gini_w"), 6).alias("gini_split"),
         F.round(root - F.col("gini_w"), 6).alias("gain"),
     )
+
+
+# --- Logistic regression: one exact IRLS / Newton step ----------------
+
+IRLS_PRICE_SCALE = 1e-7  # cents -> $100k units, keeps XtX well-conditioned
+
+
+@query(
+    "ml_logistic_irls_step",
+    oracle=f"""
+        WITH base AS (
+            SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                   CAST(year(o_orderdate) - 1995 AS BIGINT) AS yr
+            FROM orders
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(c) AS DOUBLE) * {IRLS_PRICE_SCALE} AS a12,
+                   CAST(SUM(yr) AS DOUBLE) AS a13,
+                   CAST(SUM(c * c) AS DOUBLE)
+                       * {IRLS_PRICE_SCALE} * {IRLS_PRICE_SCALE} AS a22,
+                   CAST(SUM(c * yr) AS DOUBLE) * {IRLS_PRICE_SCALE} AS a23,
+                   CAST(SUM(yr * yr) AS DOUBLE) AS a33,
+                   CAST(SUM(y * c) AS DOUBLE) * {IRLS_PRICE_SCALE} AS syc,
+                   CAST(SUM(y * yr) AS DOUBLE) AS syyr
+            FROM base
+        ),
+        m AS (
+            SELECT n, sy,
+                   n AS a11, a12, a13, a22, a23, a33,
+                   sy - n / 2 AS g1,
+                   syc - a12 / 2 AS g2,
+                   syyr - a13 / 2 AS g3,
+                   a22 * a33 - a23 * a23 AS c11,
+                   a13 * a23 - a12 * a33 AS c12,
+                   a12 * a23 - a13 * a22 AS c13,
+                   n * a33 - a13 * a13 AS c22,
+                   a12 * a13 - n * a23 AS c23,
+                   n * a22 - a12 * a12 AS c33
+            FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(sy AS BIGINT) AS n_pos,
+               ROUND(4 * (c11 * g1 + c12 * g2 + c13 * g3)
+                     / (a11 * c11 + a12 * c12 + a13 * c13), 6) AS beta0,
+               ROUND(4 * (c12 * g1 + c22 * g2 + c23 * g3)
+                     / (a11 * c11 + a12 * c12 + a13 * c13), 6) AS beta_price,
+               ROUND(4 * (c13 * g1 + c23 * g2 + c33 * g3)
+                     / (a11 * c11 + a12 * c12 + a13 * c13), 6) AS beta_year
+        FROM m
+    """,
+    tags=("ml", "classifier", "logistic", "closed-form", "aggregate"),
+)
+def ml_logistic_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact IRLS (Newton) step of logistic regression — is the
+    order fulfilled? ~ (price, order year) — from beta = 0, where the
+    step has the closed form ``4 (X'X)^-1 X'(y - 1/2)`` (at beta=0
+    every weight is p(1-p) = 1/4). This is the distributed-sufficient-
+    statistics pattern every data-parallel GLM solver uses: the fact
+    table folds into nine algebraic moments (one map-side-combined
+    aggregate), and the 3x3 Newton solve runs on the single moment row
+    via the adjugate — no per-row coefficients ever shuffle.
+
+    Determinism across engines: y, price cents, and year offsets are
+    exact integers, so every moment is an exact integer sum (Spark
+    sums the squared-cents column as decimal; DuckDB promotes to
+    HUGEINT) cast to double once — both engines then evaluate the
+    identical IEEE expression tree. Further IRLS steps would need
+    per-row sigmoid weights (order-dependent double sums), which is
+    exactly why the cross-engine contract pins the ONE provably exact
+    step; MLlib's LogisticRegression is the iterative continuation.
+
+    Reference analog: the model-fitting stage of
+    /root/reference/src/voice_classifier.py:229-265, restated as the
+    aggregate form a 100 TB GLM fit actually ships.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    y = (F.col("o_orderstatus") == "F").cast("bigint")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    yr = (F.year("o_orderdate") - 1995).cast("bigint")
+    base = o.select(y.alias("y"), c.alias("c"), yr.alias("yr"))
+    dec = F.col("c").cast("decimal(19,0)")
+    s = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        (F.sum("c").cast("double") * IRLS_PRICE_SCALE).alias("a12"),
+        F.sum("yr").cast("double").alias("a13"),
+        (F.sum(dec * dec).cast("double") * IRLS_PRICE_SCALE * IRLS_PRICE_SCALE).alias(
+            "a22"
+        ),
+        (F.sum(F.col("c") * F.col("yr")).cast("double") * IRLS_PRICE_SCALE).alias(
+            "a23"
+        ),
+        F.sum(F.col("yr") * F.col("yr")).cast("double").alias("a33"),
+        (F.sum(F.col("y") * F.col("c")).cast("double") * IRLS_PRICE_SCALE).alias(
+            "syc"
+        ),
+        F.sum(F.col("y") * F.col("yr")).cast("double").alias("syyr"),
+    )
+    a11, a12, a13 = F.col("n"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    m = s.select(
+        "n",
+        "sy",
+        (F.col("sy") - F.col("n") / 2).alias("g1"),
+        (F.col("syc") - a12 / 2).alias("g2"),
+        (F.col("syyr") - a13 / 2).alias("g3"),
+        (a22 * a33 - a23 * a23).alias("c11"),
+        (a13 * a23 - a12 * a33).alias("c12"),
+        (a12 * a23 - a13 * a22).alias("c13"),
+        (a11 * a33 - a13 * a13).alias("c22"),
+        (a12 * a13 - a11 * a23).alias("c23"),
+        (a11 * a22 - a12 * a12).alias("c33"),
+        a12.alias("a12"),
+        a13.alias("a13"),
+    )
+    det = (
+        F.col("n") * F.col("c11") + F.col("a12") * F.col("c12")
+        + F.col("a13") * F.col("c13")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sy").cast("bigint").alias("n_pos"),
+        F.round(
+            4 * (F.col("c11") * F.col("g1") + F.col("c12") * F.col("g2")
+                 + F.col("c13") * F.col("g3")) / det, 6
+        ).alias("beta0"),
+        F.round(
+            4 * (F.col("c12") * F.col("g1") + F.col("c22") * F.col("g2")
+                 + F.col("c23") * F.col("g3")) / det, 6
+        ).alias("beta_price"),
+        F.round(
+            4 * (F.col("c13") * F.col("g1") + F.col("c23") * F.col("g2")
+                 + F.col("c33") * F.col("g3")) / det, 6
+        ).alias("beta_year"),
+    )
+
+
+# --- Gradient boosting: two exact histogram-split residual rounds -----
+
+GBT_LR = 0.5  # shrinkage applied to the round-1 stump before round 2
+
+
+@query(
+    "ml_gbt_residual_rounds",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+                   CAST(l_quantity AS BIGINT) AS qb,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS db
+            FROM lineitem
+        ),
+        u AS (
+            SELECT 'qty' AS f, qb AS bin, y, qb, db FROM base
+            UNION ALL
+            SELECT 'disc' AS f, db AS bin, y, qb, db FROM base
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nt,
+                   CAST(SUM(y) AS DOUBLE) AS st
+            FROM base
+        ),
+        hist1 AS (
+            SELECT f, bin, COUNT(*) AS n, SUM(y) AS s FROM u GROUP BY 1, 2
+        ),
+        cum1 AS (
+            SELECT f, bin,
+                   CAST(SUM(n) OVER w AS DOUBLE) AS nl,
+                   CAST(SUM(s) OVER w AS DOUBLE) AS sl
+            FROM hist1
+            WINDOW w AS (PARTITION BY f ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        ),
+        cand1 AS (
+            SELECT f, bin, nl, sl, nt, st,
+                   POWER(sl - nl * (st / nt), 2) / nl
+                   + POWER((st - sl) - (nt - nl) * (st / nt), 2) / (nt - nl)
+                       AS gain
+            FROM cum1, tot WHERE nl > 0 AND nt - nl > 0
+        ),
+        r1 AS (
+            SELECT f, bin, nl, sl, nt, st, gain,
+                   st / nt AS p0,
+                   (sl - nl * (st / nt)) / nl AS vl,
+                   ((st - sl) - (nt - nl) * (st / nt)) / (nt - nl) AS vr
+            FROM cand1 ORDER BY gain DESC, f, bin LIMIT 1
+        ),
+        hist2 AS (
+            SELECT u.f, u.bin, COUNT(*) AS n, SUM(u.y) AS s,
+                   SUM(CASE WHEN (r.f = 'qty' AND u.qb <= r.bin)
+                              OR (r.f = 'disc' AND u.db <= r.bin)
+                       THEN 1 ELSE 0 END) AS na
+            FROM u, r1 r GROUP BY 1, 2
+        ),
+        cum2 AS (
+            SELECT f, bin,
+                   CAST(SUM(n) OVER w AS DOUBLE) AS nl2,
+                   CAST(SUM(s) OVER w AS DOUBLE) AS sl2,
+                   CAST(SUM(na) OVER w AS DOUBLE) AS nal2
+            FROM hist2
+            WINDOW w AS (PARTITION BY f ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        ),
+        cand2 AS (
+            SELECT c.f, c.bin, c.nl2, r.nt,
+                   c.sl2 - c.nl2 * r.p0
+                   - {GBT_LR} * (c.nal2 * r.vl + (c.nl2 - c.nal2) * r.vr)
+                       AS rsl,
+                   (r.st - c.sl2) - (r.nt - c.nl2) * r.p0
+                   - {GBT_LR} * ((r.nl - c.nal2) * r.vl
+                                 + ((r.nt - c.nl2) - (r.nl - c.nal2)) * r.vr)
+                       AS rsr
+            FROM cum2 c, r1 r WHERE c.nl2 > 0 AND r.nt - c.nl2 > 0
+        ),
+        best2 AS (
+            SELECT f, bin, nl2, nt,
+                   rsl / nl2 AS vl, rsr / (nt - nl2) AS vr,
+                   POWER(rsl, 2) / nl2 + POWER(rsr, 2) / (nt - nl2) AS gain
+            FROM cand2 ORDER BY gain DESC, f, bin LIMIT 1
+        )
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS rnd, f AS feature,
+                   CAST(bin AS BIGINT) AS split_bin,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(nt - nl AS BIGINT) AS n_right,
+                   ROUND(vl / 100, 4) AS leaf_left,
+                   ROUND(vr / 100, 4) AS leaf_right,
+                   ROUND(gain / nt / 10000, 4) AS mean_gain
+            FROM r1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), f, CAST(bin AS BIGINT),
+                   CAST(nl2 AS BIGINT), CAST(nt - nl2 AS BIGINT),
+                   ROUND(vl / 100, 4), ROUND(vr / 100, 4),
+                   ROUND(gain / nt / 10000, 4)
+            FROM best2
+        ) ORDER BY rnd
+    """,
+    tags=("ml", "regression", "tree", "boosting", "closed-form"),
+)
+def ml_gbt_residual_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of depth-1 gradient boosting (squared loss) on line-
+    item price with histogram split finding over quantity and discount
+    — the training kernel of XGBoost/LightGBM expressed relationally.
+    Round 1 fits the best stump to the mean-centered target across
+    BOTH feature histograms; round 2 re-fits against the residual left
+    by the shrunk (lr=0.5) round-1 stump, choosing feature and
+    threshold again. Every residual sum is reconstructed from exact
+    integer (count, sum-of-cents) histograms — residuals are never
+    materialized per row, which is what makes a boosting round on
+    100 TB cost one map-side-combined histogram aggregate plus a
+    window over <=61 bins, independent of row count.
+
+    Determinism: both engines see identical integer histograms, apply
+    the identical IEEE double expression tree for gains/leaves, and
+    break argmax ties (gain desc, feature, bin) identically.
+
+    Reference analog: extends ml_decision_stump (the reference's
+    feature-scoring stage, voice_classifier.py:150-153) into the
+    iterative-ensemble regime its Keras training loop represents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.col("l_quantity").cast("bigint").alias("qb"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("db"),
+    )
+    u = base.select(
+        F.lit("qty").alias("f"), F.col("qb").alias("bin"), "y", "qb", "db"
+    ).unionAll(
+        base.select(
+            F.lit("disc").alias("f"), F.col("db").alias("bin"), "y", "qb", "db"
+        )
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("double").alias("nt"),
+        F.sum("y").cast("double").alias("st"),
+    )
+    hist1 = u.groupBy("f", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    w = (
+        Window.partitionBy("f")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum1 = hist1.select(
+        "f",
+        "bin",
+        F.sum("n").over(w).cast("double").alias("nl"),
+        F.sum("s").over(w).cast("double").alias("sl"),
+    )
+    nt, st, nl, sl = F.col("nt"), F.col("st"), F.col("nl"), F.col("sl")
+    p0 = st / nt
+    cand1 = (
+        cum1.crossJoin(F.broadcast(tot))
+        .where((nl > 0) & (nt - nl > 0))
+        .select(
+            "f", "bin", "nl", "sl", "nt", "st",
+            (
+                F.pow(sl - nl * p0, 2) / nl
+                + F.pow((st - sl) - (nt - nl) * p0, 2) / (nt - nl)
+            ).alias("gain"),
+        )
+    )
+    r1 = (
+        cand1.orderBy(F.col("gain").desc(), "f", "bin")
+        .limit(1)
+        .select(
+            F.col("f").alias("rf"),
+            F.col("bin").alias("rbin"),
+            F.col("nl").alias("rnl"),
+            "nt",
+            "st",
+            F.col("gain").alias("gain1"),
+            p0.alias("p0"),
+            ((sl - nl * p0) / nl).alias("vl1"),
+            (((st - sl) - (nt - nl) * p0) / (nt - nl)).alias("vr1"),
+        )
+    )
+    in_left = (
+        (F.col("rf") == "qty") & (F.col("qb") <= F.col("rbin"))
+    ) | ((F.col("rf") == "disc") & (F.col("db") <= F.col("rbin")))
+    hist2 = (
+        u.crossJoin(F.broadcast(r1))
+        .groupBy("f", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.when(in_left, 1).otherwise(0)).alias("na"),
+        )
+    )
+    cum2 = hist2.select(
+        "f",
+        "bin",
+        F.sum("n").over(w).cast("double").alias("nl2"),
+        F.sum("s").over(w).cast("double").alias("sl2"),
+        F.sum("na").over(w).cast("double").alias("nal2"),
+    )
+    nl2, sl2, nal2 = F.col("nl2"), F.col("sl2"), F.col("nal2")
+    rsl = sl2 - nl2 * F.col("p0") - GBT_LR * (
+        nal2 * F.col("vl1") + (nl2 - nal2) * F.col("vr1")
+    )
+    rsr = (F.col("st") - sl2) - (F.col("nt") - nl2) * F.col("p0") - GBT_LR * (
+        (F.col("rnl") - nal2) * F.col("vl1")
+        + ((F.col("nt") - nl2) - (F.col("rnl") - nal2)) * F.col("vr1")
+    )
+    cand2 = (
+        cum2.crossJoin(F.broadcast(r1))
+        .where((nl2 > 0) & (F.col("nt") - nl2 > 0))
+        .select(
+            "f", "bin", "nl2", "nt",
+            rsl.alias("rsl"), rsr.alias("rsr"),
+        )
+    )
+    best2 = (
+        cand2.select(
+            "f", "bin", "nl2", "nt",
+            (F.col("rsl") / nl2).alias("vl"),
+            (F.col("rsr") / (F.col("nt") - nl2)).alias("vr"),
+            (
+                F.pow(F.col("rsl"), 2) / nl2
+                + F.pow(F.col("rsr"), 2) / (F.col("nt") - nl2)
+            ).alias("gain"),
+        )
+        .orderBy(F.col("gain").desc(), "f", "bin")
+        .limit(1)
+    )
+    row1 = r1.select(
+        F.lit(1).cast("bigint").alias("rnd"),
+        F.col("rf").alias("feature"),
+        F.col("rbin").cast("bigint").alias("split_bin"),
+        F.col("rnl").cast("bigint").alias("n_left"),
+        (F.col("nt") - F.col("rnl")).cast("bigint").alias("n_right"),
+        F.round(F.col("vl1") / 100, 4).alias("leaf_left"),
+        F.round(F.col("vr1") / 100, 4).alias("leaf_right"),
+        F.round(F.col("gain1") / F.col("nt") / 10000, 4).alias("mean_gain"),
+    )
+    row2 = best2.select(
+        F.lit(2).cast("bigint").alias("rnd"),
+        F.col("f").alias("feature"),
+        F.col("bin").cast("bigint").alias("split_bin"),
+        F.col("nl2").cast("bigint").alias("n_left"),
+        (F.col("nt") - F.col("nl2")).cast("bigint").alias("n_right"),
+        F.round(F.col("vl") / 100, 4).alias("leaf_left"),
+        F.round(F.col("vr") / 100, 4).alias("leaf_right"),
+        F.round(F.col("gain") / F.col("nt") / 10000, 4).alias("mean_gain"),
+    )
+    return row1.unionAll(row2).orderBy("rnd")

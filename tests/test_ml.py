@@ -407,3 +407,74 @@ def test_zone_map_skipping_consistency(spark, sf_dir):
     skipped = per_day.where(F.col("hi") <= _ZM_THRESHOLD_CENTS)
     assert skipped.count() == row.n_skipped
     assert (skipped.agg(F.sum("n")).first()[0] or 0) == row.rows_skipped
+
+
+def test_logistic_irls_step_matches_numpy_solve(spark, sf_dir):
+    """The one-step Newton coefficients must equal a numpy
+    linalg.solve over the same design matrix."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        IRLS_PRICE_SCALE,
+        ml_logistic_irls_step,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    y = (pdf["o_orderstatus"] == "F").to_numpy(dtype=float)
+    x1 = (pdf["o_totalprice"] * 100).round().to_numpy() * IRLS_PRICE_SCALE
+    x2 = (pd.to_datetime(pdf["o_orderdate"]).dt.year - 1995).to_numpy(dtype=float)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta = 4 * np.linalg.solve(X.T @ X, X.T @ (y - 0.5))
+    r = ml_logistic_irls_step(spark, sf_dir).collect()[0]
+    assert r.n == len(pdf)
+    assert r.n_pos == int(y.sum())
+    assert abs(r.beta0 - beta[0]) < 1e-4
+    assert abs(r.beta_price - beta[1]) < 1e-4
+    assert abs(r.beta_year - beta[2]) < 1e-4
+
+
+def test_gbt_residual_rounds_matches_numpy_replay(spark, sf_dir):
+    """Both boosting rounds must pick the same (feature, threshold,
+    leaves) as a brute-force numpy scan over every candidate split."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        GBT_LR,
+        ml_gbt_residual_rounds,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    yv = (pdf["l_extendedprice"] * 100).round().to_numpy(dtype=float)
+    feats = {
+        "qty": pdf["l_quantity"].astype("int64").to_numpy(),
+        "disc": (pdf["l_discount"] * 100).round().astype("int64").to_numpy(),
+    }
+
+    def best_stump(resid):
+        best = None
+        for fname in ("disc", "qty"):  # asc name order mirrors the tiebreak
+            fv = feats[fname]
+            for t in np.unique(fv)[:-1]:
+                m = fv <= t
+                gl, gr = resid[m], resid[~m]
+                gain = gl.sum() ** 2 / len(gl) + gr.sum() ** 2 / len(gr)
+                key = (gain, )
+                if best is None or gain > best[0] + 1e-9:
+                    best = (gain, fname, int(t), gl.mean(), gr.mean(), m)
+        return best
+
+    r0 = yv - yv.mean()
+    g1, f1, t1, vl1, vr1, m1 = best_stump(r0)
+    pred1 = np.where(m1, vl1, vr1)
+    g2, f2, t2, vl2, vr2, _ = best_stump(r0 - GBT_LR * pred1)
+
+    rows = {r.rnd: r for r in ml_gbt_residual_rounds(spark, sf_dir).collect()}
+    assert (rows[1].feature, rows[1].split_bin) == (f1, t1)
+    assert abs(rows[1].leaf_left - vl1 / 100) < 1e-3
+    assert abs(rows[1].leaf_right - vr1 / 100) < 1e-3
+    assert (rows[2].feature, rows[2].split_bin) == (f2, t2)
+    assert abs(rows[2].leaf_left - vl2 / 100) < 1e-3
+    assert abs(rows[2].leaf_right - vr2 / 100) < 1e-3
+    assert rows[1].n_left == int(m1.sum())
