@@ -811,3 +811,87 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt", F.struct(F.col("cnt"), F.col("o_orderpriority"))
         ).alias("mode_count"),
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------
+
+KMV_K = 64  # sketch size; estimate = (k-1) / u_(k)
+KMV_HEX = 13  # 13 hex chars = 52 bits: integer-exact in a double
+KMV_SCALE = float(1 << 52)
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                        1, {KMV_HEX})) AS BIGINT) AS h
+            FROM orders
+        ),
+        bk AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+        s AS (SELECT MAX(h) AS kth, COUNT(*) AS k FROM bk),
+        ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct
+               FROM orders)
+        SELECT CAST(s.k AS BIGINT) AS k,
+               CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+               ROUND(CAST(s.kth AS DOUBLE) / {KMV_SCALE!r}, 9) AS kth_min_u,
+               ROUND((s.k - 1) / (CAST(s.kth AS DOUBLE) / {KMV_SCALE!r}), 4)
+                   AS est_distinct,
+               ROUND(100.0 * ABS((s.k - 1)
+                         / (CAST(s.kth AS DOUBLE) / {KMV_SCALE!r})
+                         - ex.exact_distinct) / ex.exact_distinct, 4)
+                   AS rel_err_pct
+        FROM s, ex
+    """,
+    tags=("agg", "sketch", "distinct", "kmv"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch of
+    ``o_custkey``: hash every key to u ~ U[0,1) (portable 52-bit md5
+    prefix — integer-exact in a double on both engines), keep the k=64
+    smallest DISTINCT hash values, and estimate |D| = (k-1)/u_(k) from
+    the k-th minimum. Reported against the exact distinct count with
+    the realized relative error.
+
+    The 100 TB story is what distinguishes KMV from a plain count
+    distinct: the bottom-k set is a MERGEABLE sketch (union = merge +
+    re-truncate to k), so partial aggregation folds each map task to
+    at most k values before any shuffle — here the plan is a map-side
+    combined hash-distinct on one long column followed by
+    TakeOrderedAndProject, never a row-level sort. Unlike HLL
+    (agg_hll_partial_merge), KMV also supports intersection estimates
+    via the Jaccard of merged sketches, which is why training-data
+    pipelines carry it alongside HLL. Companion exact check keeps the
+    cross-engine contract: every value below u_(k) is deterministic.
+
+    Reference analog: the distinct-class census of
+    /root/reference/src/voice_classifier.py:193 re-expressed as the
+    sketch a 100 TB census actually ships.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, KMV_HEX),
+        16,
+        10,
+    ).cast("bigint")
+    bottomk = (
+        o.select(h.alias("h")).distinct().orderBy("h").limit(KMV_K)
+    )
+    s = bottomk.agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("k")
+    )
+    ex = o.agg(F.count_distinct("o_custkey").alias("exact_distinct"))
+    u_k = F.col("kth").cast("double") / F.lit(KMV_SCALE)
+    est = (F.col("k") - 1) / u_k
+    return s.crossJoin(F.broadcast(ex)).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round(u_k, 9).alias("kth_min_u"),
+        F.round(est, 4).alias("est_distinct"),
+        F.round(
+            100.0 * F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err_pct"),
+    )

@@ -1679,3 +1679,159 @@ def stats_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n", "custkey")
         .limit(_EB_SHOW)
     )
+
+
+# --- Permutation (randomization) test --------------------------------
+
+PERM_REPLICATES = 64
+PERM_OFFSET = 777_777  # decorrelates the counter stream from the bootstrap
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   o_custkey % 2 AS arm,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        obs AS (
+            SELECT ROUND(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) / 100.0
+                         / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                       - SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) / 100.0
+                         / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 6)
+                       AS obs_diff
+            FROM base
+        ),
+        rows_r AS (
+            SELECT b.cents,
+                   r.rep,
+                   CASE WHEN ((({LCG_A} * (({LCG_A} * ((b.o_orderkey
+                            * {PERM_REPLICATES} + r.rep + {PERM_OFFSET})
+                            % {LCG_M}) + {LCG_C}) % {LCG_M})
+                          + {LCG_C}) % {LCG_M}) / {float(LCG_M)!r}) < 0.5
+                        THEN 0 ELSE 1 END AS side
+            FROM base b
+            CROSS JOIN (SELECT UNNEST(generate_series(0,
+                            {PERM_REPLICATES - 1})) AS rep) r
+        ),
+        per_rep AS (
+            SELECT rep,
+                   ROUND(SUM(CASE WHEN side = 1 THEN cents ELSE 0 END) / 100.0
+                         / SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                       - SUM(CASE WHEN side = 0 THEN cents ELSE 0 END) / 100.0
+                         / SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END), 6)
+                       AS d
+            FROM rows_r GROUP BY rep
+            HAVING SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) > 0
+        ),
+        nulls AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+                   SUM(d) AS s1, SUM(d * d) AS s2,
+                   SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff)
+                       THEN 1 ELSE 0 END) AS n_ge
+            FROM per_rep, obs o
+        )
+        SELECT n_perms,
+               ROUND(o.obs_diff, 4) AS obs_diff,
+               ROUND(s1 / n_perms, 4) AS null_mean,
+               ROUND(SQRT((s2 - s1 * s1 / n_perms) / (n_perms - 1)), 4)
+                   AS null_sd,
+               ROUND((1.0 + n_ge) / (1.0 + n_perms), 4) AS p_value
+        FROM nulls, obs o
+    """,
+    tags=("stats", "resampling", "permutation", "experiment", "orders"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation (randomization) test for the difference
+    in mean order value between two arms (``o_custkey % 2``): each of
+    64 replicates independently reassigns every row to a pseudo-arm
+    with probability 1/2 (the binomial/Dwass approximation to exact
+    label permutation — the only form that exists at 100 TB, where a
+    true shuffle of labels is a global sort), recomputes the mean
+    difference, and the p-value is the add-one-smoothed fraction of
+    null replicates at least as extreme as the observed difference.
+
+    Determinism: reassignment draws come from the same counter-based
+    two-round glibc LCG as the Poisson bootstrap, keyed on
+    (o_orderkey, rep) with a fixed stream offset, so both engines
+    materialize bit-identical pseudo-arms; per-replicate differences
+    are exact-cent means rounded to 6 dp BEFORE the knife-edge
+    |d| >= |obs| comparison, making the exceedance count itself
+    engine-stable.
+
+    Scale shape: one explode(x64) over a two-column projection;
+    map-side combine folds the blow-up to 64x2 partials per task; the
+    64-row null table reduces to explicit moments + an exceedance
+    count. No per-replicate rescans, no global label shuffle.
+
+    Reference analog: upgrades the single-split accuracy comparison of
+    /root/reference/src/voice_classifier.py:232-265 to a significance
+    statement, the way model A/B evaluation is actually shipped.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(
+        F.col("o_orderkey"),
+        (F.col("o_custkey") % 2).alias("arm"),
+        cents.alias("cents"),
+    )
+    s_arm = lambda a: F.sum(F.when(F.col("arm") == a, F.col("cents")).otherwise(0))  # noqa: E731
+    n_arm = lambda a: F.sum(F.when(F.col("arm") == a, 1).otherwise(0))  # noqa: E731
+    obs = base.agg(
+        F.round(
+            s_arm(1) / 100.0 / n_arm(1) - s_arm(0) / 100.0 / n_arm(0), 6
+        ).alias("obs_diff")
+    )
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(PERM_REPLICATES - 1))
+    ).alias("rep")
+    rows_r = base.select("o_orderkey", "cents", rep)
+    s0 = (
+        F.col("o_orderkey") * PERM_REPLICATES + F.col("rep") + PERM_OFFSET
+    ) % F.lit(LCG_M)
+    x1 = (F.lit(LCG_A) * s0 + F.lit(LCG_C)) % F.lit(LCG_M)
+    x2 = (F.lit(LCG_A) * x1 + F.lit(LCG_C)) % F.lit(LCG_M)
+    side = F.when(x2 / F.lit(float(LCG_M)) < 0.5, 0).otherwise(1)
+    s_side = lambda a: F.sum(F.when(F.col("side") == a, F.col("cents")).otherwise(0))  # noqa: E731
+    n_side = lambda a: F.sum(F.when(F.col("side") == a, 1).otherwise(0))  # noqa: E731
+    per_rep = (
+        rows_r.select("rep", "cents", side.alias("side"))
+        .groupBy("rep")
+        .agg(
+            s_side(1).alias("s1c"), n_side(1).alias("n1"),
+            s_side(0).alias("s0c"), n_side(0).alias("n0"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            F.round(
+                F.col("s1c") / 100.0 / F.col("n1")
+                - F.col("s0c") / 100.0 / F.col("n0"),
+                6,
+            ).alias("d")
+        )
+    )
+    nulls = per_rep.crossJoin(F.broadcast(obs)).agg(
+        F.count("*").cast("bigint").alias("n_perms"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.sum(
+            F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+        ).alias("n_ge"),
+        F.first("obs_diff").alias("obs_diff"),
+    )
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_perms"))
+        / (F.col("n_perms") - 1)
+    )
+    return nulls.select(
+        "n_perms",
+        F.round(F.col("obs_diff"), 4).alias("obs_diff"),
+        F.round(F.col("s1") / F.col("n_perms"), 4).alias("null_mean"),
+        F.round(sd, 4).alias("null_sd"),
+        F.round(
+            (1.0 + F.col("n_ge")) / (1.0 + F.col("n_perms")), 4
+        ).alias("p_value"),
+    )

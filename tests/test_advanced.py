@@ -215,3 +215,45 @@ def test_udtf_table_arg_sessions_match_session_window(spark, sf_dir):
     for uid, r in out.items():
         assert r["n_sessions"] == sw[uid]
         assert 1 <= r["n_sessions"] <= r["n_events"]
+
+
+def test_kmv_matches_numpy_bottomk_and_merges(spark, sf_dir):
+    """The KMV row must equal a numpy bottom-k replay, and the sketch
+    must be mergeable: union sketch == truncated merge of part
+    sketches."""
+    import hashlib
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.aggregates import (
+        KMV_HEX,
+        KMV_K,
+        KMV_SCALE,
+        agg_kmv_distinct,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    keys = pdf["o_custkey"].unique()
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:KMV_HEX], 16)
+
+    hs = sorted({h(k) for k in keys})
+    bottom = hs[:KMV_K]
+    kth_u = bottom[-1] / KMV_SCALE
+    est = (len(bottom) - 1) / kth_u
+
+    r = agg_kmv_distinct(spark, sf_dir).collect()[0]
+    assert r.k == len(bottom)
+    assert r.exact_distinct == len(keys)
+    assert abs(r.kth_min_u - round(kth_u, 9)) < 1e-12
+    assert abs(r.est_distinct - est) < 1e-3
+    # KMV standard error is ~1/sqrt(k-2); allow 4 sigma.
+    assert r.rel_err_pct < 400.0 / (KMV_K - 2) ** 0.5
+
+    # Mergeability: split keys by parity, sketch each, merge, truncate.
+    part = [
+        sorted({h(k) for k in keys if k % 2 == p})[:KMV_K] for p in (0, 1)
+    ]
+    merged = sorted(set(part[0]) | set(part[1]))[:KMV_K]
+    assert merged == bottom

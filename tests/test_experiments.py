@@ -327,3 +327,45 @@ def test_cuped_matches_numpy_replay(spark, sf_dir):
         assert out[a]["var_reduction_pct"] == pytest.approx(red, abs=1e-3)
         deltas.append(m.sum() * (adj - raw))
     assert abs(sum(deltas)) < 1e-6 * len(users)
+
+
+def test_permutation_test_matches_numpy_lcg_replay(spark, sf_dir):
+    """Null distribution and p-value must equal a numpy replay of the
+    counter-based LCG reassignment."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        LCG_A, LCG_C, LCG_M,
+        PERM_OFFSET, PERM_REPLICATES,
+        stats_permutation_test,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    keys = pdf["o_orderkey"].astype("int64").to_numpy()
+    arm = (pdf["o_custkey"] % 2).to_numpy()
+    obs = round(
+        cents[arm == 1].sum() / 100.0 / (arm == 1).sum()
+        - cents[arm == 0].sum() / 100.0 / (arm == 0).sum(), 6)
+
+    ds = []
+    for rep in range(PERM_REPLICATES):
+        s0 = (keys * PERM_REPLICATES + rep + PERM_OFFSET) % LCG_M
+        x2 = (LCG_A * ((LCG_A * s0 + LCG_C) % LCG_M) + LCG_C) % LCG_M
+        side = (x2 / LCG_M >= 0.5).astype(int)
+        if side.sum() == 0 or (1 - side).sum() == 0:
+            continue
+        ds.append(round(
+            cents[side == 1].sum() / 100.0 / (side == 1).sum()
+            - cents[side == 0].sum() / 100.0 / (side == 0).sum(), 6))
+    ds = np.array(ds)
+    p = round((1.0 + (np.abs(ds) >= abs(obs)).sum()) / (1.0 + len(ds)), 4)
+
+    r = stats_permutation_test(spark, sf_dir).collect()[0]
+    assert r.n_perms == len(ds)
+    assert abs(r.obs_diff - round(obs, 4)) < 1e-9
+    assert abs(r.null_mean - round(ds.mean(), 4)) < 1e-9
+    assert abs(r.p_value - p) < 1e-9
+    # arms are a hash split of a null effect: the test must not reject
+    assert r.p_value > 0.01
