@@ -1835,3 +1835,173 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1.0 + F.col("n_ge")) / (1.0 + F.col("n_perms")), 4
         ).alias("p_value"),
     )
+
+
+# --- Log-rank test (two-group survival comparison) --------------------
+
+
+@query(
+    "stats_logrank_test",
+    oracle=f"""
+        WITH horizon AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+        ),
+        subj AS (
+            SELECT o_custkey % 2 AS g,
+                   date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                             MAX(CAST(o_orderdate AS DATE))) AS duration,
+                   CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                                       MAX(h.maxd)) > {KM_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END AS event
+            FROM orders CROSS JOIN horizon h
+            GROUP BY o_custkey % 2, o_custkey
+        ),
+        ng AS (SELECT g, COUNT(*) AS n_subj FROM subj GROUP BY g),
+        steps AS (
+            SELECT g, duration AS t, SUM(event) AS d, COUNT(*) AS leaving
+            FROM subj GROUP BY g, duration
+        ),
+        grid AS (
+            SELECT t, g.g, n.n_subj FROM (SELECT DISTINCT t FROM steps)
+            CROSS JOIN (SELECT UNNEST([0, 1]) AS g) g
+            JOIN ng n ON n.g = g.g
+        ),
+        risk AS (
+            SELECT gr.t, gr.g,
+                   COALESCE(s.d, 0) AS d,
+                   gr.n_subj - COALESCE(SUM(COALESCE(s.leaving, 0)) OVER (
+                       PARTITION BY gr.g ORDER BY gr.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS n_risk
+            FROM grid gr LEFT JOIN steps s ON s.g = gr.g AND s.t = gr.t
+        ),
+        pooled AS (
+            SELECT t,
+                   SUM(d) AS dt, SUM(n_risk) AS nt,
+                   SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+                   SUM(CASE WHEN g = 1 THEN n_risk ELSE 0 END) AS n1
+            FROM risk GROUP BY t
+        ),
+        terms AS (
+            SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                   SUM(dt * (CAST(n1 AS DOUBLE) / nt)) AS e1,
+                   SUM(dt * (CAST(n1 AS DOUBLE) / nt)
+                       * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                       * (nt - dt) / (nt - 1)) AS v
+            FROM pooled WHERE dt > 0 AND nt > 1
+        )
+        SELECT o1,
+               ROUND(e1, 6) AS e1,
+               ROUND(v, 6) AS var_logrank,
+               ROUND((o1 - e1) / SQRT(v), 4) AS z,
+               ROUND(POWER(o1 - e1, 2) / v, 4) AS chi2,
+               CAST(ABS((o1 - e1) / SQRT(v)) > {Z95_TWO_SIDED!r}
+                    AS BOOLEAN) AS reject_h0
+        FROM terms
+    """,
+    tags=("stats", "survival", "hypothesis-test", "window", "orders"),
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing churn survival between the
+    two hash arms ``o_custkey % 2`` over the same subject construction
+    as ``stats_kaplan_meier`` (duration = first-to-last-order days,
+    censored inside the 60-day horizon). At each pooled event time the
+    hypergeometric moments accumulate O-E and its variance; the
+    decision is the fixed ±1.959964 two-sided gate.
+
+    Shape: one per-customer collapse of orders (the only fact-sized
+    shuffle), a per-arm duration aggregate, and the at-risk
+    reconstruction on a (distinct-duration × 2) grid — calendar-
+    bounded, so every window after the collapse runs over spine-sized
+    input. Times with a single subject at risk are excluded on both
+    engines (their O-E contribution is identically zero but the
+    variance term degenerates).
+
+    Reference analog: extends the KM family the same way
+    stats_nelson_aalen does — the comparison test a churn analysis at
+    100 TB actually publishes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    maxd = F.broadcast(
+        o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    )
+    subj = (
+        o.crossJoin(maxd)
+        .groupBy((F.col("o_custkey") % 2).alias("g"), "o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("duration"),
+            F.when(
+                F.datediff(
+                    F.max("maxd"), F.max(F.col("o_orderdate").cast("date"))
+                )
+                > KM_CENSOR_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    ng = subj.groupBy("g").agg(F.count("*").alias("n_subj"))
+    steps = subj.groupBy("g", F.col("duration").alias("t")).agg(
+        F.sum("event").alias("d"), F.count("*").alias("leaving")
+    )
+    grid = (
+        steps.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(2).select(F.col("id").alias("g"))))
+        .join(F.broadcast(ng), "g")
+    )
+    w_prev = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        grid.join(steps, ["g", "t"], "left")
+        .select(
+            "t",
+            "g",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            (
+                F.col("n_subj")
+                - F.coalesce(
+                    F.sum(F.coalesce(F.col("leaving"), F.lit(0))).over(w_prev),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+        )
+    )
+    pooled = risk.groupBy("t").agg(
+        F.sum("d").alias("dt"),
+        F.sum("n_risk").alias("nt"),
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_risk")).otherwise(0)).alias(
+            "n1"
+        ),
+    )
+    frac = F.col("n1").cast("double") / F.col("nt")
+    terms = pooled.where((F.col("dt") > 0) & (F.col("nt") > 1)).agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(F.col("dt") * frac).alias("e1"),
+        F.sum(
+            F.col("dt")
+            * frac
+            * (1.0 - frac)
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - 1)
+        ).alias("v"),
+    )
+    z = (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v"))
+    return terms.select(
+        "o1",
+        F.round(F.col("e1"), 6).alias("e1"),
+        F.round(F.col("v"), 6).alias("var_logrank"),
+        F.round(z, 4).alias("z"),
+        F.round(F.pow(F.col("o1") - F.col("e1"), 2) / F.col("v"), 4).alias(
+            "chi2"
+        ),
+        (F.abs(z) > Z95_TWO_SIDED).alias("reject_h0"),
+    )

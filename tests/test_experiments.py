@@ -369,3 +369,41 @@ def test_permutation_test_matches_numpy_lcg_replay(spark, sf_dir):
     assert abs(r.p_value - p) < 1e-9
     # arms are a hash split of a null effect: the test must not reject
     assert r.p_value > 0.01
+
+
+def test_logrank_matches_pandas_replay(spark, sf_dir):
+    """O-E, variance, and z must equal a pandas replay of the
+    hypergeometric accumulation."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        KM_CENSOR_DAYS,
+        stats_logrank_test,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf["d"] = pd.to_datetime(pdf["o_orderdate"]).dt.normalize()
+    maxd = pdf["d"].max()
+    subj = pdf.groupby("o_custkey").agg(first=("d", "min"), last=("d", "max"))
+    subj["g"] = (subj.index % 2).astype(int)
+    subj["duration"] = (subj["last"] - subj["first"]).dt.days
+    subj["event"] = ((maxd - subj["last"]).dt.days > KM_CENSOR_DAYS).astype(int)
+
+    o1 = e1 = v = 0.0
+    for t in sorted(subj["duration"].unique()):
+        at = subj[subj["duration"] >= t]
+        ev = subj[subj["duration"] == t]
+        nt, dt = len(at), int(ev["event"].sum())
+        n1 = int((at["g"] == 1).sum())
+        d1 = int(ev.loc[ev["g"] == 1, "event"].sum())
+        if dt > 0 and nt > 1:
+            o1 += d1
+            e1 += dt * n1 / nt
+            v += dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+
+    r = stats_logrank_test(spark, sf_dir).collect()[0]
+    assert r.o1 == int(o1)
+    assert abs(r.e1 - e1) < 1e-5
+    assert abs(r.var_logrank - v) < 1e-5
+    assert abs(r.z - (o1 - e1) / v**0.5) < 1e-3
+    assert abs(r.chi2 - r.z**2) < 1e-2
