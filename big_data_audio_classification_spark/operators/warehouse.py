@@ -1107,3 +1107,111 @@ def warehouse_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_files_per_bin",
         "avg_fill_ratio",
     )
+
+
+# --- CDC APPLY CHANGES (ordered upsert/delete compaction + merge) ------
+
+CDC_STALE_MOD = 10  # base snapshot is missing custkeys = 0 (mod 10)
+CDC_DELETE_MOD = 19  # orderkeys = 0 (mod 19) arrive as DELETE changes
+
+
+@query(
+    "warehouse_cdc_apply",
+    oracle=f"""
+        WITH base AS (
+            SELECT c_custkey AS k,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+            FROM customer WHERE c_custkey % {CDC_STALE_MOD} != 0
+        ),
+        changes AS (
+            SELECT o_custkey AS k, o_orderkey AS seq,
+                   CASE WHEN o_orderkey % {CDC_DELETE_MOD} = 0
+                        THEN 'D' ELSE 'U' END AS op,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS new_bal
+            FROM orders
+        ),
+        last_change AS (
+            SELECT k, max_by(op, seq) AS op, max_by(new_bal, seq) AS new_bal
+            FROM changes GROUP BY k
+        ),
+        merged AS (
+            SELECT COALESCE(b.k, c.k) AS k,
+                   CASE WHEN c.k IS NULL THEN 'kept'
+                        WHEN c.op = 'U' AND b.k IS NOT NULL THEN 'updated'
+                        WHEN c.op = 'U' THEN 'inserted'
+                        WHEN b.k IS NOT NULL THEN 'deleted'
+                        ELSE 'delete_noop' END AS action,
+                   CASE WHEN c.k IS NULL THEN b.bal
+                        WHEN c.op = 'U' THEN c.new_bal
+                        ELSE 0 END AS bal
+            FROM base b FULL OUTER JOIN last_change c ON b.k = c.k
+        )
+        SELECT action,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(bal) AS BIGINT) AS bal_cents
+        FROM merged GROUP BY action ORDER BY action
+    """,
+    tags=("warehouse", "cdc", "merge", "join", "customer", "orders"),
+)
+def warehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO semantics (the Delta Live Tables / Iceberg
+    upsert-stream contract): an ordered CDC stream of upserts and
+    deletes — here derived from orders: sequence = o_orderkey, DELETE
+    when the key ≡ 0 mod 19, else UPSERT of the new balance — is
+    compacted to each key's LAST change and merged into a stale base
+    snapshot (customers with custkey ≢ 0 mod 10, so changes on the
+    missing tenth surface as inserts). The summary groups the merge
+    outcome: kept / updated / inserted / deleted / delete_noop with
+    resulting balance cents.
+
+    Shape is the production CDC pattern at 100 TB: the change stream
+    folds FIRST (one map-side-combined ``max_by(value, seq)`` per key
+    — no window over the raw stream), and only the compacted one-row-
+    per-key frame joins the snapshot (one equi-join). Deletes of
+    absent keys are counted, not applied, matching the idempotent
+    replay contract. ``max_by`` is deterministic because the sequence
+    column is unique.
+
+    Reference analog: the overwrite-style sink of
+    /root/reference/src/data_generator.py:40-42 upgraded to the
+    incremental merge a mutable 100 TB table actually needs.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.where(F.col("c_custkey") % CDC_STALE_MOD != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    changes = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % CDC_DELETE_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("new_bal"),
+    )
+    last_change = changes.groupBy("k").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("new_bal", "seq").alias("new_bal"),
+    )
+    b, ch = base.alias("b"), last_change.alias("c")
+    merged = b.join(ch, F.col("b.k") == F.col("c.k"), "full_outer").select(
+        F.when(F.col("c.k").isNull(), "kept")
+        .when((F.col("c.op") == "U") & F.col("b.k").isNotNull(), "updated")
+        .when(F.col("c.op") == "U", "inserted")
+        .when(F.col("b.k").isNotNull(), "deleted")
+        .otherwise("delete_noop")
+        .alias("action"),
+        F.when(F.col("c.k").isNull(), F.col("b.bal"))
+        .when(F.col("c.op") == "U", F.col("c.new_bal"))
+        .otherwise(F.lit(0))
+        .alias("bal"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("bal").cast("bigint").alias("bal_cents"),
+        )
+        .orderBy("action")
+    )

@@ -139,3 +139,42 @@ def test_compaction_binpack_invariants(spark, sf_dir):
     # a bin can overshoot by at most one file's bytes < 2x target
     assert r.max_bin_bytes < 2 * COMPACT_TARGET_BYTES
     assert r.total_bytes <= r.n_bins * r.max_bin_bytes
+
+
+def test_cdc_apply_matches_pandas_replay(spark, sf_dir):
+    """The merge-outcome census must equal a pandas last-change replay,
+    and the actions must partition base and change keys exactly."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.warehouse import (
+        CDC_DELETE_MOD,
+        CDC_STALE_MOD,
+        warehouse_cdc_apply,
+    )
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    base_keys = set(cust.loc[cust["c_custkey"] % CDC_STALE_MOD != 0, "c_custkey"])
+    last = orders.sort_values("o_orderkey").groupby("o_custkey").last()
+    rows = {r.action: r for r in warehouse_cdc_apply(spark, sf_dir).collect()}
+
+    is_del = last.index.to_series().map(
+        lambda k: last.loc[k, "o_orderkey"] % CDC_DELETE_MOD == 0
+    )
+    upd = sum(1 for k in last.index if k in base_keys and not is_del[k])
+    ins = sum(1 for k in last.index if k not in base_keys and not is_del[k])
+    dele = sum(1 for k in last.index if k in base_keys and is_del[k])
+    noop = sum(1 for k in last.index if k not in base_keys and is_del[k])
+    kept = len(base_keys) - upd - dele
+
+    def n(action):
+        return rows[action].n_keys if action in rows else 0
+
+    assert n("updated") == upd
+    assert n("inserted") == ins
+    assert n("deleted") == dele
+    assert n("kept") == kept
+    assert n("delete_noop") == noop
+    # actions partition base ∪ change keys; final table = kept+upd+ins
+    assert kept + upd + dele == len(base_keys)
+    assert upd + ins + dele + noop == len(last)
