@@ -866,3 +866,111 @@ def ml_gbt_residual_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("gain") / F.col("nt") / 10000, 4).alias("mean_gain"),
     )
     return row1.unionAll(row2).orderBy("rnd")
+
+
+# --- Ridge regression path from one shared moment pass ----------------
+
+RIDGE_LAMBDAS = (0.0, 0.1, 1.0)  # penalties in standardized units
+
+
+@query(
+    "ml_ridge_path",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS BIGINT)               AS n,
+                   AVG(l_quantity)                        AS mx1,
+                   AVG(l_discount)                        AS mx2,
+                   AVG(l_extendedprice)                   AS my,
+                   covar_pop(l_quantity, l_extendedprice) AS c1y,
+                   covar_pop(l_discount, l_extendedprice) AS c2y,
+                   covar_pop(l_quantity, l_discount)      AS c12,
+                   var_pop(l_quantity)                    AS v1,
+                   var_pop(l_discount)                    AS v2,
+                   var_pop(l_extendedprice)               AS vy
+            FROM lineitem
+        ),
+        r AS (
+            SELECT n, mx1, mx2, my, v1, v2, vy,
+                   c12 / SQRT(v1 * v2) AS r12,
+                   c1y / SQRT(v1 * vy) AS r1y,
+                   c2y / SQRT(v2 * vy) AS r2y
+            FROM s
+        ),
+        lam AS (SELECT CAST(UNNEST([{", ".join(repr(v) for v in RIDGE_LAMBDAS)}])
+                AS DOUBLE) AS lam),
+        path AS (
+            SELECT l.lam, r.n, r.mx1, r.mx2, r.my, r.v1, r.v2, r.vy,
+                   ((1 + l.lam) * r.r1y - r.r12 * r.r2y)
+                       / ((1 + l.lam) * (1 + l.lam) - r.r12 * r.r12) AS b1s,
+                   ((1 + l.lam) * r.r2y - r.r12 * r.r1y)
+                       / ((1 + l.lam) * (1 + l.lam) - r.r12 * r.r12) AS b2s
+            FROM lam l CROSS JOIN r
+        )
+        SELECT lam, n,
+               ROUND(b1s * SQRT(vy / v1), 6) AS beta_qty,
+               ROUND(b2s * SQRT(vy / v2), 6) AS beta_disc,
+               ROUND(my - b1s * SQRT(vy / v1) * mx1
+                        - b2s * SQRT(vy / v2) * mx2, 4) AS beta0,
+               ROUND(SQRT(b1s * b1s + b2s * b2s), 6) AS coef_l2
+        FROM path ORDER BY lam
+    """,
+    tags=("ml", "regression", "ridge", "closed-form", "aggregate"),
+)
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regularization path (price ~ quantity + discount) at
+    λ ∈ {{0, 0.1, 1}}: the standardized 2×2 system (R + λI)·b = r_y is
+    inverted analytically per λ and back-transformed to raw-scale
+    coefficients; λ=0 reproduces ml_ols_normal_equations exactly, and
+    coef_l2 exposes the shrinkage monotonically collapsing toward 0.
+
+    The entire PATH costs one aggregation pass: all λ values share the
+    same ten sufficient statistics, re-solved per penalty by a 3-row
+    literal explode over the broadcast one-row moment frame. This is
+    why closed-form hyperparameter sweeps at 100 TB are one scan, not
+    one scan per candidate — the standardized (correlation) form also
+    keeps the system conditioned regardless of raw feature scales
+    (quantity variance ~200 vs discount ~1e-3).
+
+    Reference analog: the model-selection sweep of
+    /root/reference/src/voice_classifier.py:232-265 (per-candidate
+    retraining) restated as moment reuse.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.avg(x1).alias("mx1"),
+        F.avg(x2).alias("mx2"),
+        F.avg(y).alias("my"),
+        F.covar_pop(x1, y).alias("c1y"),
+        F.covar_pop(x2, y).alias("c2y"),
+        F.covar_pop(x1, x2).alias("c12"),
+        F.var_pop(x1).alias("v1"),
+        F.var_pop(x2).alias("v2"),
+        F.var_pop(y).alias("vy"),
+    )
+    r = s.select(
+        "n", "mx1", "mx2", "my", "v1", "v2", "vy",
+        (F.col("c12") / F.sqrt(F.col("v1") * F.col("v2"))).alias("r12"),
+        (F.col("c1y") / F.sqrt(F.col("v1") * F.col("vy"))).alias("r1y"),
+        (F.col("c2y") / F.sqrt(F.col("v2") * F.col("vy"))).alias("r2y"),
+    )
+    lam = F.explode(
+        F.array(*[F.lit(v) for v in RIDGE_LAMBDAS])
+    ).alias("lam")
+    path = r.select(lam, "*")
+    det = (1 + F.col("lam")) * (1 + F.col("lam")) - F.col("r12") * F.col("r12")
+    b1s = ((1 + F.col("lam")) * F.col("r1y") - F.col("r12") * F.col("r2y")) / det
+    b2s = ((1 + F.col("lam")) * F.col("r2y") - F.col("r12") * F.col("r1y")) / det
+    beta1 = b1s * F.sqrt(F.col("vy") / F.col("v1"))
+    beta2 = b2s * F.sqrt(F.col("vy") / F.col("v2"))
+    return path.select(
+        "lam",
+        "n",
+        F.round(beta1, 6).alias("beta_qty"),
+        F.round(beta2, 6).alias("beta_disc"),
+        F.round(
+            F.col("my") - beta1 * F.col("mx1") - beta2 * F.col("mx2"), 4
+        ).alias("beta0"),
+        F.round(F.sqrt(b1s * b1s + b2s * b2s), 6).alias("coef_l2"),
+    ).orderBy("lam")

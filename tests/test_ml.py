@@ -478,3 +478,34 @@ def test_gbt_residual_rounds_matches_numpy_replay(spark, sf_dir):
     assert abs(rows[2].leaf_left - vl2 / 100) < 1e-3
     assert abs(rows[2].leaf_right - vr2 / 100) < 1e-3
     assert rows[1].n_left == int(m1.sum())
+
+
+def test_ridge_path_matches_numpy_and_shrinks(spark, sf_dir):
+    """λ=0 must equal the OLS solve; every λ must match the numpy
+    standardized ridge solve; coefficient norm must shrink in λ."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        RIDGE_LAMBDAS,
+        ml_ridge_path,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    X = pdf[["l_quantity", "l_discount"]].to_numpy(dtype=float)
+    y = pdf["l_extendedprice"].to_numpy(dtype=float)
+    Xs = (X - X.mean(0)) / X.std(0)
+    ys = (y - y.mean()) / y.std()
+    R = (Xs.T @ Xs) / len(y)
+    ry = (Xs.T @ ys) / len(y)
+
+    rows = {r.lam: r for r in ml_ridge_path(spark, sf_dir).collect()}
+    assert set(rows) == set(RIDGE_LAMBDAS)
+    for lam in RIDGE_LAMBDAS:
+        bs = np.linalg.solve(R + lam * np.eye(2), ry)
+        beta = bs * y.std() / X.std(0)
+        assert abs(rows[lam].beta_qty - beta[0]) < 1e-3
+        assert abs(rows[lam].beta_disc - beta[1]) < 1e-1  # large raw scale
+        assert abs(rows[lam].coef_l2 - np.hypot(*bs)) < 1e-5
+    norms = [rows[lam].coef_l2 for lam in sorted(RIDGE_LAMBDAS)]
+    assert norms == sorted(norms, reverse=True)
