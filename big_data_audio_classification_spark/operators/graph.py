@@ -465,3 +465,98 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.round(r, 6).alias("assortativity"),
     )
+
+
+AA_TOPK = 10
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+        WITH raw AS (
+            SELECT event_id % {TRI_NODES}           AS u,
+                   (event_id * 7 + 3) % {TRI_NODES} AS v
+            FROM events
+        ),
+        e AS (
+            SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+            FROM raw WHERE u <> v
+        ),
+        adj AS (
+            SELECT u AS z, v AS n FROM e
+            UNION ALL SELECT v AS z, u AS n FROM e
+        ),
+        deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY z),
+        wedge AS (
+            SELECT a1.n AS u, a2.n AS w, a1.z AS z
+            FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+        ),
+        cand AS (
+            SELECT wg.u, wg.w, wg.z FROM wedge wg
+            ANTI JOIN e ON e.u = wg.u AND e.v = wg.w
+        ),
+        scored AS (
+            SELECT c.u, c.w,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   ROUND(SUM(1.0 / LN(d.d)), 6) AS aa_score
+            FROM cand c JOIN deg d ON d.z = c.z
+            GROUP BY c.u, c.w
+        )
+        SELECT u, w, n_common, aa_score
+        FROM scored
+        ORDER BY aa_score DESC, u, w LIMIT {AA_TOPK}
+    """,
+    tags=("graph", "link-prediction", "events"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the deterministic event-
+    interaction graph (same derivation as graph_triangle_count): for
+    every NON-adjacent pair with common neighbors, score
+    AA(u,w) = Σ_{{z ∈ N(u)∩N(w)}} 1/ln(deg z) — common neighbors
+    weighted inversely by how promiscuous they are — and emit the
+    top-10 predicted links.
+
+    Fully relational link prediction: the wedge enumeration is ONE
+    equi-join of the adjacency list with itself on the center node
+    (the exact shape triangle counting uses, fan-out bounded by the
+    center's degree), existing edges leave via an anti-join on the
+    canonical edge set, and the score is a keyed aggregate over a
+    broadcast-sized degree table. Degree-1 centers cannot form wedges,
+    so 1/ln(d) is always finite. Top-k is TakeOrderedAndProject with
+    the (rounded score, pair) total order stated identically in both
+    engines.
+
+    100 TB story: this is the candidate-generation kernel of
+    friend-of-friend recommendation; the wedge join shuffles on the
+    center node key (skew-bounded by degree orientation when hubs
+    appear — see graph_triangle_count), never all-pairs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        (F.col("event_id") % TRI_NODES).alias("u"),
+        ((F.col("event_id") * 7 + 3) % TRI_NODES).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    und = raw.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        und.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    a1 = adj.select("z", F.col("n").alias("u"))
+    a2 = adj.select("z", F.col("n").alias("w"))
+    wedge = a1.join(a2, "z").filter(F.col("u") < F.col("w"))
+    cand = wedge.join(
+        und.withColumnRenamed("v", "w"), ["u", "w"], "left_anti"
+    )
+    scored = (
+        cand.join(F.broadcast(deg), "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("aa_score").desc(), "u", "w"
+    ).limit(AA_TOPK).select("u", "w", "n_common", "aa_score")

@@ -94,3 +94,50 @@ def test_degree_assortativity_matches_python_replay(spark, sf_dir):
     assert row.n_edges == n
     assert row.n_nodes == len(ids)
     assert abs(row.assortativity - expected) < 2e-6
+
+
+def test_adamic_adar_matches_networkx_free_replay(spark, sf_dir):
+    """Top-10 AA pairs must equal a pure-python common-neighbor
+    replay, and no predicted pair may be an existing edge."""
+    import math
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.graph import (
+        AA_TOPK,
+        TRI_NODES,
+        graph_adamic_adar,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")["event_id"]
+    edges = set()
+    for eid in ev:
+        u, v = eid % TRI_NODES, (eid * 7 + 3) % TRI_NODES
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+
+    scores = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if (u, w) in edges:
+                continue
+            common = nbrs[u] & nbrs[w]
+            if common:
+                scores[(u, w)] = (
+                    round(sum(1 / math.log(len(nbrs[z])) for z in common), 6),
+                    len(common),
+                )
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:AA_TOPK]
+
+    rows = graph_adamic_adar(spark, sf_dir).collect()
+    assert len(rows) == len(top)
+    for r, ((u, w), (s, nc)) in zip(rows, top):
+        assert (r.u, r.w) == (u, w)
+        assert (r.u, r.w) not in edges
+        assert r.n_common == nc
+        assert abs(r.aa_score - s) < 1e-6
