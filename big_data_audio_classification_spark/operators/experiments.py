@@ -2005,3 +2005,101 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs(z) > Z95_TWO_SIDED).alias("reject_h0"),
     )
+
+
+# --- Delete-one-bucket jackknife for a ratio metric --------------------
+
+JK_BUCKETS = 20
+
+
+@query(
+    "stats_jackknife_ratio",
+    oracle=f"""
+        WITH buckets AS (
+            SELECT o_custkey % {JK_BUCKETS} AS g,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_custkey % {JK_BUCKETS}
+        ),
+        tot AS (SELECT SUM(s) AS st, SUM(n) AS nt FROM buckets),
+        loo AS (
+            SELECT b.g,
+                   ROUND((t.st - b.s) / 100.0 / (t.nt - b.n), 6) AS theta_g
+            FROM buckets b CROSS JOIN tot t
+        ),
+        jk AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+                   SUM(theta_g) AS s1, SUM(theta_g * theta_g) AS s2
+            FROM loo
+        )
+        SELECT gn AS n_buckets,
+               ROUND(t.st / 100.0 / t.nt, 6) AS theta,
+               ROUND((gn - 1) * (s1 / gn - t.st / 100.0 / t.nt), 6)
+                   AS jk_bias,
+               ROUND(SQRT((gn - 1.0) / gn * (s2 - s1 * s1 / gn)), 6)
+                   AS jk_se,
+               ROUND(t.st / 100.0 / t.nt
+                     - {Z95_TWO_SIDED!r} * SQRT((gn - 1.0) / gn
+                           * (s2 - s1 * s1 / gn)), 4) AS ci_lo,
+               ROUND(t.st / 100.0 / t.nt
+                     + {Z95_TWO_SIDED!r} * SQRT((gn - 1.0) / gn
+                           * (s2 - s1 * s1 / gn)), 4) AS ci_hi
+        FROM jk, tot t
+    """,
+    tags=("stats", "resampling", "jackknife", "orders"),
+)
+def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife CI for a RATIO metric (mean order
+    value = Σprice/Σcount): customers hash into 20 buckets; each
+    leave-one-out replicate re-evaluates the ratio from the remaining
+    buckets' (sum, count) partials; the jackknife variance
+    (G-1)/G · Σ(θ₍g₎-θ̄)² and bias (G-1)(θ̄-θ̂) close the interval.
+
+    Ratio metrics are where naive per-row variance formulas are WRONG
+    (the denominator is random too) — the bucketed jackknife is the
+    standard production answer because it needs only G (sum, count)
+    partials: one map-side-combined groupBy over the fact table, a
+    broadcast totals row, and a 20-row moment pass. No row-level
+    resampling, no second scan; the same partials serve any ratio.
+    Leave-one-out ratios are rounded to 6 dp before the moment
+    aggregate (the repo's partial-rounding idiom), so both engines
+    square identical values.
+
+    Complements stats_poisson_bootstrap_ci (row-resampling) and
+    stats_permutation_test (label-randomization) with the third
+    classical resampling family, each in its 100 TB-shaped form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    buckets = o.groupBy((F.col("o_custkey") % JK_BUCKETS).alias("g")).agg(
+        F.sum(cents).alias("s"), F.count("*").alias("n")
+    )
+    tot = buckets.agg(F.sum("s").alias("st"), F.sum("n").alias("nt"))
+    loo = buckets.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("st") - F.col("s")) / 100.0 / (F.col("nt") - F.col("n")),
+            6,
+        ).alias("theta_g"),
+        "st",
+        "nt",
+    )
+    jk = loo.agg(
+        F.count("*").cast("bigint").alias("gn"),
+        F.sum("theta_g").alias("s1"),
+        F.sum(F.col("theta_g") * F.col("theta_g")).alias("s2"),
+        F.first("st").alias("st"),
+        F.first("nt").alias("nt"),
+    )
+    theta = F.col("st") / 100.0 / F.col("nt")
+    gn = F.col("gn")
+    se = F.sqrt(
+        (gn - 1.0) / gn * (F.col("s2") - F.col("s1") * F.col("s1") / gn)
+    )
+    return jk.select(
+        gn.alias("n_buckets"),
+        F.round(theta, 6).alias("theta"),
+        F.round((gn - 1) * (F.col("s1") / gn - theta), 6).alias("jk_bias"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(theta - Z95_TWO_SIDED * se, 4).alias("ci_lo"),
+        F.round(theta + Z95_TWO_SIDED * se, 4).alias("ci_hi"),
+    )

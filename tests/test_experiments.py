@@ -407,3 +407,36 @@ def test_logrank_matches_pandas_replay(spark, sf_dir):
     assert abs(r.var_logrank - v) < 1e-5
     assert abs(r.z - (o1 - e1) / v**0.5) < 1e-3
     assert abs(r.chi2 - r.z**2) < 1e-2
+
+
+def test_jackknife_ratio_matches_numpy_replay(spark, sf_dir):
+    """θ, bias, and se must equal a numpy delete-one-bucket replay;
+    the CI must cover the point estimate and agree with the bootstrap
+    CI's order of magnitude."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        JK_BUCKETS,
+        stats_jackknife_ratio,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    g = (pdf["o_custkey"] % JK_BUCKETS).to_numpy()
+    s = np.array([cents[g == i].sum() for i in range(JK_BUCKETS)])
+    n = np.array([(g == i).sum() for i in range(JK_BUCKETS)])
+    keep = n > 0
+    s, n = s[keep], n[keep]
+    theta = s.sum() / 100.0 / n.sum()
+    loo = np.round((s.sum() - s) / 100.0 / (n.sum() - n), 6)
+    G = len(loo)
+    se = np.sqrt((G - 1.0) / G * ((loo**2).sum() - loo.sum() ** 2 / G))
+    bias = (G - 1) * (loo.mean() - theta)
+
+    r = stats_jackknife_ratio(spark, sf_dir).collect()[0]
+    assert r.n_buckets == G
+    assert abs(r.theta - theta) < 1e-5
+    assert abs(r.jk_bias - bias) < 1e-5
+    assert abs(r.jk_se - se) < 1e-5
+    assert r.ci_lo < r.theta < r.ci_hi
