@@ -544,3 +544,67 @@ def test_target_encoding_is_one_fact_pass(spark, sf_dir):
     assert tree.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resampling_family_plans_are_single_pass(spark, sf_dir):
+    """The three resampling estimators must never materialize a
+    row-level join or sort over the exploded fact: the only joins are
+    broadcast attachments of one-row frames."""
+    from big_data_audio_classification_spark.operators import experiments
+
+    for fn in (
+        experiments.stats_permutation_test,
+        experiments.stats_jackknife_ratio,
+    ):
+        plan = introspect.formatted_plan(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
+
+
+def test_kmv_bottomk_is_take_ordered(spark, sf_dir):
+    """The KMV sketch must reduce via TakeOrderedAndProject (per-
+    partition bottom-k, merged), never a global sort of hash values."""
+    from big_data_audio_classification_spark.operators import aggregates
+
+    plan = introspect.formatted_plan(aggregates.agg_kmv_distinct(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_apply_compacts_before_joining(spark, sf_dir):
+    """The change stream folds via max_by partial aggregation (no
+    window over the raw stream); the snapshot merge is the plan's only
+    row-level join."""
+    from big_data_audio_classification_spark.operators import warehouse
+
+    plan = introspect.formatted_plan(warehouse.warehouse_cdc_apply(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one row-level join: the full-outer snapshot merge
+    # (each physical operator appears twice in a formatted plan —
+    # once in the tree, once in the detail section)
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_ridge_path_scans_lineitem_once(spark, sf_dir):
+    """All three penalties share one moment pass: exactly one lineitem
+    scan, no row-level join, no window."""
+    from big_data_audio_classification_spark.operators import ml_closed_form
+
+    plan = introspect.formatted_plan(ml_closed_form.ml_ridge_path(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_adamic_adar_joins_are_all_equi(spark, sf_dir):
+    """Wedge enumeration, edge anti-join, and degree attachment must
+    all be hash equi-joins — no all-pairs shape anywhere."""
+    from big_data_audio_classification_spark.operators import graph
+
+    plan = introspect.formatted_plan(graph.graph_adamic_adar(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
