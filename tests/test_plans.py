@@ -594,7 +594,8 @@ def test_ridge_path_scans_lineitem_once(spark, sf_dir):
     from big_data_audio_classification_spark.operators import ml_closed_form
 
     plan = introspect.formatted_plan(ml_closed_form.ml_ridge_path(spark, sf_dir))
-    assert plan.count("Scan parquet") == 1
+    # one physical scan = two mentions (tree + detail section)
+    assert plan.count("Scan parquet") == 2
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
 
