@@ -27,7 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_audio_classification_spark.registry import query
 
@@ -428,3 +428,129 @@ import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+# --- Energy-based voice-activity detection (VAD) ----------------------
+
+VAD_FRAME = 512           # non-overlapping energy frame, samples
+VAD_PERIOD_FRAMES = 16    # gate granularity: 16 frames = 8192 samples
+VAD_THRESHOLD = 0.1       # RMS gate (voiced two-harmonic tone ~0.74)
+VAD_FRAMES_PER_REC = int(3.0 * SR) // VAD_FRAME  # 129
+VAD_RECS = 8
+
+_VAD_SCHEMA = "rec_id long, frame_id long, rms double"
+
+
+def _vad_gate(rec_id: int, period: int) -> int:
+    """Deterministic on/off gate: md5 parity of 'rec#period' — the
+    same definition the SQL oracle evaluates engine-side."""
+    import hashlib
+
+    return int(hashlib.md5(f"{rec_id}#{period}".encode()).hexdigest()[:2], 16) % 2
+
+
+@query(
+    "audio_vad_segments",
+    oracle=f"""
+        WITH recs AS (
+            SELECT UNNEST(generate_series(0, {VAD_RECS - 1})) AS rec_id
+        ),
+        frames AS (
+            SELECT rec_id,
+                   UNNEST(generate_series(0, {VAD_FRAMES_PER_REC - 1}))
+                       AS frame_id
+            FROM recs
+        ),
+        act AS (
+            SELECT rec_id, frame_id
+            FROM frames
+            WHERE CAST(('0x' || substr(md5(rec_id || '#'
+                       || CAST(frame_id // {VAD_PERIOD_FRAMES} AS VARCHAR)),
+                       1, 2)) AS INT) % 2 = 1
+        ),
+        isl AS (
+            SELECT rec_id, frame_id,
+                   frame_id - ROW_NUMBER() OVER (PARTITION BY rec_id
+                                                 ORDER BY frame_id) AS grp
+            FROM act
+        )
+        SELECT rec_id,
+               CAST(MIN(frame_id) AS BIGINT) AS seg_start,
+               CAST(MAX(frame_id) AS BIGINT) AS seg_end,
+               CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM isl GROUP BY rec_id, grp
+        ORDER BY rec_id, seg_start
+    """,
+    tags=("audio", "vad", "mapInPandas", "gap-islands"),
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection: each recording's gated
+    waveform (the two-harmonic synth of R12, multiplied by a
+    deterministic md5-parity on/off gate per 8192-sample period) is
+    framed into non-overlapping 512-sample windows, per-frame RMS is
+    computed by REAL signal processing in an Arrow-batched
+    ``mapInPandas`` kernel, frames gate on rms > 0.1, and consecutive
+    active frames collapse to (start, end) segments via gap-islands.
+
+    Cross-engine contract by INDEPENDENT DERIVATION: the oracle never
+    touches samples — it derives the expected segments straight from
+    the gate schedule (pure integer md5 arithmetic), so the check
+    verifies the whole DSP chain end-to-end (a wrong window, RMS, or
+    frame alignment breaks the match). Frame and gate sizes are
+    aligned (16 frames per gate period) so no energy frame straddles
+    an on/off boundary — every frame is exactly voiced (~0.74 RMS) or
+    exactly silent (0), and the 0.1 threshold has no knife edge.
+
+    Scale shape: the frame grid is map-side generated (explode of a
+    bounded sequence), the kernel needs only its own 512 samples
+    (embarrassingly parallel, no overlap for energy frames), and the
+    islands window partitions per recording — the same segmentation
+    shape ``events_gap_islands_sessions`` runs on fact data. Reference
+    analog: the silence-trimming preprocessing implied by
+    /root/reference/src/voice_classifier.py:80-83's fixed-length load,
+    made explicit.
+    """
+    frames = spark.range(VAD_RECS).select(
+        F.col("id").alias("rec_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(VAD_FRAMES_PER_REC - 1))
+        ).alias("frame_id"),
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms = []
+            for rec_id, frame_id in zip(pdf["rec_id"], pdf["frame_id"]):
+                gate = _vad_gate(
+                    int(rec_id), int(frame_id) // VAD_PERIOD_FRAMES
+                )
+                s = gate * synth_samples(
+                    int(rec_id), int(frame_id) * VAD_FRAME, VAD_FRAME
+                )
+                rms.append(float(np.sqrt(np.mean(s * s))))
+            yield pd.DataFrame(
+                {
+                    "rec_id": pdf["rec_id"],
+                    "frame_id": pdf["frame_id"],
+                    "rms": rms,
+                }
+            )
+
+    energy = frames.mapInPandas(compute, schema=_VAD_SCHEMA)
+    act = energy.where(F.col("rms") > VAD_THRESHOLD)
+    w = Window.partitionBy("rec_id").orderBy("frame_id")
+    isl = act.select(
+        "rec_id",
+        "frame_id",
+        (F.col("frame_id") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        isl.groupBy("rec_id", "grp")
+        .agg(
+            F.min("frame_id").cast("bigint").alias("seg_start"),
+            F.max("frame_id").cast("bigint").alias("seg_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        )
+        .drop("grp")
+        .orderBy("rec_id", "seg_start")
+    )

@@ -245,3 +245,34 @@ def test_phash_neardup_matches_bruteforce_replay(spark, sf_dir):
         for r in mm_phash_banded_neardup(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_vad_segments_reconstruct_gate_schedule(spark, sf_dir):
+    """Segments must tile exactly the md5-gate on-periods, and the RMS
+    separation must be wide (0 vs ~0.74) — no knife-edge frames."""
+    from big_data_audio_classification_spark.operators.audio import (
+        VAD_FRAMES_PER_REC,
+        VAD_PERIOD_FRAMES,
+        VAD_RECS,
+        _vad_gate,
+        audio_vad_segments,
+    )
+
+    active = {
+        (rec, f)
+        for rec in range(VAD_RECS)
+        for f in range(VAD_FRAMES_PER_REC)
+        if _vad_gate(rec, f // VAD_PERIOD_FRAMES)
+    }
+    covered = set()
+    for r in audio_vad_segments(spark, sf_dir).collect():
+        for f in range(r.seg_start, r.seg_end + 1):
+            assert (r.rec_id, f) in active
+            covered.add((r.rec_id, f))
+        assert r.n_frames == r.seg_end - r.seg_start + 1
+        # maximality: the frames flanking each segment are gated off
+        if r.seg_start > 0:
+            assert (r.rec_id, r.seg_start - 1) not in active
+        if r.seg_end < VAD_FRAMES_PER_REC - 1:
+            assert (r.rec_id, r.seg_end + 1) not in active
+    assert covered == active
