@@ -26,7 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.scratch import SCRATCH_DIR as _SCRATCH
@@ -827,3 +827,122 @@ def mm_phash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.orderBy("hamming", "id_a", "id_b").limit(200)
+
+
+# --- Scene-change detection over sampled frames ------------------------
+
+SCENE_CUT_THRESHOLD = 96  # luminance jump (0-255 scale) that opens a scene
+
+
+@query(
+    "mm_scene_segments",
+    oracle=f"""
+        WITH fr AS (
+            SELECT doc_id AS media_id, frame_no,
+                   CAST(('0x' || substr(md5(substring(text,
+                        CAST(frame_no * 256 + 1 AS INT), 64)), 1, 2))
+                        AS INT) AS lum
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0, CAST(ceil(length(text) / 256.0)
+                                            AS BIGINT))) AS frame_no
+                FROM documents
+            )
+        ),
+        chg AS (
+            SELECT media_id, frame_no, lum,
+                   CASE WHEN LAG(lum) OVER w IS NULL
+                        OR ABS(lum - LAG(lum) OVER w)
+                           > {SCENE_CUT_THRESHOLD}
+                        THEN 1 ELSE 0 END AS cut
+            FROM fr
+            WINDOW w AS (PARTITION BY media_id ORDER BY frame_no)
+        ),
+        sc AS (
+            SELECT media_id, frame_no, lum,
+                   SUM(cut) OVER (PARTITION BY media_id
+                                  ORDER BY frame_no) AS scene_id
+            FROM chg
+        )
+        SELECT media_id, CAST(scene_id AS BIGINT) AS scene_id,
+               CAST(MIN(frame_no) AS BIGINT) AS start_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               ROUND(SUM(lum) * 1.0 / COUNT(*), 4) AS avg_lum
+        FROM sc GROUP BY media_id, scene_id
+        ORDER BY media_id, scene_id
+    """,
+    tags=("multimodal", "mapInPandas", "scene-detect", "window"),
+)
+def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection (mandated video-style op): every sampled
+    frame (the mm_frame_sample 64-unit slices at stride 256) reduces
+    to a scalar luminance in the Arrow-batched kernel — here the stub
+    decode maps a frame to its md5 first byte, standing in for the
+    mean-pixel-luma a codec build would compute — and a cut opens
+    wherever consecutive-frame luminance jumps more than 96/255. Cuts
+    accumulate to scene ids (running sum), scenes aggregate to
+    (start_frame, n_frames, avg_lum) rows.
+
+    Like mm_frame_sample, the pandas kernel is SQL-expressible, so the
+    DuckDB oracle differential-tests the UDF against an independent
+    substring/md5 evaluation — the whole lag/threshold/cumsum chain is
+    verified value-for-value. Scale shape: decode is map-only (text
+    never shuffles — only (media_id, frame_no, lum) triples move); the
+    lag and scene-id windows both partition per media, the exact shape
+    a per-video pipeline needs (one video's frames colocate; no global
+    ordering anywhere).
+
+    Reference analog: the frame-batching of
+    /root/reference/src/voice_classifier.py:80-83 generalized to the
+    temporal-segmentation stage a video curation pipeline runs.
+    """
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def luma(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, lums = [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                for k in range(-(-len(text) // 256)):  # ceil(len/256)
+                    frame = text[k * 256 : k * 256 + 64]
+                    ids.append(mid)
+                    frame_nos.append(k)
+                    lums.append(
+                        int(hashlib.md5(frame.encode("utf-8")).hexdigest()[:2], 16)
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "lum": lums}
+            )
+
+    fr = d.mapInPandas(luma, schema="media_id long, frame_no long, lum int")
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    chg = fr.select(
+        "media_id",
+        "frame_no",
+        "lum",
+        F.when(
+            F.lag("lum").over(w).isNull()
+            | (F.abs(F.col("lum") - F.lag("lum").over(w)) > SCENE_CUT_THRESHOLD),
+            1,
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    sc = chg.select(
+        "media_id",
+        "frame_no",
+        "lum",
+        F.sum("cut").over(w).alias("scene_id"),
+    )
+    return (
+        sc.groupBy("media_id", F.col("scene_id").cast("bigint").alias("scene_id"))
+        .agg(
+            F.min("frame_no").cast("bigint").alias("start_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.round(F.sum("lum") * 1.0 / F.count(F.lit(1)), 4).alias("avg_lum"),
+        )
+        .orderBy("media_id", "scene_id")
+    )

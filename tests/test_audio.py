@@ -276,3 +276,43 @@ def test_vad_segments_reconstruct_gate_schedule(spark, sf_dir):
         if r.seg_end < VAD_FRAMES_PER_REC - 1:
             assert (r.rec_id, r.seg_end + 1) not in active
     assert covered == active
+
+
+def test_scene_segments_tile_and_cut_correctly(spark, sf_dir):
+    """Scenes must tile each media's frame range exactly; every
+    interior boundary must be a real >threshold luminance jump and
+    every interior non-boundary must not be."""
+    import hashlib
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        mm_scene_segments,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+    rows = mm_scene_segments(spark, sf_dir).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+
+    def lum(text, k):
+        return int(
+            hashlib.md5(text[k * 256 : k * 256 + 64].encode()).hexdigest()[:2],
+            16,
+        )
+
+    for mid, segs in list(by_media.items())[:50]:
+        text = docs.loc[mid, "text"]
+        n_frames = -(-len(text) // 256)
+        segs.sort(key=lambda r: r.scene_id)
+        assert segs[0].start_frame == 0
+        assert sum(s.n_frames for s in segs) == n_frames
+        for prev, cur in zip(segs, segs[1:]):
+            assert cur.start_frame == prev.start_frame + prev.n_frames
+            k = cur.start_frame
+            assert abs(lum(text, k) - lum(text, k - 1)) > SCENE_CUT_THRESHOLD
+        for s in segs:
+            for k in range(s.start_frame + 1, s.start_frame + s.n_frames):
+                assert abs(lum(text, k) - lum(text, k - 1)) <= SCENE_CUT_THRESHOLD
