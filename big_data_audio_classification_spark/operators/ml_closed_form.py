@@ -974,3 +974,165 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("beta0"),
         F.round(F.sqrt(b1s * b1s + b2s * b2s), 6).alias("coef_l2"),
     ).orderBy("lam")
+
+
+# --- Learning curve (data-scaling law) from one moment pass ------------
+
+LC_BUCKETS = 10  # hash buckets; bucket 9 is the fixed holdout
+
+
+@query(
+    "ml_scaling_curve",
+    oracle=f"""
+        WITH base AS (
+            SELECT l_orderkey % {LC_BUCKETS} AS b,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        parts AS (
+            SELECT b, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                   SUM(y * y) AS syy
+            FROM base GROUP BY b
+        ),
+        train AS (
+            SELECT b AS frac_buckets,
+                   SUM(n)   OVER w AS n,
+                   SUM(sx)  OVER w AS sx,  SUM(sy)  OVER w AS sy,
+                   SUM(sxx) OVER w AS sxx, SUM(sxy) OVER w AS sxy,
+                   SUM(syy) OVER w AS syy
+            FROM parts WHERE b < {LC_BUCKETS - 1}
+            WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+        ),
+        hold AS (
+            SELECT CAST(n AS DOUBLE) AS hn, sx AS hsx, sy AS hsy,
+                   sxx AS hsxx, sxy AS hsxy, syy AS hsyy
+            FROM parts WHERE b = {LC_BUCKETS - 1}
+        ),
+        fit AS (
+            SELECT frac_buckets, n,
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * sx) / n AS icept,
+                   n AS tn, sx, sy, sxx, sxy, syy
+            FROM train WHERE frac_buckets IN (0, 2, 4, {LC_BUCKETS - 2})
+        )
+        SELECT CAST(frac_buckets + 1 AS BIGINT) AS train_buckets,
+               CAST(tn AS BIGINT) AS n_train,
+               ROUND(slope / 100, 6) AS slope,
+               ROUND(icept / 100, 4) AS intercept,
+               ROUND(POWER(CAST(tn AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy, 2)
+                     / ((CAST(tn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(tn AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS train_r2,
+               ROUND((hsyy / hn - 2 * icept * hsy / hn - 2 * slope * hsxy / hn
+                      + icept * icept + 2 * icept * slope * hsx / hn
+                      + slope * slope * hsxx / hn) / 10000, 4)
+                   AS test_mse
+        FROM fit, hold
+        ORDER BY train_buckets
+    """,
+    tags=("ml", "regression", "learning-curve", "closed-form", "window"),
+)
+def ml_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve / data-scaling law from ONE pass: price ~
+    quantity is fit on nested training fractions (hash buckets 0..k
+    for k ∈ {0,2,4,8}; bucket 9 is the fixed holdout) and each fit's
+    held-out MSE is evaluated WITHOUT touching rows again — per-bucket
+    integer moment partials cumulate over the 9-row bucket frame, the
+    per-fraction slope/intercept/R² are closed-form algebra over the
+    cumulative moments, and the holdout MSE expands algebraically as
+    E[(y−a−bx)²] = m_yy − 2a·m_y − 2b·m_xy + a² + 2ab·m_x + b²·m_xx
+    over the holdout's own moment row.
+
+    This is how data-scaling studies ("is more training data still
+    buying accuracy?") must run at 100 TB: ONE map-side-combined
+    groupBy produces 10 moment rows; every nested subset, every fit,
+    and every evaluation is derived from those — never one scan per
+    fraction. Exact integer sums (quantity, cents) make the algebra
+    bit-identical cross-engine.
+
+    Reference analog: the fixed single train/test split of
+    /root/reference/src/voice_classifier.py:208-231, upgraded to the
+    sample-efficiency curve.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") % LC_BUCKETS).alias("b"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    ydec = F.col("y").cast("decimal(19,0)")
+    parts = base.groupBy("b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        # y is cents (~1e7): sum of y^2 exceeds int64 at sf>=0.1, so the
+        # squared-cents moment rides a wide decimal (DuckDB: HUGEINT)
+        F.sum(ydec * ydec).alias("syy"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    train = parts.where(F.col("b") < LC_BUCKETS - 1).select(
+        F.col("b").alias("frac_buckets"),
+        *[
+            F.sum(c).over(w).alias(c)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ],
+    )
+    hold = parts.where(F.col("b") == LC_BUCKETS - 1).select(
+        F.col("n").cast("double").alias("hn"),
+        F.col("sx").alias("hsx"),
+        F.col("sy").alias("hsy"),
+        F.col("sxx").alias("hsxx"),
+        F.col("sxy").alias("hsxy"),
+        F.col("syy").cast("double").alias("hsyy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    icept = (syd - slope * F.col("sx")) / F.col("n")
+    r2 = F.pow(nd * F.col("sxy") - sxd * F.col("sy"), 2) / (
+        (nd * F.col("sxx") - sxd * F.col("sx"))
+        * (nd * F.col("syy").cast("double") - syd * F.col("sy"))
+    )
+    fit = train.where(
+        F.col("frac_buckets").isin(0, 2, 4, LC_BUCKETS - 2)
+    ).select(
+        (F.col("frac_buckets") + 1).cast("bigint").alias("train_buckets"),
+        F.col("n").cast("bigint").alias("n_train"),
+        slope.alias("slope_raw"),
+        icept.alias("icept_raw"),
+        r2.alias("r2_raw"),
+    )
+    hn = F.col("hn")
+    mse = (
+        F.col("hsyy") / hn
+        - 2 * F.col("icept_raw") * F.col("hsy") / hn
+        - 2 * F.col("slope_raw") * F.col("hsxy") / hn
+        + F.col("icept_raw") * F.col("icept_raw")
+        + 2 * F.col("icept_raw") * F.col("slope_raw") * F.col("hsx") / hn
+        + F.col("slope_raw") * F.col("slope_raw") * F.col("hsxx") / hn
+    )
+    return (
+        fit.crossJoin(F.broadcast(hold))
+        .select(
+            "train_buckets",
+            "n_train",
+            F.round(F.col("slope_raw") / 100, 6).alias("slope"),
+            F.round(F.col("icept_raw") / 100, 4).alias("intercept"),
+            F.round(F.col("r2_raw"), 6).alias("train_r2"),
+            F.round(mse / 10000, 4).alias("test_mse"),
+        )
+        .orderBy("train_buckets")
+    )

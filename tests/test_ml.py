@@ -509,3 +509,36 @@ def test_ridge_path_matches_numpy_and_shrinks(spark, sf_dir):
         assert abs(rows[lam].coef_l2 - np.hypot(*bs)) < 1e-5
     norms = [rows[lam].coef_l2 for lam in sorted(RIDGE_LAMBDAS)]
     assert norms == sorted(norms, reverse=True)
+
+
+def test_scaling_curve_matches_numpy_fits(spark, sf_dir):
+    """Each fraction's slope/intercept/R²/holdout-MSE must equal a
+    numpy lstsq fit on the same nested subsets."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        LC_BUCKETS,
+        ml_scaling_curve,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    b = (pdf["l_orderkey"] % LC_BUCKETS).to_numpy()
+    x = pdf["l_quantity"].to_numpy(dtype=float)
+    y = pdf["l_extendedprice"].to_numpy(dtype=float)
+    hold = b == LC_BUCKETS - 1
+
+    rows = {r.train_buckets: r for r in ml_scaling_curve(spark, sf_dir).collect()}
+    assert set(rows) == {1, 3, 5, LC_BUCKETS - 1}
+    for k, r in rows.items():
+        m = b < k
+        A = np.column_stack([np.ones(m.sum()), x[m]])
+        beta, *_ = np.linalg.lstsq(A, y[m], rcond=None)
+        assert r.n_train == int(m.sum())
+        assert abs(r.slope - beta[1]) < 1e-2
+        assert abs(r.intercept - beta[0]) < 1.0
+        pred = beta[0] + beta[1] * x[hold]
+        mse = ((y[hold] - pred) ** 2).mean()
+        assert abs(r.test_mse - mse) / mse < 1e-4
+        corr = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(r.train_r2 - corr**2) < 1e-4
