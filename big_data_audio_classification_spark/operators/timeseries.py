@@ -1279,3 +1279,110 @@ def timeseries_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_no")
     )
+
+
+# --- Hampel filter (rolling median ± k·MAD outlier detection) ----------
+
+HAMPEL_K = 3.0
+MAD_CONSISTENCY = 1.4826  # gaussian consistency constant
+
+
+@query(
+    "window_hampel_filter",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        rn AS (
+            SELECT d, c, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+        ),
+        pairs AS (
+            SELECT a.d, a.c AS c0, b.c AS c
+            FROM rn a JOIN rn b ON b.rn BETWEEN a.rn - 3 AND a.rn + 3
+        ),
+        medt AS (
+            SELECT d, MIN(c0) AS c0, MEDIAN(c) AS med
+            FROM pairs GROUP BY d HAVING COUNT(*) = 7
+        ),
+        madt AS (
+            SELECT p.d, m.c0, m.med,
+                   MEDIAN(ABS(p.c - m.med)) AS mad
+            FROM pairs p JOIN medt m USING (d)
+            GROUP BY p.d, m.c0, m.med
+        )
+        SELECT CAST(d AS VARCHAR) AS d,
+               ROUND(c0 / 100.0, 2) AS rev,
+               ROUND(med / 100.0, 2) AS med7,
+               ROUND(mad / 100.0, 2) AS mad7,
+               ROUND((c0 - med) / ({MAD_CONSISTENCY!r} * mad), 4)
+                   AS hampel_z
+        FROM madt
+        WHERE mad > 0
+          AND ABS(c0 - med) > {HAMPEL_K!r} * {MAD_CONSISTENCY!r} * mad
+        ORDER BY d
+    """,
+    tags=("timeseries", "window", "robust", "median", "anomaly"),
+)
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter on daily revenue: a day is anomalous when
+    it sits more than 3 robust sigmas (1.4826·MAD) from its centered
+    7-day rolling MEDIAN — the robust alternative to the EWMA /
+    z-score detectors (events_ewma_deviation, stats_mad_outliers):
+    neither the location nor the scale estimate can be dragged by the
+    outlier being tested.
+
+    Exactness: the series is integer day-cents, the window is a full
+    7-row frame, and both the median and the MAD are exact middle
+    ELEMENT picks of sorted 7-arrays (Spark: the sorted-frame-array
+    idiom of window_rolling_median, applied twice — once to the frame,
+    once to its absolute deviations) — every comparison against the
+    k·1.4826·MAD fence is identical double algebra on exact integers
+    in both engines. The oracle reconstructs the same frames by a
+    bounded spine self-join (±3 rows) and DuckDB's discrete MEDIAN.
+
+    The only window runs over the calendar-bounded day spine; at
+    100 TB the per-day collapse is the single fact-sized aggregation
+    (the spine is thousands of rows regardless of fact size).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    arr = F.array_sort(F.collect_list("c").over(w7))
+    framed = daily.select(
+        "d", "c", arr.alias("arr")
+    ).where(F.size("arr") == 7)
+    med = F.element_at(F.col("arr"), 4)
+    devs = F.array_sort(
+        F.transform(F.col("arr"), lambda x: F.abs(x - med))
+    )
+    mad = F.element_at(devs, 4)
+    scored = framed.select(
+        "d",
+        "c",
+        med.alias("med"),
+        mad.alias("mad"),
+    )
+    fence = HAMPEL_K * MAD_CONSISTENCY * F.col("mad")
+    return (
+        scored.where(
+            (F.col("mad") > 0) & (F.abs(F.col("c") - F.col("med")) > fence)
+        )
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.round(F.col("c") / 100.0, 2).alias("rev"),
+            F.round(F.col("med") / 100.0, 2).alias("med7"),
+            F.round(F.col("mad") / 100.0, 2).alias("mad7"),
+            F.round(
+                (F.col("c") - F.col("med")) / (MAD_CONSISTENCY * F.col("mad")),
+                4,
+            ).alias("hampel_z"),
+        )
+        .orderBy("d")
+    )

@@ -429,3 +429,38 @@ def test_paa_sax_matches_pandas_replay(spark, sf_dir):
         nds, z, sym = expected[r.seg_no]
         assert (r.n_days_seg, r.symbol) == (nds, sym)
         assert abs(r.z - z) < 2e-6
+
+
+def test_hampel_filter_matches_pandas_replay(spark, sf_dir):
+    """Flagged days must equal a pandas rolling-median/MAD replay."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.timeseries import (
+        HAMPEL_K,
+        MAD_CONSISTENCY,
+        window_hampel_filter,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        cents.groupby(pd.to_datetime(pdf["o_orderdate"]).dt.normalize())
+        .sum()
+        .sort_index()
+    )
+    vals = daily.to_numpy()
+    flags = {}
+    for i in range(3, len(vals) - 3):
+        fr = np.sort(vals[i - 3 : i + 4])
+        m = fr[3]
+        md = np.sort(np.abs(fr - m))[3]
+        if md > 0 and abs(vals[i] - m) > HAMPEL_K * MAD_CONSISTENCY * md:
+            flags[daily.index[i].strftime("%Y-%m-%d")] = round(
+                (vals[i] - m) / (MAD_CONSISTENCY * md), 4
+            )
+
+    rows = window_hampel_filter(spark, sf_dir).collect()
+    assert {r.d for r in rows} == set(flags)
+    for r in rows:
+        assert abs(r.hampel_z - flags[r.d]) < 1e-9
