@@ -931,3 +931,100 @@ def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(at_risk * 1.0 / F.sum("n_rows"), 4).alias("risk_ratio"),
         F.min("l_div").cast("bigint").alias("l_diversity"),
     )
+
+
+# --- Hamilton (largest-remainder) sampling apportionment ----------------
+
+QUOTA_BUDGET = 1000  # documents to sample across sources
+
+
+@query(
+    "curation_sampling_quota",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(chars) AS tc FROM per_source),
+        seats AS (
+            SELECT source, n_docs, chars,
+                   ({QUOTA_BUDGET} * chars) // t.tc AS floor_quota,
+                   ({QUOTA_BUDGET} * chars) % t.tc AS rem
+            FROM per_source CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT source, n_docs, chars, floor_quota,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+                   {QUOTA_BUDGET} - SUM(floor_quota) OVER () AS leftover
+            FROM seats
+        )
+        SELECT source, n_docs, chars,
+               CAST(floor_quota
+                    + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS quota
+        FROM ranked ORDER BY source
+    """,
+    tags=("curation", "sampling", "apportionment", "documents"),
+)
+def curation_sampling_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton / largest-remainder apportionment of a fixed sampling
+    budget (1000 docs) across sources, proportional to character mass:
+    each source gets floor(budget·w) seats, and the leftover seats go
+    to the largest fractional remainders (source name as tiebreak).
+    The integer quotas sum EXACTLY to the budget — which is the whole
+    point over naive round(budget·w), whose total drifts by ±k.
+
+    Exactness: remainders are compared as INTEGER modulos
+    (budget·chars mod total) — never as floating fractions — so the
+    ranking is bit-identical cross-engine with no epsilon. Shape: one
+    map-side-combined source aggregate (bounded output), a broadcast
+    total, and windows over the tiny source frame. Downstream, each
+    source's quota drives a deterministic hash-rank sample
+    (curation_sample_per_source), giving an end-to-end budgeted
+    stratified sampler.
+
+    Complements curation_source_mix_weights (continuous weights) with
+    the integer-seat allocation a fixed-size training-mix actually
+    needs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = per_source.agg(F.sum("chars").alias("tc"))
+    seats = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        # SQL DIV = exact integer division (Spark's `/` is double math,
+        # whose rounding could differ from DuckDB's BIGINT `//`)
+        F.expr(f"({QUOTA_BUDGET} * chars) DIV tc").alias("floor_quota"),
+        ((F.lit(QUOTA_BUDGET) * F.col("chars")) % F.col("tc")).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "source")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = seats.select(
+        "source",
+        "n_docs",
+        "chars",
+        "floor_quota",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(QUOTA_BUDGET) - F.sum("floor_quota").over(w_all)).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "chars",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    ).orderBy("source")

@@ -1368,3 +1368,101 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("rank_x", "rank_y"), 6).alias("spearman_rho"),
         F.round(F.corr("x", "y"), 6).alias("pearson_r"),
     )
+
+
+# --- Hodges-Lehmann robust location estimator ---------------------------
+
+
+@query(
+    "stats_hodges_lehmann",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        walsh AS (
+            SELECT a.c + b.c AS w2
+            FROM daily a JOIN daily b ON a.d <= b.d
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM walsh),
+        mid AS (
+            SELECT w2, ROW_NUMBER() OVER (ORDER BY w2) AS rk FROM walsh
+        ),
+        hl AS (
+            SELECT AVG(CAST(w2 AS DOUBLE)) / 2 AS hl_cents
+            FROM mid, n
+            WHERE rk IN ((np + 1) // 2, (np + 2) // 2)
+        ),
+        plain AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   SUM(c) / 100.0 / COUNT(*) AS mean_rev,
+                   MEDIAN(c) / 100.0 AS median_rev
+            FROM daily
+        )
+        SELECT p.n_days, n.np AS n_pairs,
+               ROUND(h.hl_cents / 100, 4) AS hl_estimate,
+               ROUND(p.mean_rev, 4) AS mean_rev,
+               ROUND(p.median_rev, 4) AS median_rev
+        FROM hl h, plain p, n
+    """,
+    tags=("stats", "robust", "location", "orders", "window"),
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimate of daily revenue: the median
+    of all Walsh averages (xᵢ+xⱼ)/2 over day pairs i ≤ j — the point
+    estimator dual to the Wilcoxon signed-rank test, ~95% as efficient
+    as the mean at the Gaussian yet 0%-breakdown-free of the median's
+    discreteness. Reported beside the plain mean and median.
+
+    Exactness: Walsh sums stay INTEGER cents (never divided until the
+    end), the middle ranks are exact element picks of the sorted pair
+    multiset (value-at-rank is well-defined under ties regardless of
+    tie order), and the even-count case averages two integers. The
+    pair join runs on the calendar-bounded day spine — the same
+    bounded-quadratic contract as stats_mann_kendall_trend (≈3M pairs
+    at a 7-year span, INDEPENDENT of fact size; the fact table itself
+    collapses to the spine in one aggregation). At larger spines the
+    two-phase bucketed rank idiom (stats_spearman_corr) replaces the
+    global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    walsh = a.join(b, F.col("da") <= F.col("db")).select(
+        (F.col("ca") + F.col("cb")).alias("w2")
+    )
+    n = walsh.agg(F.count("*").cast("bigint").alias("np"))
+    mid = walsh.select(
+        "w2", F.row_number().over(Window.orderBy("w2")).alias("rk")
+    )
+    hl = (
+        mid.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("rk") == F.expr("(np + 1) DIV 2"))
+            | (F.col("rk") == F.expr("(np + 2) DIV 2"))
+        )
+        .agg((F.avg(F.col("w2").cast("double")) / 2).alias("hl_cents"))
+    )
+    plain = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (F.sum("c") / 100.0 / F.count("*")).alias("mean_rev"),
+        (F.expr("median(c)") / 100.0).alias("median_rev"),
+    )
+    return (
+        hl.crossJoin(F.broadcast(plain))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_days",
+            F.col("np").alias("n_pairs"),
+            F.round(F.col("hl_cents") / 100, 4).alias("hl_estimate"),
+            F.round(F.col("mean_rev"), 4).alias("mean_rev"),
+            F.round(F.col("median_rev"), 4).alias("median_rev"),
+        )
+    )

@@ -462,3 +462,33 @@ def test_k_anonymity_pandas_replica(spark, sf_dir):
     assert r.rows_at_risk == int(g.loc[g["n"] < K_ANON_K, "n"].sum())
     assert r.l_diversity == int(g["l"].min())
     assert 0.0 <= r.risk_ratio <= 1.0
+
+
+def test_sampling_quota_sums_to_budget_and_matches_hamilton(spark, sf_dir):
+    """Quotas must sum exactly to the budget and equal a fraction-based
+    Hamilton replay."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.curation import (
+        QUOTA_BUDGET,
+        curation_sampling_quota,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    chars = docs.groupby("source")["n_chars"].sum()
+    total = chars.sum()
+    floor_q = (QUOTA_BUDGET * chars) // total
+    rem = (QUOTA_BUDGET * chars) % total
+    leftover = QUOTA_BUDGET - floor_q.sum()
+    order = sorted(chars.index, key=lambda s: (-rem[s], s))
+    quota = {
+        s: int(floor_q[s]) + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+
+    rows = curation_sampling_quota(spark, sf_dir).collect()
+    assert sum(r.quota for r in rows) == QUOTA_BUDGET
+    for r in rows:
+        assert r.quota == quota[r.source]
+        # quota never deviates from exact proportionality by >= 1 seat
+        assert abs(r.quota - QUOTA_BUDGET * chars[r.source] / total) < 1

@@ -380,3 +380,29 @@ def test_bucketed_avg_ranks_partition_identity(spark, sf_dir):
     assert total == n * (n + 1) / 2
     rs = [row["r"] for row in joined]
     assert all(b > a for a, b in zip(rs, rs[1:]))
+
+
+def test_hodges_lehmann_matches_numpy_walsh_replay(spark, sf_dir):
+    """HL must equal the numpy median of all Walsh averages and sit
+    between min and max daily revenue."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.stats import (
+        stats_hodges_lehmann,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    daily = cents.groupby(
+        pd.to_datetime(pdf["o_orderdate"]).dt.normalize()
+    ).sum().to_numpy()
+    n = len(daily)
+    walsh = (daily[:, None] + daily[None, :])[np.triu_indices(n)] / 2.0
+    hl = np.median(walsh) / 100.0
+
+    r = stats_hodges_lehmann(spark, sf_dir).collect()[0]
+    assert r.n_days == n
+    assert r.n_pairs == n * (n + 1) // 2
+    assert abs(r.hl_estimate - hl) < 1e-6
+    assert daily.min() / 100.0 <= r.hl_estimate <= daily.max() / 100.0
