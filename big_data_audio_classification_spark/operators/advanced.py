@@ -699,3 +699,45 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey long, n_name string, n_regionkey long")
         .load(path)
     )
+
+
+@query(
+    "sink_parquet_schema_evolution",
+    oracle="""
+        SELECT 1 AS b, n_nationkey, n_name,
+               CAST(NULL AS BIGINT) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT 2 AS b, n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("sink", "parquet", "schema-evolution"),
+)
+def sink_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: batch 1 lands the nation dim WITHOUT
+    ``n_regionkey``; batch 2 lands it with the new column; the scan
+    reads both generations in one pass with ``mergeSchema`` — old rows
+    surface the added column as NULL, and partition discovery recovers
+    the batch id from the directory layout.
+
+    This is the append-only table-evolution contract a 100 TB lake
+    lives by: adding a column must not rewrite history. mergeSchema
+    reconciles footers at planning time (per-file schemas union by
+    name); the per-file column absence becomes a constant-NULL vector
+    at scan, costing nothing at read. The oracle states the expected
+    union algebraically.
+    """
+    path = os.path.join(_SCRATCH, "sink_schema_evolution")
+    n = load_table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        os.path.join(path, "b=1")
+    )
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "b=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select(
+        F.col("b").cast("bigint").alias("b"),
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )

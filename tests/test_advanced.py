@@ -257,3 +257,23 @@ def test_kmv_matches_numpy_bottomk_and_merges(spark, sf_dir):
     ]
     merged = sorted(set(part[0]) | set(part[1]))[:KMV_K]
     assert merged == bottom
+
+
+def test_schema_evolution_nulls_only_old_generation(spark, sf_dir):
+    """Every batch-1 row must carry NULL n_regionkey; every batch-2 row
+    must match the dimension exactly."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.advanced import (
+        sink_parquet_schema_evolution,
+    )
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    rows = sink_parquet_schema_evolution(spark, sf_dir).collect()
+    assert len(rows) == 2 * len(nat)
+    region_of = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    for r in rows:
+        if r.b == 1:
+            assert r.n_regionkey is None
+        else:
+            assert r.n_regionkey == region_of[r.n_nationkey]
