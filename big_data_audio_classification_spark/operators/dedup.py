@@ -1120,3 +1120,126 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_WMH_K)
     ]
     return hv.groupBy("doc_id").agg(*mins)
+
+
+# --- Asymmetric containment join (inclusion detection) ------------------
+
+CONT_SHINGLE = 5       # 5-word shingles
+CONT_DF_CAP = 20       # drop shingles appearing in more docs (fan-out bound)
+CONT_THRESHOLD = 0.5   # max-direction containment to report
+
+
+@query(
+    "dedup_containment_join",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   {_SQL_SHINGLE_HASH60.replace("gram",
+                       "array_to_string(toks[i:i+4], ' ')")} AS h
+            FROM docs,
+                 UNNEST(generate_series(1, len(toks) - {CONT_SHINGLE - 1}))
+                     AS t(i)
+        ),
+        kept AS (
+            SELECT doc_id, h FROM (
+                SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df
+                FROM sh
+            ) WHERE df <= {CONT_DF_CAP}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_common,
+               ROUND(n_common * 1.0 / sa.sz, 6) AS c_ab,
+               ROUND(n_common * 1.0 / sb.sz, 6) AS c_ba
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE GREATEST(n_common * 1.0 / sa.sz, n_common * 1.0 / sb.sz)
+              >= {CONT_THRESHOLD!r}
+    """,
+    tags=("dedup", "containment", "documents", "join"),
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join: pairs where one document's 5-word
+    shingle profile is ≥50% contained in the other's — the inclusion
+    detector (quotes, boilerplate wrappers, partial crawls) that
+    symmetric Jaccard structurally under-scores: a 100-shingle doc
+    fully embedded in a 10,000-shingle doc has Jaccard ≈ 0.01 but
+    containment 1.0. Both directions are reported.
+
+    Scale shape (the exact-set-similarity discipline of
+    dedup_prefix_filter_join): shingle TEXT never shuffles — docs
+    reduce to distinct 60-bit shingle hashes map-side; a document-
+    frequency cap (window over the shingle key) drops promiscuous
+    shingles so the token-join fan-out per shingle is ≤ cap² pairs;
+    the pair intersection is ONE equi-join + count; profile sizes
+    attach by two doc-keyed joins. All integer counts — the
+    containment ratios divide exact integers, and the 0.5 gate
+    compares identical doubles on both engines. Containment is defined
+    over the CAPPED profile (stated identically in the oracle), the
+    standard production semantics since uncapped high-df shingles add
+    no discriminative mass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (CONT_SHINGLE - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + k) for k in range(CONT_SHINGLE)],
+            ),
+        )
+    )
+    sh = (
+        d.select("doc_id", grams.alias("grams"))
+        .where(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.col("grams"), lambda g: shingle_hash60(g))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    df_w = Window.partitionBy("h")
+    kept = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .where(F.col("df") <= CONT_DF_CAP)
+        .select("doc_id", "h")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "h")
+    b = kept.select(F.col("doc_id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    c_ab = F.col("n_common") * 1.0 / F.col("sza")
+    c_ba = F.col("n_common") * 1.0 / F.col("szb")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.greatest(c_ab, c_ba) >= CONT_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(c_ab, 6).alias("c_ab"),
+            F.round(c_ba, 6).alias("c_ba"),
+        )
+    )

@@ -118,3 +118,64 @@ def test_recursive_month_rollup_dense_axis(spark, sf_dir):
     assert [r.mth for r in rows] == list(range(1, 13))
     total_orders = sum(r.n_orders for r in rows)
     assert total_orders == load_table(spark, sf_dir, "orders").count()
+
+
+def test_containment_join_matches_python_replay(spark, sf_dir):
+    """Pairs and both containment directions must equal a pure-python
+    shingle replay, and containment must dominate Jaccard."""
+    import hashlib
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.dedup import (
+        CONT_DF_CAP,
+        CONT_SHINGLE,
+        CONT_THRESHOLD,
+        dedup_containment_join,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    prof = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in text.split(" ") if t]
+        hs = {
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + CONT_SHINGLE]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - CONT_SHINGLE + 1)
+        }
+        if hs:
+            prof[doc_id] = hs
+    df = {}
+    for hs in prof.values():
+        for h in hs:
+            df[h] = df.get(h, 0) + 1
+    kept = {d: {h for h in hs if df[h] <= CONT_DF_CAP} for d, hs in prof.items()}
+
+    expected = {}
+    ids = sorted(kept)
+    by_h = {}
+    for d in ids:
+        for h in kept[d]:
+            by_h.setdefault(h, []).append(d)
+    cand = {
+        (a, b)
+        for lst in by_h.values()
+        for i, a in enumerate(lst)
+        for b in lst[i + 1:]
+    }
+    for a, b in cand:
+        inter = len(kept[a] & kept[b])
+        cab, cba = inter / len(kept[a]), inter / len(kept[b])
+        if max(cab, cba) >= CONT_THRESHOLD:
+            expected[(a, b)] = (inter, round(cab, 6), round(cba, 6))
+
+    rows = dedup_containment_join(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b): (r.n_common, r.c_ab, r.c_ba) for r in rows}
+    assert got == expected
+    for (a, b), (inter, cab, cba) in expected.items():
+        jac = inter / len(kept[a] | kept[b])
+        assert max(cab, cba) >= jac  # containment dominates Jaccard
