@@ -29,6 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from big_data_audio_classification_spark.constants import Z95_TWO_SIDED
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
 
@@ -1465,4 +1466,142 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mean_rev"), 4).alias("mean_rev"),
             F.round(F.col("median_rev"), 4).alias("median_rev"),
         )
+    )
+
+
+# --- Wilcoxon signed-rank test (paired) ---------------------------------
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CASE WHEN o_custkey % 2 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS x,
+                   SUM(CASE WHEN o_custkey % 2 = 1
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS y
+            FROM orders GROUP BY 1
+        ),
+        diffs AS (
+            SELECT x - y AS dv, ABS(x - y) AS av
+            FROM daily WHERE x - y <> 0
+        ),
+        grp AS (
+            SELECT av, CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+            FROM diffs GROUP BY av
+        ),
+        ranked AS (
+            SELECT av, t, pos,
+                   COALESCE(SUM(t) OVER (ORDER BY av
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before
+            FROM grp
+        ),
+        agg AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n,
+                   SUM(pos * (before + (t + 1) / 2.0)) AS w_plus,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+            FROM ranked
+        ),
+        calc AS (
+            SELECT n, w_plus,
+                   n * (n + 1) / 4.0 AS mu,
+                   SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0
+                        - tie_term / 48.0) AS sigma
+            FROM agg
+        )
+        SELECT n AS n_pairs,
+               ROUND(w_plus, 2) AS w_plus,
+               ROUND(mu, 2) AS mu,
+               ROUND(sigma, 4) AS sigma,
+               ROUND(CASE WHEN w_plus > mu THEN (w_plus - mu - 0.5) / sigma
+                          WHEN w_plus < mu THEN (w_plus - mu + 0.5) / sigma
+                          ELSE 0.0 END, 4) AS z,
+               CAST(ABS(CASE WHEN w_plus > mu
+                             THEN (w_plus - mu - 0.5) / sigma
+                             WHEN w_plus < mu
+                             THEN (w_plus - mu + 0.5) / sigma
+                             ELSE 0.0 END) > 1.959963985 AS BOOLEAN)
+                   AS reject_h0
+        FROM calc
+    """,
+    tags=("stats", "hypothesis-test", "robust", "paired", "orders"),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED companion to
+    stats_mann_whitney_u (and the test whose point estimate is
+    stats_hodges_lehmann): does the even-custkey half of each day's
+    revenue differ from the odd-custkey half? Zero differences drop,
+    |d| gets tie-averaged ranks, W⁺ sums the positive-difference
+    ranks; the normal approximation uses the tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48 and a continuity-corrected z against
+    the fixed ±1.959963985 gate.
+
+    Rank construction follows the house two-phase idiom: differences
+    are exact integer cents, the per-|d| aggregate carries (count,
+    positives), the running-sum window over the DISTINCT-|d| frame
+    yields each group's average rank as before + (t+1)/2 — no per-row
+    ranking, no global row sort; every sum the z consumes is an exact
+    integer or an exact half. Windows run over the calendar-bounded
+    day spine only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("o_custkey") % 2 == 0, cents).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("o_custkey") % 2 == 1, cents).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    diffs = daily.select(
+        (F.col("x") - F.col("y")).alias("dv"),
+        F.abs(F.col("x") - F.col("y")).alias("av"),
+    ).where(F.col("dv") != 0)
+    grp = diffs.groupBy("av").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("dv") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w_before = Window.orderBy("av").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = grp.select(
+        "t",
+        "pos",
+        F.coalesce(F.sum("t").over(w_before), F.lit(0)).alias("before"),
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("pos") * (F.col("before") + (F.col("t") + 1) / 2.0)
+        ).alias("w_plus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    n, wp = F.col("n"), F.col("w_plus")
+    mu = n * (n + 1) / 4.0
+    sigma = F.sqrt(
+        n * (n + 1.0) * (2 * n + 1) / 24.0 - F.col("tie_term") / 48.0
+    )
+    z = (
+        F.when(wp > mu, (wp - mu - 0.5) / sigma)
+        .when(wp < mu, (wp - mu + 0.5) / sigma)
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        n.alias("n_pairs"),
+        F.round(wp, 2).alias("w_plus"),
+        F.round(mu, 2).alias("mu"),
+        F.round(sigma, 4).alias("sigma"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > Z95_TWO_SIDED).alias("reject_h0"),
     )

@@ -406,3 +406,37 @@ def test_hodges_lehmann_matches_numpy_walsh_replay(spark, sf_dir):
     assert r.n_pairs == n * (n + 1) // 2
     assert abs(r.hl_estimate - hl) < 1e-6
     assert daily.min() / 100.0 <= r.hl_estimate <= daily.max() / 100.0
+
+
+def test_wilcoxon_signed_rank_matches_numpy_replay(spark, sf_dir):
+    """W+, sigma, and z must equal a numpy tie-averaged-rank replay."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.stats import (
+        stats_wilcoxon_signed_rank,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    day = pd.to_datetime(pdf["o_orderdate"]).dt.normalize()
+    even = cents.where(pdf["o_custkey"] % 2 == 0, 0).groupby(day).sum()
+    odd = cents.where(pdf["o_custkey"] % 2 == 1, 0).groupby(day).sum()
+    d = (even - odd).to_numpy()
+    d = d[d != 0]
+    av = np.abs(d)
+    order = np.sort(av)
+    # tie-averaged ranks
+    ranks = pd.Series(av).rank(method="average").to_numpy()
+    w_plus = ranks[d > 0].sum()
+    n = len(d)
+    mu = n * (n + 1) / 4
+    _, t = np.unique(av, return_counts=True)
+    sigma = np.sqrt(n * (n + 1) * (2 * n + 1) / 24 - ((t**3 - t).sum()) / 48)
+    z = (w_plus - mu - 0.5 * np.sign(w_plus - mu)) / sigma if w_plus != mu else 0.0
+
+    r = stats_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert r.n_pairs == n
+    assert abs(r.w_plus - w_plus) < 1e-6
+    assert abs(r.sigma - sigma) < 1e-3
+    assert abs(r.z - z) < 1e-3
