@@ -1136,3 +1136,122 @@ def ml_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_buckets")
     )
+
+
+# --- Drop-column feature importance from shared moments -----------------
+
+
+@query(
+    "ml_drop_column_importance",
+    oracle="""
+        WITH s AS (
+            SELECT covar_pop(l_quantity, l_extendedprice)
+                       / SQRT(var_pop(l_quantity)
+                              * var_pop(l_extendedprice)) AS r1y,
+                   covar_pop(l_discount, l_extendedprice)
+                       / SQRT(var_pop(l_discount)
+                              * var_pop(l_extendedprice)) AS r2y,
+                   covar_pop(l_quantity, l_discount)
+                       / SQRT(var_pop(l_quantity)
+                              * var_pop(l_discount)) AS r12,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+        ),
+        full_fit AS (
+            SELECT n, r1y, r2y, r12,
+                   ((r1y - r12 * r2y) * r1y + (r2y - r12 * r1y) * r2y)
+                       / (1 - r12 * r12) AS r2_full
+            FROM s
+        ),
+        feats AS (
+            SELECT 'quantity' AS feature, n, r2_full,
+                   r2y * r2y AS r2_without,
+                   (r1y - r12 * r2y)
+                       / SQRT((1 - r12 * r12) * (1 - r2y * r2y))
+                       AS partial_corr
+            FROM full_fit
+            UNION ALL
+            SELECT 'discount', n, r2_full,
+                   r1y * r1y,
+                   (r2y - r12 * r1y)
+                       / SQRT((1 - r12 * r12) * (1 - r1y * r1y))
+            FROM full_fit
+        )
+        SELECT feature, n,
+               ROUND(r2_full, 6) AS r2_full,
+               ROUND(r2_without, 6) AS r2_without,
+               ROUND(r2_full - r2_without, 6) AS delta_r2,
+               ROUND(partial_corr, 6) AS partial_corr
+        FROM feats ORDER BY feature
+    """,
+    tags=("ml", "feature-importance", "closed-form", "aggregate"),
+)
+def ml_drop_column_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-column feature importance for the two-feature OLS (price ~
+    quantity + discount) WITHOUT retraining: the full-model R², each
+    leave-one-feature-out R², their gap ΔR² (the importance), and the
+    partial correlation of each feature given the other — all closed
+    algebra over the SAME correlation moments ml_ols_normal_equations
+    already computes in one pass.
+
+    The production contrast: permutation/drop-column importance as
+    usually implemented retrains once per feature (p extra passes over
+    100 TB). For linear models the (p+1)-choose-2 correlation matrix
+    IS the sufficient statistic — every submodel's fit is a determinant
+    ratio over the one matrix. One scan, p·(p+1)/2 moments, zero
+    refits. Reference analog: the per-feature mutual-information
+    scoring loop of /root/reference/src/voice_classifier.py:150-153.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        (
+            F.covar_pop(x1, y) / F.sqrt(F.var_pop(x1) * F.var_pop(y))
+        ).alias("r1y"),
+        (
+            F.covar_pop(x2, y) / F.sqrt(F.var_pop(x2) * F.var_pop(y))
+        ).alias("r2y"),
+        (
+            F.covar_pop(x1, x2) / F.sqrt(F.var_pop(x1) * F.var_pop(x2))
+        ).alias("r12"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    r1y, r2y, r12 = F.col("r1y"), F.col("r2y"), F.col("r12")
+    r2_full = (
+        (r1y - r12 * r2y) * r1y + (r2y - r12 * r1y) * r2y
+    ) / (1 - r12 * r12)
+    full_fit = s.select("n", "r1y", "r2y", "r12", r2_full.alias("r2_full"))
+    q = full_fit.select(
+        F.lit("quantity").alias("feature"),
+        "n",
+        "r2_full",
+        (r2y * r2y).alias("r2_without"),
+        (
+            (r1y - r12 * r2y)
+            / F.sqrt((1 - r12 * r12) * (1 - r2y * r2y))
+        ).alias("partial_corr"),
+    )
+    d = full_fit.select(
+        F.lit("discount").alias("feature"),
+        "n",
+        "r2_full",
+        (r1y * r1y).alias("r2_without"),
+        (
+            (r2y - r12 * r1y)
+            / F.sqrt((1 - r12 * r12) * (1 - r1y * r1y))
+        ).alias("partial_corr"),
+    )
+    return (
+        q.unionAll(d)
+        .select(
+            "feature",
+            "n",
+            F.round(F.col("r2_full"), 6).alias("r2_full"),
+            F.round(F.col("r2_without"), 6).alias("r2_without"),
+            F.round(F.col("r2_full") - F.col("r2_without"), 6).alias(
+                "delta_r2"
+            ),
+            F.round(F.col("partial_corr"), 6).alias("partial_corr"),
+        )
+        .orderBy("feature")
+    )

@@ -542,3 +542,34 @@ def test_scaling_curve_matches_numpy_fits(spark, sf_dir):
         assert abs(r.test_mse - mse) / mse < 1e-4
         corr = np.corrcoef(x[m], y[m])[0, 1]
         assert abs(r.train_r2 - corr**2) < 1e-4
+
+
+def test_drop_column_importance_matches_numpy(spark, sf_dir):
+    """ΔR² and partial correlations must match numpy fits, and the two
+    importances must order the same as mutual predictive power."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        ml_drop_column_importance,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    X = pdf[["l_quantity", "l_discount"]].to_numpy(dtype=float)
+    y = pdf["l_extendedprice"].to_numpy(dtype=float)
+
+    def r2_of(cols):
+        A = np.column_stack([np.ones(len(y))] + [X[:, c] for c in cols])
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        resid = y - A @ beta
+        return 1 - resid.var() / y.var()
+
+    r2_full = r2_of([0, 1])
+    rows = {r.feature: r for r in ml_drop_column_importance(spark, sf_dir).collect()}
+    assert abs(rows["quantity"].r2_full - r2_full) < 1e-5
+    assert abs(rows["quantity"].r2_without - r2_of([1])) < 1e-5
+    assert abs(rows["discount"].r2_without - r2_of([0])) < 1e-5
+    for r in rows.values():
+        assert abs(r.delta_r2 - (r.r2_full - r.r2_without)) < 1e-5
+        assert r.delta_r2 >= -1e-9  # adding a feature never hurts R²
+        assert -1 <= r.partial_corr <= 1
