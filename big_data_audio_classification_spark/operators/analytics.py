@@ -1263,3 +1263,96 @@ def analytics_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gap_entropy", "user_id")
         .limit(_BOT_TOPK)
     )
+
+
+# --- Maximum drawdown of the daily revenue series ------------------------
+
+
+@query(
+    "analytics_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        runmax AS (
+            SELECT d, c,
+                   MAX(c) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS peak_c
+            FROM daily
+        ),
+        trough AS (
+            SELECT d AS trough_day, c AS trough_c, peak_c
+            FROM runmax
+            ORDER BY peak_c - c DESC, d LIMIT 1
+        )
+        SELECT CAST((SELECT MIN(r.d) FROM runmax r, trough t
+                     WHERE r.c = t.peak_c AND r.d <= t.trough_day)
+                    AS VARCHAR) AS peak_day,
+               CAST(trough_day AS VARCHAR) AS trough_day,
+               ROUND(peak_c / 100.0, 2) AS peak_rev,
+               ROUND(trough_c / 100.0, 2) AS trough_rev,
+               ROUND((peak_c - trough_c) / 100.0, 2) AS max_drawdown,
+               ROUND((peak_c - trough_c) * 100.0 / peak_c, 4) AS dd_pct
+        FROM trough
+    """,
+    tags=("analytics", "timeseries", "window", "orders"),
+)
+def analytics_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily revenue: the worst peak-to-trough
+    decline — running-maximum window over the day spine, the trough is
+    the argmax of (peak − value) with earliest-day tiebreak, and the
+    peak day is the first day that attained that running maximum. The
+    standard risk/health summary for any business or portfolio series
+    (complements events_cusum_changepoint, which localizes mean SHIFTS
+    rather than declines from highs).
+
+    Exactness: the series is integer day-cents, the running max and
+    the drawdown argmax are integer comparisons with a stated (dd
+    desc, day asc) total order, and the peak-day lookup matches an
+    exact integer. The windows run over the calendar-bounded spine;
+    the fact table contributes one map-side-combined aggregation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    runmax = daily.select(
+        "d", "c", F.max("c").over(w).alias("peak_c")
+    )
+    trough = (
+        runmax.orderBy((F.col("peak_c") - F.col("c")).desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("trough_day"),
+            F.col("c").alias("trough_c"),
+            "peak_c",
+        )
+    )
+    peak = (
+        runmax.join(F.broadcast(trough), ["peak_c"])
+        .where(
+            (F.col("c") == F.col("peak_c"))
+            & (F.col("d") <= F.col("trough_day"))
+        )
+        .groupBy("peak_c", "trough_day", "trough_c")
+        .agg(F.min("d").alias("peak_day"))
+    )
+    return peak.select(
+        F.col("peak_day").cast("string").alias("peak_day"),
+        F.col("trough_day").cast("string").alias("trough_day"),
+        F.round(F.col("peak_c") / 100.0, 2).alias("peak_rev"),
+        F.round(F.col("trough_c") / 100.0, 2).alias("trough_rev"),
+        F.round((F.col("peak_c") - F.col("trough_c")) / 100.0, 2).alias(
+            "max_drawdown"
+        ),
+        F.round(
+            (F.col("peak_c") - F.col("trough_c")) * 100.0 / F.col("peak_c"),
+            4,
+        ).alias("dd_pct"),
+    )

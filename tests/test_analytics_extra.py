@@ -208,3 +208,32 @@ def test_bot_regularity_matches_pandas_replay(spark, sf_dir):
         for r in analytics_bot_regularity(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_max_drawdown_matches_numpy_replay(spark, sf_dir):
+    """Peak/trough/drawdown must equal a numpy running-max replay."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.analytics import (
+        analytics_max_drawdown,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    daily = cents.groupby(
+        pd.to_datetime(pdf["o_orderdate"]).dt.normalize()
+    ).sum().sort_index()
+    vals = daily.to_numpy()
+    runmax = np.maximum.accumulate(vals)
+    dd = runmax - vals
+    ti = int(np.argmax(dd))  # argmax returns the FIRST max — same tiebreak
+    peak_c = runmax[ti]
+    pi = int(np.argmax(vals[: ti + 1] == peak_c))
+
+    r = analytics_max_drawdown(spark, sf_dir).collect()[0]
+    assert r.trough_day == daily.index[ti].strftime("%Y-%m-%d")
+    assert r.peak_day == daily.index[pi].strftime("%Y-%m-%d")
+    assert abs(r.max_drawdown - dd[ti] / 100.0) < 1e-6
+    assert r.peak_rev >= r.trough_rev
+    assert 0 <= r.dd_pct <= 100
