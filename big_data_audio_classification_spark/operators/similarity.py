@@ -1095,3 +1095,128 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         F.round(correct * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
     )
+
+
+# --- Farthest-point (k-center greedy) seed selection --------------------
+
+KCENTER_K = 6
+
+_SQL_L2SQ_SEED = """
+    list_sum(list_transform(list_zip(e.embedding, {seed}.embedding),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+"""
+
+
+def _kcenter_oracle_sql() -> str:
+    """KCENTER_K greedy farthest-point rounds unrolled as chained CTEs
+    (the pagerank-oracle idiom: SQL has no loop, a fixed iteration
+    count is just composition)."""
+    ctes = [
+        "s0 AS (SELECT vec_id, embedding, label FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+            SELECT e.vec_id, e.embedding, e.label,
+                   ROUND({_SQL_L2SQ_SEED.format(seed="s")}, 6) AS mind
+            FROM embeddings e CROSS JOIN s0 s
+        )""",
+    ]
+    for i in range(1, KCENTER_K):
+        ctes.append(
+            f"""s{i} AS (
+            SELECT vec_id, embedding, label, mind FROM d{i}
+            ORDER BY mind DESC, vec_id LIMIT 1
+        )"""
+        )
+        if i < KCENTER_K - 1:
+            ctes.append(
+                f"""d{i + 1} AS (
+            SELECT e.vec_id, e.embedding, e.label,
+                   LEAST(e.mind,
+                         ROUND({_SQL_L2SQ_SEED.format(seed="s")}, 6)) AS mind
+            FROM d{i} e CROSS JOIN s{i} s
+        )"""
+            )
+    selects = ["SELECT 0 AS seed_no, vec_id, label, 0.0 AS sep FROM s0"]
+    for i in range(1, KCENTER_K):
+        selects.append(
+            f"SELECT {i} AS seed_no, vec_id, label, mind AS sep FROM s{i}"
+        )
+    body = "\n            UNION ALL\n            ".join(selects)
+    cte_block = ",\n        ".join(ctes)
+    return f"""WITH {cte_block}
+        SELECT CAST(seed_no AS BIGINT) AS seed_no, vec_id,
+               CAST(label AS BIGINT) AS label,
+               ROUND(sep, 6) AS sep
+        FROM ({body}) ORDER BY seed_no
+    """
+
+
+@query(
+    "sim_kcenter_seeds",
+    oracle=_kcenter_oracle_sql(),
+    tags=("similarity", "embeddings", "clustering", "seeding"),
+)
+def sim_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (greedy k-center / Gonzalez) seed selection over
+    the embeddings: start from the lowest vec_id, then repeatedly take
+    the vector farthest (squared L2, 6-dp rounded, vec_id tiebreak)
+    from the current seed set. The deterministic cousin of k-means++ /
+    k-means|| initialization — the 2-approximation to the k-center
+    objective — and the standard way to pick diverse exemplars or IVF
+    coarse centroids without randomness.
+
+    Distributed shape per round: the newly chosen seed is a DRIVER-
+    SIDE literal (one collected row per round, k bounded by contract —
+    the same sanctioned-collect pattern as the CNN train set), so each
+    round is ONE map-side scan computing dist-to-new-seed fused with
+    LEAST(previous mind) and a TakeOrderedAndProject argmax — no
+    cross-join of the corpus against the seed set, no shuffle beyond
+    the top-1 reduction; k rounds = k linear scans. The oracle unrolls
+    the same greedy recursion as chained CTEs (the pagerank-oracle
+    idiom). `sep` records each seed's distance to the set when chosen
+    — a monotone non-increasing sequence (asserted in tests), which is
+    the k-center coverage-radius curve.
+    """
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("emb"), "label"
+    )
+    first = em.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(0, first.vec_id, first.label, 0.0)]
+    seed_emb = list(first.emb)
+
+    cur = em.select(
+        "vec_id",
+        "emb",
+        "label",
+        F.round(
+            l2_dist_sq(
+                F.col("emb"), F.array(*[F.lit(v) for v in seed_emb])
+            ),
+            6,
+        ).alias("mind"),
+    )
+    for i in range(1, KCENTER_K):
+        far = (
+            cur.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[0]
+        )
+        seeds.append((i, far.vec_id, far.label, float(far.mind)))
+        if i < KCENTER_K - 1:
+            lit = F.array(*[F.lit(v) for v in far.emb])
+            cur = cur.select(
+                "vec_id",
+                "emb",
+                "label",
+                F.least(
+                    F.col("mind"),
+                    F.round(l2_dist_sq(F.col("emb"), lit), 6),
+                ).alias("mind"),
+            )
+    return spark.createDataFrame(
+        seeds, "seed_no long, vec_id long, label long, sep double"
+    ).select(
+        "seed_no",
+        "vec_id",
+        "label",
+        F.round("sep", 6).alias("sep"),
+    ).orderBy("seed_no")

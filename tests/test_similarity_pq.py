@@ -132,3 +132,36 @@ def test_knn_classifier_matches_numpy_replay(spark, sf_dir):
     assert row.n_queries == len(Xq)
     assert row.n_correct == correct
     assert row.accuracy == round(correct / len(Xq), 4)
+
+
+def test_kcenter_seeds_match_numpy_greedy(spark, sf_dir):
+    """Seed sequence must equal the numpy greedy farthest-point
+    replay, and the coverage radius must be non-increasing."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.similarity import (
+        KCENTER_K,
+        sim_kcenter_seeds,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    seeds = [0]
+    mind = np.round(((X - X[0]) ** 2).sum(axis=1), 6)
+    seps = [0.0]
+    for _ in range(1, KCENTER_K):
+        # argmax with vec_id tiebreak = first occurrence of the max
+        j = int(np.argmax(mind))
+        seeds.append(j)
+        seps.append(float(mind[j]))
+        mind = np.minimum(mind, np.round(((X - X[j]) ** 2).sum(axis=1), 6))
+
+    rows = sim_kcenter_seeds(spark, sf_dir).collect()
+    assert [r.vec_id for r in rows] == [int(ids[j]) for j in seeds]
+    for r, sep in zip(rows, seps):
+        assert abs(r.sep - round(sep, 6)) < 1e-9
+    radii = [r.sep for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
