@@ -364,3 +364,71 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c").cast("double") / F.avg("c"), 4).alias("skew_ratio"),
         F.sum(F.col("c") * F.col("c")).alias("selfjoin_rows"),
     )
+
+
+@query(
+    "scale_cache_reuse",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem WHERE l_quantity > 30
+        )
+        SELECT 'flag:' || l_returnflag AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM base GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'status:' || l_linestatus,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(cents) AS BIGINT)
+        FROM base GROUP BY l_linestatus
+    """,
+    tags=("scale", "cache", "lineitem"),
+)
+def scale_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once / consume-twice: an expensive filtered
+    projection is ``persist()``-ed and feeds TWO independent rollups
+    (by return flag, by line status) that union into one result. The
+    second consumer reads the in-memory columnar cache
+    (InMemoryTableScan — plan-asserted in tests/test_plans.py), not
+    the parquet files: at 100 TB this is the difference between one
+    scan and N scans whenever a curation pipeline fans a cleaned
+    intermediate out to several reports.
+
+    The cache holds the NARROW projection (three columns, post-filter)
+    — caching the raw scan would hold 10× the bytes for no benefit;
+    persist-the-projection is the discipline. Unpersist is the
+    caller's job at pipeline end (the driver gate collects and
+    discards; executors evict LRU under pressure, correctness never
+    depends on residency).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.where(F.col("l_quantity") > 30)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .persist()
+    )
+    by_flag = base.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).select(
+        F.concat(F.lit("flag:"), F.col("l_returnflag")).alias("grp"),
+        "n",
+        "cents",
+    )
+    by_status = base.groupBy("l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).select(
+        F.concat(F.lit("status:"), F.col("l_linestatus")).alias("grp"),
+        "n",
+        "cents",
+    )
+    return by_flag.unionAll(by_status)

@@ -609,3 +609,18 @@ def test_adamic_adar_joins_are_all_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
+    """Both rollup branches must read the persisted projection
+    (InMemoryTableScan), and the cached relation must be the narrow
+    post-filter projection, not the raw scan."""
+    from big_data_audio_classification_spark.operators import scale_patterns
+
+    df = scale_patterns.scale_cache_reuse(spark, sf_dir)
+    try:
+        plan = introspect.formatted_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2
+        assert "InMemoryRelation" in plan
+    finally:
+        spark.catalog.clearCache()
