@@ -2103,3 +2103,115 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta - Z95_TWO_SIDED * se, 4).alias("ci_lo"),
         F.round(theta + Z95_TWO_SIDED * se, 4).alias("ci_hi"),
     )
+
+
+# --- Sequential probability ratio test (early stopping) -----------------
+
+SPRT_LLR_S = 0.154150679827   # ln(0.35/0.30), H1 vs H0 success term
+SPRT_LLR_F = -0.074107972154  # ln(0.65/0.70), failure term
+SPRT_A = 2.944438979166       # ln((1-beta)/alpha), alpha=beta=0.05
+SPRT_B = -2.944438979166
+
+
+@query(
+    "stats_sprt_sequential",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM orders GROUP BY 1
+        ),
+        walk AS (
+            SELECT d,
+                   SUM(n) OVER w AS cn, SUM(s) OVER w AS cs,
+                   ROUND(SUM(s) OVER w * CAST({SPRT_LLR_S!r} AS DOUBLE)
+                         + (SUM(n) OVER w - SUM(s) OVER w)
+                           * CAST({SPRT_LLR_F!r} AS DOUBLE), 6) AS llr
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        ),
+        crossing AS (
+            SELECT d, cn, llr,
+                   CASE WHEN llr >= {SPRT_A!r} THEN 'accept_h1'
+                        ELSE 'accept_h0' END AS decision
+            FROM walk
+            WHERE llr >= {SPRT_A!r} OR llr <= {SPRT_B!r}
+            ORDER BY d LIMIT 1
+        ),
+        final AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   MAX_BY(CAST(llr AS DOUBLE), d) AS final_llr
+            FROM walk
+        )
+        SELECT f.n_days,
+               CAST(c.d AS VARCHAR) AS decision_day,
+               COALESCE(c.decision, 'continue') AS decision,
+               c.llr AS llr_at_decision,
+               c.cn AS trials_at_decision,
+               ROUND(f.final_llr, 6) AS final_llr
+        FROM final f LEFT JOIN crossing c ON TRUE
+    """,
+    tags=("stats", "experiment", "sequential", "window", "orders"),
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test, replayed over the
+    order stream day by day: is the fulfillment rate 0.35 (H1) or 0.30
+    (H0)? The cumulative log-likelihood ratio walk cs·ln(p1/p0) +
+    cf·ln(q1/q0) stops at the FIRST day it exits (ln 19, −ln 19) —
+    the α=β=0.05 Wald boundaries — reporting the decision, the day,
+    and how many trials early stopping saved relative to the full
+    horizon. THE sequential-testing primitive behind modern "peeking-
+    safe" A/B platforms.
+
+    Determinism: per-day (trials, successes) are exact integers; the
+    two log-likelihood increments and both boundaries are SHARED
+    ROUND-TRIP LITERALS (the harmonic-fit idiom — no runtime ln()
+    whose last ulp could differ between libm and the JVM), and the
+    walk is rounded to 6 dp before the boundary comparisons, making
+    the knife-edge crossing day itself engine-stable. One fact
+    aggregation to the day spine; the walk is a spine-sized window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select(
+        "d",
+        F.sum("n").over(w).alias("cn"),
+        F.round(
+            F.sum("s").over(w) * SPRT_LLR_S
+            + (F.sum("n").over(w) - F.sum("s").over(w)) * SPRT_LLR_F,
+            6,
+        ).alias("llr"),
+    )
+    crossing = (
+        walk.where((F.col("llr") >= SPRT_A) | (F.col("llr") <= SPRT_B))
+        .orderBy("d")
+        .limit(1)
+        .select(
+            F.col("d").cast("string").alias("decision_day"),
+            F.col("cn").alias("trials_at_decision"),
+            F.col("llr").alias("llr_at_decision"),
+            F.when(F.col("llr") >= SPRT_A, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+    )
+    final = walk.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.max_by("llr", "d"), 6).alias("final_llr"),
+    )
+    return final.join(F.broadcast(crossing), F.lit(True), "left").select(
+        "n_days",
+        "decision_day",
+        F.coalesce(F.col("decision"), F.lit("continue")).alias("decision"),
+        "llr_at_decision",
+        "trials_at_decision",
+        "final_llr",
+    )

@@ -440,3 +440,37 @@ def test_jackknife_ratio_matches_numpy_replay(spark, sf_dir):
     assert abs(r.jk_bias - bias) < 1e-5
     assert abs(r.jk_se - se) < 1e-5
     assert r.ci_lo < r.theta < r.ci_hi
+
+
+def test_sprt_matches_numpy_walk_replay(spark, sf_dir):
+    """Decision day, decision, and the stopped llr must equal a numpy
+    replay of the Wald walk; early stopping must never overrun the
+    horizon."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        SPRT_A, SPRT_B, SPRT_LLR_F, SPRT_LLR_S,
+        stats_sprt_sequential,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    day = pd.to_datetime(pdf["o_orderdate"]).dt.normalize()
+    g = pd.DataFrame(
+        {"n": 1, "s": (pdf["o_orderstatus"] == "F").astype(int)}
+    ).groupby(day).sum().sort_index()
+    cs, cn = g["s"].cumsum().to_numpy(), g["n"].cumsum().to_numpy()
+    llr = np.round(cs * SPRT_LLR_S + (cn - cs) * SPRT_LLR_F, 6)
+    hit = np.where((llr >= SPRT_A) | (llr <= SPRT_B))[0]
+
+    r = stats_sprt_sequential(spark, sf_dir).collect()[0]
+    assert r.n_days == len(g)
+    assert abs(r.final_llr - llr[-1]) < 1e-9
+    if len(hit):
+        i = hit[0]
+        assert r.decision_day == g.index[i].strftime("%Y-%m-%d")
+        assert r.decision == ("accept_h1" if llr[i] >= SPRT_A else "accept_h0")
+        assert abs(r.llr_at_decision - llr[i]) < 1e-9
+        assert r.trials_at_decision == cn[i] <= cn[-1]
+    else:
+        assert r.decision == "continue"
