@@ -143,3 +143,95 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("lev").cast("double") * F.col("w")) / F.sum("w"), 4
         ).alias("avg_lev"),
     )
+
+
+# --- Golden-record survivorship (MDM merge rules) ------------------------
+
+
+@query(
+    "er_golden_record",
+    oracle="""
+        WITH clusters AS (
+            SELECT p_brand, p_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(MIN(p_partkey) AS BIGINT) AS master_id,
+                   CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+                   CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,
+                   CAST(MAX(p_size) AS BIGINT) AS survived_size,
+                   ROUND(MAX(p_retailprice), 2) AS survived_price
+            FROM part GROUP BY p_brand, p_name HAVING COUNT(*) > 1
+        ),
+        type_votes AS (
+            SELECT p_brand, p_name, p_type, COUNT(*) AS votes
+            FROM part GROUP BY p_brand, p_name, p_type
+        ),
+        survived_type AS (
+            SELECT p_brand, p_name, p_type AS survived_type
+            FROM (
+                SELECT p_brand, p_name, p_type,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand, p_name
+                           ORDER BY votes DESC, p_type DESC) AS rk
+                FROM type_votes
+            ) WHERE rk = 1
+        )
+        SELECT c.p_brand, c.p_name, c.master_id, c.n_records,
+               t.survived_type, c.survived_size, c.survived_price,
+               CAST(c.n_types > 1 OR c.n_sizes > 1 AS BOOLEAN)
+                   AS had_conflict
+        FROM clusters c
+        JOIN survived_type t
+          ON t.p_brand = c.p_brand AND t.p_name = c.p_name
+    """,
+    tags=("linkage", "er", "golden-record", "survivorship", "part"),
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the stage AFTER matching in an MDM
+    pipeline (blocking → fuzzy match → cluster → MERGE): every
+    duplicate cluster (same brand + name, >1 record) collapses to one
+    survivor row under explicit field rules — master id = lowest key,
+    type = majority vote (count then lexicographic-desc tiebreak,
+    stated identically in both engines), size/price = greatest (the
+    conservative keep-the-maximal rule), plus a conflict flag whenever
+    sources disagreed.
+
+    Shape: ONE cluster-keyed aggregate for the scalar rules plus one
+    (cluster, value)-keyed vote aggregate and its argmax — the
+    mode-with-tiebreak idiom of agg_mode_deterministic applied
+    per-cluster. No window over record-grain data wider than the
+    cluster key; survivorship at 100 TB is exactly as parallel as the
+    cluster key is. Complements er_blocked_fuzzy_parts (which FINDS
+    the matches) with the merge semantics users actually ship.
+    """
+    p = load_table(spark, sf_dir, "part")
+    clusters = (
+        p.groupBy("p_brand", "p_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.min("p_partkey").cast("bigint").alias("master_id"),
+            F.count_distinct("p_type").cast("bigint").alias("n_types"),
+            F.count_distinct("p_size").cast("bigint").alias("n_sizes"),
+            F.max("p_size").cast("bigint").alias("survived_size"),
+            F.round(F.max("p_retailprice"), 2).alias("survived_price"),
+        )
+        .where(F.col("n_records") > 1)
+    )
+    votes = p.groupBy("p_brand", "p_name", "p_type").agg(
+        F.count("*").alias("votes")
+    )
+    survived_type = votes.groupBy("p_brand", "p_name").agg(
+        F.max_by(
+            "p_type", F.struct(F.col("votes"), F.col("p_type"))
+        ).alias("survived_type")
+    )
+    return clusters.join(survived_type, ["p_brand", "p_name"]).select(
+        "p_brand",
+        "p_name",
+        "master_id",
+        "n_records",
+        "survived_type",
+        "survived_size",
+        "survived_price",
+        ((F.col("n_types") > 1) | (F.col("n_sizes") > 1)).alias(
+            "had_conflict"
+        ),
+    )

@@ -83,3 +83,34 @@ def test_maxsim_matches_numpy_replay(spark, sf_dir):
         for r in retrieval.retrieval_maxsim_late_interaction(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_golden_record_matches_pandas_survivorship(spark, sf_dir):
+    """Survivor fields must equal a pandas replay of the merge rules,
+    and singleton clusters must be excluded."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.linkage import (
+        er_golden_record,
+    )
+
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    rows = {
+        (r.p_brand, r.p_name): r for r in er_golden_record(spark, sf_dir).collect()
+    }
+    for (brand, name), g in p.groupby(["p_brand", "p_name"]):
+        if len(g) <= 1:
+            assert (brand, name) not in rows
+            continue
+        r = rows.pop((brand, name))
+        assert r.master_id == g["p_partkey"].min()
+        assert r.n_records == len(g)
+        votes = g.groupby("p_type").size()
+        top = max(votes.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert r.survived_type == top
+        assert r.survived_size == g["p_size"].max()
+        assert abs(r.survived_price - round(g["p_retailprice"].max(), 2)) < 1e-9
+        assert r.had_conflict == (
+            g["p_type"].nunique() > 1 or g["p_size"].nunique() > 1
+        )
+    assert not rows
