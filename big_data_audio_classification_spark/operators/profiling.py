@@ -402,3 +402,176 @@ def profile_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule", "n_checked", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# --- Schema discovery: functional + inclusion dependencies ---------------
+
+
+@query(
+    "profile_functional_dependencies",
+    oracle="""
+        WITH cands AS (
+            SELECT 'o_orderkey->o_custkey' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating
+            FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS d
+                  FROM orders GROUP BY o_orderkey)
+            UNION ALL
+            SELECT 'o_custkey->o_orderpriority',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+                  FROM orders GROUP BY o_custkey)
+            UNION ALL
+            SELECT 'c_custkey->c_mktsegment',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM (SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS d
+                  FROM customer GROUP BY c_custkey)
+            UNION ALL
+            SELECT 'c_nationkey->c_mktsegment',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS d
+                  FROM customer GROUP BY c_nationkey)
+        )
+        SELECT fd, n_lhs, n_violating,
+               CAST(n_violating = 0 AS BOOLEAN) AS holds,
+               ROUND(1.0 - n_violating * 1.0 / n_lhs, 6) AS fd_strength
+        FROM cands ORDER BY fd
+    """,
+    tags=("profiling", "schema-discovery", "fd", "orders", "customer"),
+)
+def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation (the Metanome/data-profiling
+    primitive): for each candidate A→B, group by A and count groups
+    where B is not single-valued — zero violations means the FD holds;
+    `fd_strength` (the g3-style fraction of conforming groups) grades
+    near-FDs. The panel checks two true keys (order→customer,
+    customer→segment) and two expected failures (customer→priority,
+    nation→segment).
+
+    Each candidate is ONE map-side-combined group-distinct aggregate
+    folded to a single row — FD checking at 100 TB is embarrassingly
+    aggregate-shaped, which is why profilers run panels of thousands
+    of candidates in a handful of scans (all candidates on the same
+    table can share one scan via grouping sets; stated here as the
+    per-candidate form the oracle can mirror)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def fd(df, lhs, rhs, name):
+        g = df.groupBy(lhs).agg(F.count_distinct(rhs).alias("d"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        )
+    parts = [
+        fd(o, "o_orderkey", "o_custkey", "o_orderkey->o_custkey"),
+        fd(o, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority"),
+        fd(c, "c_custkey", "c_mktsegment", "c_custkey->c_mktsegment"),
+        fd(c, "c_nationkey", "c_mktsegment", "c_nationkey->c_mktsegment"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        (F.col("n_violating") == 0).alias("holds"),
+        F.round(
+            1.0 - F.col("n_violating") * 1.0 / F.col("n_lhs"), 6
+        ).alias("fd_strength"),
+    ).orderBy("fd")
+
+
+@query(
+    "profile_inclusion_dependencies",
+    oracle="""
+        WITH cands AS (
+            SELECT 'orders.o_custkey<=customer.c_custkey' AS ind,
+                   (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                    FROM orders) AS n_lhs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                       (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))) AS n_missing
+            UNION ALL
+            SELECT 'customer.c_custkey<=orders.o_custkey',
+                   (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+                    FROM customer),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                       (SELECT DISTINCT c_custkey FROM customer
+                        WHERE c_custkey NOT IN
+                            (SELECT o_custkey FROM orders)))
+            UNION ALL
+            SELECT 'lineitem.l_orderkey<=orders.o_orderkey',
+                   (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                    FROM lineitem),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                       (SELECT DISTINCT l_orderkey FROM lineitem
+                        WHERE l_orderkey NOT IN
+                            (SELECT o_orderkey FROM orders)))
+        )
+        SELECT ind, n_lhs, n_missing,
+               CAST(n_missing = 0 AS BOOLEAN) AS holds,
+               ROUND(1.0 - n_missing * 1.0 / n_lhs, 6) AS coverage
+        FROM cands ORDER BY ind
+    """,
+    tags=("profiling", "schema-discovery", "ind", "join", "orders"),
+)
+def profile_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery: for each candidate
+    A ⊆ B, the distinct LHS values missing from the RHS — zero missing
+    means the IND holds and A is FK-shaped. The panel finds both real
+    FKs (orders→customer, lineitem→orders) and measures the reverse
+    direction's coverage (customers without orders).
+
+    Shape: distinct-collapse each side FIRST, then a LEFT ANTI
+    equi-join counts the escapees — the LHS never joins at record
+    grain, and the RHS collapses to its key set (broadcast when
+    dimension-sized). IND panels are how profilers reverse-engineer
+    joinability across a 100 TB lake; this is that primitive with its
+    exact semantics stated relationally."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def ind(lhs_df, lhs, rhs_df, rhs, name):
+        l = lhs_df.select(F.col(lhs).alias("k")).distinct()
+        r = rhs_df.select(F.col(rhs).alias("k")).distinct()
+        return (
+            l.join(r, "k", "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_missing"))
+            .crossJoin(
+                F.broadcast(
+                    l.agg(F.count("*").cast("bigint").alias("n_lhs"))
+                )
+            )
+            .select(F.lit(name).alias("ind"), "n_lhs", "n_missing")
+        )
+    parts = [
+        ind(o, "o_custkey", c, "c_custkey",
+            "orders.o_custkey<=customer.c_custkey"),
+        ind(c, "c_custkey", o, "o_custkey",
+            "customer.c_custkey<=orders.o_custkey"),
+        ind(li, "l_orderkey", o, "o_orderkey",
+            "lineitem.l_orderkey<=orders.o_orderkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "ind",
+        "n_lhs",
+        "n_missing",
+        (F.col("n_missing") == 0).alias("holds"),
+        F.round(1.0 - F.col("n_missing") * 1.0 / F.col("n_lhs"), 6).alias(
+            "coverage"
+        ),
+    ).orderBy("ind")

@@ -58,3 +58,34 @@ def test_observe_piggybacks_on_contract_query(obs_spark, sf_dir):
     observed = df.observe(obs, F.count(F.lit(1)).alias("n_out"))
     observed.write.format("noop").mode("overwrite").save()
     assert obs.get["n_out"] == df.count()
+
+
+def test_fd_and_ind_panels_match_pandas(spark, sf_dir):
+    """FD violations and IND coverage must equal pandas replays, and
+    the known-true dependencies must hold."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.profiling import (
+        profile_functional_dependencies,
+        profile_inclusion_dependencies,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+    fds = {r.fd: r for r in profile_functional_dependencies(spark, sf_dir).collect()}
+    assert fds["o_orderkey->o_custkey"].holds
+    assert fds["c_custkey->c_mktsegment"].holds
+    viol = (o.groupby("o_custkey")["o_orderpriority"].nunique() > 1).sum()
+    assert fds["o_custkey->o_orderpriority"].n_violating == viol
+    nviol = (c.groupby("c_nationkey")["c_mktsegment"].nunique() > 1).sum()
+    assert fds["c_nationkey->c_mktsegment"].n_violating == nviol
+
+    inds = {r.ind: r for r in profile_inclusion_dependencies(spark, sf_dir).collect()}
+    assert inds["orders.o_custkey<=customer.c_custkey"].holds
+    assert inds["lineitem.l_orderkey<=orders.o_orderkey"].holds
+    missing = len(set(c["c_custkey"]) - set(o["o_custkey"]))
+    r = inds["customer.c_custkey<=orders.o_custkey"]
+    assert r.n_missing == missing
+    assert r.holds == (missing == 0)
