@@ -1605,3 +1605,70 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > Z95_TWO_SIDED).alias("reject_h0"),
     )
+
+
+# --- Poisson overdispersion check ----------------------------------------
+
+
+@query(
+    "stats_overdispersion",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+            FROM orders GROUP BY o_custkey
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS s1,
+                   CAST(SUM(k * k) AS BIGINT) AS s2
+            FROM per_cust
+        )
+        SELECT n,
+               ROUND(s1 * 1.0 / n, 6) AS mean_k,
+               ROUND((s2 - s1 * 1.0 * s1 / n) / (n - 1), 6) AS var_k,
+               ROUND(((s2 - s1 * 1.0 * s1 / n) / (n - 1))
+                     / (s1 * 1.0 / n), 6) AS dispersion,
+               ROUND((((s2 - s1 * 1.0 * s1 / n) / (n - 1))
+                      / (s1 * 1.0 / n) * (n - 1) - (n - 1))
+                     / SQRT(2.0 * (n - 1)), 4) AS z,
+               CAST(ABS((((s2 - s1 * 1.0 * s1 / n) / (n - 1))
+                         / (s1 * 1.0 / n) * (n - 1) - (n - 1))
+                        / SQRT(2.0 * (n - 1))) > 1.959963985 AS BOOLEAN)
+                   AS overdispersed
+        FROM m
+    """,
+    tags=("stats", "hypothesis-test", "count-model", "orders"),
+)
+def stats_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion check on per-customer order counts: the
+    dispersion index var/mean (1 under Poisson), its chi-square form
+    (n−1)·D, and the normal-approximation z against the fixed ±1.96
+    gate — the diagnostic that decides between Poisson and
+    negative-binomial count models (and whether per-user event counts
+    need variance inflation in A/B power math; companion to
+    stats_empirical_bayes_rates' beta-binomial shrinkage).
+
+    One customer-keyed count aggregate, one 3-sum moment pass — all
+    exact integers until the final divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    m = per_cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean_k = s1 * 1.0 / n
+    var_k = (s2 - s1 * 1.0 * s1 / n) / (n - 1)
+    disp = var_k / mean_k
+    z = (disp * (n - 1) - (n - 1)) / F.sqrt(2.0 * (n - 1))
+    return m.select(
+        "n",
+        F.round(mean_k, 6).alias("mean_k"),
+        F.round(var_k, 6).alias("var_k"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > Z95_TWO_SIDED).alias("overdispersed"),
+    )

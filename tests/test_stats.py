@@ -440,3 +440,26 @@ def test_wilcoxon_signed_rank_matches_numpy_replay(spark, sf_dir):
     assert abs(r.w_plus - w_plus) < 1e-6
     assert abs(r.sigma - sigma) < 1e-3
     assert abs(r.z - z) < 1e-3
+
+
+def test_overdispersion_matches_numpy_moments(spark, sf_dir):
+    """Dispersion index and z must equal numpy sample moments."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.stats import (
+        stats_overdispersion,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    k = pdf.groupby("o_custkey").size().to_numpy(dtype=float)
+    n = len(k)
+    disp = k.var(ddof=1) / k.mean()
+    z = (disp * (n - 1) - (n - 1)) / np.sqrt(2 * (n - 1))
+
+    r = stats_overdispersion(spark, sf_dir).collect()[0]
+    assert r.n == n
+    assert abs(r.mean_k - k.mean()) < 1e-5
+    assert abs(r.dispersion - disp) < 1e-5
+    assert abs(r.z - z) < 1e-3
+    assert r.overdispersed == (abs(z) > 1.959963985)
