@@ -662,3 +662,118 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("same_label_rate"),
         )
     )
+
+
+# --- k-core decomposition (iterated peeling) ------------------------------
+
+KCORE_K = 5
+KCORE_ROUNDS = 6      # fixpoint reached in 2 on this graph; extra rounds
+# are idempotent (pytest asserts convergence)
+KCORE_EVENTS = 400    # fixed slice => identical graph at every SF
+KCORE_NODES = 97
+
+
+def _kcore_edge_sql() -> str:
+    return f"""
+        SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM (
+            SELECT CAST(('0x' || substr(md5(event_id || 'u'), 1, 8))
+                        AS BIGINT) % {KCORE_NODES} AS u,
+                   CAST(('0x' || substr(md5(event_id || 'v'), 1, 8))
+                        AS BIGINT) % {KCORE_NODES} AS v
+            FROM events WHERE event_id < {KCORE_EVENTS}
+        ) WHERE u <> v
+    """
+
+
+def _kcore_oracle_sql() -> str:
+    ctes = [f"e0 AS MATERIALIZED ({_kcore_edge_sql()})"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT n, COUNT(*) AS deg FROM (
+                SELECT u AS n FROM e{i - 1}
+                UNION ALL SELECT v AS n FROM e{i - 1}
+            ) GROUP BY n
+        )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{i - 1} e
+            JOIN d{i} a ON a.n = e.u AND a.deg >= {KCORE_K}
+            JOIN d{i} b ON b.n = e.v AND b.deg >= {KCORE_K}
+        )"""
+        )
+    cte_block = ",\n        ".join(ctes)
+    return f"""WITH {cte_block}
+        SELECT CAST(n AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT)
+                   AS core_degree
+        FROM (SELECT u AS n FROM e{KCORE_ROUNDS}
+              UNION ALL SELECT v AS n FROM e{KCORE_ROUNDS})
+        GROUP BY n ORDER BY node
+    """
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle_sql(),
+    tags=("graph", "kcore", "iterative", "events"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=5) by iterated peeling: repeatedly drop
+    every node with degree < k (and its edges) until the subgraph is
+    stable — the densest-region extractor behind community seeding,
+    spam-ring detection, and graph sparsification. The graph is a
+    bounded hash-random derivation from the event slice (fixed across
+    SFs, like the CC oracle slice), degree-varied so the core is
+    non-trivial (84 of 97 nodes survive; ~13 peel away over 2 rounds).
+
+    Iterative-on-Spark shape (the connected-components discipline):
+    each peel round is ONE degree aggregate + ONE semi-join filter of
+    the edge list — no windows, no driver-side graph. A fixed round
+    budget (6) replaces the unbounded while-loop; rounds beyond the
+    fixpoint are idempotent and the pytest asserts convergence
+    actually happened inside the budget. The oracle unrolls the same
+    rounds as chained CTEs (the pagerank idiom).
+
+    Output = surviving nodes with their within-core degree (all ≥ k by
+    definition — asserted).
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") < KCORE_EVENTS
+    )
+    h = lambda suf: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit(suf))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % KCORE_NODES
+    raw = e.select(h("u").alias("u"), h("v").alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    edges = raw.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    # truncate lineage every round (the connected-components
+    # localCheckpoint discipline): each round references `edges` three
+    # times, so an uncheckpointed plan recomputes the base 3^rounds
+    # times and planning itself blows up
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("n")
+        )
+        edges = edges.join(
+            deg.withColumnRenamed("n", "u"), "u", "semi"
+        ).join(deg.withColumnRenamed("n", "v"), "v", "semi")
+        edges = edges.localCheckpoint(eager=True)
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("node")
+    )

@@ -178,3 +178,39 @@ def test_mutual_knn_matches_numpy_replay(spark, sf_dir):
     # directed edges, so the rate is a proper fraction
     assert 0 < r.mutual_rate <= 1
     assert abs(r.mutual_rate - 2 * len(mutual) / len(edges)) < 1e-6
+
+
+def test_kcore_matches_python_peeling_and_converged(spark, sf_dir):
+    """The surviving core must equal an exhaustive python peel run to
+    TRUE fixpoint (proving the round budget suffices), every core
+    degree must be >= k, and the core must be maximal."""
+    import hashlib
+
+    from big_data_audio_classification_spark.operators.graph import (
+        KCORE_EVENTS,
+        KCORE_K,
+        KCORE_NODES,
+        graph_kcore,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % KCORE_NODES
+
+    edges = set()
+    for e in range(KCORE_EVENTS):
+        u, v = h(f"{e}u"), h(f"{e}v")
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    while True:  # peel to true fixpoint, no round budget
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        bad = {n for n, d in deg.items() if d < KCORE_K}
+        if not bad:
+            break
+        edges = {(u, v) for u, v in edges if u not in bad and v not in bad}
+
+    rows = graph_kcore(spark, sf_dir).collect()
+    assert {r.node: r.core_degree for r in rows} == deg
+    assert all(r.core_degree >= KCORE_K for r in rows)
