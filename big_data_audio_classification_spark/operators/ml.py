@@ -1259,3 +1259,119 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+PR_AUC_BINS = 1024  # quantized threshold grid: bounded windows
+
+
+@query(
+    "ml_pr_auc",
+    oracle=f"""
+        WITH scored AS (
+            SELECT 1.0 / (1.0 + EXP(-c.c_acctbal / {CALIB_SCALE})) AS score,
+                   CASE WHEN COUNT(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                        THEN 1 END) > 0
+                        THEN 1.0 ELSE 0.0 END AS label
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        d AS (
+            SELECT CAST(FLOOR(score * {PR_AUC_BINS}) AS INT) AS tb,
+                   SUM(label) AS d1, COUNT(*) AS t
+            FROM scored GROUP BY 1
+        ),
+        c AS (
+            SELECT tb, d1, t,
+                   SUM(d1) OVER w AS cum_tp,
+                   SUM(t)  OVER w AS cum_n
+            FROM d
+            WINDOW w AS (ORDER BY tb DESC ROWS UNBOUNDED PRECEDING)
+        ),
+        tot AS (
+            SELECT CAST(SUM(d1) AS DOUBLE) AS n1,
+                   CAST(SUM(t - d1) AS DOUBLE) AS n0
+            FROM d
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n0 AS BIGINT) AS n_neg,
+               ROUND(n1 / (n1 + n0), 6) AS prevalence,
+               ROUND(SUM((d1 / t1.n1) * (cum_tp * 1.0 / cum_n)), 6)
+                   AS average_precision
+        FROM c, tot t1
+        GROUP BY t1.n1, t1.n0
+    """,
+    tags=("ml", "evaluation", "auc", "precision-recall", "customer"),
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall AUC (average precision, the step-wise
+    AP = Σ ΔRecall_k · Precision_k) over the same deterministic
+    score/label table as ml_roc_auc — the metric that matters under
+    class imbalance, where ROC AUC flatters (its baseline is 0.5
+    regardless of prevalence; AP's baseline IS the prevalence, also
+    reported).
+
+    Thresholds are quantized to a 1024-bin grid, which (a) states the
+    binned PR curve both engines evaluate identically and (b) BOUNDS
+    the cumulative window at ≤1024 rows regardless of data volume —
+    the score histogram is one map-side-combined aggregate, so AP at
+    100 TB costs one scan + a fixed-size window, the same contract as
+    ml_calibration_bins."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    scored = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)) > 0,
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("label")
+        )
+        .select(
+            (1.0 / (1.0 + F.exp(-F.col("c_acctbal") / CALIB_SCALE))).alias(
+                "score"
+            ),
+            "label",
+        )
+    )
+    d = scored.groupBy(
+        F.floor(F.col("score") * PR_AUC_BINS).cast("int").alias("tb")
+    ).agg(F.sum("label").alias("d1"), F.count("*").alias("t"))
+    w = Window.orderBy(F.col("tb").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = d.select(
+        "d1",
+        "t",
+        F.sum("d1").over(w).alias("cum_tp"),
+        F.sum("t").over(w).alias("cum_n"),
+    )
+    tot = d.agg(
+        F.sum("d1").cast("double").alias("n1"),
+        F.sum(F.col("t") - F.col("d1")).cast("double").alias("n0"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n0")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("d1") / F.col("n1"))
+                    * (F.col("cum_tp") * 1.0 / F.col("cum_n"))
+                ),
+                6,
+            ).alias("average_precision")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n_pos"),
+            F.col("n0").cast("bigint").alias("n_neg"),
+            F.round(
+                F.col("n1") / (F.col("n1") + F.col("n0")), 6
+            ).alias("prevalence"),
+            "average_precision",
+        )
+    )

@@ -573,3 +573,37 @@ def test_drop_column_importance_matches_numpy(spark, sf_dir):
         assert abs(r.delta_r2 - (r.r2_full - r.r2_without)) < 1e-5
         assert r.delta_r2 >= -1e-9  # adding a feature never hurts R²
         assert -1 <= r.partial_corr <= 1
+
+
+def test_pr_auc_matches_numpy_binned_ap(spark, sf_dir):
+    """AP must equal a numpy replay of the binned PR curve and beat the
+    prevalence baseline for a correlated score."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.ml import (
+        CALIB_SCALE,
+        PR_AUC_BINS,
+        ml_pr_auc,
+    )
+
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    label = c["c_custkey"].isin(urgent).to_numpy(dtype=float)
+    score = 1.0 / (1.0 + np.exp(-c["c_acctbal"].to_numpy() / CALIB_SCALE))
+    tb = np.floor(score * PR_AUC_BINS).astype(int)
+
+    df = pd.DataFrame({"tb": tb, "y": label}).groupby("tb").agg(
+        d1=("y", "sum"), t=("y", "size")
+    ).sort_index(ascending=False)
+    cum_tp = df["d1"].cumsum()
+    cum_n = df["t"].cumsum()
+    n1 = df["d1"].sum()
+    ap = float(((df["d1"] / n1) * (cum_tp / cum_n)).sum())
+
+    r = ml_pr_auc(spark, sf_dir).collect()[0]
+    assert r.n_pos == int(n1)
+    assert r.n_pos + r.n_neg == len(c)
+    assert abs(r.average_precision - ap) < 1e-6
+    assert abs(r.prevalence - n1 / len(c)) < 1e-6
