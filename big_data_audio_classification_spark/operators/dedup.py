@@ -1250,3 +1250,106 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c_ba, 6).alias("c_ba"),
         )
     )
+
+
+# --- Quality-weighted (keep-best) LSH dedup -------------------------------
+
+KEEP_BEST_QSCALE = 1_000_000_000_000  # key = n_chars * scale - doc_id
+
+
+def _keep_best_sql() -> str:
+    band_exprs = ", ".join(
+        "CONCAT_WS('_', "
+        + ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    unions = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM sig_bands"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH sig AS ({_minhash_sql()}),
+        sig_bands AS (SELECT doc_id, {band_exprs} FROM sig),
+        bands AS (
+            {unions}
+        ),
+        keyed AS (
+            SELECT b.doc_id, b.band_id, b.band_hash,
+                   d.n_chars * {KEEP_BEST_QSCALE} - b.doc_id AS qkey
+            FROM bands b JOIN documents d USING (doc_id)
+        ),
+        bucket_best AS (
+            SELECT band_id, band_hash,
+                   max_by(doc_id, qkey) AS best_doc,
+                   MAX(qkey) AS best_key
+            FROM keyed GROUP BY 1, 2
+        )
+        SELECT k.doc_id,
+               max_by(m.best_doc, m.best_key) AS rep,
+               (max_by(m.best_doc, m.best_key) = k.doc_id) AS is_kept
+        FROM keyed k
+        JOIN bucket_best m USING (band_id, band_hash)
+        GROUP BY k.doc_id
+    """
+
+
+@query(
+    "dedup_minhash_keep_best",
+    oracle=_keep_best_sql(),
+    tags=("dedup", "minhash", "lsh", "quality"),
+)
+def dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted linear-output LSH dedup — keep-BEST, the
+    FineWeb-style production semantics: within every LSH bucket the
+    survivor is the highest-QUALITY member (here n_chars, the
+    longest-document heuristic; any scalar score plugs in), not the
+    lowest id. A document is kept iff it is the best in EVERY bucket
+    it occupies. Same two-groupBy + band-keyed-join shape as
+    dedup_minhash_keep_first — still no pair explosion — with one
+    extra broadcastable quality attachment.
+
+    Determinism: the survivor choice rides ONE integer key,
+    n_chars·10¹² − doc_id (monotone in (quality, −id)), so max_by has
+    no tie ambiguity on either engine and the (quality desc, id asc)
+    rule is stated once. The final per-doc reduction picks the
+    best-quality representative across the doc's bands by the same
+    key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", "text")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    keyed = bands.join(
+        d.select(
+            "doc_id",
+            (F.col("n_chars") * KEEP_BEST_QSCALE - F.col("doc_id")).alias(
+                "qkey"
+            ),
+        ),
+        "doc_id",
+    )
+    bucket_best = keyed.groupBy("band_id", "band_hash").agg(
+        F.max_by("doc_id", "qkey").alias("best_doc"),
+        F.max("qkey").alias("best_key"),
+    )
+    return (
+        keyed.join(bucket_best, ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.max_by("best_doc", "best_key").alias("rep"))
+        .select(
+            "doc_id", "rep", (F.col("rep") == F.col("doc_id")).alias("is_kept")
+        )
+    )

@@ -179,3 +179,31 @@ def test_containment_join_matches_python_replay(spark, sf_dir):
     for (a, b), (inter, cab, cba) in expected.items():
         jac = inter / len(kept[a] | kept[b])
         assert max(cab, cba) >= jac  # containment dominates Jaccard
+
+
+def test_keep_best_dedup_prefers_quality_and_partitions(spark, sf_dir):
+    """Keep-best must (a) agree with keep-first on WHICH docs are
+    duplicates of something, (b) choose reps of >= quality, and (c)
+    every doc's rep must itself be kept-or-better within one hop."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.dedup import (
+        dedup_minhash_keep_best,
+        dedup_minhash_keep_first,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+    best = {r.doc_id: r for r in dedup_minhash_keep_best(spark, sf_dir).collect()}
+    first = {r.doc_id: r for r in dedup_minhash_keep_first(spark, sf_dir).collect()}
+    assert set(best) == set(first)
+    for d, r in best.items():
+        # a doc that lost under keep-best lost to a strictly better
+        # (quality, -id) key — never to a worse document
+        if not r.is_kept:
+            assert r.rep != d
+            q, rq = docs.loc[d, "n_chars"], docs.loc[r.rep, "n_chars"]
+            assert (rq, -r.rep) > (q, -d)
+        else:
+            assert r.rep == d
+    kept = sum(1 for r in best.values() if r.is_kept)
+    assert 0 < kept <= len(best)
