@@ -2215,3 +2215,177 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trials_at_decision",
         "final_llr",
     )
+
+
+# --- Restricted mean survival time (area under the KM curve) ------------
+
+RMST_TAU = 365  # horizon, days
+
+
+@query(
+    "stats_rmst",
+    oracle=f"""
+        WITH horizon AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+        ),
+        subj AS (
+            SELECT o_custkey % 2 AS g,
+                   date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                             MAX(CAST(o_orderdate AS DATE))) AS duration,
+                   CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                                       MAX(h.maxd)) > {KM_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END AS event
+            FROM orders CROSS JOIN horizon h
+            GROUP BY o_custkey % 2, o_custkey
+        ),
+        ng AS (SELECT g, COUNT(*) AS n_subj FROM subj GROUP BY g),
+        steps AS (
+            SELECT g, duration AS t, SUM(event) AS d, COUNT(*) AS leaving
+            FROM subj GROUP BY g, duration
+        ),
+        risk AS (
+            SELECT s.g, s.t, s.d,
+                   n.n_subj - COALESCE(SUM(s.leaving) OVER (
+                       PARTITION BY s.g ORDER BY s.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS n_risk
+            FROM steps s JOIN ng n ON n.g = s.g
+        ),
+        km AS (
+            SELECT g, t,
+                   ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (
+                       PARTITION BY g ORDER BY t)), 6) AS s_km
+            FROM risk WHERE d > 0 AND t <= {RMST_TAU}
+        ),
+        segs AS (
+            SELECT g, t, s_km,
+                   COALESCE(LAG(t) OVER (PARTITION BY g ORDER BY t), 0)
+                       AS t_prev,
+                   COALESCE(LAG(s_km) OVER (PARTITION BY g ORDER BY t), 1.0)
+                       AS s_prev
+            FROM km
+        ),
+        area AS (
+            SELECT g,
+                   SUM(s_prev * (t - t_prev)) AS auc_events,
+                   MAX_BY(s_km, t) AS s_last,
+                   MAX(t) AS t_last
+            FROM segs GROUP BY g
+        )
+        SELECT CAST(n.g AS BIGINT) AS g,
+               ROUND(COALESCE(a.auc_events, 0)
+                     + COALESCE(a.s_last, 1.0)
+                       * ({RMST_TAU} - COALESCE(a.t_last, 0)), 4) AS rmst,
+               ROUND(COALESCE(a.s_last, 1.0), 6) AS s_at_last_event,
+               CAST(COALESCE(a.t_last, 0) AS BIGINT) AS last_event_t
+        FROM ng n LEFT JOIN area a ON a.g = n.g ORDER BY n.g
+    """,
+    tags=("stats", "survival", "window", "orders"),
+)
+def stats_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time per hash arm: the area under the
+    Kaplan-Meier step curve up to τ = 365 days — "expected days
+    retained within the first year", the clinically-preferred survival
+    summary when hazards are non-proportional (and the natural effect
+    size to pair with stats_logrank_test's significance).
+
+    The step-function integral is exact: each inter-event segment
+    contributes S(previous)·Δt (LAG over the event-time spine), plus
+    the tail S(last)·(τ − t_last). Same single fact collapse and
+    spine-sized windows as the KM family; S values reuse the
+    exp-sum-log product-limit idiom rounded at the same 6 dp the KM
+    query publishes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    maxd = F.broadcast(
+        o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    )
+    subj = (
+        o.crossJoin(maxd)
+        .groupBy((F.col("o_custkey") % 2).alias("g"), "o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("duration"),
+            F.when(
+                F.datediff(
+                    F.max("maxd"), F.max(F.col("o_orderdate").cast("date"))
+                )
+                > KM_CENSOR_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    ng = subj.groupBy("g").agg(F.count("*").alias("n_subj"))
+    steps = subj.groupBy("g", F.col("duration").alias("t")).agg(
+        F.sum("event").alias("d"), F.count("*").alias("leaving")
+    )
+    w_prev = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = steps.join(F.broadcast(ng), "g").select(
+        "g",
+        "t",
+        "d",
+        (
+            F.col("n_subj")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.partitionBy("g").orderBy("t")
+    km = (
+        risk.where((F.col("d") > 0) & (F.col("t") <= RMST_TAU))
+        .select(
+            "g",
+            "t",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                    ).over(w_cum)
+                ),
+                6,
+            ).alias("s_km"),
+        )
+    )
+    segs = km.select(
+        "g",
+        "t",
+        "s_km",
+        F.coalesce(F.lag("t").over(w_cum), F.lit(0)).alias("t_prev"),
+        F.coalesce(F.lag("s_km").over(w_cum), F.lit(1.0)).alias("s_prev"),
+    )
+    area = segs.groupBy("g").agg(
+        F.sum(F.col("s_prev") * (F.col("t") - F.col("t_prev"))).alias(
+            "auc_events"
+        ),
+        F.max_by("s_km", "t").alias("s_last"),
+        F.max("t").alias("t_last"),
+    )
+    # arms with NO event inside tau still report: survival stays 1,
+    # so rmst = tau (left join against the arm census, not the events)
+    return (
+        ng.select("g")
+        .join(area, "g", "left")
+        .select(
+            F.col("g").cast("bigint").alias("g"),
+            F.round(
+                F.coalesce(F.col("auc_events"), F.lit(0.0))
+                + F.coalesce(F.col("s_last"), F.lit(1.0))
+                * (RMST_TAU - F.coalesce(F.col("t_last"), F.lit(0))),
+                4,
+            ).alias("rmst"),
+            F.round(F.coalesce(F.col("s_last"), F.lit(1.0)), 6).alias(
+                "s_at_last_event"
+            ),
+            F.coalesce(F.col("t_last"), F.lit(0))
+            .cast("bigint")
+            .alias("last_event_t"),
+        )
+        .orderBy("g")
+    )

@@ -474,3 +474,47 @@ def test_sprt_matches_numpy_walk_replay(spark, sf_dir):
         assert r.trials_at_decision == cn[i] <= cn[-1]
     else:
         assert r.decision == "continue"
+
+
+def test_rmst_matches_pandas_km_integral(spark, sf_dir):
+    """RMST per arm must equal a pandas KM replay integrated to tau,
+    and must be bounded by tau."""
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.experiments import (
+        KM_CENSOR_DAYS,
+        RMST_TAU,
+        stats_rmst,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf["d"] = pd.to_datetime(pdf["o_orderdate"]).dt.normalize()
+    maxd = pdf["d"].max()
+    subj = pdf.groupby("o_custkey").agg(first=("d", "min"), last=("d", "max"))
+    subj["g"] = (subj.index % 2).astype(int)
+    subj["dur"] = (subj["last"] - subj["first"]).dt.days
+    subj["event"] = ((maxd - subj["last"]).dt.days > KM_CENSOR_DAYS).astype(int)
+
+    rows = {r.g: r for r in stats_rmst(spark, sf_dir).collect()}
+    for g in (0, 1):
+        grp = subj[subj["g"] == g]
+        n_risk = len(grp)
+        s = 1.0
+        prev_t, prev_s = 0, 1.0
+        auc = 0.0
+        last_t, last_s = 0, 1.0
+        for t in sorted(grp["dur"].unique()):
+            at = grp[grp["dur"] == t]
+            d = int(at["event"].sum())
+            # exact replay of the step integral with per-step rounding
+            if d > 0 and t <= RMST_TAU:
+                auc += prev_s * (t - prev_t)
+                s *= 1 - d / n_risk
+                prev_t, prev_s = t, round(s, 6)
+                last_t, last_s = t, round(s, 6)
+            n_risk -= len(at)
+        rmst = auc + last_s * (RMST_TAU - last_t)
+        r = rows[g]
+        assert abs(r.rmst - rmst) < 0.51  # step-rounding tolerance
+        assert 0 < r.rmst <= RMST_TAU
+        assert r.last_event_t == last_t
