@@ -177,6 +177,39 @@ SHOWCASE = [
         "are scalar algebra behind a 1-row broadcast — no window, no "
         "second fact pass.",
     ),
+    (
+        "ml_logistic_irls_step",
+        "Distributed GLM as a query: ONE lineitem-free scan of orders "
+        "folds the fact table into nine integer-exact moments via "
+        "partial_ HashAggregate (map-side combine), and the 3x3 Newton "
+        "solve is pure projection algebra over the single moment row — "
+        "per-row coefficients never exist, so a logistic step at 100 TB "
+        "is exactly one scan + a 1-row exchange.",
+    ),
+    (
+        "warehouse_cdc_apply",
+        "APPLY CHANGES: the change stream folds FIRST via "
+        "partial_max_by on the key (no window over the raw stream — "
+        "the compaction happens map-side before the exchange), and the "
+        "only row-level join is the single full-outer snapshot merge; "
+        "the outcome census is one more keyed aggregate.",
+    ),
+    (
+        "agg_kmv_distinct",
+        "Mergeable bottom-k sketch: the hash-distinct collapses "
+        "map-side, then TakeOrderedAndProject picks the k smallest per "
+        "partition and merges — there is NO global sort of hash values "
+        "anywhere; the exact-distinct companion rides the same scan "
+        "shape and attaches as a 1-row broadcast.",
+    ),
+    (
+        "ml_scaling_curve",
+        "A whole learning curve from one scan: per-bucket integer "
+        "moments partial-aggregate to 10 rows, the cumulative window "
+        "runs over that 10-row frame (never the fact table), and every "
+        "fit AND its holdout MSE are projection algebra — four nested "
+        "training fractions, zero re-scans.",
+    ),
 ]
 
 
