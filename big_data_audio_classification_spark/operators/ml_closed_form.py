@@ -1255,3 +1255,146 @@ def ml_drop_column_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --- Bias-variance decomposition over the bucket ensemble ---------------
+
+
+@query(
+    "ml_bias_variance",
+    oracle=f"""
+        WITH base AS (
+            SELECT l_orderkey % {LC_BUCKETS} AS b,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        parts AS (
+            SELECT b, CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(y * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+            FROM base GROUP BY b
+        ),
+        fits AS (
+            SELECT b,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS s,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                       AS a
+            FROM parts WHERE b < {LC_BUCKETS - 1}
+        ),
+        ens AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                   AVG(a) AS abar, AVG(s) AS sbar,
+                   AVG(a * a) - AVG(a) * AVG(a) AS var_a,
+                   AVG(s * s) - AVG(s) * AVG(s) AS var_s,
+                   AVG(a * s) - AVG(a) * AVG(s) AS cov_as
+            FROM fits
+        ),
+        hold AS (
+            SELECT n AS hn, sx / n AS mx, sxx / n AS mxx,
+                   sy / n AS my, syy / n AS myy, sxy / n AS mxy
+            FROM parts WHERE b = {LC_BUCKETS - 1}
+        )
+        SELECT CAST(e.m AS BIGINT) AS n_models,
+               ROUND((e.var_a + 2 * e.cov_as * h.mx + e.var_s * h.mxx)
+                     / 10000, 4) AS avg_variance,
+               ROUND((h.myy - 2 * e.abar * h.my - 2 * e.sbar * h.mxy
+                      + e.abar * e.abar + 2 * e.abar * e.sbar * h.mx
+                      + e.sbar * e.sbar * h.mxx) / 10000, 4)
+                   AS mean_model_mse,
+               ROUND(((h.myy - 2 * e.abar * h.my - 2 * e.sbar * h.mxy
+                       + e.abar * e.abar + 2 * e.abar * e.sbar * h.mx
+                       + e.sbar * e.sbar * h.mxx)
+                      + (e.var_a + 2 * e.cov_as * h.mx + e.var_s * h.mxx))
+                     / 10000, 4) AS expected_single_model_mse
+        FROM ens e, hold h
+    """,
+    tags=("ml", "bias-variance", "closed-form", "aggregate"),
+)
+def ml_bias_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-variance decomposition WITHOUT retraining or rescoring: the
+    nine training buckets each fit their own closed-form 1-feature OLS
+    (price ~ quantity), and over the held-out bucket the ensemble's
+    prediction VARIANCE — E_x[Var_models(â + ŝx)] = Var(a) +
+    2·Cov(a,s)·E[x] + Var(s)·E[x²] — the mean-model MSE, and the
+    expected single-model MSE (= mean-model MSE + variance, the
+    bias-variance identity) all close algebraically over (a) the
+    9-model coefficient moments and (b) the holdout's own moment row.
+
+    This is the full Domingos decomposition from ONE scan: per-bucket
+    integer moments → 9 (a,s) pairs → 5 ensemble moments; no model
+    ever scores a row. The identity expected_single_model_mse =
+    mean_model_mse + avg_variance is asserted in the pytest replay
+    against literally-trained numpy models. Squared-cents moments ride
+    HUGEINT/decimal per the house overflow rule.
+
+    Reference analog: quantifies WHY voice_classifier.py:232-265's
+    single train/test split under-estimates generalization error —
+    the variance term is invisible to one split.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") % LC_BUCKETS).alias("b"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    ydec = F.col("y").cast("decimal(19,0)")
+    parts = base.groupBy("b").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(ydec * ydec).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    fits = parts.where(F.col("b") < LC_BUCKETS - 1).select(
+        slope.alias("s"), ((sy - slope * sx) / n).alias("a")
+    )
+    ens = fits.agg(
+        F.count("*").cast("double").alias("m"),
+        F.avg("a").alias("abar"),
+        F.avg("s").alias("sbar"),
+        (F.avg(F.col("a") * F.col("a")) - F.avg("a") * F.avg("a")).alias(
+            "var_a"
+        ),
+        (F.avg(F.col("s") * F.col("s")) - F.avg("s") * F.avg("s")).alias(
+            "var_s"
+        ),
+        (F.avg(F.col("a") * F.col("s")) - F.avg("a") * F.avg("s")).alias(
+            "cov_as"
+        ),
+    )
+    hold = parts.where(F.col("b") == LC_BUCKETS - 1).select(
+        (F.col("sx") / n).alias("mx"),
+        (F.col("sxx") / n).alias("mxx"),
+        (F.col("sy") / n).alias("my"),
+        (F.col("syy") / n).alias("myy"),
+        (F.col("sxy") / n).alias("mxy"),
+    )
+    j = ens.crossJoin(F.broadcast(hold))
+    var_term = (
+        F.col("var_a")
+        + 2 * F.col("cov_as") * F.col("mx")
+        + F.col("var_s") * F.col("mxx")
+    )
+    mse_mean = (
+        F.col("myy")
+        - 2 * F.col("abar") * F.col("my")
+        - 2 * F.col("sbar") * F.col("mxy")
+        + F.col("abar") * F.col("abar")
+        + 2 * F.col("abar") * F.col("sbar") * F.col("mx")
+        + F.col("sbar") * F.col("sbar") * F.col("mxx")
+    )
+    return j.select(
+        F.col("m").cast("bigint").alias("n_models"),
+        F.round(var_term / 10000, 4).alias("avg_variance"),
+        F.round(mse_mean / 10000, 4).alias("mean_model_mse"),
+        F.round((mse_mean + var_term) / 10000, 4).alias(
+            "expected_single_model_mse"
+        ),
+    )

@@ -607,3 +607,43 @@ def test_pr_auc_matches_numpy_binned_ap(spark, sf_dir):
     assert r.n_pos + r.n_neg == len(c)
     assert abs(r.average_precision - ap) < 1e-6
     assert abs(r.prevalence - n1 / len(c)) < 1e-6
+
+
+def test_bias_variance_matches_trained_numpy_ensemble(spark, sf_dir):
+    """The algebraic decomposition must equal literally training 9
+    numpy models and scoring the holdout, and the identity
+    E[single-model MSE] = mean-model MSE + variance must hold."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.ml_closed_form import (
+        LC_BUCKETS,
+        ml_bias_variance,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    b = (pdf["l_orderkey"] % LC_BUCKETS).to_numpy()
+    x = pdf["l_quantity"].to_numpy(dtype=float)
+    y = pdf["l_extendedprice"].to_numpy(dtype=float)
+    hold = b == LC_BUCKETS - 1
+
+    coefs = []
+    for k in range(LC_BUCKETS - 1):
+        m = b == k
+        A = np.column_stack([np.ones(m.sum()), x[m]])
+        beta, *_ = np.linalg.lstsq(A, y[m], rcond=None)
+        coefs.append(beta)
+    preds = np.stack([a + s * x[hold] for a, s in coefs])  # (9, n_hold)
+    variance = preds.var(axis=0, ddof=0).mean()
+    mean_pred = preds.mean(axis=0)
+    mse_mean = ((y[hold] - mean_pred) ** 2).mean()
+    mse_single = ((y[hold] - preds) ** 2).mean()
+
+    r = ml_bias_variance(spark, sf_dir).collect()[0]
+    assert r.n_models == LC_BUCKETS - 1
+    assert abs(r.avg_variance - variance) / variance < 1e-4
+    assert abs(r.mean_model_mse - mse_mean) / mse_mean < 1e-4
+    assert abs(r.expected_single_model_mse - mse_single) / mse_single < 1e-4
+    assert abs(
+        r.expected_single_model_mse - (r.mean_model_mse + r.avg_variance)
+    ) < 0.02
