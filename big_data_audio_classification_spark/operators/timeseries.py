@@ -1386,3 +1386,106 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --- Granger-style lagged predictive test ---------------------------------
+
+GRANGER_F_CRIT = 4.21  # F(1, ~27) at alpha = 0.05, fixed-gate contract
+
+
+@query(
+    "stats_granger_lite",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT CAST(y AS DOUBLE) AS y,
+                   CAST(LAG(y) OVER w AS DOUBLE) AS yl,
+                   CAST(LAG(x) OVER w AS DOUBLE) AS xl
+            FROM daily WINDOW w AS (ORDER BY d)
+            QUALIFY LAG(y) OVER w IS NOT NULL
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   corr(y, yl) AS r1, corr(y, xl) AS r2, corr(yl, xl) AS r12
+            FROM lagged
+        ),
+        fit AS (
+            SELECT n, r1, r2, r12,
+                   r1 * r1 AS r2_restricted,
+                   ((r1 - r12 * r2) * r1 + (r2 - r12 * r1) * r2)
+                       / (1 - r12 * r12) AS r2_full
+            FROM s
+        )
+        SELECT n AS n_days,
+               ROUND(r2_restricted, 6) AS r2_restricted,
+               ROUND(r2_full, 6) AS r2_full,
+               ROUND((r2_full - r2_restricted) / ((1 - r2_full) / (n - 3)), 4)
+                   AS f_stat,
+               CAST((r2_full - r2_restricted) / ((1 - r2_full) / (n - 3))
+                    > {GRANGER_F_CRIT!r} AS BOOLEAN) AS granger_causes
+        FROM fit
+    """,
+    tags=("timeseries", "stats", "causal", "window", "events"),
+)
+def stats_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger predictive test: does yesterday's CLICK volume
+    improve today's purchase-revenue forecast beyond yesterday's
+    revenue itself? Restricted model y_t ~ y_{{t-1}} vs full model
+    y_t ~ y_{{t-1}} + x_{{t-1}}; the F statistic
+    (R²_full − R²_restricted) / ((1 − R²_full)/(n−3)) decides against
+    a fixed 4.21 gate (F(1, ~27) at 5% — the house fixed-critical
+    contract; the event spine is one month at every SF so df is
+    stable).
+
+    Both fits close over the SAME correlation moments (the
+    ml_drop_column_importance determinant identity — the restricted R²
+    is literally corr²(y, y_lag)), so the whole two-model comparison
+    is one day-spine aggregate + a lag window over ~30 rows. Series
+    values are exact integers (cents, counts) before the correlation
+    kernel.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("y").cast("double").alias("y"),
+        F.lag("y").over(w).cast("double").alias("yl"),
+        F.lag("x").over(w).cast("double").alias("xl"),
+    ).where(F.col("yl").isNotNull())
+    s = lagged.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.corr("y", "yl").alias("r1"),
+        F.corr("y", "xl").alias("r2"),
+        F.corr("yl", "xl").alias("r12"),
+    )
+    r1, r2, r12 = F.col("r1"), F.col("r2"), F.col("r12")
+    r2_r = r1 * r1
+    r2_f = ((r1 - r12 * r2) * r1 + (r2 - r12 * r1) * r2) / (1 - r12 * r12)
+    f_stat = (r2_f - r2_r) / ((1 - r2_f) / (F.col("n") - 3))
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(r2_r, 6).alias("r2_restricted"),
+        F.round(r2_f, 6).alias("r2_full"),
+        F.round(f_stat, 4).alias("f_stat"),
+        (f_stat > GRANGER_F_CRIT).alias("granger_causes"),
+    )

@@ -464,3 +464,41 @@ def test_hampel_filter_matches_pandas_replay(spark, sf_dir):
     assert {r.d for r in rows} == set(flags)
     for r in rows:
         assert abs(r.hampel_z - flags[r.d]) < 1e-9
+
+
+def test_granger_lite_matches_numpy_two_model_fit(spark, sf_dir):
+    """Both R² values and the F statistic must equal numpy lstsq fits
+    of the restricted and full lagged models."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.timeseries import (
+        stats_granger_lite,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = pd.to_datetime(pdf["ts"]).dt.normalize()
+    cents = (pdf["value"] * 100).round().astype("int64")
+    y = cents.where(pdf["event_type"] == "purchase", 0).groupby(day).sum()
+    x = (pdf["event_type"] == "click").astype(int).groupby(day).sum()
+    df = pd.DataFrame({"y": y, "x": x}).sort_index()
+    yv = df["y"].to_numpy(dtype=float)[1:]
+    yl = df["y"].to_numpy(dtype=float)[:-1]
+    xl = df["x"].to_numpy(dtype=float)[:-1]
+
+    def r2(X):
+        A = np.column_stack([np.ones(len(yv))] + X)
+        beta, *_ = np.linalg.lstsq(A, yv, rcond=None)
+        resid = yv - A @ beta
+        return 1 - resid.var() / yv.var()
+
+    r2_r, r2_f = r2([yl]), r2([yl, xl])
+    n = len(yv)
+    f_stat = (r2_f - r2_r) / ((1 - r2_f) / (n - 3))
+
+    r = stats_granger_lite(spark, sf_dir).collect()[0]
+    assert r.n_days == n
+    assert abs(r.r2_restricted - r2_r) < 1e-5
+    assert abs(r.r2_full - r2_f) < 1e-5
+    assert abs(r.f_stat - f_stat) < 1e-2
+    assert r.r2_full >= r.r2_restricted - 1e-12
