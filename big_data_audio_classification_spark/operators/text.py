@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from big_data_audio_classification_spark.operators.dedup import (
     _SQL_TOKENS,
+    shingle_hash60,
     token_hash,
     tokens_col,
 )
@@ -985,4 +986,115 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.avg(F.abs(F.col("a.zval") - F.col("b.zval"))), 6).alias("delta"))
         .orderBy("source_a", "source_b")
+    )
+
+
+# --- Cross-source duplication (overlap) matrix ---------------------------
+
+OVERLAP_SHINGLE = 5
+
+
+@query(
+    "text_source_overlap_matrix",
+    oracle=f"""
+        WITH docs AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(array_to_string(
+                       toks[i:i+{OVERLAP_SHINGLE - 1}], ' ')), 1, 15))
+                       AS BIGINT) AS h
+            FROM docs,
+                 UNNEST(generate_series(1, len(toks)
+                        - {OVERLAP_SHINGLE - 1})) AS t(i)
+        ),
+        sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_common,
+               ROUND(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6)
+                   AS jaccard,
+               ROUND(n_common * 1.0 / LEAST(sa.sz, sb.sz), 6)
+                   AS overlap_coef
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+        ORDER BY src_a, src_b
+    """,
+    tags=("text", "dedup", "contamination", "documents", "join"),
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: for every source pair, the
+    5-word-shingle Jaccard and overlap coefficient between the two
+    sources' distinct shingle sets — the corpus-level census behind
+    "which feeds are re-crawling each other", run before per-document
+    dedup decides what to drop (high inter-source overlap changes the
+    keep-policy: dedup ACROSS sources, not just within).
+
+    Scale shape: documents collapse to DISTINCT (source, 60-bit
+    shingle hash) pairs map-side — text never shuffles, and the source
+    grain means cardinality is bounded by vocabulary, not corpus. The
+    pair intersection is one hash-keyed equi-join (fan-out bounded by
+    the number of sources sharing a shingle, ≤ 5 here), and the matrix
+    is #sources² rows at most. Complements text_contamination_overlap
+    (doc-vs-eval-set) at the corpus-vs-corpus grain.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (OVERLAP_SHINGLE - 1)),
+        lambda i: shingle_hash60(
+            F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + k) for k in range(OVERLAP_SHINGLE)],
+            )
+        ),
+    )
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                F.when(F.size(toks) >= OVERLAP_SHINGLE, hashes).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("sza") + F.col("szb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") * 1.0 / F.least("sza", "szb"), 6
+            ).alias("overlap_coef"),
+        )
+        .orderBy("src_a", "src_b")
     )

@@ -207,3 +207,41 @@ def test_keep_best_dedup_prefers_quality_and_partitions(spark, sf_dir):
             assert r.rep == d
     kept = sum(1 for r in best.values() if r.is_kept)
     assert 0 < kept <= len(best)
+
+
+def test_source_overlap_matrix_matches_python_replay(spark, sf_dir):
+    """Jaccard/overlap per source pair must equal a pure-python shingle
+    replay, and overlap_coef must dominate jaccard."""
+    import hashlib
+
+    import pandas as pd
+
+    from big_data_audio_classification_spark.operators.text import (
+        OVERLAP_SHINGLE,
+        text_source_overlap_matrix,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sets = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = [t for t in text.split(" ") if t]
+        s = sets.setdefault(src, set())
+        for i in range(len(toks) - OVERLAP_SHINGLE + 1):
+            g = " ".join(toks[i : i + OVERLAP_SHINGLE])
+            s.add(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+
+    rows = text_source_overlap_matrix(spark, sf_dir).collect()
+    names = sorted(sets)
+    seen = {(r.src_a, r.src_b) for r in rows}
+    # zero-intersection pairs are absent by design (inner hash join)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if (a, b) not in seen:
+                assert not (sets[a] & sets[b]), (a, b)
+    for r in rows:
+        a, b = sets[r.src_a], sets[r.src_b]
+        inter = len(a & b)
+        assert r.n_common == inter
+        assert abs(r.jaccard - inter / len(a | b)) < 1e-6
+        assert abs(r.overlap_coef - inter / min(len(a), len(b))) < 1e-6
+        assert r.overlap_coef >= r.jaccard
