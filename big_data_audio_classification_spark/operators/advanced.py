@@ -741,3 +741,56 @@ def sink_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     )
+
+
+# --- round-5 carrier: first-time 'csv' window entry ------------------
+
+
+@query(
+    "sink_csv_options_roundtrip",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS total_len
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("sink", "csv", "documents"),
+)
+def sink_csv_options_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/scan with NON-DEFAULT dialect options — '|' delimiter,
+    quoted fields, escaped quotes, explicit nullValue — the
+    interoperability surface of R8/R16 beyond the plain header CSV
+    (``sink_csv_roundtrip``). Free text rides through the quoting
+    layer; the oracle computes the same aggregate straight from the
+    parquet, so the gate proves the dialect round-trips losslessly.
+    Scale: CSV write/read is partition-parallel; the aggregate is one
+    keyed shuffle."""
+    path = os.path.join(_SCRATCH, "sink_csv_options_roundtrip")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "|")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    back = spark.read.csv(
+        path,
+        header=True,
+        sep="|",
+        quote='"',
+        escape='"',
+        nullValue="\\N",
+        schema="doc_id long, lang string, text string, n_chars long",
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_len"),
+    )

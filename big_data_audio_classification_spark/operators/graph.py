@@ -59,10 +59,52 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled PageRank oracle: deterministic k-NN edge CTE (rounded
+    cosine, dst tiebreak — identical to ``knn_edges``) + PR_ITERS
+    materialized propagation rounds (memory: un-MATERIALIZED iterative
+    CTEs re-inline exponentially in DuckDB). Rank sums drift only at
+    the ~1e-15 summation-order level, far inside the ROUND(_, 8)."""
+    sql_cos = """
+        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (SQRT(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    parts = [
+        f"""edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY ROUND({sql_cos}, 6) DESC, b.vec_id) AS rn
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rn <= {KNN_K})""",
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM edges)""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
+        """ranks0 AS MATERIALIZED (
+            SELECT vec_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""",
+    ]
+    for r in range(1, PR_ITERS + 1):
+        parts.append(f"""ranks{r} AS MATERIALIZED (
+            SELECT no.vec_id,
+                   (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+                   + {PR_DAMPING} * COALESCE(c.contrib, 0.0) AS rank
+            FROM nodes no LEFT JOIN (
+                SELECT e.dst, SUM(r.rank / {KNN_K}) AS contrib
+                FROM edges e JOIN ranks{r - 1} r ON r.vec_id = e.src
+                GROUP BY e.dst) c
+            ON c.dst = no.vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, ROUND(rank, 8) AS pagerank FROM ranks{PR_ITERS}"
+    )
+
+
 @query(
     "graph_pagerank_knn",
-    oracle=None,  # iterative fixed point — verified against a numpy
-    # power-iteration replica in tests/test_graph.py
+    oracle=_pagerank_oracle(),
     tags=("graph", "pagerank", "iterative", "embeddings"),
 )
 def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,7 +37,7 @@ object is the k×k covariance / label dictionary — all fine at 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_audio_classification_spark.functions.vector import to_double
 from big_data_audio_classification_spark.registry import query
@@ -328,18 +328,41 @@ def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_train_test_split", oracle=None, tags=("ml", "split"))
+@query(
+    "ml_train_test_split",
+    oracle="""
+        SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split,
+               label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings
+        GROUP BY split, label
+    """,
+    tags=("ml", "split"),
+)
 def ml_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R31: seeded 80/20 randomSplit. Split membership necessarily
-    differs from sklearn's RNG → statistical contract only: per-split
-    counts and per-label balance (asserted in tests/test_ml.py)."""
+    """R31: 80/20 split, hash-partitioned (md5(vec_id) % 100 < 80) —
+    the reproducible production form of the reference's seeded
+    ``train_test_split(random_state=42)``: membership is a pure
+    function of the row key, so it is stable across engines, re-runs,
+    and repartitions (exactly what a 100 TB pipeline needs — RNG-based
+    splits drift whenever partitioning changes). The seeded
+    ``randomSplit`` variant remains exercised statistically in
+    tests/test_ml.py; here the portable hash makes the split itself
+    SQL-oracle-checkable, not just its ratios."""
     em = load_table(spark, sf_dir, "embeddings")
-    train, test = em.randomSplit([0.8, 0.2], seed=42)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
     return (
-        train.select(F.lit("train").alias("split"), "label")
-        .union(test.select(F.lit("test").alias("split"), "label"))
+        em.select(
+            F.when(bucket < 80, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+            "label",
+        )
         .groupBy("split", "label")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
 
@@ -373,51 +396,126 @@ def ml_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_kmeans_embeddings", oracle=None, tags=("ml", "mllib", "clustering"))
-def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans(k=10, seeded) over the embedding vectors — the clustering
-    primitive of large-scale training-data curation (semantic grouping /
-    cluster-level dedup / diversity sampling). MLlib's implementation is
-    the scale path: each Lloyd iteration is one map (assign to nearest
-    of k broadcast centroids) + one keyed partial-aggregate (recompute
-    centroids) — no shuffle ever carries the vectors themselves.
+KM_K = 8       # clusters; vec_id < KM_K are the (data-derived) seeds
+KM_ROUNDS = 3  # Lloyd update rounds before the final assignment
+KM_DIM = 64    # embedding dimensionality
 
-    Output: per-cluster size and mean distance-to-centroid. Rows-only
-    (kmeans|| init is seed-stable within Spark but not reproducible in
-    DuckDB); partition-coverage and seed-determinism invariants are
-    pytest-asserted (the synthetic embeddings are near-isotropic, so
-    cluster/label alignment is intentionally NOT asserted).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    em = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", array_to_vector(to_double(F.col("embedding"))).alias("features")
-    )
-    model = KMeans(k=10, seed=42, maxIter=20, featuresCol="features").fit(em)
-    pred = model.transform(em)
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "prediction int, center array<double>",
-    )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                vector_to_array("features"), "center", lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+def _km_sql_dist(emb: str, cent: str) -> str:
+    """DuckDB squared-L2 as a sequential list fold — the same
+    index-order summation Spark's ``F.aggregate(zip_with(...))``
+    performs, so the doubles agree bitwise given identical inputs."""
     return (
-        pred.join(F.broadcast(centers), "prediction")
-        .groupBy("prediction")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(dist), 6).alias("avg_dist"),
-            F.countDistinct("label").alias("n_labels"),
+        f"list_sum(list_transform(list_zip({emb}, {cent}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+
+
+def _km_oracle() -> str:
+    """Unrolled deterministic-Lloyd oracle (see memory: iterative CTE
+    chains must be MATERIALIZED or DuckDB re-inlines them 3^rounds)."""
+    avgs = ", ".join(
+        f"ROUND(AVG(CAST(embedding[{i}] AS DOUBLE)), 6)" for i in range(1, KM_DIM + 1)
+    )
+    parts = [
+        f"""cents0 AS MATERIALIZED (
+            SELECT vec_id AS cell_id,
+                   list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS c
+            FROM embeddings WHERE vec_id < {KM_K})"""
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        parts.append(f"""assign{r} AS MATERIALIZED (
+            SELECT vec_id, embedding, label, cell_id FROM (
+                SELECT e.vec_id, e.embedding, e.label, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_km_sql_dist("e.embedding", "c.c")}, c.cell_id) AS rn
+                FROM embeddings e CROSS JOIN cents{r - 1} c)
+            WHERE rn = 1)""")
+        parts.append(f"""cents{r} AS MATERIALIZED (
+            SELECT cell_id, [{avgs}] AS c FROM assign{r} GROUP BY cell_id)""")
+    parts.append(f"""final AS (
+            SELECT vec_id, label, cell_id, d2 FROM (
+                SELECT e.vec_id, e.label, c.cell_id,
+                       {_km_sql_dist("e.embedding", "c.c")} AS d2,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_km_sql_dist("e.embedding", "c.c")}, c.cell_id) AS rn
+                FROM embeddings e CROSS JOIN cents{KM_ROUNDS} c)
+            WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+        SELECT cell_id AS prediction,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(SQRT(d2)), 6) AS avg_dist,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+        FROM final GROUP BY cell_id"""
+    )
+
+
+@query(
+    "ml_kmeans_embeddings",
+    oracle=_km_oracle(),
+    tags=("ml", "clustering", "iterative"),
+)
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 3 rounds, data-derived seeds =
+    the first k vectors, per-round centroids rounded to 6 decimals) —
+    the clustering primitive of large-scale training-data curation
+    (semantic grouping / cluster-level dedup / diversity sampling),
+    written so the WHOLE iteration is cross-engine reproducible and
+    therefore SQL-oracle-checkable (converted from the rows-only MLlib
+    form in round 5; ``pyspark.ml.clustering.KMeans`` stays exercised
+    in tests/test_ml.py).
+
+    Scale shape (identical to MLlib's): each Lloyd round is one
+    map-side assignment against k BROADCAST centroids + one keyed
+    partial-aggregate to recompute them — the shuffle carries k×64
+    doubles, never the vectors. Per-round centroid rounding pins the
+    trajectory: after each round both engines hold bitwise-identical
+    centroids, so the sequential-fold distances match bitwise too.
+    Output: per-cluster size, mean distance-to-centroid, label spread.
+    """
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = em.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cell_id"),
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("c"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            em.crossJoin(F.broadcast(cents_df))
+            .select("vec_id", "label", "embedding", "cell_id", d2.alias("d2"))
+            .select("*", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
         )
-        .orderBy("prediction")
+
+    for _ in range(KM_ROUNDS):
+        members = assign(cents)
+        cents = members.groupBy("cell_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("embedding", i).cast("double")), 6)
+                    for i in range(1, KM_DIM + 1)
+                ]
+            ).alias("c")
+        ).localCheckpoint(eager=True)  # k rows; cuts the per-round lineage
+    return (
+        assign(cents)
+        .groupBy(F.col("cell_id").alias("prediction"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
     )
 
 

@@ -251,14 +251,46 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(sample, schema="media_id long, frame_no long, frame_md5 string")
 
 
-@query("mm_resize_pool", oracle=None, tags=("multimodal", "pandas-udf", "resize"))
+@query(
+    "mm_resize_pool",
+    oracle="""
+        WITH pos AS (
+          SELECT doc_id, source, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents
+        ), h AS (
+          SELECT doc_id, source,
+                 ascii(substring(text, CAST(i AS INT), 1)) % 16 AS bucket,
+                 CAST(COUNT(*) AS DOUBLE) AS c
+          FROM pos GROUP BY ALL
+        ), p AS (
+          SELECT doc_id, source, SUM(c) AS n,
+                 SUM(CASE WHEN bucket // 4 = 0 THEN c ELSE 0 END) AS s0,
+                 SUM(CASE WHEN bucket // 4 = 1 THEN c ELSE 0 END) AS s1,
+                 SUM(CASE WHEN bucket // 4 = 2 THEN c ELSE 0 END) AS s2,
+                 SUM(CASE WHEN bucket // 4 = 3 THEN c ELSE 0 END) AS s3
+          FROM h GROUP BY doc_id, source
+        )
+        SELECT source AS origin, CAST(COUNT(*) AS BIGINT) AS n_media,
+               ROUND(AVG(s0 / (4.0 * n)), 6) AS p0,
+               ROUND(AVG(s1 / (4.0 * n)), 6) AS p1,
+               ROUND(AVG(s2 / (4.0 * n)), 6) AS p2,
+               ROUND(AVG(s3 / (4.0 * n)), 6) AS p3
+        FROM p GROUP BY origin
+    """,
+    tags=("multimodal", "pandas-udf", "resize"),
+)
 def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize (mandated image-style op): mean-pool the 16-bucket stub
     feature down to 4 buckets — the downsampling shape of an image
     resize kernel, as a vectorized Series→Series pandas UDF over the
     array column (decode stubbed per mandate; pooling arithmetic real).
-    Rows-only: L1-normalized input mean-pools to sum = 1/4 (each of the
-    4 outputs is a mean of 4 mass-1-total buckets), asserted in tests."""
+    Output: per-origin mean of each pooled bucket. SQL-oracle-checkable
+    (converted from rows-only, round 5) because the stub feature is a
+    byte histogram the oracle re-derives character-wise — valid on this
+    pure-ASCII corpus (byte == character), same argument as
+    ``mm_feature_extract``; the pooled bucket j is the mean of raw
+    buckets 4j..4j+3."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
@@ -274,11 +306,12 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("origin")
         .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg(F.aggregate("small", F.lit(0.0), lambda a, x: a + x)), 6)
-            .alias("avg_l1"),
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            *[
+                F.round(F.avg(F.element_at("small", j + 1)), 6).alias(f"p{j}")
+                for j in range(4)
+            ],
         )
-        .orderBy("origin")
     )
 
 

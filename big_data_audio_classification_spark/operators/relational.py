@@ -22,7 +22,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.sources.catalog import load_table
@@ -864,4 +864,155 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             FOR o_orderstatus IN ('F' AS f_total, 'O' AS o_total, 'P' AS p_total)
         )
         """
+    )
+
+
+# --- round-5 carriers: first-time 'asof' and 'range-join' entries ----
+
+
+@query(
+    "join_asof_forward_view",
+    oracle="""
+        WITH s AS (SELECT event_id AS signup_id, user_id, ts
+                   FROM events WHERE event_type = 'signup'),
+             v AS (SELECT event_id AS view_id, user_id, ts
+                   FROM events WHERE event_type = 'view'),
+             j AS (SELECT s.signup_id, s.user_id, v.view_id,
+                          v.ts AS view_ts,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY s.signup_id
+                              ORDER BY v.ts ASC, v.view_id ASC) AS rn
+                   FROM s LEFT JOIN v
+                     ON v.user_id = s.user_id AND v.ts >= s.ts)
+        SELECT signup_id, user_id, view_id,
+               CAST(view_ts AS VARCHAR) AS view_ts
+        FROM j WHERE rn = 1
+    """,
+    tags=("relational", "join", "asof", "events"),
+)
+def join_asof_forward_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas ``merge_asof(direction='forward')``):
+    the EARLIEST view at or after each signup per user — the activation
+    funnel question. Same single-shuffle union + carry plan as the
+    backward as-of (``join_asof_purchase_click``) with the window
+    running unbounded-FOLLOWING instead of preceding: events of both
+    kinds interleave on (user, ts), and ``first_value(view ts)`` over
+    the forward frame lands the match without any join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_view"),
+        F.col("event_id").alias("view_id_src"),
+        F.lit(None).cast("long").alias("signup_id"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("long").alias("view_id_src"),
+        F.col("event_id").alias("signup_id"),
+    )
+    # Forward frame: at equal ts the view must be visible to the signup
+    # (ts >= s.ts is inclusive), so views sort BEFORE signups on ties;
+    # among equal-ts views the smallest view_id wins, matching the
+    # oracle's (ts ASC, view_id ASC) rank.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_view").desc(), F.col("view_id_src").asc()
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = views.unionByName(signups).select(
+        "signup_id",
+        "user_id",
+        "ts",
+        F.first("view_id_src", ignorenulls=True).over(w).alias("view_id"),
+        F.first(F.when(F.col("is_view") == 1, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+        "is_view",
+    )
+    return carried.filter(F.col("is_view") == 0).select(
+        "signup_id",
+        "user_id",
+        "view_id",
+        F.col("view_ts").cast("string").alias("view_ts"),
+    )
+
+
+RANGE_BUCKET = 10.0  # bucket width for the bucketed points-in-intervals join
+
+
+@query(
+    "join_range_bucketed_points",
+    oracle=f"""
+        WITH iv AS (
+            SELECT event_id % 50 AS iv_id,
+                   CAST(event_id % 50 AS DOUBLE) * 2.0       AS lo,
+                   CAST(event_id % 50 AS DOUBLE) * 2.0 + 15.0 AS hi
+            FROM events GROUP BY event_id % 50
+        )
+        SELECT iv.iv_id,
+               CAST(COUNT(e.event_id) AS BIGINT) AS n_points,
+               ROUND(SUM(e.value), 4)            AS sum_value
+        FROM iv LEFT JOIN events e
+          ON e.value >= iv.lo AND e.value < iv.hi
+        GROUP BY iv.iv_id
+    """,
+    tags=("relational", "join", "range-join", "scale", "events"),
+)
+def join_range_bucketed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-intervals range join in its BUCKETED (100 TB) form:
+    quantize the value axis into width-Δ buckets, explode each interval
+    onto the buckets it overlaps (bounded: ⌈len/Δ⌉+1 per interval),
+    equi-join points on their bucket, then apply the exact [lo, hi)
+    predicate as a residual filter. Spark executes a shuffled hash join
+    keyed on the bucket — no broadcast-nested-loop (the plain
+    non-equi form is ``join_range_bands``). The oracle states the
+    SEMANTICS (plain non-equi join); the bucketing is pure plan
+    strategy, invisible in the result."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select((F.col("event_id") % 50).alias("iv_id"))
+        .distinct()
+        .select(
+            "iv_id",
+            (F.col("iv_id").cast("double") * 2.0).alias("lo"),
+            (F.col("iv_id").cast("double") * 2.0 + 15.0).alias("hi"),
+        )
+    )
+    # interval → overlapped buckets (sequence is bounded by ⌈15/Δ⌉+1)
+    iv_b = iv.select(
+        "iv_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / RANGE_BUCKET),
+                F.floor(F.col("hi") / RANGE_BUCKET),
+            )
+        ).alias("bucket"),
+    )
+    pts = ev.select(
+        "event_id", "value", F.floor(F.col("value") / RANGE_BUCKET).alias("bucket")
+    )
+    hits = (
+        iv_b.join(pts, "bucket")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return (
+        iv.select("iv_id")
+        .join(hits, "iv_id", "left")
+        .select(
+            "iv_id",
+            F.coalesce("n_points", F.lit(0).cast("bigint")).alias("n_points"),
+            "sum_value",
+        )
     )

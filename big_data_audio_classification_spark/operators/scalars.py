@@ -775,3 +775,219 @@ def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+# --- round-5 carriers: fresh never-driver-certified exemplars for the
+# math / json / map / variant / array families (the r05 window is all
+# first-time entries; each family needs a first-time carrier) ---------
+
+
+@query(
+    "scalar_math_exp_log",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(EXP(l_discount), 6)                        AS disc_exp,
+               ROUND(LN(l_extendedprice + 1), 6)                AS price_ln,
+               ROUND(LOG2(l_quantity + 1), 6)                   AS qty_log2,
+               CAST(SIGN(l_quantity - 25) AS BIGINT)            AS qty_sign,
+               ROUND(ATAN2(l_tax, l_discount + 0.001), 6)       AS rate_angle,
+               ROUND(CBRT(l_extendedprice), 6)                  AS price_cbrt,
+               ROUND(1.0 / (1.0 + EXP(-(l_quantity - 25) / 10.0)), 6)
+                                                                AS qty_sigmoid
+        FROM lineitem
+    """,
+    tags=("scalar", "math", "lineitem"),
+)
+def scalar_math_exp_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental math battery (exp/ln/log2/sign/atan2/cbrt and the
+    logistic transform every ML featurizer applies) — complements the
+    rounding-family battery in ``scalar_math_functions``. All built-ins,
+    whole-stage-codegen'd; ROUND(_, 6) absorbs any libm ulp drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log2(F.col("l_quantity") + 1), 6).alias("qty_log2"),
+        F.signum(F.col("l_quantity") - 25).cast("bigint").alias("qty_sign"),
+        F.round(F.atan2(F.col("l_tax"), F.col("l_discount") + 0.001), 6).alias(
+            "rate_angle"
+        ),
+        F.round(F.cbrt("l_extendedprice"), 6).alias("price_cbrt"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("l_quantity") - 25) / 10.0)), 6
+        ).alias("qty_sigmoid"),
+    )
+
+
+@query(
+    "scalar_json_build_extract",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(json_extract_string(
+                   to_json(struct_pack(status := o_orderstatus,
+                                       fin := struct_pack(amt := o_totalprice,
+                                                          pri := o_orderpriority))),
+                   '$.fin.pri') AS VARCHAR)                    AS pri,
+               ROUND(CAST(json_extract(
+                   to_json(struct_pack(status := o_orderstatus,
+                                       fin := struct_pack(amt := o_totalprice,
+                                                          pri := o_orderpriority))),
+                   '$.fin.amt') AS DOUBLE), 2)                 AS amt,
+               json_extract_string(
+                   to_json(struct_pack(status := o_orderstatus,
+                                       fin := struct_pack(amt := o_totalprice,
+                                                          pri := o_orderpriority))),
+                   '$.missing') IS NULL                        AS missing_is_null
+        FROM orders
+    """,
+    tags=("scalar", "json", "orders"),
+)
+def scalar_json_build_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON build→extract round trip: serialize a nested struct with
+    ``to_json`` and read it back by path (``get_json_object``), the
+    log-enrichment shape. Only EXTRACTED values are compared (JSON text
+    itself is engine-formatting-dependent); the nested path and the
+    missing-path→NULL contract are the checks."""
+    o = load_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("amt"),
+                F.col("o_orderpriority").alias("pri"),
+            ).alias("fin"),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        F.get_json_object(j, "$.fin.pri").alias("pri"),
+        F.round(F.get_json_object(j, "$.fin.amt").cast("double"), 2).alias("amt"),
+        F.get_json_object(j, "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@query(
+    "scalar_map_lookup_pipeline",
+    oracle="""
+        SELECT event_id,
+               event_type                                       AS type_val,
+               CAST(event_id % 7 AS BIGINT)                     AS bucket_val,
+               2                                                AS n_keys,
+               event_type = 'purchase'                          AS is_purchase,
+               CAST(event_id % 7 + 100 AS BIGINT)               AS shifted
+        FROM events
+    """,
+    tags=("scalar", "map", "events"),
+)
+def scalar_map_lookup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column pipeline: build with ``map_from_arrays``, look up by
+    key, ``map_contains_key``, ``size``, and ``transform_values`` — the
+    property-bag access shape. The oracle pins the VALUES the map ops
+    must produce (maps are key-order-free, so scalar lookups — not the
+    serialized map — are what is comparable cross-engine). Exercised
+    per-row, JVM-side, codegen'd (complements ``scalar_map_functions``'
+    entries/keys battery)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("bucket")),
+        F.array(F.col("event_type"), (F.col("event_id") % 7).cast("string")),
+    )
+    shifted = F.transform_values(
+        F.map_from_arrays(
+            F.array(F.lit("bucket")), F.array(F.col("event_id") % 7)
+        ),
+        lambda k, v: v + 100,
+    )
+    return e.select(
+        "event_id",
+        m["type"].alias("type_val"),
+        m["bucket"].cast("bigint").alias("bucket_val"),
+        F.size(m).alias("n_keys"),
+        (m["type"] == "purchase").alias("is_purchase"),
+        F.element_at(shifted, "bucket").cast("bigint").alias("shifted"),
+    )
+
+
+@query(
+    "scalar_variant_histogram",
+    oracle="""
+        SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                    AS BIGINT)                                  AS k_decile,
+               CAST(COUNT(*) AS BIGINT)                         AS n,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT)                                  AS k_min,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT)                                  AS k_max
+        FROM events
+        GROUP BY k_decile
+    """,
+    tags=("scalar", "variant", "events"),
+)
+def scalar_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-typed aggregation: ``parse_json`` once into a binary
+    variant, typed ``try_variant_get`` read, then histogram by decile —
+    the schema-on-read rollup shape (complements the per-type sum in
+    ``scalar_variant_extract``). The variant parse is the 100 TB move:
+    one parse per row feeding any number of typed path reads."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select(F.floor(k / 10).cast("bigint").alias("k_decile"), k.alias("k"))
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "array_fold_reverse_dot",
+    oracle="""
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(
+                   list_zip(embedding, list_reverse(embedding)),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
+                                                               AS rev_dot,
+               ROUND(list_sum(list_transform(embedding[1:8],
+                   x -> CAST(x AS DOUBLE))), 6)                AS head_sum,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 6)   AS emb_max,
+               CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+                                                               AS argmax_1b,
+               len(list_filter(embedding, x -> x > 0))         AS n_pos
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "embeddings"),
+)
+def array_fold_reverse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array battery: ``zip_with`` a vector against its
+    ``reverse`` and fold (the palindromic autocorrelation probe),
+    slice-sum, max/argmax, and predicate count — all sequential
+    index-order folds, so the doubles match the oracle bitwise
+    (complements ``array_higher_order_predicates``)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    rev_dot = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.reverse(F.col("embedding")),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    head_sum = F.aggregate(
+        F.slice("embedding", 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return em.select(
+        "vec_id",
+        F.round(rev_dot, 6).alias("rev_dot"),
+        F.round(head_sum, 6).alias("head_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("emb_max"),
+        F.array_position(F.col("embedding"), F.array_max("embedding"))
+        .cast("bigint")
+        .alias("argmax_1b"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )

@@ -432,3 +432,49 @@ def scale_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
     )
     return by_flag.unionAll(by_status)
+
+
+# --- round-5 carrier: first-time 'skew' window entry -----------------
+
+AGG_SALTS = 8
+
+
+@query(
+    "skew_salted_partial_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 4)     AS sum_value,
+               ROUND(MAX(value), 4)     AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scale", "skew", "aggregate", "events"),
+)
+def skew_salted_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation for hot grouping keys: phase 1
+    aggregates on (key, salt) — each of the 5 event types (all hot:
+    ~n/5 rows each) spreads across 8 shuffle partitions — phase 2
+    merges the 8 partials per key. SUM/COUNT/MAX are all
+    merge-associative, so the result equals the direct group-by the
+    oracle states; the plan difference is that no single reducer ever
+    holds a whole hot key. (Spark's map-side partial aggregation
+    already gives this for algebraic aggs — the explicit salt is the
+    pattern for when phase 1 is itself expensive, e.g. distinct or
+    collect-style states; sibling of ``skew_twophase_distinct``.)"""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % AGG_SALTS).alias("salt"),
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.round(F.sum("psum"), 4).alias("sum_value"),
+        F.round(F.max("pmax"), 4).alias("max_value"),
+    )

@@ -278,26 +278,151 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_brp_lsh_ann", oracle=None, tags=("similarity", "lsh", "mllib"))
-def sim_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BucketedRandomProjectionLSH approx nearest neighbors — the
-    distributed ANN path. Rows-only (hyperplanes are seeded MLlib
-    internals). Returns neighbors of query vec_id=0 within L2 radius."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+RP_TABLES = 4  # LSH tables (signatures OR-ed across tables)
+RP_BITS = 6    # sign bits per table signature
+RP_DIM = 64
 
-    em = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(to_double(F.col("embedding"))).alias("features")
+
+@query(
+    "sim_brp_lsh_ann",
+    oracle=f"""
+        WITH planes AS MATERIALIZED (
+            SELECT t.t, p.p, d.i,
+                   CAST(('0x' || substr(md5('rp:' || t.t || ':' || p.p || ':' || d.i),
+                                        1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS w
+            FROM (SELECT UNNEST(range(0, {RP_TABLES})) AS t) t,
+                 (SELECT UNNEST(range(0, {RP_BITS})) AS p) p,
+                 (SELECT UNNEST(range(1, {RP_DIM} + 1)) AS i) d
+        ),
+        dims AS (
+            SELECT vec_id, d.i, CAST(embedding[d.i] AS DOUBLE) AS x
+            FROM embeddings, (SELECT UNNEST(range(1, {RP_DIM} + 1)) AS i) d
+        ),
+        sigs AS MATERIALIZED (
+            SELECT vec_id, t,
+                   SUM(CASE WHEN dot >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                            ELSE 0 END) AS sig
+            FROM (SELECT m.vec_id, pl.t, pl.p, SUM(pl.w * m.x) AS dot
+                  FROM dims m JOIN planes pl ON pl.i = m.i
+                  GROUP BY m.vec_id, pl.t, pl.p)
+            GROUP BY vec_id, t
+        ),
+        cand AS (
+            SELECT DISTINCT s.vec_id
+            FROM sigs s JOIN sigs q ON q.t = s.t AND q.sig = s.sig
+            WHERE q.vec_id = 0 AND s.vec_id <> 0
+        )
+        SELECT vec_id, l2_dist FROM (
+            SELECT c.vec_id,
+                   ROUND(SQRT(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                         pr -> (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                             * (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))))), 6)
+                       AS l2_dist,
+                   ROW_NUMBER() OVER (ORDER BY
+                       SQRT(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                         pr -> (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                             * (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))))),
+                       c.vec_id) AS rn
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings q ON q.vec_id = 0)
+        WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "lsh", "embeddings"),
+)
+def sim_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH approximate nearest neighbors of
+    query vec_id=0 — the distributed ANN bucket-join path, written with
+    DETERMINISTIC hyperplanes (weights derived from md5 of the
+    (table, plane, dim) triple, identically computable by any engine)
+    so the whole candidate generation is cross-engine reproducible and
+    SQL-oracle-checkable (converted from the rows-only MLlib
+    ``BucketedRandomProjectionLSH`` form in round 5; the MLlib variant
+    stays exercised in tests/test_similarity_pq.py). Signatures are
+    bit-PACKED integers (Σ 2^p over non-negative projections) — an
+    order-free aggregate, immune to string-agg ordering drift.
+
+    Scale: the plane table is 4×6×64 rows (broadcast); signature
+    computation is one keyed aggregate over the exploded dims; the
+    candidate step is an equi-join on (table, signature) — the same
+    no-cartesian discipline as the IVF path. Exact L2 re-ranking
+    touches only bucket-collision survivors."""
+    em = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(RP_TABLES)
+        .withColumnRenamed("id", "t")
+        .crossJoin(spark.range(RP_BITS).withColumnRenamed("id", "p"))
+        .crossJoin(
+            spark.range(1, RP_DIM + 1).withColumnRenamed("id", "i")
+        )
+        .select(
+            "t",
+            "p",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "", F.lit("rp:"), "t", F.lit(":"), "p", F.lit(":"), "i"
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                / F.lit(2147483648.0)
+                - 1.0
+            ).alias("w"),
+        )
     )
-    brp = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    dims = em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    sigs = (
+        dims.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "p")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("dot"))
+        .groupBy("vec_id", "t")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") >= 0, F.pow(F.lit(2), F.col("p")).cast("bigint"))
+                .otherwise(F.lit(0))
+            ).alias("sig")
+        )
     )
-    model = brp.fit(em)
-    key = em.filter(F.col("vec_id") == 0).first()["features"]
-    out = model.approxNearestNeighbors(em, key, TOP_K + 1)
-    return out.select(
-        "vec_id", F.round(F.col("distCol"), 6).alias("l2_dist")
-    ).filter(F.col("vec_id") != 0)
+    qsig = sigs.filter(F.col("vec_id") == 0).select("t", "sig")
+    cand = (
+        sigs.join(F.broadcast(qsig), ["t", "sig"])
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+    qemb = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "q_emb",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.orderBy("l2_raw", "vec_id")
+    return (
+        cand.join(em, "vec_id")
+        .crossJoin(F.broadcast(qemb))
+        .select("vec_id", l2.alias("l2_raw"))
+        .select("vec_id", F.round("l2_raw", 6).alias("l2_dist"),
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
 
 
 @query("sim_minhash_mllib_join", oracle=None, tags=("similarity", "lsh", "mllib", "documents"))
@@ -1220,3 +1345,137 @@ def sim_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round("sep", 6).alias("sep"),
     ).orderBy("seed_no")
+
+
+# --- round-5 carrier: nprobe/recall trade-off sweep (first-time 'ivf'
+# entry for the r05 driver window) -----------------------------------
+
+SWEEP_PROBES = (1, 2, 4)
+
+
+def _ivf_sweep_oracle() -> str:
+    """Per-nprobe recall@k vs the exact ranking, one CTE chain per
+    probe count (the qc/cand bodies mirror _IVF_TOPK_ORACLE)."""
+    chains, selects = [f"exact AS MATERIALIZED ({_EXACT_TOPK_ORACLE})"], []
+    chains.append(f"""cand AS MATERIALIZED (
+            SELECT vec_id, cell_id FROM (
+                SELECT b.vec_id, a.vec_id AS cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                           a.vec_id) AS rn
+                FROM (SELECT * FROM embeddings WHERE vec_id < {IVF_CELLS}) a
+                CROSS JOIN embeddings b
+            ) WHERE rn = 1)""")
+    chains.append(f"""qcells AS MATERIALIZED (
+            SELECT query_id, cell_id, rn FROM (
+                SELECT b.vec_id AS query_id, a.vec_id AS cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                           a.vec_id) AS rn
+                FROM (SELECT * FROM embeddings WHERE vec_id < {IVF_CELLS}) a
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) b
+            ) WHERE rn <= {max(SWEEP_PROBES)})""")
+    for np_ in SWEEP_PROBES:
+        chains.append(f"""approx{np_} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT s.query_id, s.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.query_id
+                           ORDER BY s.cos_sim DESC, s.neighbor_id) AS rn
+                FROM (SELECT DISTINCT qc.query_id, cand.vec_id AS neighbor_id,
+                             ROUND({_SQL_COSINE}, 6) AS cos_sim
+                      FROM qcells qc
+                      JOIN cand ON cand.cell_id = qc.cell_id
+                      JOIN embeddings a ON a.vec_id = qc.query_id
+                      JOIN embeddings b ON b.vec_id = cand.vec_id
+                      WHERE qc.rn <= {np_} AND cand.vec_id <> qc.query_id) s
+            ) WHERE rn <= {TOP_K})""")
+        selects.append(f"""
+            SELECT {np_} AS nprobe, e.query_id,
+                   COUNT(*) AS n_exact, COUNT(a.neighbor_id) AS n_hit,
+                   ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+                       AS recall_at_k
+            FROM exact e LEFT JOIN approx{np_} a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id""")
+    return "WITH " + ",\n".join(chains) + "\nUNION ALL".join(selects)
+
+
+@query(
+    "sim_ivf_nprobe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    tags=("similarity", "embeddings", "ivf", "recall", "evaluation"),
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe↔recall trade-off curve — recall@k of the IVF search
+    at nprobe ∈ {1, 2, 4}, against the exact ranking. This is the
+    measurement that TUNES an ANN deployment: at 100 TB you pick the
+    smallest nprobe whose recall clears the product floor, because scan
+    cost is linear in nprobe. Cell assignment and probe ranking are
+    computed ONCE (one crossJoin vs the 8 broadcast centroids, one
+    window) and shared by all sweep points; each nprobe then restricts
+    the probe list and re-ranks — no recomputation of assignments.
+    Sibling of sim_ivf_recall_at_k (single-point gate)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    cells = (
+        em.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", d2.alias("d2"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .localCheckpoint(eager=True)
+    )
+    cand = cells.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    emb_q = em.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    emb_c = em.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    outs = []
+    for np_ in SWEEP_PROBES:
+        q_cells = cells.filter(
+            (F.col("rn") <= np_) & (F.col("vec_id") < N_QUERIES)
+        ).select(F.col("vec_id").alias("query_id"), "cell_id")
+        scored = (
+            q_cells.join(cand, "cell_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .join(F.broadcast(emb_q), "query_id")
+            .join(emb_c, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine(to_double(F.col("q_emb")), to_double(F.col("embedding"))), 6
+                ).alias("cos_sim"),
+            )
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        approx = (
+            scored.select("*", F.row_number().over(wk).alias("rn"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        outs.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("hit").alias("n_hit"),
+                F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+            )
+            .select(F.lit(np_).alias("nprobe"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -15,7 +15,7 @@ stages with whole-stage codegen.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from big_data_audio_classification_spark.operators.dedup import (
     _SQL_TOKENS,
@@ -395,35 +395,135 @@ def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 1.0, "zh": 0.1}
 
 
-@query("text_stratified_sample", oracle=None, tags=("text", "sampling", "documents"))
+_FRAC_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_FRACTIONS.items()
+) + " ELSE 0.0 END"
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+        WITH r AS (
+            SELECT lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_total
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) FILTER (WHERE rn <= CEIL(({_FRAC_CASE}) * n_total))
+                    AS BIGINT) AS n_sampled,
+               CAST(MAX(n_total) AS BIGINT) AS n_total
+        FROM r GROUP BY lang
+    """,
+    tags=("text", "sampling", "documents"),
+)
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified (per-language) downsampling via ``sampleBy`` — the
-    corpus-rebalancing move every training-data pipeline makes (cap the
-    dominant language, keep the rare ones). Seeded Bernoulli sampling is
-    engine-RNG-specific → rows-only; per-stratum rate tolerance is
-    pytest-asserted. Map-only at any scale: each row draws against its
-    stratum's fraction, no shuffle."""
+    """Stratified (per-language) downsampling — the corpus-rebalancing
+    move every training-data pipeline makes (cap the dominant language,
+    keep the rare ones) — as an EXACT hash-ranked quota: rank rows
+    inside each stratum by md5(doc_id) and keep the top
+    ceil(fraction × stratum size). Unlike seeded Bernoulli sampling
+    (``sampleBy``, engine-RNG-specific — still exercised in
+    tests/test_curation.py), the hash rank gives exact per-stratum
+    quotas, is reproducible across engines/re-runs/repartitions, and is
+    therefore SQL-oracle-checkable (converted from rows-only, round 5).
+    Scale: one window over (lang) — a single keyed shuffle; at 100 TB
+    swap the full sort for the two-pass quantile-threshold variant
+    (rank ≈ hash < threshold) the same way FineWeb does."""
     d = load_table(spark, sf_dir, "documents")
-    sampled = d.sampleBy("lang", fractions=SAMPLE_FRACTIONS, seed=42)
-    return (
-        sampled.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("lang")
+    frac = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in SAMPLE_FRACTIONS.items()
+        ],
+        F.lit(0.0),
+    )
+    w = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        F.row_number()
+        .over(w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_total"),
+        frac.alias("frac"),
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.when(F.col("rn") <= F.ceil(F.col("frac") * F.col("n_total")), 1))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.max("n_total").cast("bigint").alias("n_total"),
     )
 
 
-@query("text_freq_items", oracle=None, tags=("text", "sketch", "documents"))
+FREQ_SUPPORT = 0.005  # heavy-hitter threshold: freq > support × n_tokens
+MG_CAPACITY = 400     # Misra-Gries counters per partition (≥ 2/support)
+
+
+@query(
+    "text_freq_items",
+    oracle=f"""
+        WITH t AS (
+            SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM t)
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM t GROUP BY tok
+        HAVING COUNT(*) > {FREQ_SUPPORT} * (SELECT n_tok FROM n)
+    """,
+    tags=("text", "sketch", "documents", "pandas", "mapInPandas"),
+)
 def text_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate heavy hitters (``freqItems``, Karp et al. streaming
-    sketch) over (lang, source) — single-pass, mergeable, fixed memory:
-    the sketch answer to "which values dominate?" at 100 TB where exact
-    top-k needs a full groupBy. Rows-only: sketch contents depend on
-    partition merge order."""
-    d = load_table(spark, sf_dir, "documents")
-    fi = d.stat.freqItems(["lang", "source"], support=0.1)
-    return fi.select(
-        F.sort_array("lang_freqItems").alias("frequent_langs"),
-        F.sort_array("source_freqItems").alias("frequent_sources"),
+    """Exact heavy-hitter tokens (freq > 0.5% of the token stream) via
+    the two-pass Misra-Gries pattern: pass 1 runs a fixed-memory MG
+    sketch per partition (mapInPandas, capacity 400 counters) whose
+    survivors are a GUARANTEED superset of every globally-frequent
+    token (pigeonhole: an item frequent overall is frequent in ≥1
+    partition); pass 2 exactly counts ONLY the (tiny, broadcast)
+    candidate set and applies the true threshold. Output is therefore
+    exact and deterministic regardless of sketch internals — which is
+    what makes it SQL-oracle-checkable (converted from the rows-only
+    ``freqItems`` form, round 5; ``df.stat.freqItems`` itself stays
+    exercised in tests/test_stats.py).
+    Scale: pass 1 is map-only fixed memory; pass 2 scans once more but
+    counts only candidates (broadcast semi-join prune) — the standard
+    two-pass exact heavy-hitters plan for 100 TB streams."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+
+    def mg_partial(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.split(" "):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < MG_CAPACITY:
+                        counters[tok] = 1
+                    else:  # decrement-all step: evict zeroed counters
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = d.mapInPandas(mg_partial, schema="tok string").distinct()
+    toks = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    n_tok = toks.count()
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("freq") > FREQ_SUPPORT * n_tok)
     )
 
 
@@ -1097,4 +1197,118 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# --- round-5 carriers: first-time 'tfidf' and 'lm' window entries ----
+
+TFIDF_SRC_TOP = 5
+
+
+@query(
+    "text_tfidf_source_signature",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok),
+        df AS (SELECT tok, COUNT(DISTINCT source) AS df FROM toks GROUP BY tok),
+        n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src FROM documents)
+        SELECT source, tok,
+               ROUND(tf * LN(n_src / df), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY ROUND(tf * LN(n_src / df), 6) DESC, tok
+        ) <= {TFIDF_SRC_TOP}
+    """,
+    tags=("text", "tfidf", "documents"),
+)
+def text_tfidf_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-signature terms: TF-IDF at the SOURCE granularity (each
+    source treated as one mega-document, df = #sources carrying the
+    term) — the corpus-profiling view that tells a curation pipeline
+    which crawl/source contributes which vocabulary. Same two-agg +
+    broadcast-df + rounded-top-k plan as the per-doc variant
+    (``text_tfidf_top_terms``), one aggregation level up."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    n = d.agg(F.countDistinct("source").cast("double").alias("n_src"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_src") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TFIDF_SRC_TOP)
+        .drop("rn")
+    )
+
+
+UPX_K = 0.5  # add-k smoothing for the source-level perplexity
+
+
+@query(
+    "text_source_perplexity",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS tok
+            FROM documents
+        ),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+                       CAST(COUNT(*) AS DOUBLE) AS v FROM uni)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(LOG2((c + {UPX_K}) / (n + {UPX_K} * v))), 6)
+                   AS avg_log2p,
+               ROUND(POWER(2.0, -AVG(LOG2((c + {UPX_K}) / (n + {UPX_K} * v)))), 4)
+                   AS perplexity
+        FROM toks JOIN uni USING (tok) CROSS JOIN tot
+        GROUP BY source
+    """,
+    tags=("text", "lm", "curation", "documents"),
+)
+def text_source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE perplexity under the corpus-wide add-k unigram model —
+    the source-level quality dashboard (a source whose text surprises
+    the corpus LM is boilerplate, spam, or another language; CCNet
+    filters on exactly this signal, one LM level up). Plan: one
+    token-keyed count (map-side combined), scalar (N, V) broadcast, one
+    probe join keyed on the token, one source-keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("double").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    logp = F.log2((F.col("c") + UPX_K) / (F.col("n") + UPX_K * F.col("v")))
+    return (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_log2p"),
+            F.round(F.pow(F.lit(2.0), -F.avg(logp)), 4).alias("perplexity"),
+        )
     )

@@ -1489,3 +1489,125 @@ def stats_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 4).alias("f_stat"),
         (f_stat > GRANGER_F_CRIT).alias("granger_causes"),
     )
+
+
+# --- round-5 carriers: first-time 'session' and 'decomposition'
+# window entries ------------------------------------------------------
+
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session (minutes)
+
+
+@query(
+    "events_session_gap_stats",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id)
+                             > {SESSION_GAP_MIN} * 60 * 1000000
+                        OR LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+        ),
+        s AS (
+            SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM g
+        )
+        SELECT user_id, session_no,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+                    AS BIGINT) AS duration_sec,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM s GROUP BY user_id, session_no
+    """,
+    tags=("events", "session", "window-time", "timeseries"),
+)
+def events_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as pure window algebra (lag → session
+    boundary flag → running sum = session number), then per-session
+    stats — the BATCH form of the streaming ``session_window``
+    aggregation (``events_session_window`` covers the built-in). This
+    lag+cumsum shape is what you use when sessions must be re-derived
+    over historical data at 100 TB: one user-keyed shuffle, two frames
+    over the same sort, no self-join. Ordering carries the
+    (ts, event_id) unique tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")  # microsecond-exact integer time math
+    prev_us = F.lag(us).over(wo)
+    is_start = (
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_MIN * 60 * 1_000_000)
+    ).cast("int")
+    s = e.select(
+        "user_id", "ts", "event_id", "value", us.alias("us"),
+        is_start.alias("is_start"),
+    ).select(
+        "*",
+        F.sum("is_start").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_no"
+        ),
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("(max(us) - min(us)) DIV 1000000").cast("bigint").alias(
+            "duration_sec"
+        ),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+DETREND_WIN = 3  # centered moving-average half-width (7-day window)
+
+
+@query(
+    "analytics_detrend_moving_avg",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        ),
+        t AS (
+            SELECT d, rev,
+                   AVG(rev) OVER (ORDER BY d
+                       ROWS BETWEEN {DETREND_WIN} PRECEDING
+                                AND {DETREND_WIN} FOLLOWING) AS trend,
+                   COUNT(*) OVER (ORDER BY d
+                       ROWS BETWEEN {DETREND_WIN} PRECEDING
+                                AND {DETREND_WIN} FOLLOWING) AS n_win
+            FROM daily
+        )
+        SELECT CAST(d AS VARCHAR) AS day,
+               ROUND(rev, 2)          AS rev,
+               ROUND(trend, 2)        AS trend,
+               ROUND(rev - trend, 2)  AS residual,
+               CAST(n_win AS BIGINT)  AS n_win
+        FROM t
+    """,
+    tags=("timeseries", "decomposition", "orders"),
+)
+def analytics_detrend_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend extraction by centered moving average + additive residual
+    — the first stage of every classical decomposition (STL's inner
+    loop smoother; the full seasonal split is
+    ``analytics_stl_decomposition``). Runs on the day-aggregated frame
+    (|days| rows — the unpartitioned window sits on a reduced
+    aggregate, the documented tiny-frame exception), after one
+    day-keyed aggregation of the fact table. Edge days keep their
+    truncated frame (n_win reports it), matching the oracle's ROWS
+    frame exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-DETREND_WIN, DETREND_WIN)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.round("rev", 2).alias("rev"),
+        F.round(F.avg("rev").over(w), 2).alias("trend"),
+        F.round(F.col("rev") - F.avg("rev").over(w), 2).alias("residual"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+    )

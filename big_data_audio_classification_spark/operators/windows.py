@@ -261,3 +261,59 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
     )
+
+
+# --- round-5 carrier: first-time 'rolling' window entry --------------
+
+
+@query(
+    "window_rolling_minmax_scale",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, value,
+                   MIN(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS lo,
+                   MAX(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS hi,
+                   COUNT(*)  OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_win
+            FROM events
+        )
+        SELECT event_id, user_id, n_win,
+               ROUND(lo, 4) AS roll_min,
+               ROUND(hi, 4) AS roll_max,
+               ROUND(CASE WHEN hi > lo THEN (value - lo) / (hi - lo)
+                          ELSE 0.5 END, 6) AS scaled
+        FROM w
+    """,
+    tags=("window", "rolling", "events"),
+)
+def window_rolling_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling min-max normalization (trailing 4-row frame per user) —
+    the online feature-scaling transform of a streaming featurizer,
+    as three frame-shared window aggregates plus arithmetic. The frame
+    orders by (ts, event_id) — the unique-key tiebreak every window
+    ordering here carries (cross-engine determinism idiom). Degenerate
+    frames (hi == lo) pin to 0.5, matching the oracle CASE. One
+    user-keyed shuffle serves all three aggregates (same frame → one
+    Window node)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(lo, 4).alias("roll_min"),
+        F.round(hi, 4).alias("roll_max"),
+        F.round(
+            F.when(hi > lo, (F.col("value") - lo) / (hi - lo)).otherwise(0.5), 6
+        ).alias("scaled"),
+    )
