@@ -91,6 +91,14 @@ HEADLINE = [
     # the banded-MinHash recall quality gate
     "mm_phash_banded_neardup",
     "dedup_lsh_recall",
+    # round-5 flagship additions (VERDICT r04 item 5): the four heavy
+    # round-4 operators whose regressions were untracked, plus the
+    # engine-hash containment variant the 100 TB path actually runs
+    "dedup_containment_join",
+    "dedup_containment_join_xxhash",
+    "stats_hodges_lehmann",
+    "sim_kcenter_seeds",
+    "ml_gbt_residual_rounds",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a

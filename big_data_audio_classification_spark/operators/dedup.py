@@ -267,16 +267,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key would be an LSH band (see dedup_minhash_lsh_pairs) —
     the verify-with-true-Jaccard stage is identical."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+    # persisted projection + single slice() per gram: the inline form
+    # re-ran the tokenizer per element_at inside the lambda (the O(T²)
+    # pathology fixed across the shingle family in r05)
+    base = d.select(
+        "doc_id", "source", tokens_col(F.col("text")).alias("toks")
+    ).persist()
+    tcol = F.col("toks")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+            F.sequence(F.lit(1), F.size(tcol) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tcol, i, 2)),
         )
     )
-    g = d.select("doc_id", "source", grams.alias("grams")).filter(
+    g = base.select("doc_id", "source", grams.alias("grams")).filter(
         F.size("grams") > 0
     )
     a, b = g.alias("a"), g.alias("b")
@@ -562,7 +566,10 @@ def dedup_substring_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one row per document with the cleaned-text digest, so the
     oracle verifies the reconstructed text bytes, not just counts."""
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    # persist the narrow words projection: CollapseProject would inline
+    # the split() into the gram lambda, re-tokenizing once per shingle
+    # (O(T²) per doc — same pathology fixed in the containment join, r05)
+    w = d.select("doc_id", F.split("text", " ").alias("words")).persist()
     n = NGRAM_PRUNE_N
     grams = (
         w.filter(F.size("words") >= n)
@@ -671,7 +678,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify joins keyed on doc_id — all equi-joins; no cross join
     anywhere (asserted in tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", tokens_col(F.col("text")).alias("words"))
+    # persisted so the shingle lambda reads a materialized array
+    # instead of re-running split-per-shingle (see containment note)
+    w = d.select("doc_id", tokens_col(F.col("text")).alias("words")).persist()
     return prefix_filter_pairs(w, PFJ_THETA, PFJ_SHINGLE)
 
 
@@ -1129,9 +1138,7 @@ CONT_DF_CAP = 20       # drop shingles appearing in more docs (fan-out bound)
 CONT_THRESHOLD = 0.5   # max-direction containment to report
 
 
-@query(
-    "dedup_containment_join",
-    oracle=f"""
+_CONTAINMENT_ORACLE = f"""
         WITH docs AS (
             SELECT doc_id,
                    list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -1166,7 +1173,12 @@ CONT_THRESHOLD = 0.5   # max-direction containment to report
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE GREATEST(n_common * 1.0 / sa.sz, n_common * 1.0 / sb.sz)
               >= {CONT_THRESHOLD!r}
-    """,
+    """
+
+
+@query(
+    "dedup_containment_join",
+    oracle=_CONTAINMENT_ORACLE,
     tags=("dedup", "containment", "documents", "join"),
 )
 def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,41 +1202,56 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard production semantics since uncapped high-df shingles add
     no discriminative mass.
     """
+    return _containment_join_impl(spark, sf_dir, shingle_hash60)
+
+
+def _containment_join_impl(spark, sf_dir, hash_fn) -> DataFrame:
+    """Shared containment pipeline, parameterized by the shingle hash
+    (portable md5-60bit for the oracle-paired query; engine-side
+    xxhash64 for the production variant)."""
     d = load_table(spark, sf_dir, "documents")
+    # PROJECT + PERSIST the token array before the shingle lambda:
+    # subexpression elimination does not reach inside higher-order
+    # function lambdas, so a split() referenced per element_at re-ran
+    # O(shingle_len) times per shingle — O(T²) per document (measured
+    # 7.5 s → 0.6 s for the sf0.1 explode, r05). The shingle is also
+    # built from ONE slice() instead of 5 element_at()s, so even the
+    # uncached form references the array once per shingle.
     toks = tokens_col(F.col("text"))
-    # hash each shingle directly (no intermediate string array, no
-    # per-row array_distinct — the post-explode distinct dedups); the
-    # single transform halves the per-row work vs building grams twice
+    base = d.select("doc_id", toks.alias("toks")).persist()
+    tcol = F.col("toks")
     hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (CONT_SHINGLE - 1)),
-        lambda i: shingle_hash60(
-            F.concat_ws(
-                " ",
-                *[F.element_at(toks, i + k) for k in range(CONT_SHINGLE)],
-            )
-        ),
+        F.sequence(F.lit(1), F.size(tcol) - (CONT_SHINGLE - 1)),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(tcol, i, CONT_SHINGLE))),
     )
     sh = (
-        d.select(
+        base.select(
             "doc_id",
             F.explode(
-                F.when(F.size(toks) >= CONT_SHINGLE, hashes).otherwise(
+                F.when(F.size(tcol) >= CONT_SHINGLE, hashes).otherwise(
                     F.array().cast("array<bigint>")
                 )
             ).alias("h"),
         )
         .distinct()
     )
-    df_w = Window.partitionBy("h")
-    # the capped profile feeds THREE consumers (sizes + both join sides):
-    # persist the narrow (doc_id, h) frame so the explode/distinct/window
-    # subtree runs once, not three times (measured 19 s -> ~6 s at sf0.1)
-    kept = (
-        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+    # df-cap as AGGREGATE + semi-join, not a window: a window
+    # partitioned by the (high-cardinality) shingle key sort-buffers
+    # every partition (measured +8 s at sf0.1 for 250 k shingles); the
+    # count-then-join form is one map-side-combined groupBy plus an
+    # equi-join reusing the same hash partitioning (r05, cuts the warm
+    # 10x growth from 3.7x to ~2x)
+    # sh feeds the df count AND the semi-join input; both scans re-run
+    # only the (cheap, cached-toks) explode, so sh itself stays lazy
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= CONT_DF_CAP)
-        .select("doc_id", "h")
-        .persist()
+        .select("h")
     )
+    # the capped profile feeds THREE consumers (sizes + both join
+    # sides): persist it too so the semi-join runs once
+    kept = sh.join(rare, "h", "left_semi").persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select(F.col("doc_id").alias("id_a"), "h")
     b = kept.select(F.col("doc_id").alias("id_b"), "h")
@@ -1250,6 +1277,30 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c_ba, 6).alias("c_ba"),
         )
     )
+
+
+@query(
+    "dedup_containment_join_xxhash",
+    # The pair set does not depend on WHICH injective shingle hash is
+    # used (hashes are opaque identifiers: df-cap, profile sizes, and
+    # intersections are hash-invariant up to 64-bit collisions,
+    # P ≈ 1e-8 at this corpus), so the md5-formulated oracle states the
+    # identical semantics and the gate verifies the equivalence.
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("dedup", "containment", "documents", "join", "scale"),
+)
+def dedup_containment_join_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side variant of ``dedup_containment_join`` (VERDICT r04
+    item 4): identical plan, but shingles hash with ``xxhash64`` —
+    one JVM codegen'd hash over the gram instead of md5→hex→substr→
+    conv (≈5 expression nodes and a cryptographic digest per shingle).
+    The md5 formulation stays on the oracle-paired query because the
+    DuckDB contract needs a hash both engines can compute; at 100 TB
+    you run THIS variant (the hash is ~all of the residual 4.2×
+    blow-up cost measured in r04) and keep the md5 one as the
+    cross-engine audit query. Result sets are identical up to 64-bit
+    hash collisions (~1e-8); tests/test_relational.py pins equality."""
+    return _containment_join_impl(spark, sf_dir, F.xxhash64)
 
 
 # --- Quality-weighted (keep-best) LSH dedup -------------------------------

@@ -1672,3 +1672,115 @@ def stats_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > Z95_TWO_SIDED).alias("overdispersed"),
     )
+
+
+# --- round-5: Benjamini-Hochberg FDR over a fixed hypothesis family --
+
+BH_ALPHA = 0.05
+BH_CELLS = 20  # 5 event types x 4 user buckets — m is SF-independent
+
+
+def _phi_inv_upper(q: float) -> float:
+    """Φ⁻¹(1 − q) by bisection on math.erf — double-deterministic at
+    module import, so the SAME constants land in the Spark literal
+    table and the oracle SQL (the fixed-critical-value idiom: no
+    in-engine normal CDF needed)."""
+    import math
+
+    lo, hi = 0.0, 12.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        # upper tail P(Z > mid) = (1 - erf(mid/√2)) / 2
+        if (1.0 - math.erf(mid / math.sqrt(2.0))) / 2.0 > q:
+            lo = mid
+        else:
+            hi = mid
+    return round((lo + hi) / 2, 9)
+
+
+# z*_i = Φ⁻¹(1 − (i/m)·α/2): reject H_(i) (|z| descending) iff
+# |z|_(i) ≥ z*_i for some i ≤ k*.
+BH_THRESHOLDS = tuple(
+    _phi_inv_upper((i / BH_CELLS) * BH_ALPHA / 2.0) for i in range(1, BH_CELLS + 1)
+)
+
+_BH_VALUES = ", ".join(f"({i + 1}, {t!r})" for i, t in enumerate(BH_THRESHOLDS))
+
+
+@query(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type, user_id % 4 AS ub,
+                   COUNT(*) AS n, AVG(value) AS mean_v
+            FROM events GROUP BY event_type, user_id % 4
+        ),
+        o AS (SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sd FROM events),
+        z AS (
+            SELECT event_type, ub, n,
+                   ROUND((mean_v - mu) / (sd / SQRT(n)), 6) AS z
+            FROM g CROSS JOIN o
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY ABS(z) DESC, event_type, ub) AS rn
+            FROM z
+        ),
+        th(rn, zstar) AS (VALUES {_BH_VALUES}),
+        kstar AS (
+            SELECT COALESCE(MAX(r.rn), 0) AS k
+            FROM ranked r JOIN th ON th.rn = r.rn
+            WHERE ABS(r.z) >= th.zstar
+        )
+        SELECT r.event_type, CAST(r.ub AS BIGINT) AS ub,
+               CAST(r.n AS BIGINT) AS n, r.z,
+               CAST(r.rn AS BIGINT) AS rank,
+               r.rn <= (SELECT k FROM kstar) AS rejected
+        FROM ranked r
+    """,
+    tags=("stats", "inference", "multiple-testing", "events"),
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a FIXED family of m=20
+    segment hypotheses (event type × user bucket; H₀: segment mean
+    value = corpus mean): the multiple-testing gate every metrics
+    platform needs once it tests many segments at once. The step-up
+    rule runs on the Z SCALE — reject the top-k |z| where
+    |z|₍ᵢ₎ ≥ Φ⁻¹(1−(i/m)α/2) — with the m critical values bisected
+    from math.erf at import time and shipped as a 20-row literal table
+    to BOTH engines (p-values and in-engine normal CDFs never needed:
+    p₍ᵢ₎ ≤ (i/m)α ⟺ the z-threshold form, since p = g(|z|) is strictly
+    decreasing). Plan: one cell aggregate, one scalar corpus-moment
+    broadcast, one 20-row ranking window, one literal-table join —
+    everything past the first aggregate is dimension-sized at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", (F.col("user_id") % 4).alias("ub")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_v")
+    )
+    o = e.agg(F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
+    z = g.crossJoin(F.broadcast(o)).select(
+        "event_type",
+        "ub",
+        "n",
+        F.round(
+            (F.col("mean_v") - F.col("mu")) / (F.col("sd") / F.sqrt("n")), 6
+        ).alias("z"),
+    )
+    w = Window.orderBy(F.abs("z").desc(), "event_type", "ub")
+    ranked = z.select("*", F.row_number().over(w).alias("rn"))
+    th = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(BH_THRESHOLDS)], "rn int, zstar double"
+    )
+    kstar = (
+        ranked.join(F.broadcast(th), "rn")
+        .where(F.abs("z") >= F.col("zstar"))
+        .agg(F.coalesce(F.max("rn"), F.lit(0)).alias("k"))
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        F.col("ub").cast("bigint").alias("ub"),
+        F.col("n").cast("bigint").alias("n"),
+        "z",
+        F.col("rn").cast("bigint").alias("rank"),
+        (F.col("rn") <= F.col("k")).alias("rejected"),
+    )

@@ -1611,3 +1611,91 @@ def analytics_detrend_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") - F.avg("rev").over(w), 2).alias("residual"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
     )
+
+
+# --- round-5: stationary distribution of the event-type chain --------
+
+MARKOV_POWER_ITERS = 24
+
+
+def _markov_stationary_oracle() -> str:
+    parts = [
+        """pairs AS (
+            SELECT event_type AS cur_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )""",
+        """p AS MATERIALIZED (
+            SELECT cur_type, next_type,
+                   CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY cur_type) AS pij
+            FROM pairs WHERE next_type IS NOT NULL
+            GROUP BY cur_type, next_type
+        )""",
+        """states AS MATERIALIZED (SELECT DISTINCT cur_type AS state FROM p)""",
+        """pi0 AS MATERIALIZED (
+            SELECT state,
+                   1.0 / (SELECT COUNT(*) FROM states) AS prob
+            FROM states)""",
+    ]
+    for r in range(1, MARKOV_POWER_ITERS + 1):
+        parts.append(f"""pi{r} AS MATERIALIZED (
+            SELECT p.next_type AS state, SUM(pi.prob * p.pij) AS prob
+            FROM pi{r - 1} pi JOIN p ON p.cur_type = pi.state
+            GROUP BY p.next_type)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT state, ROUND(prob, 8) AS stationary_prob
+        FROM pi{MARKOV_POWER_ITERS}"""
+    )
+
+
+@query(
+    "events_markov_stationary",
+    oracle=_markov_stationary_oracle(),
+    tags=("events", "timeseries", "markov", "iterative"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — the
+    long-run behavioral mix the `events_markov_transitions` matrix
+    converges to — by {it} synchronous power-iteration rounds from the
+    uniform start (π_{{t+1}} = π_t P). The per-round state is k≤5
+    doubles, so iterations after the one transition-count shuffle are
+    dimension-sized: the heavy lifting is exactly one LEAD window +
+    one (cur,next) aggregate, same as the matrix query; convergence is
+    geometric (chain is irreducible here: every type both emits and
+    receives transitions at every SF), so ROUND(_, 8) sits far inside
+    the contraction after {it} rounds. Spark loop localCheckpoints the
+    k-row π each round (lineage idiom); oracle unrolls MATERIALIZED
+    CTEs.""".format(it=MARKOV_POWER_ITERS)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    norm = Window.partitionBy("cur_type")
+    p = (
+        pairs.groupBy("cur_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "cur_type",
+            "next_type",
+            (F.col("n").cast("double") / F.sum("n").over(norm)).alias("pij"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = p.select(F.col("cur_type").alias("state")).distinct()
+    k = states.count()
+    pi = states.select("state", F.lit(1.0 / k).alias("prob"))
+    for _ in range(MARKOV_POWER_ITERS):
+        pi = (
+            pi.join(p, pi["state"] == p["cur_type"])
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum(F.col("prob") * F.col("pij")).alias("prob"))
+            .localCheckpoint(eager=True)
+        )
+    return pi.select("state", F.round("prob", 8).alias("stationary_prob"))

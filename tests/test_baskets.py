@@ -13,9 +13,9 @@ from big_data_audio_classification_spark.sources.catalog import load_table
 
 def test_fpgrowth_pair_supports_match_sql_counts(spark, sf_dir):
     fp = {
-        tuple(r["itemset"]): r["freq"]
+        tuple(int(x) for x in r["itemset"].split(",")): r["freq"]
         for r in baskets.ml_fpgrowth_baskets(spark, sf_dir).collect()
-        if len(r["itemset"]) == 2
+        if r["itemset"].count(",") == 1  # r05: itemsets serialize as csv
     }
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
@@ -43,9 +43,9 @@ def test_fpgrowth_pair_supports_match_sql_counts(spark, sf_dir):
 
 def test_fpgrowth_singleton_supports_match_item_frequencies(spark, sf_dir):
     singles = {
-        r["itemset"][0]: r["freq"]
+        int(r["itemset"]): r["freq"]
         for r in baskets.ml_fpgrowth_baskets(spark, sf_dir).collect()
-        if len(r["itemset"]) == 1
+        if "," not in r["itemset"]  # r05: itemsets serialize as csv
     }
     li = load_table(spark, sf_dir, "lineitem")
     freqs = {

@@ -245,3 +245,24 @@ def test_source_overlap_matrix_matches_python_replay(spark, sf_dir):
         assert abs(r.jaccard - inter / len(a | b)) < 1e-6
         assert abs(r.overlap_coef - inter / min(len(a), len(b))) < 1e-6
         assert r.overlap_coef >= r.jaccard
+
+
+def test_containment_xxhash_variant_matches_md5(spark, sf_dir):
+    """The engine-hash containment variant (r05) must produce the
+    identical pair set: shingle hashes are opaque identifiers, so the
+    df-cap, sizes, and intersections are hash-invariant up to 64-bit
+    collisions (~1e-8 at this corpus)."""
+    from big_data_audio_classification_spark.operators.dedup import (
+        dedup_containment_join,
+        dedup_containment_join_xxhash,
+    )
+
+    md5_rows = sorted(
+        (r.id_a, r.id_b, r.n_common, r.c_ab, r.c_ba)
+        for r in dedup_containment_join(spark, sf_dir).collect()
+    )
+    xx_rows = sorted(
+        (r.id_a, r.id_b, r.n_common, r.c_ab, r.c_ba)
+        for r in dedup_containment_join_xxhash(spark, sf_dir).collect()
+    )
+    assert md5_rows == xx_rows and md5_rows
