@@ -35,13 +35,22 @@ from big_data_audio_classification_spark.sources.catalog import load_table
 KNN_K = 5
 PR_DAMPING = 0.85
 PR_ITERS = 12
+# Node cap for the pagerank variant ONLY (the exact k-NN build is
+# O(N²) in BOTH engines; 600 nodes ≈ the sf0.01 cost at every SF —
+# same bounded-slice precedent as dedup_cc_transitive_oracle's
+# CC_ORACLE_CAP; sf0.001/sf0.01 have ≤500 vectors, so the cap binds
+# only at sf0.1). The at-scale edge build swaps in the IVF/LSH
+# candidate join, as documented on knn_edges.
+PR_NODE_CAP = 600
 
 
-def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_edges(spark: SparkSession, sf_dir: str, node_cap: int | None = None) -> DataFrame:
     """Directed k-NN edge list (src -> its KNN_K most cosine-similar
     vectors, ties broken by dst id). Exact form for determinism; swap
     in the IVF/LSH candidate join at corpus scale."""
     em = load_table(spark, sf_dir, "embeddings")
+    if node_cap is not None:
+        em = em.filter(F.col("vec_id") < node_cap)
     a = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
     b = em.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
     scored = a.join(b, F.col("src") != F.col("dst")).select(
@@ -74,12 +83,15 @@ def _pagerank_oracle() -> str:
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
     """
     parts = [
-        f"""edges AS MATERIALIZED (
+        f"""nset AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {PR_NODE_CAP}),
+        edges AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT a.vec_id AS src, b.vec_id AS dst,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
                            ORDER BY ROUND({sql_cos}, 6) DESC, b.vec_id) AS rn
-                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+                FROM nset a JOIN nset b ON a.vec_id <> b.vec_id)
             WHERE rn <= {KNN_K})""",
         """nodes AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM edges)""",
         """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
@@ -117,7 +129,7 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     join ranks onto edges by src (edge partitioning reused), aggregate
     contributions by dst (the one shuffle), left-join back onto the
     node set so in-degree-0 nodes keep the teleport term."""
-    edges = knn_edges(spark, sf_dir)
+    edges = knn_edges(spark, sf_dir, node_cap=PR_NODE_CAP)
     nodes = edges.select(F.col("src").alias("vec_id")).distinct()
     n = nodes.count()
     ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank"))

