@@ -1356,3 +1356,184 @@ def analytics_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dd_pct"),
     )
+
+
+# --- round-5: optimal 1-D segmentation (Jenks natural breaks) --------
+
+JENKS_BINS = 40  # price-axis pre-aggregation buckets
+JENKS_K = 4      # segments
+JENKS_BUCKET = 10_000.0  # o_totalprice bucket width
+
+
+def _jenks_oracle() -> str:
+    """Unrolled DP oracle. cost(j+1..i) is computed from running sums
+    that BOTH engines accumulate in bin order (window cumsum), so the
+    doubles match bitwise and the argmin tiebreak (smallest j) is
+    deterministic."""
+    parts = [
+        f"""b AS MATERIALIZED (
+            SELECT CAST(FLOOR(o_totalprice / {JENKS_BUCKET}) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS DOUBLE) AS w,
+                   SUM(o_totalprice) AS s,
+                   SUM(o_totalprice * o_totalprice) AS ss
+            FROM orders WHERE o_totalprice < {JENKS_BINS} * {JENKS_BUCKET}
+            GROUP BY 1)""",
+        """p AS MATERIALIZED (
+            SELECT bin, ROW_NUMBER() OVER (ORDER BY bin) AS i,
+                   SUM(w)  OVER (ORDER BY bin) AS cw,
+                   SUM(s)  OVER (ORDER BY bin) AS cs,
+                   SUM(ss) OVER (ORDER BY bin) AS css
+            FROM b)""",
+        """cost AS MATERIALIZED (
+            SELECT lo.i AS j, hi.i AS i,
+                   (hi.css - COALESCE(pl.css, 0))
+                   - (hi.cs - COALESCE(pl.cs, 0)) * (hi.cs - COALESCE(pl.cs, 0))
+                     / (hi.cw - COALESCE(pl.cw, 0)) AS c
+            FROM p hi
+            JOIN p lo ON lo.i <= hi.i
+            LEFT JOIN p pl ON pl.i = lo.i - 1)""",
+        """dp1 AS MATERIALIZED (
+            SELECT i, c AS cost, 0 AS j FROM cost WHERE j = 1)""",
+    ]
+    for k in range(2, JENKS_K + 1):
+        parts.append(f"""dp{k} AS MATERIALIZED (
+            SELECT i, cost, j FROM (
+                SELECT c.i, d.cost + c.c AS cost, c.j - 1 AS j,
+                       ROW_NUMBER() OVER (PARTITION BY c.i
+                           ORDER BY d.cost + c.c, c.j) AS rn
+                FROM cost c JOIN dp{k - 1} d ON d.i = c.j - 1)
+            WHERE rn = 1)""")
+    n = f"(SELECT MAX(i) FROM p)"
+    # backtrack: e_K = n, e_{k-1} = split(dp_k, e_k)
+    ends = [f"e{JENKS_K} AS (SELECT {n} AS i)"]
+    for k in range(JENKS_K, 1, -1):
+        ends.append(
+            f"e{k - 1} AS (SELECT d.j AS i FROM dp{k} d, e{k} WHERE d.i = e{k}.i)"
+        )
+    parts.extend(ends)
+    seg_selects = []
+    for k in range(1, JENKS_K + 1):
+        lo = f"(SELECT i FROM e{k - 1}) + 1" if k > 1 else "1"
+        seg_selects.append(f"""
+            SELECT {k} AS segment,
+                   (SELECT bin FROM p WHERE i = {lo}) AS lo_bin,
+                   (SELECT bin FROM p WHERE i = (SELECT i FROM e{k})) AS hi_bin""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+        segs AS ({' UNION ALL '.join(seg_selects)})
+        SELECT s.segment, s.lo_bin, s.hi_bin,
+               CAST(SUM(b.w) AS BIGINT) AS n,
+               ROUND(SUM(b.ss) - SUM(b.s) * SUM(b.s) / SUM(b.w), 2) AS sse,
+               (SELECT ROUND(cost, 2) FROM dp{JENKS_K}
+                WHERE i = {n}) AS total_sse
+        FROM segs s JOIN b ON b.bin BETWEEN s.lo_bin AND s.hi_bin
+        GROUP BY s.segment, s.lo_bin, s.hi_bin"""
+    )
+
+
+@query(
+    "analytics_jenks_breaks",
+    oracle=_jenks_oracle(),
+    tags=("analytics", "segmentation", "dp", "orders"),
+)
+def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jenks natural breaks — the EXACT optimal 1-D k-segmentation
+    (Fisher's dynamic program minimizing within-segment SSE) over the
+    order-price axis, the principled alternative to eyeballed price
+    bands (``join_range_bands``) and equal-width histograms. The corpus
+    collapses map-side to ≤{bins} weighted bins; the DP then runs on
+    the dimension-sized prefix-sum frame as {k} unrolled min-plus
+    layers (each one join + one argmin window — never a driver loop),
+    and the boundary backtrack is {k} one-row joins. Cross-engine
+    exact: both engines build the prefix sums by an ORDER BY bin
+    cumulative window (identical summation order → bitwise-identical
+    doubles), so the argmin with its smallest-j tiebreak picks the
+    same splits. Output: each segment's bin range, population, SSE,
+    and the DP's optimal total.""".format(bins=JENKS_BINS, k=JENKS_K)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") < JENKS_BINS * JENKS_BUCKET
+    )
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / JENKS_BUCKET).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("w"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    p = b.select(
+        "bin",
+        "w",
+        "s",
+        "ss",
+        F.row_number().over(Window.orderBy("bin")).alias("i"),
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("ss").over(wcum).alias("css"),
+    ).localCheckpoint(eager=True)
+    hi, lo, pl = p.alias("hi"), p.alias("lo"), p.alias("pl")
+    cost = (
+        hi.join(lo, F.col("lo.i") <= F.col("hi.i"))
+        .join(pl, F.col("pl.i") == F.col("lo.i") - 1, "left")
+        .select(
+            F.col("lo.i").alias("j"),
+            F.col("hi.i").alias("i"),
+            (
+                (F.col("hi.css") - F.coalesce(F.col("pl.css"), F.lit(0.0)))
+                - (F.col("hi.cs") - F.coalesce(F.col("pl.cs"), F.lit(0.0)))
+                * (F.col("hi.cs") - F.coalesce(F.col("pl.cs"), F.lit(0.0)))
+                / (F.col("hi.cw") - F.coalesce(F.col("pl.cw"), F.lit(0.0)))
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_i = p.agg(F.max("i")).first()[0]
+    # DP layers (each ≤ JENKS_BINS rows — the collect()s below are
+    # dimension-sized backtrack lookups, never data-sized)
+    layers = []
+    dp_l = cost.filter(F.col("j") == 1).select(
+        "i", F.col("c").alias("cost"), F.lit(0).alias("j")
+    )
+    layers.append({r["i"]: r["j"] for r in dp_l.collect()})
+    for k in range(2, JENKS_K + 1):
+        prev = dp_l.select(F.col("i").alias("pi"), F.col("cost").alias("pcost"))
+        wmin = Window.partitionBy("i").orderBy(F.col("cost"), F.col("j"))
+        dp_l = (
+            cost.join(prev, F.col("pi") == F.col("j") - 1)
+            .select("i", (F.col("pcost") + F.col("c")).alias("cost"), (F.col("j") - 1).alias("j"))
+            .select("*", F.row_number().over(wmin).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        layers.append({r["i"]: r["j"] for r in dp_l.collect()})
+    total_sse = round(
+        [r["cost"] for r in dp_l.collect() if r["i"] == n_i][0], 2
+    )
+    bounds = [n_i]
+    for k in range(JENKS_K, 1, -1):
+        bounds.append(layers[k - 1][bounds[-1]])
+    bounds = bounds[::-1]  # [e1, e2, ..., eK=n]
+    idx2bin = {r["i"]: r["bin"] for r in p.select("i", "bin").collect()}
+    seg_rows = []
+    prev_end = 0
+    for k, e in enumerate(bounds, start=1):
+        seg_rows.append((k, idx2bin[prev_end + 1], idx2bin[e]))
+        prev_end = e
+    segs = spark.createDataFrame(
+        seg_rows, "segment int, lo_bin long, hi_bin long"
+    )
+    return (
+        segs.join(
+            b, (F.col("bin") >= F.col("lo_bin")) & (F.col("bin") <= F.col("hi_bin"))
+        )
+        .groupBy("segment", "lo_bin", "hi_bin")
+        .agg(
+            F.sum("w").cast("bigint").alias("n"),
+            F.round(
+                F.sum("ss") - F.sum("s") * F.sum("s") / F.sum("w"), 2
+            ).alias("sse"),
+        )
+        .select("*", F.lit(total_sse).alias("total_sse"))
+    )

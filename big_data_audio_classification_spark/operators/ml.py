@@ -1473,3 +1473,98 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "average_precision",
         )
     )
+
+
+# --- round-5: isotonic calibration with an EXACT SQL oracle ----------
+
+ISO_BINS = 24
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CAST(FLOOR(
+                       (1.0 / (1.0 + EXP(-2.0 * CAST(embedding[1] AS DOUBLE))))
+                       * {ISO_BINS}) AS BIGINT) AS bin,
+                   CASE WHEN CAST(embedding[1] AS DOUBLE)
+                             + 0.1 * CAST(embedding[2] AS DOUBLE) > 0
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM embeddings
+        ),
+        b AS (
+            SELECT bin, CAST(COUNT(*) AS DOUBLE) AS w, AVG(y) AS ybar
+            FROM scored GROUP BY bin
+        ),
+        idx AS (SELECT bin, ROW_NUMBER() OVER (ORDER BY bin) AS i,
+                       w, ybar FROM b),
+        -- weighted block averages a(j,k) for every j <= k
+        a AS (
+            SELECT lo.i AS j, hi.i AS k,
+                   SUM(m.w * m.ybar) / SUM(m.w) AS avg_jk
+            FROM idx lo JOIN idx hi ON hi.i >= lo.i
+            JOIN idx m ON m.i BETWEEN lo.i AND hi.i
+            GROUP BY lo.i, hi.i
+        ),
+        -- m(j,i) = min over k >= i of a(j,k): reverse running min per j
+        mm AS (
+            SELECT j, k AS i,
+                   MIN(avg_jk) OVER (PARTITION BY j ORDER BY k DESC
+                       ROWS UNBOUNDED PRECEDING) AS m
+            FROM a
+        )
+        SELECT idx.bin,
+               CAST(idx.w AS BIGINT) AS n,
+               ROUND(idx.ybar, 6) AS raw_rate,
+               ROUND(MAX(mm.m), 6) AS fitted
+        FROM mm JOIN idx ON idx.i = mm.i
+        WHERE mm.j <= mm.i
+        GROUP BY idx.bin, idx.w, idx.ybar
+    """,
+    tags=("ml", "calibration", "mllib", "isotonic"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) probability calibration — the nonparametric
+    sibling of Platt scaling every production classifier ships with —
+    fitted by MLlib's distributed ``IsotonicRegression`` on binned
+    (score, empirical rate, weight) points and verified EXACTLY: the
+    isotonic L2 projection is unique and admits the closed minimax
+    characterization fitted(i) = max_{{j<=i}} min_{{k>=i}} wavg(j..k),
+    which the DuckDB oracle evaluates directly (block averages → per-j
+    reverse running min → per-i max). An iterative MLlib fit therefore
+    gets a bit-checkable SQL oracle — same trick class as the
+    deterministic-Lloyd conversions, but via a closed-form optimality
+    characterization instead of trajectory pinning.
+
+    Scale: binning collapses the corpus to ≤{bins} weighted points
+    map-side, so the fit input is dimension-sized at any corpus scale;
+    MLlib's isotonic runs PAVA per partition + boundary merge."""
+    from pyspark.ml.feature import VectorAssembler  # noqa: F401 (MLlib surface)
+    from pyspark.ml.regression import IsotonicRegression
+
+    em = load_table(spark, sf_dir, "embeddings")
+    x1 = F.element_at("embedding", 1).cast("double")
+    x2 = F.element_at("embedding", 2).cast("double")
+    scored = em.select(
+        F.floor((1.0 / (1.0 + F.exp(-2.0 * x1))) * ISO_BINS).cast("bigint").alias("bin"),
+        F.when(x1 + 0.1 * x2 > 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("w"), F.avg("y").alias("ybar")
+    )
+    iso = IsotonicRegression(
+        featuresCol="f", labelCol="ybar", weightCol="w", isotonic=True
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    train = b.select(
+        "bin", "w", "ybar", array_to_vector(F.array(F.col("bin").cast("double"))).alias("f")
+    )
+    model = iso.fit(train)
+    fitted = model.transform(train)
+    return fitted.select(
+        "bin",
+        F.col("w").cast("bigint").alias("n"),
+        F.round("ybar", 6).alias("raw_rate"),
+        F.round("prediction", 6).alias("fitted"),
+    )

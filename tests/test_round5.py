@@ -256,3 +256,76 @@ def test_pq_codebook_covers_every_subvector(spark, sf_dir):
         per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n
     assert set(per_sub) == set(range(PQCB_M))
     assert all(v == n_vec for v in per_sub.values())  # every (vec, sub) assigned
+
+
+def test_isotonic_calibration_monotone_and_mass_preserving(spark, sf_dir):
+    """PAVA invariants: fitted values are nondecreasing in the bin, and
+    the weighted mean of fitted equals the weighted mean of raw rates
+    (L2 projection preserves the weighted total)."""
+    from big_data_audio_classification_spark.operators.ml import (
+        ml_isotonic_calibration,
+    )
+
+    rows = sorted(ml_isotonic_calibration(spark, sf_dir).collect(),
+                  key=lambda r: r.bin)
+    assert rows
+    fitted = [r.fitted for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(fitted, fitted[1:]))
+    wsum = sum(r.n for r in rows)
+    raw_mean = sum(r.n * r.raw_rate for r in rows) / wsum
+    fit_mean = sum(r.n * r.fitted for r in rows) / wsum
+    assert abs(raw_mean - fit_mean) < 1e-4
+
+
+def test_jenks_breaks_is_optimal_vs_bruteforce(spark, sf_dir):
+    """The DP segmentation must beat or match EVERY alternative split:
+    brute-force all C(n-1, k-1) boundary choices on the binned data
+    (n ≤ 40 at sf0.001) and compare total SSE."""
+    from itertools import combinations
+
+    import pyspark.sql.functions as F
+
+    from big_data_audio_classification_spark.operators.analytics import (
+        JENKS_BINS,
+        JENKS_BUCKET,
+        JENKS_K,
+        analytics_jenks_breaks,
+    )
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    rows = analytics_jenks_breaks(spark, sf_dir).collect()
+    assert len(rows) == JENKS_K
+    got_total = rows[0].total_sse
+    assert all(abs(r.total_sse - got_total) < 1e-9 for r in rows)
+    # exact brute force over the binned frame
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") < JENKS_BINS * JENKS_BUCKET
+    )
+    b = sorted(
+        (r.bin, r.w, r.s, r.ss)
+        for r in o.groupBy(
+            F.floor(F.col("o_totalprice") / JENKS_BUCKET).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("w"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+        )
+        .collect()
+    )
+    n = len(b)
+
+    def sse(lo, hi):  # inclusive 0-based indices
+        w = sum(b[i][1] for i in range(lo, hi + 1))
+        s = sum(b[i][2] for i in range(lo, hi + 1))
+        ss = sum(b[i][3] for i in range(lo, hi + 1))
+        return ss - s * s / w
+
+    best = min(
+        sum(
+            sse(lo, hi)
+            for lo, hi in zip((0,) + tuple(c), tuple(x - 1 for x in c) + (n - 1,))
+        )
+        for c in combinations(range(1, n), JENKS_K - 1)
+    )
+    assert abs(got_total - round(best, 2)) < 0.05  # same optimum
