@@ -1568,3 +1568,161 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ybar", 6).alias("raw_rate"),
         F.round("prediction", 6).alias("fitted"),
     )
+
+
+# --- round-5: split-conformal prediction intervals -------------------
+
+CONF_ALPHA = 0.1  # target miscoverage -> 90% intervals
+
+
+@query(
+    "ml_conformal_interval",
+    oracle=f"""
+        WITH base AS (
+            SELECT l_quantity AS x, l_extendedprice AS y,
+                   CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 10 AS b
+            FROM lineitem
+        ),
+        fit AS (
+            SELECT COUNT(*) AS n_train,
+                   (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+                   / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) AS slope,
+                   SUM(y) / COUNT(*)
+                   - (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+                     / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*))
+                     * SUM(x) / COUNT(*) AS icept
+            FROM base WHERE b < 6
+        ),
+        calib AS (
+            SELECT ROUND(ABS(y - (icept + slope * x)), 6) AS r
+            FROM base, fit WHERE b IN (6, 7)
+        ),
+        nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib),
+        qhat AS (
+            SELECT r AS q FROM (
+                SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM calib)
+            WHERE rk = (SELECT CAST(CEIL((n_calib + 1) * (1.0 - {CONF_ALPHA}))
+                               AS BIGINT) FROM nq)
+        ),
+        test AS (
+            SELECT ROUND(ABS(y - (icept + slope * x)), 6) AS r
+            FROM base, fit WHERE b >= 8
+        )
+        SELECT (SELECT n_train FROM fit)            AS n_train,
+               (SELECT n_calib FROM nq)             AS n_calib,
+               CAST(COUNT(*) AS BIGINT)             AS n_test,
+               ROUND((SELECT slope FROM fit), 4)    AS slope,
+               ROUND((SELECT icept FROM fit), 4)    AS intercept,
+               ROUND((SELECT q FROM qhat), 4)       AS qhat,
+               ROUND(AVG(CASE WHEN r <= (SELECT q FROM qhat)
+                              THEN 1.0 ELSE 0.0 END), 4) AS coverage
+        FROM test
+    """,
+    tags=("ml", "inference", "conformal", "lineitem"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — the distribution-free
+    uncertainty wrapper production models ship with: fit any point
+    model on the TRAIN split (here closed-form OLS price~quantity from
+    one moment aggregate), take qhat = the ⌈(n+1)(1−α)⌉-th smallest
+    absolute calibration residual, and ŷ ± qhat covers ≥ 1−α of fresh
+    points by exchangeability alone. Everything is deterministic: the
+    3-way split is the md5-hash-bucket idiom (6/2/2), the quantile is
+    an EXACT order statistic over residuals ROUNDED to 6 before
+    ranking (so a ~1e-12 cross-engine drift in the fitted coefficients
+    cannot reorder ties), and coverage compares the same rounded
+    values. Plan: one moment aggregate (train) + one rank window over
+    the calibration slice + one test scan — no refit, no iteration.
+    Output: split sizes, coefficients, qhat, and the empirical test
+    coverage (≈ 0.9)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    base = li.select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        bucket.alias("b"),
+    ).persist()
+    # one moment aggregate yields both coefficients (no second scan)
+    fit = (
+        base.filter(F.col("b") < 6)
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "n_train",
+            (
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_train"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_train"))
+            ).alias("slope"),
+            (
+                F.col("sy") / F.col("n_train")
+                - (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_train"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_train"))
+                * F.col("sx") / F.col("n_train")
+            ).alias("icept"),
+        )
+    )
+    resid = F.round(
+        F.abs(F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))), 6
+    )
+    calib = (
+        base.filter(F.col("b").isin(6, 7))
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("r"))
+    )
+    n_calib = calib.count()
+    import math as _m
+
+    k = int(_m.ceil((n_calib + 1) * (1.0 - CONF_ALPHA)))
+    qhat = (
+        calib.select("r", F.row_number().over(Window.orderBy("r")).alias("rk"))
+        .filter(F.col("rk") == k)
+        .select(F.col("r").alias("q"))
+    )
+    test = (
+        base.filter(F.col("b") >= 8)
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("r"))
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(F.avg(F.when(F.col("r") <= F.col("q"), 1.0).otherwise(0.0)), 4)
+            .alias("coverage"),
+            F.round(F.first("q"), 4).alias("qhat"),
+        )
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.lit(n_calib).cast("bigint").alias("n_calib"),
+            "n_test",
+            F.round("slope", 4).alias("slope"),
+            F.round("icept", 4).alias("intercept"),
+            "qhat",
+            "coverage",
+        )
+    )

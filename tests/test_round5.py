@@ -329,3 +329,19 @@ def test_jenks_breaks_is_optimal_vs_bruteforce(spark, sf_dir):
         for c in combinations(range(1, n), JENKS_K - 1)
     )
     assert abs(got_total - round(best, 2)) < 0.05  # same optimum
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """Split-conformal guarantee: empirical test coverage must sit at
+    or above ~(1 - alpha) minus sampling noise."""
+    from big_data_audio_classification_spark.operators.ml import (
+        CONF_ALPHA,
+        ml_conformal_interval,
+    )
+
+    r = ml_conformal_interval(spark, sf_dir).first()
+    assert r.n_train > r.n_calib > 0 and r.n_test > 0
+    assert r.qhat > 0
+    # binomial noise bound: 3 sigma at the test size
+    sigma = (CONF_ALPHA * (1 - CONF_ALPHA) / r.n_test) ** 0.5
+    assert r.coverage >= (1 - CONF_ALPHA) - 3 * sigma
