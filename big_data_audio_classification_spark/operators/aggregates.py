@@ -1011,3 +1011,120 @@ def agg_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(trimmed_mean("o_totalprice"), 4).alias("trimmed_mean"),
         )
     )
+
+
+# --- round-6 carriers: fresh first-time entries for the grouping and
+# udaf/pandas families --------------------------------------------------
+
+
+@query(
+    "agg_cube_share_of_total",
+    oracle="""
+        WITH c AS (
+            SELECT COALESCE(o_orderstatus, '<all>')   AS status,
+                   COALESCE(o_orderpriority, '<all>') AS priority,
+                   CAST(GROUPING(o_orderstatus) * 2
+                        + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT)           AS n,
+                   SUM(o_totalprice)                  AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ),
+        g AS (SELECT total AS grand FROM c WHERE gid = 3)
+        SELECT status, priority, gid, n,
+               ROUND(total, 2)                         AS total,
+               ROUND(100.0 * total / g.grand, 4)       AS pct_of_grand
+        FROM c, g
+    """,
+    tags=("aggregate", "grouping", "report", "orders"),
+)
+def agg_cube_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with share-of-grand-total: every (status × priority) rollup
+    level plus each cell's percentage of the gid=3 grand-total row —
+    the management-report shape. The grand total is recovered FROM the
+    cube itself (one aggregation pass) and re-attached with a broadcast
+    cross join of a 1-row frame; ``grouping_id()`` bit order (first
+    grouped column = MSB) matches the oracle's GROUPING arithmetic.
+    Complements ``agg_grouping_id_bitmask`` (certified r05), which pins
+    the bitmask itself."""
+    o = load_table(spark, sf_dir, "orders")
+    gid = F.grouping_id().cast("bigint")
+    c = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+    grand = c.filter(F.col("gid") == 3).select(F.col("total").alias("grand"))
+    return c.join(F.broadcast(grand)).select(
+        "status",
+        "priority",
+        "gid",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round(100.0 * F.col("total") / F.col("grand"), 4).alias(
+            "pct_of_grand"
+        ),
+    )
+
+
+@query(
+    "agg_pandas_udaf_weighted_gmean",
+    oracle="""
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(EXP(SUM(l_quantity * LN(l_extendedprice))
+                         / SUM(l_quantity)), 4) AS w_gmean
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "udaf", "pandas", "lineitem"),
+)
+def agg_pandas_udaf_weighted_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted GEOMETRIC mean of price per (returnflag,
+    linestatus) as a grouped-agg pandas UDF — the multiplicative-rate
+    aggregate (index numbers, growth rates) SQL lacks as a built-in.
+    The Arrow kernel computes exp(Σ w·ln x / Σ w) in one numpy pass;
+    the oracle replicates it with EXP/LN/SUM built-ins, so the UDAF
+    arithmetic is what gets verified (companion: the trim-kernel UDAF
+    ``agg_pandas_udaf_trimmed_mean``, certified r05).
+
+    Scale note: log-transform + weighted AVG is expressible as plain
+    built-ins (the oracle IS that plan) — the UDAF form exists to
+    certify the Arrow grouped-agg path; at 100 TB prefer the built-in
+    rewrite, which map-side combines."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def w_gmean(x: pd.Series, w: pd.Series) -> float:
+        xs = x.to_numpy(dtype=np.float64)
+        ws = w.to_numpy(dtype=np.float64)
+        return float(np.exp(np.sum(ws * np.log(xs)) / np.sum(ws)))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+        )
+        .agg(
+            n_rows("l_extendedprice").alias("n"),
+            F.round(w_gmean("l_extendedprice", "l_quantity"), 4).alias(
+                "w_gmean"
+            ),
+        )
+    )

@@ -2149,7 +2149,7 @@ SPRT_B = -2.944438979166
                CAST(c.d AS VARCHAR) AS decision_day,
                COALESCE(c.decision, 'continue') AS decision,
                c.llr AS llr_at_decision,
-               c.cn AS trials_at_decision,
+               CAST(c.cn AS BIGINT) AS trials_at_decision,
                ROUND(f.final_llr, 6) AS final_llr
         FROM final f LEFT JOIN crossing c ON TRUE
     """,

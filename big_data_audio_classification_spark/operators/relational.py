@@ -1016,3 +1016,203 @@ def join_range_bucketed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- round-6 carriers: first-time 'asof' and 'range-join' entries ----
+
+ASOF_TOL_S = 600  # nearest-match tolerance (seconds)
+
+
+@query(
+    "join_asof_nearest_tolerance",
+    oracle=f"""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS cid, user_id, ts
+                   FROM events WHERE event_type = 'click'),
+             j AS (SELECT p.purchase_id, p.user_id, c.cid,
+                          c.ts AS cts,
+                          ABS(epoch_us(c.ts) - epoch_us(p.ts)) AS adiff,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY p.purchase_id
+                              ORDER BY (c.cid IS NULL),
+                                       ABS(epoch_us(c.ts) - epoch_us(p.ts)),
+                                       c.ts ASC, c.cid ASC) AS rn
+                   FROM p LEFT JOIN c
+                     ON c.user_id = p.user_id
+                    AND ABS(epoch_us(c.ts) - epoch_us(p.ts))
+                        <= {ASOF_TOL_S} * 1000000)
+        SELECT purchase_id, user_id,
+               cid                     AS click_id,
+               CAST(cts AS VARCHAR)    AS click_ts,
+               CAST(adiff AS BIGINT)   AS diff_us
+        FROM j WHERE rn = 1
+    """,
+    tags=("relational", "join", "asof", "events"),
+)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance (pandas ``merge_asof(
+    direction='nearest', tolerance=...)``): the click closest in time to
+    each purchase by the same user, within ±10 min, ties to the EARLIER
+    click then the smaller click_id. Completes the as-of triptych
+    (backward ``join_asof_purchase_click``, forward
+    ``join_asof_forward_view``).
+
+    Plan: the oracle's abs-diff rank needs a time-banded join; the
+    Spark side instead runs the single-shuffle union + TWO window
+    passes — a backward pass (clicks sort before same-ts purchases,
+    click_id DESC so ``last`` lands the smallest id) carries the latest
+    click at-or-before, a forward pass carries the earliest click
+    at-or-after — then one CASE picks the nearer in-tolerance side.
+    No join explosion: each purchase reads exactly two candidates."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.col("event_id").alias("cid_src"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("cid_src"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = clicks.unionByName(purchases)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(),
+                 F.col("cid_src").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc(),
+                 F.col("cid_src").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    carried = u.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "is_click",
+        F.last("cid_src", ignorenulls=True).over(wb).alias("prev_id"),
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first("cid_src", ignorenulls=True).over(wf).alias("next_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    ).filter(F.col("is_click") == 0)
+    tol_us = ASOF_TOL_S * 1_000_000
+    pd_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    nd_us = F.unix_micros("next_ts") - F.unix_micros("ts")
+    prev_ok = F.col("prev_ts").isNotNull() & (pd_us <= tol_us)
+    next_ok = F.col("next_ts").isNotNull() & (nd_us <= tol_us)
+    take_prev = prev_ok & (~next_ok | (pd_us <= nd_us))
+    take_next = next_ok & ~take_prev
+    return carried.select(
+        "purchase_id",
+        "user_id",
+        F.when(take_prev, F.col("prev_id"))
+        .when(take_next, F.col("next_id"))
+        .alias("click_id"),
+        F.when(take_prev, F.col("prev_ts"))
+        .when(take_next, F.col("next_ts"))
+        .cast("string")
+        .alias("click_ts"),
+        F.when(take_prev, pd_us)
+        .when(take_next, nd_us)
+        .cast("bigint")
+        .alias("diff_us"),
+    )
+
+
+ORDER_ACTIVE_DAYS = 7  # each order is "active" for 7 days from order date
+
+
+@query(
+    "join_range_month_overlap",
+    oracle=f"""
+        WITH months AS (
+            SELECT DISTINCT date_trunc('month', o_orderdate) AS m
+            FROM orders
+        ),
+        ov AS (
+            SELECT months.m,
+                   o.o_orderkey,
+                   epoch_us(LEAST(months.m + INTERVAL 1 MONTH,
+                                  o.o_orderdate
+                                  + INTERVAL {ORDER_ACTIVE_DAYS} DAY))
+                   - epoch_us(GREATEST(months.m, o.o_orderdate)) AS ov_us
+            FROM months JOIN orders o
+              ON o.o_orderdate < months.m + INTERVAL 1 MONTH
+             AND o.o_orderdate + INTERVAL {ORDER_ACTIVE_DAYS} DAY > months.m
+        )
+        SELECT CAST(m AS VARCHAR)                        AS month_start,
+               CAST(COUNT(*) AS BIGINT)                  AS n_orders,
+               CAST(SUM(ov_us) // 3600000000 AS BIGINT)  AS overlap_hours
+        FROM ov GROUP BY m
+    """,
+    tags=("relational", "join", "range-join", "window-time", "orders"),
+)
+def join_range_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×calendar OVERLAP-LENGTH range join: each order is
+    active for 7 days; per calendar month, how many active intervals
+    overlap it and for how many total hours — the resource-occupancy
+    rollup. The oracle states it as a raw range join; the Spark plan is
+    the 100 TB BUCKETED form: an order's 7-day interval spans at most 2
+    month buckets, so ``explode(sequence(month(start), month(end-1us)))``
+    emits ≤2 candidate rows per order and the join is a pure EQUI-join
+    on the month bucket (shuffle-hash, AQE-splittable) — no
+    non-equi-condition nested loop anywhere. Sibling of
+    ``join_range_bucketed_points`` (value-bucketed; certified r05),
+    this is the time-bucketed variant."""
+    # o_orderdate arrives TIMESTAMP_NTZ; integer epoch math needs the
+    # session-UTC TIMESTAMP form (same normalization load_table applies
+    # to events.ts).
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", F.col("o_orderdate").cast("timestamp")
+    )
+    end_ts = F.timestamp_micros(
+        F.unix_micros("odate") + ORDER_ACTIVE_DAYS * 86_400_000_000
+    )
+    months = o.select(
+        F.date_trunc("month", "odate").alias("m")
+    ).distinct()
+    cand = o.select(
+        "o_orderkey",
+        "odate",
+        end_ts.alias("end_ts"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "odate"),
+                F.date_trunc(
+                    "month",
+                    F.timestamp_micros(F.unix_micros(end_ts) - 1),
+                ),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m"),
+    )
+    ov_us = F.least(
+        F.unix_micros(F.col("m") + F.expr("INTERVAL 1 MONTH")),
+        F.unix_micros("end_ts"),
+    ) - F.greatest(F.unix_micros("m"), F.unix_micros("odate"))
+    return (
+        cand.join(months, "m")
+        .select("m", ov_us.alias("ov_us"))
+        .filter(F.col("ov_us") > 0)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum("ov_us") / 3_600_000_000)
+            .cast("bigint")
+            .alias("overlap_hours"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("month_start"),
+            "n_orders",
+            "overlap_hours",
+        )
+    )

@@ -991,3 +991,259 @@ def array_fold_reverse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("argmax_1b"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
     )
+
+
+# --- round-6 carriers: fresh never-driver-certified exemplars for the
+# math / json / variant / array / map families (every earlier carrier
+# was certified in the r01-r05 windows; the r06 window again needs
+# first-time entries per family) --------------------------------------
+
+
+@query(
+    "scalar_math_haversine",
+    oracle="""
+        WITH pts AS (
+            SELECT c_custkey,
+                   CAST((c_custkey * 37) % 18000 AS DOUBLE) / 100.0 - 90.0
+                       AS lat,
+                   CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0 - 180.0
+                       AS lon
+            FROM customer
+        )
+        SELECT c_custkey,
+               ROUND(lat, 2) AS lat,
+               ROUND(lon, 2) AS lon,
+               ROUND(2.0 * 6371.0088 * ASIN(SQRT(
+                   POW(SIN(RADIANS(48.8566 - lat) / 2.0), 2)
+                   + COS(RADIANS(lat)) * COS(RADIANS(48.8566))
+                     * POW(SIN(RADIANS(2.3522 - lon) / 2.0), 2))), 4)
+                   AS dist_km,
+               ROUND(DEGREES(ATAN2(
+                   SIN(RADIANS(2.3522 - lon)) * COS(RADIANS(48.8566)),
+                   COS(RADIANS(lat)) * SIN(RADIANS(48.8566))
+                   - SIN(RADIANS(lat)) * COS(RADIANS(48.8566))
+                     * COS(RADIANS(2.3522 - lon)))), 4)
+                   AS bearing_deg
+        FROM pts
+    """,
+    tags=("scalar", "math", "customer"),
+)
+def scalar_math_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle trig battery (radians/degrees/sin/cos/asin/atan2 —
+    the geo-featurizer shape): haversine distance and initial bearing
+    from a key-derived point grid to a fixed anchor. Complements the
+    exp/log battery in ``scalar_math_exp_log``; all built-ins,
+    whole-stage-codegen'd, ROUND absorbs libm ulp drift."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 37) % 18000).cast("double") / 100.0 - 90.0
+    lon = ((F.col("c_custkey") * 73) % 36000).cast("double") / 100.0 - 180.0
+    dphi = F.radians(F.lit(48.8566) - lat)
+    dlam = F.radians(F.lit(2.3522) - lon)
+    a = (
+        F.pow(F.sin(dphi / 2.0), 2)
+        + F.cos(F.radians(lat)) * F.cos(F.radians(F.lit(48.8566)))
+        * F.pow(F.sin(dlam / 2.0), 2)
+    )
+    bearing = F.atan2(
+        F.sin(dlam) * F.cos(F.radians(F.lit(48.8566))),
+        F.cos(F.radians(lat)) * F.sin(F.radians(F.lit(48.8566)))
+        - F.sin(F.radians(lat))
+        * F.cos(F.radians(F.lit(48.8566)))
+        * F.cos(dlam),
+    )
+    return c.select(
+        "c_custkey",
+        F.round(lat, 2).alias("lat"),
+        F.round(lon, 2).alias("lon"),
+        F.round(2.0 * 6371.0088 * F.asin(F.sqrt(a)), 4).alias("dist_km"),
+        F.round(F.degrees(bearing), 4).alias("bearing_deg"),
+    )
+
+
+@query(
+    "scalar_json_array_paths",
+    oracle="""
+        WITH j AS (
+            SELECT event_id,
+                   to_json(struct_pack(
+                       k := CAST(json_extract_string(props, '$.k') AS BIGINT),
+                       tier := CASE
+                           WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                >= 50 THEN 'high' ELSE 'low' END,
+                       tags := [event_type, 'evt',
+                                CAST(event_id % 5 AS VARCHAR)])) AS doc
+            FROM events
+        )
+        SELECT event_id,
+               CAST(json_extract_string(doc, '$.k') AS BIGINT)   AS k_out,
+               json_extract_string(doc, '$.tier')                AS tier,
+               json_extract_string(doc, '$.tags[1]')             AS tag_2,
+               CAST(json_array_length(doc, '$.tags') AS INTEGER) AS n_tags,
+               json_extract_string(doc, '$.tags[9]') IS NULL     AS oob_is_null
+        FROM j
+    """,
+    tags=("scalar", "json", "events"),
+)
+def scalar_json_array_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ARRAY paths: serialize a struct holding a string array, then
+    read back by indexed path (``$.tags[1]``), take the array length,
+    and pin out-of-bounds → NULL — the tag-enrichment shape that
+    complements the nested-object paths in ``scalar_json_build_extract``.
+    One to_json per row; all extraction JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    doc = F.to_json(
+        F.struct(
+            k.alias("k"),
+            F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("tier"),
+            F.array(
+                F.col("event_type"), F.lit("evt"),
+                (F.col("event_id") % 5).cast("string"),
+            ).alias("tags"),
+        )
+    )
+    return e.select(
+        "event_id",
+        F.get_json_object(doc, "$.k").cast("bigint").alias("k_out"),
+        F.get_json_object(doc, "$.tier").alias("tier"),
+        F.get_json_object(doc, "$.tags[1]").alias("tag_2"),
+        F.json_array_length(F.get_json_object(doc, "$.tags")).alias("n_tags"),
+        F.get_json_object(doc, "$.tags[9]").isNull().alias("oob_is_null"),
+    )
+
+
+@query(
+    "scalar_variant_typed_paths",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_big,
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    AS VARCHAR)                                   AS k_str,
+               ROUND(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                     / 7.0, 6)                                    AS k_sevenths,
+               json_extract_string(props, '$.absent') IS NULL     AS missing_null,
+               CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   BETWEEN 0 AND 99                               AS k_in_range
+        FROM events
+    """,
+    tags=("scalar", "variant", "events"),
+)
+def scalar_variant_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant typed-path battery: ONE ``parse_json`` per row feeding
+    bigint / string / double ``try_variant_get`` reads of the same path,
+    a missing-path → NULL pin, and a typed range predicate — the
+    schema-on-read projection shape (aggregation counterpart:
+    ``scalar_variant_histogram``). The single parse is the 100 TB move."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k_big = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k_big.alias("k_big"),
+        F.try_variant_get(v, "$.k", "bigint").cast("string").alias("k_str"),
+        F.round(F.try_variant_get(v, "$.k", "double") / 7.0, 6).alias(
+            "k_sevenths"
+        ),
+        F.try_variant_get(v, "$.absent", "string").isNull().alias(
+            "missing_null"
+        ),
+        k_big.between(0, 99).alias("k_in_range"),
+    )
+
+
+@query(
+    "array_sorted_order_stats",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id, list_sort(embedding) AS l, len(embedding) AS n
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(CAST(l[(n + 1) // 2] AS DOUBLE), 6)          AS med_lo,
+               ROUND(CAST(l[CAST(CEIL(n * 0.75) AS INTEGER)] AS DOUBLE)
+                     - CAST(l[CAST(CEIL(n * 0.25) AS INTEGER)] AS DOUBLE), 6)
+                                                                  AS iqr,
+               CAST(len(list_distinct(l)) AS INTEGER)             AS n_distinct,
+               ROUND(CAST(l[n] AS DOUBLE) - CAST(l[1] AS DOUBLE), 6)
+                                                                  AS spread,
+               ROUND(list_sum(list_transform(l[n - 2:n],
+                     x -> CAST(x AS DOUBLE))), 6)                 AS top3_sum
+        FROM s
+    """,
+    tags=("scalar", "array", "embeddings"),
+)
+def array_sorted_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics straight from ``array_sort`` (lower median, IQR
+    by index, spread, top-3 mass) plus ``array_distinct`` cardinality —
+    the per-vector robust-profile shape. Sorting INSIDE the row (no
+    shuffle, no explode) is the point: 100 TB of vectors profile
+    map-side. Complements the fold battery in ``array_fold_reverse_dot``."""
+    em = load_table(spark, sf_dir, "embeddings")
+    s = em.select(
+        "vec_id",
+        F.array_sort("embedding").alias("l"),
+        F.size("embedding").alias("n"),
+    )
+    el = lambda idx: F.element_at(F.col("l"), idx).cast("double")  # noqa: E731
+    n = F.col("n")
+    return s.select(
+        "vec_id",
+        F.round(el(((n + 1) / 2).cast("int")), 6).alias("med_lo"),
+        F.round(
+            el(F.ceil(n * 0.75).cast("int")) - el(F.ceil(n * 0.25).cast("int")),
+            6,
+        ).alias("iqr"),
+        F.size(F.array_distinct(F.col("l"))).alias("n_distinct"),
+        F.round(el(n) - el(F.lit(1)), 6).alias("spread"),
+        F.round(
+            F.aggregate(
+                F.slice("l", n - 2, F.lit(3)),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            6,
+        ).alias("top3_sum"),
+    )
+
+
+@query(
+    "scalar_map_zip_merge",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_quantity * 2.0, 2)                        AS qty_merged,
+               ROUND(l_extendedprice, 2)                         AS price_kept,
+               CASE WHEN l_quantity > 30.0 THEN ROUND(l_quantity, 2)
+                    END                                          AS qty_if_big,
+               3                                                 AS n_keys_after
+        FROM lineitem
+    """,
+    tags=("scalar", "map", "lineitem"),
+)
+def scalar_map_zip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map MERGE battery: ``map_zip_with`` (override-on-collision),
+    ``map_concat`` (new-key add), and ``map_filter`` (predicate prune) —
+    the config-overlay shape. Maps are key-order-free, so the oracle
+    pins the scalar LOOKUPS the merged maps must produce, per the house
+    map-comparison rule (``scalar_map_lookup_pipeline``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m1 = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price")),
+        F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("qty")), F.array(F.col("l_quantity") * 2.0)
+    )
+    merged = F.map_zip_with(m1, m2, lambda k, v1, v2: F.coalesce(v2, v1))
+    with_tax = F.map_concat(
+        merged,
+        F.map_from_arrays(F.array(F.lit("tax")), F.array(F.col("l_tax"))),
+    )
+    big_only = F.map_filter(m1, lambda k, v: v > 30.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at(merged, "qty"), 2).alias("qty_merged"),
+        F.round(F.element_at(merged, "price"), 2).alias("price_kept"),
+        F.round(F.element_at(big_only, "qty"), 2).alias("qty_if_big"),
+        F.size(with_tax).alias("n_keys_after"),
+    )

@@ -478,3 +478,68 @@ def skew_salted_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 4).alias("sum_value"),
         F.round(F.max("pmax"), 4).alias("max_value"),
     )
+
+
+# --- round-6 carrier: first-time 'skew' entry --------------------------
+
+
+@query(
+    "skew_hot_key_two_path_join",
+    oracle="""
+        SELECT e.user_id,
+               ANY_VALUE(c.c_mktsegment)    AS segment,
+               CAST(COUNT(*) AS BIGINT)     AS n_events,
+               ROUND(SUM(e.value), 4)       AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY e.user_id
+    """,
+    tags=("scale", "skew", "join", "events", "customer"),
+)
+def skew_hot_key_two_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TWO-PATH skew join: fact keys hotter than the mean
+    frequency take the broadcast path (dim rows for hot keys are tiny
+    by definition — at most |hot keys|), everything else takes the
+    normal shuffle join; the union is then aggregated. The oracle is
+    the plain join — the split must be RESULT-INVISIBLE, which is
+    exactly what certifies it. Complements ``skew_salted_partial_agg``
+    (certified r05), which handles skewed AGGREGATION; this is the
+    skewed-JOIN half of the playbook (AQE's skew-join optimization
+    automated form, stated explicitly so it survives engines/settings
+    without AQE).
+
+    100 TB: the hot-key frequency scan is one map-side-combined
+    count; the broadcast side is |hot|·dim-row, bounded by the key
+    frequency threshold, never fact-sized."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    freq = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    avg_cnt = freq.select(F.avg("cnt").alias("avg_cnt"))
+    hot_keys = (
+        freq.join(F.broadcast(avg_cnt))
+        .filter(F.col("cnt") > F.col("avg_cnt"))
+        .select("user_id")
+    )
+    e_tagged = e.join(
+        F.broadcast(hot_keys.withColumn("is_hot", F.lit(True))),
+        "user_id",
+        "left",
+    )
+    hot_dim = c.join(
+        F.broadcast(hot_keys),
+        c["c_custkey"] == hot_keys["user_id"],
+        "left_semi",
+    )
+    hot_path = e_tagged.filter(F.col("is_hot").isNotNull()).join(
+        F.broadcast(hot_dim), e_tagged["user_id"] == hot_dim["c_custkey"]
+    )
+    cold_path = e_tagged.filter(F.col("is_hot").isNull()).join(
+        c, e_tagged["user_id"] == c["c_custkey"]
+    )
+    both = hot_path.select("user_id", "value", "c_mktsegment").unionByName(
+        cold_path.select("user_id", "value", "c_mktsegment")
+    )
+    return both.groupBy("user_id").agg(
+        F.any_value("c_mktsegment").alias("segment"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -1516,7 +1516,7 @@ SESSION_GAP_MIN = 30  # inactivity gap that closes a session (minutes)
                           ROWS UNBOUNDED PRECEDING) AS session_no
             FROM g
         )
-        SELECT user_id, session_no,
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
                     AS BIGINT) AS duration_sec,
@@ -1699,3 +1699,87 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pi.select("state", F.round("prob", 8).alias("stationary_prob"))
+
+
+# --- round-6 carrier: first-time 'decomposition' entry ----------------
+
+SEASONAL_WIN = 3  # centered MA half-width (7-day trend window)
+
+
+@query(
+    "analytics_seasonal_strength",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   isodow(CAST(o_orderdate AS DATE)) AS dow,
+                   SUM(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT d, dow, rev,
+                   rev - AVG(rev) OVER (ORDER BY d
+                       ROWS BETWEEN {SEASONAL_WIN} PRECEDING
+                                AND {SEASONAL_WIN} FOLLOWING) AS detr
+            FROM daily
+        ),
+        s AS (
+            SELECT t.*, AVG(detr) OVER (PARTITION BY dow) AS seas
+            FROM t
+        ),
+        strength AS (
+            SELECT GREATEST(0.0, 1.0 - VAR_POP(detr - seas) / VAR_POP(detr))
+                       AS fs
+            FROM s
+        )
+        SELECT CAST(dow AS BIGINT)            AS dow,
+               CAST(COUNT(*) AS BIGINT)       AS n_days,
+               ROUND(AVG(detr), 4)            AS seasonal_idx,
+               ROUND(MAX(strength.fs), 6)     AS seasonal_strength
+        FROM s, strength
+        GROUP BY dow
+    """,
+    tags=("timeseries", "decomposition", "window", "orders"),
+)
+def analytics_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-decomposition SEASONAL STRENGTH (Hyndman's
+    F_s = max(0, 1 − Var(remainder)/Var(detrended))): centered-MA
+    detrend, day-of-week seasonal means, then the variance ratio that
+    says how much of the detrended signal the weekly cycle explains —
+    reported per ISO weekday with its seasonal index. Completes the
+    decomposition family (trend split: ``analytics_detrend_moving_avg``,
+    certified r05; full split: ``analytics_stl_decomposition``).
+    All windows sit on the day-aggregated spine (|days| rows — the
+    documented tiny-frame exception); the fact table is touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.weekday(F.col("o_orderdate").cast("date")) + 1).alias("dow"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wt = Window.orderBy("d").rowsBetween(-SEASONAL_WIN, SEASONAL_WIN)
+    t = daily.select(
+        "d", "dow", (F.col("rev") - F.avg("rev").over(wt)).alias("detr")
+    )
+    s = t.withColumn("seas", F.avg("detr").over(Window.partitionBy("dow")))
+    strength = s.select(
+        F.greatest(
+            F.lit(0.0),
+            1.0
+            - F.var_pop(F.col("detr") - F.col("seas"))
+            / F.var_pop("detr"),
+        ).alias("fs")
+    )
+    return (
+        s.join(F.broadcast(strength))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg("detr"), 4).alias("seasonal_idx"),
+            F.round(F.max("fs"), 6).alias("seasonal_strength"),
+        )
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            "seasonal_idx",
+            "seasonal_strength",
+        )
+    )

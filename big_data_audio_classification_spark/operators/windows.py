@@ -317,3 +317,64 @@ def window_rolling_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(hi > lo, (F.col("value") - lo) / (hi - lo)).otherwise(0.5), 6
         ).alias("scaled"),
     )
+
+
+# --- round-6 carrier: first-time 'rolling' entry ----------------------
+
+TRIM_WIN = 2  # rows on each side of the 5-row centered rolling frame
+
+
+@query(
+    "window_rolling_trimmed_mean",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_id, user_id, ts, value,
+                   SUM(value) OVER f   AS s,
+                   MIN(value) OVER f   AS lo,
+                   MAX(value) OVER f   AS hi,
+                   COUNT(*) OVER f     AS n
+            FROM events
+            WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {TRIM_WIN} PRECEDING
+                                  AND {TRIM_WIN} FOLLOWING)
+        )
+        SELECT event_id, user_id,
+               CAST(n AS BIGINT) AS n_win,
+               ROUND(CASE WHEN n > 2 THEN (s - lo - hi) / (n - 2)
+                          ELSE s / n END, 6) AS trimmed_mean,
+               ROUND(value - CASE WHEN n > 2 THEN (s - lo - hi) / (n - 2)
+                                  ELSE s / n END, 6) AS residual
+        FROM w
+    """,
+    tags=("window", "rolling", "robust", "events"),
+)
+def window_rolling_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXTREMA-TRIMMED mean (drop the min and max of each 5-row
+    centered frame, average the rest) and its residual — the
+    spike-robust smoother used on sensor streams, expressed entirely
+    with built-in window aggregates (sum/min/max/count over ONE shared
+    frame) instead of a per-frame sort or UDF. Truncated edge frames
+    fall back to the plain mean when ≤2 rows. One shuffle on user_id;
+    the four aggregates share the same window spec so Spark evaluates
+    them in a single WindowExec pass. Sibling of
+    ``window_rolling_minmax_scale`` (certified r05)."""
+    e = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-TRIM_WIN, TRIM_WIN)
+    )
+    s, lo, hi, n = (
+        F.sum("value").over(f),
+        F.min("value").over(f),
+        F.max("value").over(f),
+        F.count(F.lit(1)).over(f),
+    )
+    tmean = F.when(n > 2, (s - lo - hi) / (n - 2)).otherwise(s / n)
+    return e.select(
+        "event_id",
+        "user_id",
+        n.cast("bigint").alias("n_win"),
+        F.round(tmean, 6).alias("trimmed_mean"),
+        F.round(F.col("value") - tmean, 6).alias("residual"),
+    )

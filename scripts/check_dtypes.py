@@ -6,6 +6,15 @@ so value-identical results still hash-mismatch. This script runs every
 SQL-oracled query's schema on both engines (LIMIT 0 / limit(0)) and flags
 any column whose pandas dtype kind differs.
 
+Also flags column-ORDER differences between the two sides (the driver
+sorts by name before hashing, so order alone cannot fail a window, but a
+divergent order usually signals divergent author intent). Nullability has
+no DuckDB/pandas surface to probe; null-presence mismatches are caught by
+the value gate (scripts/check_oracle.py) instead.
+
+MANDATORY pre-rotation gate (judge r05): no query enters a driver window
+without a clean row here — this sweep caught both r05 HUGEINT hazards.
+
 Usage: python scripts/check_dtypes.py [sf_dir] [name_filter...]
 """
 
@@ -51,6 +60,13 @@ def main() -> int:
             print(f"ERR   {name}: {exc}")
             continue
         problems = []
+        if list(duck.columns) != list(sp.columns):
+            # The driver sorts columns by name before hashing, but a
+            # differing ORDER usually means a differing author intent —
+            # probe it anyway (judge r05 item 4).
+            problems.append(
+                f"ORDER: duck={list(duck.columns)} spark={list(sp.columns)}"
+            )
         for col in sorted(set(duck.columns) | set(sp.columns)):
             if col not in duck.columns or col not in sp.columns:
                 problems.append(f"{col}: missing on one side")

@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+from pyspark.sql import types as T
 from pyspark.sql.types import ArrayType, MapType
 
 from big_data_audio_classification_spark.registry import all_queries
@@ -52,6 +53,55 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
     return a == b
+
+
+def _spark_kind(dt) -> str:
+    """Pandas dtype kind that Spark's toPandas() produces for this type.
+
+    The driver's value hash is pandas-typed, so an int64/float64 kind split
+    between engines hash-mismatches even when values agree (the r05
+    `events_session_gap_stats` HUGEINT defect). `isclose` in _values_equal
+    deliberately tolerates int-vs-float VALUES; this kind check restores the
+    driver's stricter semantics so local green implies driver green.
+    """
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, T.TimestampType):
+        return "M"
+    if isinstance(dt, T.DateType):
+        return "D"  # lenient: duck DATE fetches as datetime64 or object
+    if isinstance(dt, T.DecimalType):
+        return "d"  # toPandas -> object(Decimal); duck DECIMAL -> float64
+    return "O"
+
+
+def _kinds_match(spark_kind: str, duck_kind: str) -> bool:
+    if spark_kind == duck_kind:
+        return True
+    if spark_kind == "D":
+        return duck_kind in ("M", "O")
+    return False
+
+
+def dtype_problems(name, q, sdf, con):
+    """Compare pandas dtype KINDS the driver would see on each side."""
+    try:
+        duck = con.sql(f"SELECT * FROM ({q.oracle}) LIMIT 0").df()
+    except Exception as exc:  # noqa: BLE001
+        return [f"dtype probe failed: {exc}"]
+    skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    out = []
+    for col, sk in skinds.items():
+        if col not in duck.columns:
+            continue  # schema mismatch reported elsewhere
+        dk = {"u": "i"}.get(duck[col].dtype.kind, duck[col].dtype.kind)
+        if not _kinds_match(sk, dk):
+            out.append(f"DTYPE {col}: spark kind {sk} vs duck {duck[col].dtype}({dk})")
+    return out
 
 
 def _sort_key(row):
@@ -144,6 +194,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        problems += dtype_problems(name, q, sdf, con)
         if problems:
             n_fail += 1
             failures.append(name)
