@@ -794,3 +794,119 @@ def sink_csv_options_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(F.length("text")).cast("bigint").alias("total_len"),
     )
+
+
+# --- round-6 carriers: first-time 'udtf' and 'csv'/'sink' entries ------
+
+RLE_DOC_CAP = 200  # run-length exemplar cap (docs are template-heavy)
+
+
+@query(
+    "udtf_run_length_tokens",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(string_split(text, ' ')) AS tok,
+                   CAST(generate_subscripts(string_split(text, ' '), 1)
+                        AS BIGINT) AS pos
+            FROM documents WHERE doc_id < {RLE_DOC_CAP}
+        ),
+        marked AS (
+            SELECT doc_id, tok, pos,
+                   CASE WHEN LAG(tok) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) = tok
+                        THEN 0 ELSE 1 END AS is_start
+            FROM toks
+        ),
+        runs AS (
+            SELECT doc_id, tok, pos,
+                   SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM marked
+        )
+        SELECT doc_id, tok,
+               CAST(MIN(pos) AS BIGINT)  AS start_pos,
+               CAST(COUNT(*) AS BIGINT)  AS run_len
+        FROM runs GROUP BY doc_id, tok, run_id
+        HAVING COUNT(*) >= 2
+    """,
+    tags=("udtf", "text", "documents"),
+)
+def udtf_run_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoder as a Python UDTF: one document row in,
+    one row per CONSECUTIVE-REPEAT run out (token, 1-based start, run
+    length ≥ 2) — the stutter-detection primitive for template-heavy
+    corpora. The UDTF carries its state in plain Python locals within
+    one eval() call (per-row state, not per-partition), which is the
+    UDTF shape the built-ins genuinely can't express in one pass; the
+    oracle replicates it with the gaps-and-islands window chain, so
+    both formulations cross-check. Arrow-batched, text never shuffles;
+    output is runs only (≪ token count)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, start_pos long, run_len long")
+    class RunLengths:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            run_start = 0
+            for i in range(1, len(toks) + 1):
+                if i == len(toks) or toks[i] != toks[run_start]:
+                    if i - run_start >= 2:
+                        yield toks[run_start], run_start + 1, i - run_start
+                    run_start = i
+
+    spark.udtf.register("run_lengths", RunLengths)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < RLE_DOC_CAP
+    ).createOrReplaceTempView("udtf_rle_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.tok, r.start_pos, r.run_len
+        FROM udtf_rle_docs_in d, LATERAL run_lengths(d.text) r
+        """
+    )
+
+
+@query(
+    "sink_csv_partitioned_roundtrip",
+    oracle="""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT)     AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT)  AS min_doc_id
+        FROM documents
+        GROUP BY lang, source
+    """,
+    tags=("sink", "csv", "documents"),
+)
+def sink_csv_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-PARTITIONED CSV sink/scan: ``partitionBy(lang)`` writes one
+    directory per language, the read side recovers the partition column
+    from the directory names (``basePath`` discovery), and the gate
+    aggregate groups by the recovered column — proving the partition
+    column round-trips through the DIRECTORY LAYOUT, not the file
+    bytes (flat-dialect sibling: ``sink_csv_options_roundtrip``,
+    certified r05). At 100 TB this layout IS the partition-pruning
+    story for any downstream `WHERE lang = ...` scan."""
+    path = os.path.join(_SCRATCH, "sink_csv_partitioned_roundtrip")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    (
+        d.write.mode("overwrite")
+        .partitionBy("lang")
+        .option("header", True)
+        .csv(path)
+    )
+    back = spark.read.csv(
+        path,
+        header=True,
+        schema="doc_id long, source string, n_chars long, lang string",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

@@ -630,3 +630,69 @@ def audio_mel_filterbank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") > 1e-6)
         .select("mel", "bin", F.round("w", 6).alias("weight"))
     )
+
+
+# --- round-6 carrier: first-time 'audio-math' entry --------------------
+
+RMS_FRAME = 64  # samples per RMS frame (hop == frame: non-overlapping)
+
+
+@query(
+    "audio_rms_db_frames",
+    oracle=f"""
+        WITH x AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        frames AS (
+            SELECT user_id,
+                   CAST((rn - 1) // {RMS_FRAME} AS BIGINT) AS frame,
+                   CAST(COUNT(*) AS BIGINT)                AS n_samples,
+                   SQRT(AVG(value * value))                AS rms
+            FROM x GROUP BY user_id, (rn - 1) // {RMS_FRAME}
+        ),
+        peak AS (SELECT MAX(rms) AS rms_max FROM frames)
+        SELECT user_id, frame, n_samples,
+               ROUND(rms, 6)                                  AS rms,
+               ROUND(20.0 * LOG10(rms / peak.rms_max), 4)     AS db_fs
+        FROM frames, peak
+    """,
+    tags=("audio", "audio-math", "window", "events"),
+)
+def audio_rms_db_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed RMS → dB-relative-to-peak (the R15 power→dB two-pass
+    shape on the time domain instead of the spectrogram): treat each
+    user's ordered event values as a PCM channel, cut non-overlapping
+    {n}-sample frames, and report each frame's RMS and its level in dB
+    re the GLOBAL peak frame — pass 1 computes frame energies (one
+    keyed aggregation), pass 2 broadcasts the 1-row peak, exactly the
+    ``audio_power_to_db`` discipline (certified r02-r04). Framing via
+    row_number ÷ frame-size keeps the frame assignment deterministic
+    and shuffle-free after the one user-keyed sort.""".format(n=RMS_FRAME)
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        "value",
+        ((F.row_number().over(w) - 1) / RMS_FRAME)
+        .cast("bigint")
+        .alias("frame"),
+    )
+    frames = x.groupBy("user_id", "frame").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms"),
+    )
+    peak = frames.agg(F.max("rms").alias("rms_max"))
+    return frames.join(F.broadcast(peak)).select(
+        "user_id",
+        "frame",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round(20.0 * F.log10(F.col("rms") / F.col("rms_max")), 4).alias(
+            "db_fs"
+        ),
+    )

@@ -1478,3 +1478,189 @@ def dedup_simhash_band_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# --- round-6 carriers: first-time 'minhash' and 'simhash' entries -----
+
+MHEST_SAMPLE_MOD = 5  # estimate on the doc_id % 5 == 0 sample
+MHEST_BAND_ROWS = 4   # band-0 = permutations m0..m3
+
+
+def _minhash_estimate_sql() -> str:
+    band_eq = " AND ".join(f"a.m{j} = b.m{j}" for j in range(MHEST_BAND_ROWS))
+    matches = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    return f"""
+        WITH sample_docs AS (
+            SELECT * FROM documents WHERE doc_id % {MHEST_SAMPLE_MOD} = 0
+        ),
+        sig AS ({_minhash_sql("sample_docs")}),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(({matches}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+            FROM sig a JOIN sig b ON {band_eq} AND a.doc_id < b.doc_id
+        ),
+        tok AS (
+            SELECT DISTINCT doc_id, UNNEST({_SQL_TOKENS}) AS tok
+            FROM sample_docs
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS ci
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.id_a
+            JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(c.est_jaccard, 4) AS est_jaccard,
+               ROUND(CAST(i.ci AS DOUBLE) / (sa.n + sb.n - i.ci), 4)
+                   AS exact_jaccard,
+               ROUND(ABS(c.est_jaccard
+                         - CAST(i.ci AS DOUBLE) / (sa.n + sb.n - i.ci)), 4)
+                   AS abs_err
+        FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+    """
+
+
+@query(
+    "dedup_minhash_jaccard_estimate",
+    oracle=_minhash_estimate_sql(),
+    tags=("dedup", "minhash", "similarity", "documents"),
+)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, not just a bucketer: for band-0
+    candidate pairs, the signature-agreement rate (matches/16) against
+    the EXACT token Jaccard, with the absolute estimation error — the
+    calibration table that justifies a chosen (bands, rows) config.
+    Candidates only ever form through the band equi-join (no all-pairs)
+    and the exact side runs on candidates × distinct tokens, both
+    linear-output; the doc_id % {mod} sample keeps the verify frame
+    bounded at any SF (the production knob a 100 TB calibration pass
+    would use).""".format(mod=MHEST_SAMPLE_MOD)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % MHEST_SAMPLE_MOD == 0
+    )
+    sig = minhash_signature(d, "doc_id", "text")
+    a, b = sig.alias("a"), sig.alias("b")
+    band_cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for j in range(MHEST_BAND_ROWS):
+        band_cond = band_cond & (F.col(f"a.m{j}") == F.col(f"b.m{j}"))
+    matches = sum(
+        F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
+        for j in range(MINHASH_K)
+    )
+    cand = a.join(b, band_cond).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+    )
+    tok = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
+    exact = F.col("ci").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ci")
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"])
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+def _simhash_hist_sql() -> str:
+    unions = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & 255 AS band_val FROM sh"
+        for b in range(4)
+    )
+    return f"""
+        WITH sh AS ({_simhash_sql()}),
+        bands AS (
+            {unions}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT CAST(hamming AS BIGINT)       AS hamming,
+               CAST(COUNT(*) AS BIGINT)      AS n_pairs,
+               CAST(COUNT(*) FILTER (WHERE hamming <= {SIMHASH_MAX_HAMMING})
+                    AS BIGINT)               AS n_within_radius
+        FROM pairs GROUP BY hamming
+    """
+
+
+@query(
+    "dedup_simhash_distance_histogram",
+    oracle=_simhash_hist_sql(),
+    tags=("dedup", "simhash", "report", "documents"),
+)
+def dedup_simhash_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-collision DISTANCE PROFILE: histogram of exact Hamming
+    distances over every band-collided pair — the tuning report that
+    tells you what a band config actually surfaces (mass ≤ radius =
+    useful candidates; mass above = wasted verifies). Same banded
+    equi-join as ``dedup_simhash_band_neighbors`` (certified r05), but
+    aggregated into the knob-tuning view instead of emitting pairs, so
+    the output is O(33) rows at any corpus size."""
+    sh = dedup_simhash(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_id"),
+            F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(255))
+            .alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy(F.col("hamming").cast("bigint").alias("hamming")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(
+            F.when(F.col("hamming") <= SIMHASH_MAX_HAMMING, 1)
+        ).cast("bigint").alias("n_within_radius"),
+    )

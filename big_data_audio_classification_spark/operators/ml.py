@@ -1726,3 +1726,239 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# --- round-6 carriers: first-time 'feature-selection' and 'report'
+# entries ---------------------------------------------------------------
+
+ANOVA_TOP_FEATURES = 10
+
+
+@query(
+    "ml_anova_f_selection",
+    oracle=f"""
+        WITH x AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        per_g AS (
+            SELECT j, label, COUNT(*) AS n_g, SUM(v) AS s_g, SUM(v * v) AS ss_g
+            FROM x GROUP BY j, label
+        ),
+        per_j AS (
+            SELECT j,
+                   CAST(COUNT(*) AS BIGINT)       AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT)       AS n,
+                   SUM(s_g)                       AS s,
+                   SUM(s_g * s_g / n_g)           AS sum_gmean_sq,
+                   SUM(ss_g)                      AS ss
+            FROM per_g GROUP BY j
+        )
+        SELECT j AS feature,
+               k_groups, n,
+               ROUND(((sum_gmean_sq - s * s / n) / (k_groups - 1))
+                     / ((ss - sum_gmean_sq) / (n - k_groups)), 6) AS f_stat
+        FROM per_j
+        ORDER BY f_stat DESC, feature
+        LIMIT {ANOVA_TOP_FEATURES}
+    """,
+    tags=("ml", "feature-selection", "embeddings"),
+)
+def ml_anova_f_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic feature ranking (sklearn
+    ``f_classif``): between-group over within-group mean squares per
+    embedding dimension against the class label, top-{top} features.
+    The whole test reduces to ONE aggregation over (feature, label)
+    cells carrying (n, Σx, Σx²) — the sufficient-statistic trick that
+    makes filter-method selection a single map-side-combined pass at
+    100 TB (MI sibling: ``ml_mutual_info_feature``). posexplode is
+    1-based to match the oracle's generate_subscripts.""".format(
+        top=ANOVA_TOP_FEATURES
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(
+        "label", F.posexplode(to_double(F.col("embedding")))
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("j"),
+        F.col("col").alias("v"),
+    )
+    per_g = x.groupBy("j", "label").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_g"),
+    )
+    per_j = per_g.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias(
+            "sum_gmean_sq"
+        ),
+        F.sum("ss_g").alias("ss"),
+    )
+    msb = (F.col("sum_gmean_sq") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("k_groups") - 1
+    )
+    msw = (F.col("ss") - F.col("sum_gmean_sq")) / (
+        F.col("n") - F.col("k_groups")
+    )
+    return (
+        per_j.select(
+            F.col("j").alias("feature"),
+            "k_groups",
+            "n",
+            F.round(msb / msw, 6).alias("f_stat"),
+        )
+        .orderBy(F.col("f_stat").desc(), "feature")
+        .limit(ANOVA_TOP_FEATURES)
+    )
+
+
+@query(
+    "ml_report_macro_micro",
+    oracle="""
+        WITH maj AS (
+            SELECT source, lang AS pred,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM documents GROUP BY source, lang
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang AS truth, m.pred
+            FROM documents d JOIN maj m
+              ON m.source = d.source AND m.rn = 1
+        ),
+        classes AS (SELECT DISTINCT lang AS cls FROM documents),
+        per_cls AS (
+            SELECT c.cls,
+                   CAST(COUNT(*) FILTER (WHERE s.truth = c.cls
+                                           AND s.pred = c.cls) AS DOUBLE) AS tp,
+                   CAST(COUNT(*) FILTER (WHERE s.truth <> c.cls
+                                           AND s.pred = c.cls) AS DOUBLE) AS fp,
+                   CAST(COUNT(*) FILTER (WHERE s.truth = c.cls
+                                           AND s.pred <> c.cls) AS DOUBLE) AS fn,
+                   CAST(COUNT(*) FILTER (WHERE s.truth = c.cls) AS BIGINT)
+                       AS support
+            FROM classes c CROSS JOIN scored s
+            GROUP BY c.cls
+        ),
+        rows_out AS (
+            SELECT cls,
+                   CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS p,
+                   CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS r,
+                   support
+            FROM per_cls
+        ),
+        with_f1 AS (
+            SELECT cls, p, r,
+                   CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                        ELSE 0.0 END AS f1,
+                   support
+            FROM rows_out
+        )
+        SELECT cls, ROUND(p, 6) AS precision_, ROUND(r, 6) AS recall_,
+               ROUND(f1, 6) AS f1, support
+        FROM with_f1
+        UNION ALL
+        SELECT '<macro>', ROUND(AVG(p), 6), ROUND(AVG(r), 6),
+               ROUND(AVG(f1), 6), CAST(SUM(support) AS BIGINT)
+        FROM with_f1
+        UNION ALL
+        SELECT '<micro>',
+               ROUND(AVG(CASE WHEN truth = pred THEN 1.0 ELSE 0.0 END), 6),
+               ROUND(AVG(CASE WHEN truth = pred THEN 1.0 ELSE 0.0 END), 6),
+               ROUND(AVG(CASE WHEN truth = pred THEN 1.0 ELSE 0.0 END), 6),
+               CAST(COUNT(*) AS BIGINT)
+        FROM scored
+    """,
+    tags=("ml", "report", "documents"),
+)
+def ml_report_macro_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification report with MACRO and MICRO rows (sklearn
+    ``classification_report`` incl. its averaging semantics): per-class
+    precision/recall/F1/support for the source-majority-lang heuristic
+    classifier, plus the macro (unweighted class mean) and micro
+    (= accuracy for single-label) summary rows — completing the
+    evaluation-report family (per-class only: ``ml_precision_recall``,
+    certified r02). The per-class pass is one small-classes × scored
+    broadcast join; every division-by-zero edge is pinned to 0.0 as
+    sklearn does."""
+    d = load_table(spark, sf_dir, "documents")
+    wmaj = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("lang")
+    )
+    maj = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            F.col("lang").alias("pred"),
+            F.row_number().over(wmaj).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    scored = d.join(F.broadcast(maj), "source").select(
+        F.col("lang").alias("truth"), "pred"
+    )
+    classes = d.select(F.col("lang").alias("cls")).distinct()
+    per_cls = (
+        F.broadcast(classes)
+        .join(scored)
+        .groupBy("cls")
+        .agg(
+            F.count(
+                F.when((F.col("truth") == F.col("cls"))
+                       & (F.col("pred") == F.col("cls")), 1)
+            ).cast("double").alias("tp"),
+            F.count(
+                F.when((F.col("truth") != F.col("cls"))
+                       & (F.col("pred") == F.col("cls")), 1)
+            ).cast("double").alias("fp"),
+            F.count(
+                F.when((F.col("truth") == F.col("cls"))
+                       & (F.col("pred") != F.col("cls")), 1)
+            ).cast("double").alias("fn"),
+            F.count(F.when(F.col("truth") == F.col("cls"), 1))
+            .cast("bigint").alias("support"),
+        )
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    r = F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    with_f1 = per_cls.select(
+        "cls",
+        p.alias("p"),
+        r.alias("r"),
+        F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0).alias("f1"),
+        "support",
+    )
+    cls_rows = with_f1.select(
+        "cls",
+        F.round("p", 6).alias("precision_"),
+        F.round("r", 6).alias("recall_"),
+        F.round("f1", 6).alias("f1"),
+        "support",
+    )
+    macro = with_f1.agg(
+        F.lit("<macro>").alias("cls"),
+        F.round(F.avg("p"), 6).alias("precision_"),
+        F.round(F.avg("r"), 6).alias("recall_"),
+        F.round(F.avg("f1"), 6).alias("f1"),
+        F.sum("support").cast("bigint").alias("support"),
+    )
+    acc = F.round(
+        F.avg(F.when(F.col("truth") == F.col("pred"), 1.0).otherwise(0.0)), 6
+    )
+    micro = scored.agg(
+        F.lit("<micro>").alias("cls"),
+        acc.alias("precision_"),
+        acc.alias("recall_"),
+        acc.alias("f1"),
+        F.count(F.lit(1)).cast("bigint").alias("support"),
+    )
+    return cls_rows.unionByName(macro).unionByName(micro)

@@ -1617,3 +1617,73 @@ def sim_pq_codebook_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("d2"), 4).alias("sq_error"),
         )
     )
+
+
+# --- round-6 carrier: first-time 'ivf' entry ---------------------------
+
+
+@query(
+    "sim_ivf_cell_balance",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+                   WHERE vec_id < {IVF_CELLS}),
+        d AS (
+            SELECT b.vec_id, a.cell_id,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+            FROM c a CROSS JOIN embeddings b
+        ),
+        assign AS (
+            SELECT vec_id, cell_id, d2
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cell_id) AS rn FROM d)
+            WHERE rn = 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM embeddings)
+        SELECT cell_id,
+               CAST(COUNT(*) AS BIGINT)                       AS n_vectors,
+               ROUND(AVG(SQRT(d2)), 6)                        AS avg_dist,
+               ROUND(MAX(SQRT(d2)), 6)                        AS max_dist,
+               ROUND(COUNT(*) * {IVF_CELLS} / MAX(tot.n_total), 6)
+                                                              AS balance_ratio
+        FROM assign, tot
+        GROUP BY cell_id
+    """,
+    tags=("similarity", "ivf", "report", "embeddings"),
+)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF CELL-BALANCE report: per-cell population, mean/max residual
+    distance, and the balance ratio (cell size ÷ ideal uniform size) —
+    the index-health view that decides whether a coarse codebook needs
+    retraining (ratio ≫ 1 cells dominate probe latency; the ANN quality
+    side lives in ``sim_ivf_recall_at_k``). Same broadcast-centroid
+    map-only assignment as ``sim_ivf_assign``; the report is one
+    O(cells)-row aggregate, so it costs one linear scan at any SF."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
+    scored = em.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    assign = (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "d2")
+    )
+    tot = em.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        assign.join(F.broadcast(tot))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+            F.round(F.max(F.sqrt("d2")), 6).alias("max_dist"),
+            F.round(
+                F.count(F.lit(1)) * IVF_CELLS / F.max("n_total"), 6
+            ).alias("balance_ratio"),
+        )
+    )

@@ -1486,3 +1486,76 @@ def text_ppmi_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PPMI_TOPN)
         .drop("rn")
     )
+
+
+# --- round-6 carrier: first-time 'tfidf' entry -------------------------
+
+TFIDF_QUERY_TERMS = ("spark", "window", "join")
+TFIDF_QUERY_TOP = 20
+
+
+@query(
+    "text_tfidf_query_rank",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            WHERE tok IN {TFIDF_QUERY_TERMS!r}
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+            WHERE tok IN {TFIDF_QUERY_TERMS!r}
+            GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(tf.tf * LN(n.n_docs / df.df)), 6) AS score,
+                   CAST(COUNT(*) AS BIGINT)                    AS n_terms_hit
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score, n_terms_hit
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {TFIDF_QUERY_TOP}
+    """,
+    tags=("text", "tfidf", "topk", "documents"),
+)
+def text_tfidf_query_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF QUERY SCORING — the retrieval half of tf-idf (per-doc
+    signatures: ``text_tfidf_top_terms``; per-source:
+    ``text_tfidf_source_signature``, certified r05): rank documents
+    against a fixed query by summed tf·idf over the query terms only.
+    The term filter lands BEFORE the tf aggregation (pushdown on the
+    exploded stream), df is a 3-row broadcast, and the final ranking is
+    orderBy+limit = TakeOrderedAndProject — the inverted-index probe
+    shape, linear in corpus size with a constant-size reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok").isin(*TFIDF_QUERY_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
+            ).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(TFIDF_QUERY_TOP)
+    )
