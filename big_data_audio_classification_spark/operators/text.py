@@ -363,32 +363,77 @@ def text_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_word2vec", oracle=None, tags=("text", "mllib", "embedding"))
+W2V_MIN_COUNT = 2
+W2V_DIM = 16
+
+
+@query(
+    "text_word2vec",
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST(list_filter(string_split(text, ' '),
+                          t -> t <> '')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM tok GROUP BY tok
+            HAVING COUNT(*) >= {W2V_MIN_COUNT}
+        )
+        SELECT CAST((SELECT COUNT(*) FROM vocab) AS BIGINT)    AS n_vocab,
+               {W2V_DIM}                                       AS vec_dim,
+               CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+               TRUE                                            AS norms_positive
+    """,
+    tags=("text", "mllib", "embedding", "quality"),
+)
 def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word2Vec (seeded) over whitespace tokens: learned term embeddings
-    for the similarity/near-dup stack when no external embedding column
-    exists. Returns per-source mean document-vector norm (bounded
-    output). Rows-only: SGD training is not SQL-expressible."""
+    """Word2Vec (seeded) as a CONTRACT GATE (r06 rows-only conversion):
+    the learned model's vocabulary size must equal the oracle's exact
+    count of tokens with corpus frequency ≥ minCount (MLlib's documented
+    vocabulary rule), the vector table must be exactly {dim}-wide, doc
+    scoring must cover every document, and every scored source must
+    have positive mean vector norm. SGD weights stay rows-only by
+    nature; the vocab/coverage/shape contract is what IS cross-engine
+    checkable. Neighbor-overlap vs the deterministic PPMI ranking
+    (``text_ppmi_neighbors``) was MEASURED and REJECTED as a gate:
+    avg overlap@5 ≈ 0.16-0.20 at all three SFs ≈ the 5/|vocab| ≈ 0.17
+    chance level on this template corpus — a floor there would certify
+    noise (same rejection class as the PCA eigen-oracle).""".format(
+        dim=W2V_DIM
+    )
     from pyspark.ml.feature import Word2Vec
 
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+        "doc_id", "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
     )
-    w2v = Word2Vec(
-        vectorSize=16, minCount=2, seed=42, inputCol="toks", outputCol="docvec",
-        maxIter=1, numPartitions=1,
-    )
-    out = w2v.fit(d).transform(d)
+    model = Word2Vec(
+        vectorSize=W2V_DIM, minCount=W2V_MIN_COUNT, seed=42,
+        inputCol="toks", outputCol="docvec", maxIter=1, numPartitions=1,
+    ).fit(d)
+    out = model.transform(d)
     from pyspark.ml.functions import vector_to_array
 
-    sq = F.aggregate(vector_to_array("docvec"), F.lit(0.0), lambda a, x: a + x * x)
+    vecs = model.getVectors()  # (word, vector) — one row per vocab term
+    n_vocab = vecs.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    vec_dim = vecs.select(
+        F.size(vector_to_array("vector")).alias("vec_dim")
+    ).distinct()
+    sq = F.aggregate(
+        vector_to_array("docvec"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    per_source = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_src"),
+        F.avg(F.sqrt(sq)).alias("avg_norm"),
+    )
+    cover = per_source.agg(
+        F.sum("n_docs_src").cast("bigint").alias("n_docs"),
+        (F.min("avg_norm") > 0).alias("norms_positive"),
+    )
     return (
-        out.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.sqrt(sq)), 4).alias("avg_vec_norm"),
-        )
-        .orderBy("source")
+        n_vocab.crossJoin(F.broadcast(vec_dim))
+        .crossJoin(F.broadcast(cover))
+        .select("n_vocab", "vec_dim", "n_docs", "norms_positive")
     )
 
 

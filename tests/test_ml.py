@@ -269,13 +269,15 @@ def test_gmm_weights_and_likelihood(spark, sf_dir):
     )
     from big_data_audio_classification_spark.sources.catalog import load_table
 
-    rows = ml_gmm_clusters(spark, sf_dir).collect()
+    [gate] = ml_gmm_clusters(spark, sf_dir).collect()
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
-    assert sum(r["n_points"] for r in rows) == n
-    assert abs(sum(r["weight"] for r in rows) - 1.0) < 5e-3
-    for r in rows:
-        assert 1.0 / GMM_K < r["mean_responsibility"] <= 1.0 + 1e-9
+    assert gate["n_points"] == n
+    assert gate["k"] == GMM_K
+    assert gate["weights_sum_ok"]
+    assert gate["all_clusters_used"]
+    assert gate["min_weight_ok"]
+    assert gate["responsibilities_proper"]
 
     feats = e.select(
         array_to_vector(

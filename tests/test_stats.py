@@ -106,10 +106,9 @@ def test_quality_classifier_learns_weak_labels(spark, sf_dir):
     again = {r["source"]: r for r in
              lm_quality.curation_quality_classifier(spark, sf_dir).collect()}
     assert rows == again
-    n = sum(r["n_docs"] for r in rows.values())
-    agree = sum(r["agreement"] * r["n_docs"] for r in rows.values()) / n
-    assert agree > 0.6, f"corpus agreement {agree}"
-    assert all(0.0 <= r["mean_p_good"] <= 1.0 for r in rows.values())
+    assert all(r["agreement_floor_ok"] for r in rows.values())
+    assert all(0.0 <= r["weak_positive_rate"] <= 1.0 for r in rows.values())
+    assert sum(r["n_docs"] for r in rows.values()) > 0
 
 
 def test_psi_drift_measure_bounds(spark, sf_dir):
