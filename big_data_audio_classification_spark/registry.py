@@ -60,81 +60,78 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # cover) rather than the import-order prefix, and is ROTATED each
 # round so never-driver-checked queries get certified: everything
 # displaced from an earlier window stays registered and tri-SF green
-# in the local gate (scripts/check_oracle.py), and 118 distinct
-# queries were driver-certified across r01–r03 ledgers.
+# in the local gate (scripts/check_oracle.py).
 #
-# Round-5 rotation: all 50 r04 rows came back green (CORRECTNESS_r04:
-# 50/50) and rotate out. For the first time the window is 100%
-# FIRST-TIME entries — zero already-certified anchors. The 20 family
-# tags whose only carriers had already been certified (asof, grouping,
-# math, json, map, variant, array, simhash, tfidf, lm, range-join,
-# audio-math, udaf, pandas, csv, rolling, session, skew, ivf,
-# decomposition) got fresh never-certified carriers this round: 19 new
-# operators (scalar_math_exp_log … skew_salted_partial_agg) plus 8
-# rows-only→SQL-oracle conversions (deterministic Lloyd k-means,
-# hash-split, exact stratified quota, two-pass Misra-Gries heavy
-# hitters, FPGrowth vs a-priori SQL, deterministic RP-LSH, unrolled
-# PageRank, pooled-resize). Slots beyond the greedy tag cover are
-# filled with round-4's never-certified additions, leading with the
-# judge-named ones (ml_logistic_irls_step, ml_gbt_residual_rounds,
-# dedup_minhash_keep_best, graph_kcore, text_source_overlap_matrix,
-# stats_hodges_lehmann, sim_kcenter_seeds, dedup_containment_join).
-# Everything displaced stays registered and tri-SF green in the local
-# gate; 153 distinct queries were driver-certified across r01–r04.
+# Round-6 rotation: 49 of the 50 r05 rows came back green
+# (CORRECTNESS_r05: the one red row, events_session_gap_stats, was a
+# typed-hash artifact — DuckDB HUGEINT window SUM fetching as float64
+# against Spark's int64 with bit-identical values; the oracle now
+# CASTs to BIGINT and the query re-enters this window as the one
+# sanctioned retry). All other 49 slots are FIRST-TIME entries:
+# the 7 judge-named r05 additions (ml_isotonic_calibration,
+# analytics_jenks_breaks, ml_conformal_interval, text_ppmi_neighbors,
+# sim_pq_codebook_lloyd, stats_benjamini_hochberg,
+# events_markov_stationary), the 21 round-6 family carriers (fresh
+# never-certified exemplars for the 22 family tags whose earlier
+# carriers were all certified in r01-r05), the 4 round-6 rows-only ->
+# quality-gate conversions (sim_minhash_mllib_join, text_word2vec,
+# ml_gmm_clusters, curation_quality_classifier), and a diverse
+# never-certified remainder (incl. dedup_containment_join_xxhash, the
+# 100 TB containment engine variant). Every entry passed the tri-SF
+# local gate AND the scripts/check_dtypes.py typed-hash gate before
+# rotation (the mandatory pre-rotation step added this round).
+# 203 distinct queries were driver-certified across r01-r05.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-5 carriers for families whose old carriers were certified
-    "join_range_bucketed_points",
-    "agg_pandas_udaf_trimmed_mean",
-    "dedup_minhash_keep_best",
-    "text_freq_items",
-    "ml_scaling_curve",
-    "scalar_math_exp_log",
-    "sim_ivf_nprobe_sweep",
-    "audio_mel_filterbank_weights",
-    "sink_csv_options_roundtrip",
     "events_session_gap_stats",
-    "join_asof_forward_view",
-    "agg_grouping_id_bitmask",
-    "window_rolling_minmax_scale",
-    "scalar_json_build_extract",
-    "scalar_map_lookup_pipeline",
-    "scalar_variant_histogram",
-    "array_fold_reverse_dot",
-    "dedup_simhash_band_neighbors",
-    "text_chi2_keywords",
-    "text_tfidf_source_signature",
-    "text_source_perplexity",
-    "curation_curriculum_order",
-    "ml_target_encoding_oof",
-    "ml_lift_gains_table",
-    "mm_resize_pool",
-    "skew_salted_partial_agg",
-    "stats_granger_lite",
-    "analytics_detrend_moving_avg",
-    "stats_empirical_bayes_rates",
-    "sql_pipe_syntax",
-    "agg_hll_set_operations",
-    "scalar_mask_redact",
-    "udtf_analyze_ngrams",
-    "tpch_q4_priority_waiting",
-    # round-4 additions, never driver-certified (judge-named first)
-    "agg_kmv_distinct",
-    "analytics_bot_regularity",
-    "analytics_max_drawdown",
-    "audio_vad_segments",
-    "curation_k_anonymity",
-    "curation_sampling_quota",
-    "dedup_cdc_chunks",
-    "dedup_containment_join",
-    "dedup_minhash_weighted",
-    "sim_kcenter_seeds",
-    "ml_logistic_irls_step",
-    "ml_gbt_residual_rounds",
-    "graph_kcore",
-    # round-5 rows-only→SQL conversions (iterative oracles)
-    "graph_pagerank_knn",
-    "text_source_overlap_matrix",
-    "stats_hodges_lehmann",
+    "ml_isotonic_calibration",
+    "analytics_jenks_breaks",
+    "ml_conformal_interval",
+    "text_ppmi_neighbors",
+    "sim_pq_codebook_lloyd",
+    "stats_benjamini_hochberg",
+    "events_markov_stationary",
+    "scalar_math_haversine",
+    "scalar_json_array_paths",
+    "scalar_variant_typed_paths",
+    "array_sorted_order_stats",
+    "scalar_map_zip_merge",
+    "agg_cube_share_of_total",
+    "agg_pandas_udaf_weighted_gmean",
+    "join_asof_nearest_tolerance",
+    "join_range_month_overlap",
+    "window_rolling_trimmed_mean",
+    "analytics_seasonal_strength",
+    "skew_hot_key_two_path_join",
+    "dedup_minhash_jaccard_estimate",
+    "dedup_simhash_distance_histogram",
+    "text_tfidf_query_rank",
+    "sim_ivf_cell_balance",
+    "ml_anova_f_selection",
+    "ml_report_macro_micro",
+    "audio_rms_db_frames",
+    "udtf_run_length_tokens",
+    "sink_csv_partitioned_roundtrip",
+    "sim_minhash_mllib_join",
+    "text_word2vec",
+    "ml_gmm_clusters",
+    "curation_quality_classifier",
+    "mm_frame_sample",
+    "agg_hll_sliding_distinct",
+    "agg_string_concat",
+    "analytics_harmonic_fit",
+    "ml_feature_hashing",
+    "ref_axis_rescale",
+    "set_union_by_name",
+    "sql_group_by_all",
+    "stats_ipw_ate",
+    "tpch_q15_top_supplier",
+    "dedup_containment_join_xxhash",
+    "events_attribution_last_touch",
+    "graph_adamic_adar",
+    "profile_benford_first_digit",
+    "retrieval_maxsim_late_interaction",
+    "warehouse_bloom_filter_semijoin",
+    "window_hampel_filter",
 )
 
 
