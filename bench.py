@@ -99,6 +99,13 @@ HEADLINE = [
     "stats_hodges_lehmann",
     "sim_kcenter_seeds",
     "ml_gbt_residual_rounds",
+    # round-6 flagship additions (VERDICT r05 item 7): the iterative-
+    # oracle capstones get round-over-round tracking, plus this round's
+    # heaviest new pair-generator
+    "ml_isotonic_calibration",
+    "analytics_jenks_breaks",
+    "ml_conformal_interval",
+    "dedup_minhash_jaccard_estimate",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a

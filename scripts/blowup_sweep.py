@@ -140,9 +140,84 @@ def phash_bands_case(spark, k: int, band_bits: int):
     return n_cand, dt
 
 
+def containment_case(spark, k: int, salt_tokens: bool):
+    """Inline replica of dedup_containment_join_xxhash's pair stage
+    (VERDICT r05 item 6): xxhash64 shingles, df-cap as count+semi-join.
+    salted = independent-data ingest model (copies share no shingles);
+    template = adversarial model (copies share ~all shingles, the
+    df-cap is what bounds the per-shingle fan-out at cap^2/2 pairs)."""
+    from big_data_audio_classification_spark.operators.dedup import (
+        CONT_DF_CAP,
+        CONT_SHINGLE,
+        CONT_THRESHOLD,
+    )
+
+    docs = replicated_docs(spark, k, salt_tokens=salt_tokens)
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).persist()
+    tcol = F.col("toks")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(tcol) - (CONT_SHINGLE - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tcol, i, CONT_SHINGLE))),
+    )
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(tcol) >= CONT_SHINGLE, hashes).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("h"),
+    ).distinct()
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= CONT_DF_CAP)
+        .select("h")
+    )
+    kept = sh.join(rare, "h", "left_semi").persist()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "h")
+    b = kept.select(F.col("doc_id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.greatest(
+                F.col("n_common") * 1.0 / F.col("sza"),
+                F.col("n_common") * 1.0 / F.col("szb"),
+            )
+            >= CONT_THRESHOLD
+        )
+    )
+    t0 = time.time()
+    n_cand = pairs.count()
+    n_out = out.count()
+    dt = time.time() - t0
+    base.unpersist()
+    kept.unpersist()
+    return n_cand, n_out, dt
+
+
 def main():
     ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
     spark = get_spark("blowup")
+    for mode, salt in (("salted", True), ("template", False)):
+        for k in ks:
+            n_cand, n_out, dt = containment_case(spark, k, salt)
+            print(
+                f"containment_xxhash mode={mode} k={k} docs={5000 * k} "
+                f"candidates={n_cand} pairs_out={n_out} sec={dt:.2f}",
+                flush=True,
+            )
     for k in ks:
         n_pairs, dt = prefix_filter_case(spark, k)
         print(
