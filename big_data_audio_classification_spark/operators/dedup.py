@@ -1545,7 +1545,10 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % MHEST_SAMPLE_MOD == 0
     )
-    sig = minhash_signature(d, "doc_id", "text")
+    # the signature frame feeds BOTH sides of the band self-join and
+    # the token projection feeds both intersection sides — persist each
+    # so the explode+groupBy signature pass runs once, not twice
+    sig = minhash_signature(d, "doc_id", "text").persist()
     a, b = sig.alias("a"), sig.alias("b")
     band_cond = (F.col("a.doc_id") < F.col("b.doc_id"))
     for j in range(MHEST_BAND_ROWS):
@@ -1561,7 +1564,7 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tok = d.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).distinct()
+    ).distinct().persist()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
     tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
@@ -1663,4 +1666,137 @@ def dedup_simhash_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(
             F.when(F.col("hamming") <= SIMHASH_MAX_HAMMING, 1)
         ).cast("bigint").alias("n_within_radius"),
+    )
+
+
+# --- round-7 spare carriers: minhash / simhash report shapes ----------
+
+BWS_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) with bands*rows = 16
+
+
+def _band_sweep_sql() -> str:
+    legs = []
+    for bands, rows in BWS_CONFIGS:
+        band_exprs = " , ".join(
+            "CONCAT_WS('_', "
+            + ", ".join(f"m{b * rows + r}" for r in range(rows))
+            + f") AS band{b}"
+            for b in range(bands)
+        )
+        unions = "\n                UNION ALL\n                ".join(
+            f"SELECT doc_id, {b} AS band_id, band{b} AS bh FROM cfg_{bands}"
+            for b in range(bands)
+        )
+        legs.append(f"""
+        cfg_{bands} AS (SELECT doc_id, {band_exprs} FROM sig),
+        bands_{bands} AS (
+                {unions}
+        ),
+        cand_{bands} AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands_{bands} a JOIN bands_{bands} b
+              ON a.band_id = b.band_id AND a.bh = b.bh
+             AND a.doc_id < b.doc_id
+        )""")
+    selects = "\n        UNION ALL\n        ".join(
+        f"SELECT {bands} AS n_bands, {rows} AS rows_per_band, "
+        f"CAST((SELECT COUNT(*) FROM cand_{bands}) AS BIGINT) AS n_candidates"
+        for bands, rows in BWS_CONFIGS
+    )
+    return f"""
+        WITH sig AS ({_minhash_sql()}),{",".join(legs)}
+        {selects}
+    """
+
+
+@query(
+    "dedup_minhash_band_sweep",
+    oracle=_band_sweep_sql(),
+    tags=("dedup", "minhash", "report", "documents"),
+)
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-configuration SWEEP over ONE signature pass: the same 16
+    MinHash permutations grouped as 2×8, 4×4, and 8×2 bands, reporting
+    each config's candidate-pair count — the (bands, rows) S-curve
+    knob table (recall rises with more/shorter bands, candidate cost
+    with it; the shipped 4×4 is the middle point). The signature
+    aggregation runs ONCE and is persisted; each config adds only a
+    band re-grouping + equi-join, so the sweep costs three bucket
+    joins, never three signature passes. Candidate counts are exact
+    (DISTINCT over band collisions), output is 3 rows at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", "text").persist()
+    legs = []
+    for bands, rows in BWS_CONFIGS:
+        bdf = None
+        for b in range(bands):
+            part = sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                ).alias("bh"),
+            )
+            bdf = part if bdf is None else bdf.unionByName(part)
+        a, bb = bdf.alias("a"), bdf.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+        )
+        legs.append(
+            cand.agg(
+                F.lit(bands).alias("n_bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+@query(
+    "dedup_simhash_bit_balance",
+    oracle=f"""
+        WITH sh AS ({_simhash_sql()}),
+        bits AS (SELECT UNNEST(range(0, 32)) AS bit),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sh)
+        SELECT CAST(bits.bit AS BIGINT) AS bit,
+               CAST(SUM((simhash >> bits.bit) & 1) AS BIGINT) AS n_ones,
+               ROUND(SUM((simhash >> bits.bit) & 1) / MAX(tot.n), 6)
+                   AS ones_ratio
+        FROM sh, bits, tot
+        GROUP BY bits.bit
+    """,
+    tags=("dedup", "simhash", "report", "documents"),
+)
+def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash BIT-BALANCE audit: per-bit ones-ratio across the corpus
+    fingerprints — a healthy SimHash keeps every bit near 0.5 (biased
+    bits carry no discriminating power and inflate band collisions;
+    this is the fingerprint-quality counterpart of the collision
+    profile in ``dedup_simhash_distance_histogram``). One fingerprint
+    pass + a 32-way explode of BIT POSITIONS (not data): the per-bit
+    counts map-side combine, output is exactly 32 rows at any SF."""
+    sh = dedup_simhash(spark, sf_dir)
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    tot = sh.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        sh.crossJoin(F.broadcast(bits))
+        .select("bit", F.expr("(simhash >> bit) & 1").alias("b"))
+        .groupBy(F.col("bit").cast("bigint").alias("bit"))
+        .agg(F.sum("b").cast("bigint").alias("n_ones"))
+        .join(F.broadcast(tot))
+        .select(
+            "bit",
+            "n_ones",
+            F.round(F.col("n_ones") / F.col("n"), 6).alias("ones_ratio"),
+        )
     )

@@ -1216,3 +1216,257 @@ def join_range_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_hours",
         )
     )
+
+
+# --- round-7 spare carriers: asof / setop / grouping / range-join ----
+
+LOCF_GRID_HOURS = 6  # grid step for the carry-forward alignment
+
+
+@query(
+    "join_asof_locf_grid",
+    oracle=f"""
+        WITH grid AS (
+            SELECT u.user_id, g.gts
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT UNNEST(generate_series(
+                      TIMESTAMP '2024-01-01 00:00:00',
+                      TIMESTAMP '2024-01-30 18:00:00',
+                      INTERVAL {LOCF_GRID_HOURS} HOUR)) AS gts) g
+        ),
+        j AS (
+            SELECT grid.user_id, grid.gts, e.value, e.ts, e.event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY grid.user_id, grid.gts
+                       ORDER BY (e.event_id IS NULL),
+                                e.ts DESC, e.event_id DESC) AS rn
+            FROM grid LEFT JOIN events e
+              ON e.user_id = grid.user_id AND e.ts <= grid.gts
+        )
+        SELECT user_id,
+               CAST(gts AS VARCHAR)     AS grid_ts,
+               ROUND(value, 4)          AS locf_value,
+               event_id                 AS src_event_id
+        FROM j WHERE rn = 1
+    """,
+    tags=("relational", "join", "asof", "events", "window-time"),
+)
+def join_asof_locf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward GRID ALIGNMENT — the as-of
+    join that turns an irregular event stream into a regular 6-hour
+    panel (the feature-store snapshot shape). The oracle states it as
+    a banded left join + rank; the Spark side runs the single-shuffle
+    union + carry: grid rows and events interleave on (user, ts), one
+    unbounded-PRECEDING window carries the latest event value/id onto
+    every grid row (events sort before grid points at equal ts, and
+    among equal-ts events the larger event_id wins, matching the
+    oracle's ts DESC, event_id DESC rank). Completes the as-of family
+    (backward / forward / nearest / grid).
+
+    Scale: the grid is |users| × |grid points| rows — a constant per
+    user — and the carry is the same one-shuffle window as every other
+    as-of here; no time-banded join ever forms."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    grid_pts = spark.sql(
+        f"""SELECT explode(sequence(
+                TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-30 18:00:00',
+                INTERVAL {LOCF_GRID_HOURS} HOURS)) AS gts"""
+    )
+    grid = users.crossJoin(F.broadcast(grid_pts)).select(
+        "user_id",
+        F.col("gts").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("double").alias("value_src"),
+        F.lit(None).cast("long").alias("event_id_src"),
+    )
+    evs = ev.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_event"),
+        F.col("value").alias("value_src"),
+        F.col("event_id").alias("event_id_src"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_event").desc(),
+                 F.col("event_id_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = evs.unionByName(grid).select(
+        "user_id",
+        "ts",
+        "is_event",
+        F.last("value_src", ignorenulls=True).over(w).alias("locf_value"),
+        F.last("event_id_src", ignorenulls=True).over(w).alias("src_event_id"),
+    )
+    return carried.filter(F.col("is_event") == 0).select(
+        "user_id",
+        F.col("ts").cast("string").alias("grid_ts"),
+        F.round("locf_value", 4).alias("locf_value"),
+        "src_event_id",
+    )
+
+
+@query(
+    "set_symdiff_active_customers",
+    oracle="""
+        WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                       AND o_orderdate <  TIMESTAMP '1996-01-01'),
+             y98 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                       AND o_orderdate <  TIMESTAMP '1999-01-01')
+        SELECT 'only_1995' AS cohort, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(o_custkey) AS BIGINT) AS min_key
+        FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y98)
+        UNION ALL
+        SELECT 'only_1998', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT)
+        FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y95)
+        UNION ALL
+        SELECT 'both', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT)
+        FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y98)
+    """,
+    tags=("relational", "setop", "orders"),
+)
+def set_symdiff_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort SYMMETRIC DIFFERENCE via set operators: customers active
+    only in 1995, only in 1998, and in both — churn/retention triage
+    as EXCEPT / INTERSECT (the distinct-set forms; the ALL-multiset
+    forms live in ``set_except_intersect_all``). Each leg is one
+    distinct-aggregate + hash set-op — no join explosion — and the
+    3-row rollup makes the output scale-free."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", F.col("o_orderdate").cast("timestamp")
+    )
+    y95 = o.filter(
+        (F.col("odate") >= "1995-01-01") & (F.col("odate") < "1996-01-01")
+    ).select("o_custkey").distinct()
+    y98 = o.filter(
+        (F.col("odate") >= "1998-01-01") & (F.col("odate") < "1999-01-01")
+    ).select("o_custkey").distinct()
+
+    def leg(name, df):
+        return df.agg(
+            F.lit(name).alias("cohort"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_custkey").cast("bigint").alias("min_key"),
+        )
+
+    return (
+        leg("only_1995", y95.exceptAll(y98).distinct())
+        .unionByName(leg("only_1998", y98.exceptAll(y95).distinct()))
+        .unionByName(leg("both", y95.intersect(y98)))
+    )
+
+
+@query(
+    "agg_groupingsets_mixed",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '<all>')    AS status,
+               COALESCE(o_orderpriority, '<all>')  AS priority,
+               CAST(GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT)            AS n,
+               ROUND(SUM(o_totalprice), 2)         AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+    """,
+    tags=("aggregate", "grouping", "orders"),
+)
+def agg_groupingsets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a NON-LATTICE selection — the
+    fine-cell, one marginal, and grand total, deliberately skipping
+    the (status) marginal that CUBE would emit — the report shape
+    where each level is chosen, not derived. grouping_id disambiguates
+    the '<all>' placeholder from a genuine value. One pass over the
+    fact table (Spark expands sets map-side, same as the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gsets_in")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>')    AS status,
+               COALESCE(o_orderpriority, '<all>')  AS priority,
+               CAST(grouping_id() AS BIGINT)       AS gid,
+               CAST(COUNT(*) AS BIGINT)            AS n,
+               ROUND(SUM(o_totalprice), 2)         AS total
+        FROM orders_gsets_in
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+OVD_ACTIVE_DAYS = 7  # interval length for the overlap-degree profile
+
+
+@query(
+    "join_range_overlap_degree",
+    oracle=f"""
+        WITH iv AS (
+            SELECT o_orderkey AS k, o_orderdate AS s,
+                   o_orderdate + INTERVAL {OVD_ACTIVE_DAYS} DAY AS e
+            FROM orders WHERE o_orderkey % 20 = 0
+        ),
+        deg AS (
+            SELECT a.k, COUNT(b.k) AS degree
+            FROM iv a LEFT JOIN iv b
+              ON a.k <> b.k AND a.s < b.e AND b.s < a.e
+            GROUP BY a.k
+        )
+        SELECT CAST(degree AS BIGINT)      AS degree,
+               CAST(COUNT(*) AS BIGINT)    AS n_intervals
+        FROM deg GROUP BY degree
+    """,
+    tags=("relational", "join", "range-join", "orders"),
+)
+def join_range_overlap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP-DEGREE profile: for each (sampled) order's
+    7-day interval, how many sibling intervals overlap it, rolled into
+    a degree histogram — the concurrency/occupancy distribution. The
+    oracle states the raw self range-join; Spark runs the BUCKETED
+    form: each interval explodes to its ≤2 month buckets, candidates
+    pair within a bucket (equi-join), the exact overlap predicate
+    prunes, and DISTINCT collapses pairs seen in both buckets. The
+    histogram output is O(max degree) rows at any SF."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    ).withColumn("odate", F.col("o_orderdate").cast("timestamp"))
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.unix_micros("odate").alias("s"),
+        (F.unix_micros("odate") + OVD_ACTIVE_DAYS * 86_400_000_000).alias("e"),
+    )
+    cand = iv.select(
+        "k", "s", "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.timestamp_micros("s")),
+                F.date_trunc("month", F.timestamp_micros(F.col("e") - 1)),
+            )
+        ).alias("m"),
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    overl = (
+        a.join(
+            b,
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.k") != F.col("b.k"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(F.col("a.k").alias("k"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    deg = (
+        iv.join(overl, "k", "left")
+        .groupBy("k")
+        .agg(F.count("kb").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals")
+    )

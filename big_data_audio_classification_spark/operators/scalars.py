@@ -1247,3 +1247,246 @@ def scalar_map_zip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(big_only, "qty"), 2).alias("qty_if_big"),
         F.size(with_tax).alias("n_keys_after"),
     )
+
+
+# --- round-7 spare carriers (registered r06, never driver-certified):
+# after the r06 window certifies, every scalar family again needs a
+# first-time carrier; these are written and tri-SF-gated one round
+# ahead so the r07 rotation draws from stock ------------------------
+
+
+@query(
+    "scalar_math_log1p_hypot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(LN(1.0 + l_discount), 6)                  AS disc_log1p,
+               ROUND(EXP(l_tax) - 1.0, 6)                      AS tax_expm1,
+               ROUND(SQRT(l_quantity * l_quantity
+                          + l_discount * 100 * l_discount * 100), 6)
+                                                               AS qty_hypot,
+               ROUND(POW(l_extendedprice, 0.25), 6)            AS price_4rt,
+               ROUND(MOD(l_extendedprice, 7.5), 6)             AS price_fmod,
+               CAST(FLOOR(LOG10(l_extendedprice)) AS BIGINT)   AS price_mag
+        FROM lineitem
+    """,
+    tags=("scalar", "math", "lineitem"),
+)
+def scalar_math_log1p_hypot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-careful math battery: log1p/expm1 (the
+    catastrophic-cancellation-safe forms), hypotenuse, fractional
+    power, float modulo, and order-of-magnitude — the feature-scaling
+    vocabulary beyond ``scalar_math_exp_log``/``scalar_math_haversine``.
+    The oracle states log1p/expm1 as LN(1+x)/EXP(x)-1: at these
+    magnitudes (x ≥ 0.0) the naive forms agree with the safe forms to
+    well past 6 decimals, which is exactly what ROUND(_, 6) pins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, t, p = (F.col(c) for c in
+                  ("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log1p(d), 6).alias("disc_log1p"),
+        F.round(F.expm1(t), 6).alias("tax_expm1"),
+        F.round(F.sqrt(q * q + (d * 100) * (d * 100)), 6).alias("qty_hypot"),
+        F.round(F.pow(p, 0.25), 6).alias("price_4rt"),
+        F.round(p % 7.5, 6).alias("price_fmod"),
+        F.floor(F.log10(p)).cast("bigint").alias("price_mag"),
+    )
+
+
+@query(
+    "scalar_json_schema_validity",
+    oracle="""
+        WITH j AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 10 = 0
+                        THEN substr(props, 1, length(props) - 1)
+                        ELSE props END AS doc
+            FROM events
+        )
+        SELECT event_id,
+               json_valid(doc)                                AS is_valid,
+               CASE WHEN json_valid(doc)
+                    THEN CAST(json_extract_string(doc, '$.k') AS BIGINT)
+                    END                                       AS k_parsed,
+               CASE WHEN NOT json_valid(doc) THEN doc END     AS corrupt_payload
+        FROM j
+    """,
+    tags=("scalar", "json", "events"),
+)
+def scalar_json_schema_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read VALIDITY handling — the quarantine pattern every
+    JSON ingest needs: every 10th payload is truncated (malformed),
+    ``from_json`` with an explicit schema yields NULL for it (Spark's
+    PERMISSIVE mode), valid rows parse typed, and the corrupt payload
+    itself is preserved in a quarantine column for replay. The oracle
+    mirrors with json_valid + guarded extraction. One parse per row,
+    JVM-side; the quarantine column keeps the bad bytes without
+    failing the batch — the 100 TB dead-letter discipline."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(doc, "k BIGINT")
+    is_valid = parsed.isNotNull() & parsed["k"].isNotNull()
+    return e.select(
+        "event_id",
+        is_valid.alias("is_valid"),
+        F.when(is_valid, parsed["k"]).alias("k_parsed"),
+        F.when(~is_valid, doc).alias("corrupt_payload"),
+    )
+
+
+@query(
+    "scalar_variant_array_paths",
+    oracle="""
+        WITH v AS (
+            SELECT event_id,
+                   '[' || json_extract_string(props, '$.k') || ', '
+                       || CAST(CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT) * 2 AS VARCHAR)
+                       || ', {"tag": "' || event_type || '"}]' AS doc
+            FROM events
+        )
+        SELECT event_id,
+               CAST(json_extract_string(doc, '$[0]') AS BIGINT) AS first_el,
+               CAST(json_extract_string(doc, '$[1]') AS BIGINT) AS second_el,
+               json_extract_string(doc, '$[2].tag')             AS nested_tag,
+               json_extract_string(doc, '$[5]') IS NULL         AS oob_null
+        FROM v
+    """,
+    tags=("scalar", "variant", "events"),
+)
+def scalar_variant_array_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant ARRAY navigation: parse a JSON array (heterogeneous —
+    two numbers and an object) into ONE variant, then read indexed
+    paths ``$[i]`` typed, a nested object field behind an index, and
+    the out-of-bounds → NULL contract — the semi-structured list shape
+    (object paths: ``scalar_variant_typed_paths``). Single parse per
+    row feeding four typed reads."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    doc = F.concat(
+        F.lit("["), k, F.lit(", "),
+        (k.cast("bigint") * 2).cast("string"),
+        F.lit(', {"tag": "'), F.col("event_type"), F.lit('"}]'),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$[0]", "bigint").alias("first_el"),
+        F.try_variant_get(v, "$[1]", "bigint").alias("second_el"),
+        F.try_variant_get(v, "$[2].tag", "string").alias("nested_tag"),
+        F.try_variant_get(v, "$[5]", "string").isNull().alias("oob_null"),
+    )
+
+
+@query(
+    "array_indexed_lambda_stats",
+    oracle="""
+        WITH z AS (
+            SELECT vec_id,
+                   list_zip(embedding,
+                            range(1, len(embedding) + 1)) AS iz
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(
+                   list_filter(iz, p -> (CAST(p[2] AS BIGINT) % 2) = 1),
+                   p -> CAST(p[1] AS DOUBLE))), 6)            AS odd_pos_sum,
+               ROUND(list_sum(list_transform(iz,
+                   p -> CASE WHEN (CAST(p[2] AS BIGINT) % 2) = 1
+                             THEN CAST(p[1] AS DOUBLE)
+                             ELSE -CAST(p[1] AS DOUBLE) END)), 6)
+                                                              AS alt_sum,
+               ROUND(list_sum(list_transform(iz,
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS BIGINT))), 6)
+                                                              AS idx_weighted
+        FROM z
+    """,
+    tags=("scalar", "array", "embeddings"),
+)
+def array_indexed_lambda_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-AWARE higher-order lambdas: Spark's two-argument
+    ``filter``/``transform`` lambdas receive the element index
+    directly (odd-position sum, alternating sum, index-weighted dot) —
+    the positional-feature shape without any explode. The oracle has
+    no indexed lambda, so it zips an explicit ``range()`` — two
+    independent formulations of the same positional semantics.
+    Sequential index-order folds: doubles match bitwise."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    odd_sum = F.aggregate(
+        F.filter(x, lambda v, i: (i + 1) % 2 == 1),
+        F.lit(0.0),
+        lambda a, v: a + v.cast("double"),
+    )
+    alt = F.aggregate(
+        F.transform(
+            x,
+            lambda v, i: F.when((i + 1) % 2 == 1, v.cast("double")).otherwise(
+                -v.cast("double")
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    idxw = F.aggregate(
+        F.transform(x, lambda v, i: v.cast("double") * (i + 1)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return em.select(
+        "vec_id",
+        F.round(odd_sum, 6).alias("odd_pos_sum"),
+        F.round(alt, 6).alias("alt_sum"),
+        F.round(idxw, 6).alias("idx_weighted"),
+    )
+
+
+@query(
+    "scalar_map_entries_arith",
+    oracle="""
+        SELECT event_id,
+               CAST(event_id % 7 AS BIGINT) * 10
+                   + CAST(event_id % 3 AS BIGINT)              AS combined,
+               CAST(GREATEST(event_id % 7, event_id % 3) AS BIGINT)
+                                                               AS max_val,
+               (event_id % 7) = (event_id % 3)                 AS keys_agree,
+               2                                               AS n_entries
+        FROM events
+    """,
+    tags=("scalar", "map", "events"),
+)
+def scalar_map_entries_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map ENTRIES arithmetic: build a two-key map, explode it back
+    through ``map_entries`` (struct array), and fold the entries with
+    an order-stable aggregate (entries preserve insertion order in
+    Spark) — the map→array→scalar round trip. The oracle pins the
+    scalar results per the house map rule. Complements zip/merge
+    (``scalar_map_zip_merge``) and lookup (``scalar_map_lookup_pipeline``)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(
+            (F.col("event_id") % 7).cast("bigint"),
+            (F.col("event_id") % 3).cast("bigint"),
+        ),
+    )
+    ent = F.map_entries(m)  # [{key, value}] in insertion order
+    combined = F.aggregate(
+        ent, F.lit(0).cast("bigint"), lambda acc, kv: acc * 10 + kv["value"]
+    )
+    return e.select(
+        "event_id",
+        combined.alias("combined"),
+        F.aggregate(
+            ent,
+            F.lit(None).cast("bigint"),
+            lambda acc, kv: F.greatest(F.coalesce(acc, kv["value"]),
+                                       kv["value"]),
+        ).alias("max_val"),
+        (F.element_at(m, "a") == F.element_at(m, "b")).alias("keys_agree"),
+        F.size(ent).alias("n_entries"),
+    )

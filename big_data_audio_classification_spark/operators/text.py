@@ -1604,3 +1604,190 @@ def text_tfidf_query_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(TFIDF_QUERY_TOP)
     )
+
+
+# --- round-7 spare carriers: tfidf / lm ---------------------------------
+
+
+@query(
+    "text_tfidf_source_cosine",
+    oracle="""
+        WITH toks AS (
+            SELECT source, UNNEST(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks
+               GROUP BY source, tok),
+        df AS (SELECT tok, COUNT(DISTINCT source) AS df FROM toks GROUP BY tok),
+        n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src
+              FROM documents),
+        w AS (
+            SELECT tf.source, tf.tok,
+                   tf.tf * LN(n.n_src / df.df) AS wt
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+            WHERE df.df < (SELECT COUNT(DISTINCT source) FROM documents)
+        ),
+        nrm AS (SELECT source, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY source)
+        SELECT a.source AS src_a, b.source AS src_b,
+               ROUND(SUM(a.wt * b.wt) / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM w a
+        JOIN w b ON a.tok = b.tok AND a.source < b.source
+        JOIN nrm na ON na.source = a.source
+        JOIN nrm nb ON nb.source = b.source
+        GROUP BY a.source, b.source, na.nrm, nb.nrm
+    """,
+    tags=("text", "tfidf", "similarity", "documents"),
+)
+def text_tfidf_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source COSINE over tf-idf vectors — which crawls carry
+    the same vocabulary profile (the source-similarity matrix a mixing
+    strategy reads; per-source top terms: ``text_tfidf_source_signature``,
+    certified r05). Zero-idf terms (df = all sources) are dropped on
+    BOTH sides — they contribute nothing and keep the sparse join
+    small. Sparse cosine = one equi-join on the shared term dimension;
+    with S sources the output is C(S,2) rows and the join input is
+    |vocab|·S — both scale-free in the document count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    n_src_val = d.agg(
+        F.countDistinct("source").cast("double").alias("n_src")
+    )
+    w = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_src_val))
+        .filter(F.col("df") < F.col("n_src"))
+        .select(
+            "source",
+            "tok",
+            (F.col("tf") * F.log(F.col("n_src") / F.col("df"))).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("source").agg(F.sqrt(F.sum(F.col("wt") ** 2)).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+        .join(F.broadcast(nrm.select(F.col("source").alias("src_a"),
+                                     F.col("nrm").alias("na"))), "src_a")
+        .join(F.broadcast(nrm.select(F.col("source").alias("src_b"),
+                                     F.col("nrm").alias("nb"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+
+
+PPX_K = 0.5       # add-k smoothing mass
+PPX_OUT_TOP = 10  # outliers reported
+
+
+@query(
+    "text_perplexity_outliers",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   UNNEST(list_filter(string_split(text, ' '),
+                          t -> t <> '')) AS tok
+            FROM documents
+        ),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        consts AS (
+            SELECT CAST(SUM(c) AS DOUBLE) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM uni
+        ),
+        ce AS (
+            SELECT t.doc_id, t.source,
+                   AVG(-LN((uni.c + {PPX_K}) / (consts.n + {PPX_K} * consts.v)))
+                       AS doc_ce
+            FROM toks t JOIN uni USING (tok) CROSS JOIN consts
+            GROUP BY t.doc_id, t.source
+        ),
+        z AS (
+            SELECT doc_id, source, doc_ce,
+                   (doc_ce - AVG(doc_ce) OVER (PARTITION BY source))
+                   / STDDEV_POP(doc_ce) OVER (PARTITION BY source) AS zval
+            FROM ce
+        )
+        SELECT doc_id, source,
+               ROUND(doc_ce, 6) AS doc_ce,
+               ROUND(zval, 6)   AS z
+        FROM z
+        ORDER BY ROUND(ABS(zval), 6) DESC, doc_id
+        LIMIT {PPX_OUT_TOP}
+    """,
+    tags=("text", "lm", "quality", "documents"),
+)
+def text_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT perplexity OUTLIERS: add-k unigram cross-entropy
+    per doc, z-scored WITHIN its source, top-|z| — the LM-based
+    anomaly filter that flags gibberish and boilerplate a corpus-level
+    mean hides (source-level twin: ``text_source_perplexity``,
+    certified r05). The unigram table broadcasts; per-doc CE is one
+    map-side-combined aggregate; the z-score windows sit on the
+    |docs|-row CE frame. Ranking keys are rounded BEFORE the sort so
+    both engines cut the identical top-{top}.""".format(top=PPX_OUT_TOP)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    consts = uni.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ce = (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                -F.log(
+                    (F.col("c") + PPX_K) / (F.col("n") + PPX_K * F.col("v"))
+                )
+            ).alias("doc_ce")
+        )
+    )
+    wsrc = Window.partitionBy("source")
+    z = ce.select(
+        "doc_id",
+        "source",
+        "doc_ce",
+        (
+            (F.col("doc_ce") - F.avg("doc_ce").over(wsrc))
+            / F.stddev_pop("doc_ce").over(wsrc)
+        ).alias("zval"),
+    )
+    return (
+        z.select(
+            "doc_id",
+            "source",
+            F.round("doc_ce", 6).alias("doc_ce"),
+            F.round("zval", 6).alias("z"),
+        )
+        .orderBy(F.round(F.abs(F.col("z")), 6).desc(), "doc_id")
+        .limit(PPX_OUT_TOP)
+    )
