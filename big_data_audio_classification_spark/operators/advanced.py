@@ -910,3 +910,106 @@ def sink_csv_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# --- round-7 spare carriers: udtf / csv ----------------------------------
+
+CHARFREQ_TOPN = 3
+CHARFREQ_DOC_CAP = 100
+
+
+@query(
+    "udtf_char_topfreq",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(text, '')) AS ch
+            FROM documents WHERE doc_id < {CHARFREQ_DOC_CAP}
+        ),
+        counted AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+        )
+        SELECT doc_id, ch, cnt, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, ch) AS rn FROM counted)
+        WHERE rn <= {CHARFREQ_TOPN}
+    """,
+    tags=("udtf", "text", "documents"),
+)
+def udtf_char_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TOP-{n} character frequencies as a Python UDTF: the
+    UDTF holds a dict in eval(), counts, sorts, and emits only the
+    winners — a bounded-output profile the engine would otherwise
+    compute by exploding every character through a shuffle (the
+    oracle's formulation, deliberately — two independent plans, one
+    answer). Ties break alphabetically inside the UDTF with the same
+    (−count, char) key the oracle's window uses. Arrow-batched,
+    text never shuffles, output ≤ {n} rows/doc.""".format(n=CHARFREQ_TOPN)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ch string, cnt long, rank long")
+    class CharTopFreq:
+        def eval(self, text: str):
+            if not text:
+                return
+            counts = {}
+            for ch in text:
+                counts[ch] = counts.get(ch, 0) + 1
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (ch, cnt) in enumerate(top[:CHARFREQ_TOPN], start=1):
+                yield ch, cnt, i
+
+    spark.udtf.register("char_topfreq", CharTopFreq)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < CHARFREQ_DOC_CAP
+    ).createOrReplaceTempView("udtf_charfreq_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.ch, c.cnt, c.rank
+        FROM udtf_charfreq_docs_in d, LATERAL char_topfreq(d.text) c
+        """
+    )
+
+
+@query(
+    "sink_csv_gzip_roundtrip",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               ROUND(SUM(o_totalprice), 2)   AS total,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("sink", "csv", "orders"),
+)
+def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED CSV sink/scan: gzip-codec write, transparent
+    decompressing read, aggregate equality against the parquet truth —
+    the wire-format-under-compression leg of the CSV surface (dialect:
+    ``sink_csv_options_roundtrip``; layout: ``sink_csv_partitioned_
+    roundtrip``). Caveat encoded in the plan: gzip CSV parts are
+    NON-SPLITTABLE, so at 100 TB the writer's partition count (one
+    .csv.gz per task) IS the reader's parallelism — keep parts at
+    ~100-500 MB or use zstd/bzip2 where splittable readers exist."""
+    path = os.path.join(_SCRATCH, "sink_csv_gzip_roundtrip")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    (
+        o.write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    back = spark.read.csv(
+        path,
+        header=True,
+        schema="o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )

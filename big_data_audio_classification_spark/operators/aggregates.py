@@ -1128,3 +1128,47 @@ def agg_pandas_udaf_weighted_gmean(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@query(
+    "agg_pandas_udaf_mad",
+    oracle="""
+        WITH med AS (
+            SELECT l_returnflag AS flag, MEDIAN(l_extendedprice) AS m
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT li.l_returnflag AS flag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MEDIAN(ABS(li.l_extendedprice - med.m)), 4) AS mad
+        FROM lineitem li JOIN med ON med.flag = li.l_returnflag
+        GROUP BY li.l_returnflag
+    """,
+    tags=("aggregate", "udaf", "pandas", "robust", "lineitem"),
+)
+def agg_pandas_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION per return flag as a grouped-agg
+    pandas UDF — the robust-scale partner of the robust-location
+    UDAFs (``agg_pandas_udaf_trimmed_mean`` certified r05,
+    ``agg_pandas_udaf_weighted_gmean`` r06). The Arrow kernel is
+    numpy's interpolating median twice over; the oracle restates it
+    with MEDIAN + a median-of-deviations second pass (both engines
+    interpolate even-n medians identically). At 100 TB swap in the
+    two-pass exact-percentile plan (agg_percentiles_twophase) — same
+    answer, no per-group buffering."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        arr = v.to_numpy(dtype=np.float64)
+        return float(np.median(np.abs(arr - np.median(arr))))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        n_rows("l_extendedprice").alias("n"),
+        F.round(mad("l_extendedprice"), 4).alias("mad"),
+    )

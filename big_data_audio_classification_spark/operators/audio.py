@@ -696,3 +696,65 @@ def audio_rms_db_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db_fs"
         ),
     )
+
+
+# --- round-7 spare carrier: spectral-flatness style energy profile -----
+
+
+@query(
+    "audio_energy_flatness",
+    oracle=f"""
+        WITH x AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        frames AS (
+            SELECT user_id,
+                   CAST((rn - 1) // {RMS_FRAME} AS BIGINT) AS frame,
+                   AVG(value * value) AS power
+            FROM x GROUP BY user_id, (rn - 1) // {RMS_FRAME}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)                     AS n_frames,
+               ROUND(EXP(AVG(LN(power))) / AVG(power), 6)   AS flatness,
+               ROUND(MAX(power) / AVG(power), 6)            AS crest_power,
+               ROUND(AVG(power), 6)                         AS mean_power
+        FROM frames
+        GROUP BY user_id
+    """,
+    tags=("audio", "audio-math", "events"),
+)
+def audio_energy_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENERGY FLATNESS per channel (the Wiener spectral-flatness
+    formula — geometric over arithmetic mean — applied to framed
+    power): flatness → 1 for noise-like channels, → 0 for impulsive
+    ones, plus the power crest factor. The frame pass is the same
+    row_number÷N framing as ``audio_rms_db_frames``; the flatness
+    reduces each channel to one row via two aggregates over the frame
+    energies (EXP∘AVG∘LN is the gmean the engines share exactly).
+    Values here are strictly positive (value² of nonzero doubles), so
+    LN is total."""
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        "value",
+        ((F.row_number().over(w) - 1) / RMS_FRAME).cast("bigint").alias(
+            "frame"
+        ),
+    )
+    frames = x.groupBy("user_id", "frame").agg(
+        F.avg(F.col("value") * F.col("value")).alias("power")
+    )
+    return frames.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.round(F.exp(F.avg(F.log("power"))) / F.avg("power"), 6).alias(
+            "flatness"
+        ),
+        F.round(F.max("power") / F.avg("power"), 6).alias("crest_power"),
+        F.round(F.avg("power"), 6).alias("mean_power"),
+    )

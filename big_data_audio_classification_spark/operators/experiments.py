@@ -2389,3 +2389,73 @@ def stats_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# --- round-7 spare carrier: difference-in-differences --------------------
+
+DID_CUTOVER = "2024-01-16 00:00:00"  # pre/post boundary (mid-window)
+
+
+@query(
+    "stats_did_estimator",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(user_id % 2 = 0 AS INTEGER) AS treated,
+                   CAST(ts >= TIMESTAMP '{DID_CUTOVER}' AS INTEGER) AS post,
+                   AVG(value) AS ybar,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN ybar END) AS t_post,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN ybar END) AS t_pre,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN ybar END) AS c_post,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN ybar END) AS c_pre,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM cells
+        )
+        SELECT ROUND(t_pre, 6)  AS treated_pre,
+               ROUND(t_post, 6) AS treated_post,
+               ROUND(c_pre, 6)  AS control_pre,
+               ROUND(c_post, 6) AS control_post,
+               ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate,
+               n_total
+        FROM wide
+    """,
+    tags=("stats", "experiment", "causal", "inference", "events"),
+)
+def stats_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: the 2×2 (treated × pre/post) cell
+    means and the DiD estimate (Δtreated − Δcontrol) — the canonical
+    quasi-experimental effect estimator under parallel trends
+    (propensity-weighted sibling: ``stats_ipw_ate``; assignment here
+    is the deterministic user_id parity so both engines agree on
+    membership). ONE aggregation pass builds all four cells
+    (map-side-combined), the pivot is a 4-row reshape — scale-free
+    output at any fact size."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        (F.col("ts") >= F.lit(DID_CUTOVER).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    ).agg(F.avg("value").alias("ybar"), F.count(F.lit(1)).alias("n"))
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p),
+                   F.col("ybar"))
+        )
+
+    return cells.agg(
+        F.round(cell(1, 0), 6).alias("treated_pre"),
+        F.round(cell(1, 1), 6).alias("treated_post"),
+        F.round(cell(0, 0), 6).alias("control_pre"),
+        F.round(cell(0, 1), 6).alias("control_post"),
+        F.round(
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6
+        ).alias("did_estimate"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )

@@ -1975,3 +1975,254 @@ def ml_report_macro_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("support"),
     )
     return cls_rows.unionByName(macro).unionByName(micro)
+
+
+# --- round-7 spare carriers: feature-selection / encoding / report ------
+
+CHI2_TOP_FEATURES = 10
+
+
+@query(
+    "ml_chi2_feature_selection",
+    oracle=f"""
+        WITH x AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        med AS (
+            SELECT j, MEDIAN(v) AS m FROM x GROUP BY j
+        ),
+        o AS (
+            SELECT x.j, x.label, CAST(x.v > med.m AS INTEGER) AS bin,
+                   COUNT(*) AS obs
+            FROM x JOIN med USING (j)
+            GROUP BY x.j, x.label, CAST(x.v > med.m AS INTEGER)
+        ),
+        marg AS (
+            SELECT j,
+                   CAST(SUM(obs) AS DOUBLE) AS n
+            FROM o GROUP BY j
+        ),
+        rowm AS (SELECT j, label, SUM(obs) AS rn_ FROM o GROUP BY j, label),
+        colm AS (SELECT j, bin, SUM(obs) AS cn_ FROM o GROUP BY j, bin)
+        SELECT o.j AS feature,
+               ROUND(SUM(POW(o.obs - rowm.rn_ * colm.cn_ / marg.n, 2)
+                         / (rowm.rn_ * colm.cn_ / marg.n)), 6) AS chi2
+        FROM o
+        JOIN marg USING (j)
+        JOIN rowm ON rowm.j = o.j AND rowm.label = o.label
+        JOIN colm ON colm.j = o.j AND colm.bin = o.bin
+        GROUP BY o.j
+        ORDER BY chi2 DESC, feature
+        LIMIT {CHI2_TOP_FEATURES}
+    """,
+    tags=("ml", "feature-selection", "embeddings"),
+)
+def ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature ranking on MEDIAN-BINARIZED features vs the
+    class label (the sklearn chi2-filter shape for continuous inputs):
+    observed (feature-bin × label) counts against independence
+    expectations, top features by the statistic. Like the ANOVA-F
+    sibling (``ml_anova_f_selection``), everything reduces to
+    sufficient-statistic aggregates — one posexplode pass for the
+    per-feature medians, one for the contingency counts — so the
+    filter is two map-side-combined passes at any scale. Missing
+    (feature, bin, label) cells contribute nothing to the statistic in
+    either engine (identical observed-cell iteration)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(
+        "label", F.posexplode(to_double(F.col("embedding")))
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("j"),
+        F.col("col").alias("v"),
+    )
+    med = x.groupBy("j").agg(F.expr("percentile(v, 0.5)").alias("m"))
+    o = (
+        x.join(F.broadcast(med), "j")
+        .select(
+            "j", "label", (F.col("v") > F.col("m")).cast("int").alias("bin")
+        )
+        .groupBy("j", "label", "bin")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    marg = o.groupBy("j").agg(F.sum("obs").cast("double").alias("n"))
+    rowm = o.groupBy("j", "label").agg(F.sum("obs").alias("rn_"))
+    colm = o.groupBy("j", "bin").agg(F.sum("obs").alias("cn_"))
+    ex = F.col("rn_") * F.col("cn_") / F.col("n")
+    return (
+        o.join(marg, "j")
+        .join(rowm, ["j", "label"])
+        .join(colm, ["j", "bin"])
+        .groupBy(F.col("j").alias("feature"))
+        .agg(F.round(F.sum(F.pow(F.col("obs") - ex, 2) / ex), 6).alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "feature")
+        .limit(CHI2_TOP_FEATURES)
+    )
+
+
+@query(
+    "ml_woe_encoding",
+    oracle="""
+        WITH t AS (
+            SELECT c.c_custkey, c.c_mktsegment AS seg,
+                   CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS INTEGER) AS y
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+        ),
+        tot AS (
+            SELECT CAST(SUM(y) AS DOUBLE) AS pos_tot,
+                   CAST(COUNT(*) - SUM(y) AS DOUBLE) AS neg_tot
+            FROM t
+        ),
+        seg AS (
+            SELECT seg,
+                   CAST(COUNT(*) AS BIGINT)  AS n,
+                   CAST(SUM(y) AS DOUBLE)    AS pos,
+                   CAST(COUNT(*) - SUM(y) AS DOUBLE) AS neg
+            FROM t GROUP BY seg
+        )
+        SELECT seg.seg AS segment, seg.n,
+               CAST(seg.pos AS BIGINT) AS n_pos,
+               ROUND(LN(((seg.pos + 0.5) / (tot.pos_tot + 1.0))
+                        / ((seg.neg + 0.5) / (tot.neg_tot + 1.0))), 6) AS woe,
+               ROUND((seg.pos / tot.pos_tot - seg.neg / tot.neg_tot)
+                     * LN(((seg.pos + 0.5) / (tot.pos_tot + 1.0))
+                          / ((seg.neg + 0.5) / (tot.neg_tot + 1.0))), 6)
+                                                                  AS iv_term
+        FROM seg, tot
+    """,
+    tags=("ml", "encoding", "customer", "orders"),
+)
+def ml_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE categorical encoding (the credit-scoring
+    standard; out-of-fold mean sibling: ``ml_target_encoding_oof``,
+    certified r05): per market segment, the smoothed log-odds ratio of
+    the binary target (customer ever placed an URGENT order) plus that
+    segment's Information-Value term. The target derivation is one
+    customer-grain aggregate over a left join; the encoding table is
+    |segments| rows with totals broadcast — train-free, leakage-free,
+    and exactly restatable in SQL (the +0.5/+1 Laplace terms pin the
+    zero-cell edges in both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    t = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("int").alias("y")
+        )
+    )
+    tot = t.agg(
+        F.sum("y").cast("double").alias("pos_tot"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("neg_tot"),
+    )
+    seg = t.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("double").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("neg"),
+    )
+    woe = F.log(
+        ((F.col("pos") + 0.5) / (F.col("pos_tot") + 1.0))
+        / ((F.col("neg") + 0.5) / (F.col("neg_tot") + 1.0))
+    )
+    return seg.join(F.broadcast(tot)).select(
+        F.col("seg").alias("segment"),
+        "n",
+        F.col("pos").cast("bigint").alias("n_pos"),
+        F.round(woe, 6).alias("woe"),
+        F.round(
+            (F.col("pos") / F.col("pos_tot") - F.col("neg") / F.col("neg_tot"))
+            * woe,
+            6,
+        ).alias("iv_term"),
+    )
+
+
+KS_CRIT_005 = 1.3581  # Kolmogorov critical coefficient at alpha = 0.05
+
+
+@query(
+    "ml_ks_two_sample",
+    oracle=f"""
+        WITH s AS (
+            SELECT o_totalprice AS v,
+                   CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS g1,
+                   CAST(o_orderpriority = '5-LOW' AS INTEGER)    AS g2
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        tot AS (SELECT CAST(SUM(g1) AS DOUBLE) AS n1,
+                       CAST(SUM(g2) AS DOUBLE) AS n2 FROM s),
+        cum AS (
+            SELECT v,
+                   SUM(SUM(g1)) OVER (ORDER BY v) AS c1,
+                   SUM(SUM(g2)) OVER (ORDER BY v) AS c2
+            FROM s GROUP BY v
+        ),
+        d AS (
+            SELECT MAX(ABS(c1 / tot.n1 - c2 / tot.n2)) AS d_stat
+            FROM cum, tot
+        )
+        SELECT CAST(tot.n1 AS BIGINT) AS n1,
+               CAST(tot.n2 AS BIGINT) AS n2,
+               ROUND(d.d_stat, 6)     AS d_stat,
+               ROUND({KS_CRIT_005} * SQRT((tot.n1 + tot.n2)
+                                          / (tot.n1 * tot.n2)), 6)
+                                      AS d_crit_005,
+               d.d_stat > {KS_CRIT_005} * SQRT((tot.n1 + tot.n2)
+                                               / (tot.n1 * tot.n2))
+                                      AS reject_h0
+        FROM d, tot
+    """,
+    tags=("ml", "stats", "report", "inference", "orders"),
+)
+def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test: D = sup |ECDF₁ − ECDF₂|
+    between URGENT and LOW order totals, against the α = 0.05
+    large-sample critical value (fixed 1.3581 coefficient — the house
+    no-CDF idiom). The ECDFs come from ONE value-grouped aggregate +
+    a cumulative window over the |distinct values| frame (ties handled
+    by grouping BEFORE the cumsum, so both engines evaluate the sup at
+    value boundaries identically); the verdict row is scale-free.
+    Distribution-drift siblings: stats_psi_drift (binned),
+    stats_mann_whitney_u (rank-based)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int").alias("g2"),
+    )
+    tot = s.agg(
+        F.sum("g1").cast("double").alias("n1"),
+        F.sum("g2").cast("double").alias("n2"),
+    )
+    byv = s.groupBy("v").agg(
+        F.sum("g1").alias("s1"), F.sum("g2").alias("s2")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        F.sum("s1").over(wcum).alias("c1"),
+        F.sum("s2").over(wcum).alias("c2"),
+    )
+    d = cum.join(F.broadcast(tot)).agg(
+        F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2")))
+        .alias("d_stat")
+    )
+    crit = KS_CRIT_005 * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))
+    )
+    return d.join(F.broadcast(tot)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit_005"),
+        (F.col("d_stat") > crit).alias("reject_h0"),
+    )

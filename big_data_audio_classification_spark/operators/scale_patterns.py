@@ -543,3 +543,62 @@ def skew_hot_key_two_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# --- round-7 spare carrier: salted two-phase top-k ----------------------
+
+SALT_TOPK_K = 3
+SALT_TOPK_BUCKETS = 8
+
+
+@query(
+    "skew_salted_topk",
+    oracle=f"""
+        SELECT event_type, event_id, value_r AS value
+        FROM (
+            SELECT event_type, event_id, ROUND(value, 4) AS value_r,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id) AS rn
+            FROM events)
+        WHERE rn <= {SALT_TOPK_K}
+    """,
+    tags=("scale", "skew", "topk", "window", "events"),
+)
+def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED two-phase TOP-K per key: phase 1 ranks within
+    (key, salt) buckets and keeps k per bucket — {b} parallel partial
+    top-ks instead of one sort-buffer per hot key — phase 2 merges the
+    ≤ k·{b} survivors per key. The split is RESULT-INVISIBLE (any
+    global top-k member is top-k within its bucket), which the plain
+    windowed oracle certifies. The aggregation twin is
+    ``skew_salted_partial_agg`` (certified r05); this carries the same
+    discipline to order statistics, where skew hurts MORE (rank
+    windows sort-buffer whole partitions).""".format(b=SALT_TOPK_BUCKETS)
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    salted = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        (F.col("event_id") % SALT_TOPK_BUCKETS).alias("salt"),
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    partial = salted.select(
+        "event_type", "event_id", "value", F.row_number().over(w1).alias("rn")
+    ).filter(F.col("rn") <= SALT_TOPK_K)
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        partial.select(
+            "event_type", "event_id", "value",
+            F.row_number().over(w2).alias("rn2"),
+        )
+        .filter(F.col("rn2") <= SALT_TOPK_K)
+        .select(
+            "event_type", "event_id", F.round("value", 4).alias("value")
+        )
+    )

@@ -1782,3 +1782,64 @@ def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance_ratio"),
         )
     )
+
+
+# --- round-7 spare carrier: ivf probe schedule --------------------------
+
+PROBE_QUERY_MOD = 40   # probe-schedule sample: vec_id % 40 == 0
+PROBE_SCHED_K = 3      # first k cells of each query's probe order
+
+
+@query(
+    "sim_ivf_probe_schedule",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+                   WHERE vec_id < {IVF_CELLS}),
+        q AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % {PROBE_QUERY_MOD} = 0),
+        d AS (
+            SELECT q.vec_id, c.cell_id,
+                   list_sum(list_transform(list_zip(c.embedding, q.embedding),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+            FROM c CROSS JOIN q
+        )
+        SELECT vec_id AS query_id, cell_id,
+               CAST(rn AS BIGINT)  AS probe_rank,
+               ROUND(SQRT(d2), 6)  AS cent_dist
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cell_id) AS rn FROM d)
+        WHERE rn <= {PROBE_SCHED_K}
+    """,
+    tags=("similarity", "ivf", "embeddings"),
+)
+def sim_ivf_probe_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF PROBE SCHEDULE: for each sampled query, the first
+    {k} cells in centroid-distance order — the exact list an
+    nprobe-limited search visits, materialized as a plan (recall
+    consequences of the schedule: ``sim_ivf_nprobe_sweep``, certified
+    r05). Broadcast centroids, map-only scoring, per-query rank — the
+    schedule never touches cell CONTENTS, which is why computing it is
+    cheap at any corpus size.""".format(k=PROBE_SCHED_K)
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    q = em.filter(F.col("vec_id") % PROBE_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cell_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "cell_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= PROBE_SCHED_K)
+        .select(
+            "query_id",
+            "cell_id",
+            F.col("rn").cast("bigint").alias("probe_rank"),
+            F.round(F.sqrt("d2"), 6).alias("cent_dist"),
+        )
+    )

@@ -1783,3 +1783,203 @@ def analytics_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength",
         )
     )
+
+
+# --- round-7 spare carriers: session funnel + remainder ACF ------------
+
+FUNNEL_GAP_MIN = 30  # session gap, matches events_session_gap_stats
+
+
+@query(
+    "events_session_funnel",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id)
+                             > {FUNNEL_GAP_MIN} * 60 * 1000000
+                        OR LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+        ),
+        s AS (
+            SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM g
+        ),
+        stages AS (
+            SELECT user_id, session_no,
+                   MIN(CASE WHEN event_type = 'view'
+                            THEN epoch_us(ts) END)     AS t_view,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END)     AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END)     AS t_purchase
+            FROM s GROUP BY user_id, session_no
+        ),
+        depth AS (
+            SELECT user_id, session_no,
+                   CASE WHEN t_view IS NOT NULL
+                         AND t_click IS NOT NULL AND t_click >= t_view
+                         AND t_purchase IS NOT NULL AND t_purchase >= t_click
+                        THEN 3
+                        WHEN t_view IS NOT NULL
+                         AND t_click IS NOT NULL AND t_click >= t_view
+                        THEN 2
+                        WHEN t_view IS NOT NULL THEN 1
+                        ELSE 0 END AS funnel_depth
+            FROM stages
+        )
+        SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+               CAST(COUNT(*) AS BIGINT)     AS n_sessions
+        FROM depth GROUP BY funnel_depth
+    """,
+    tags=("events", "session", "window", "report"),
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped ORDERED FUNNEL: sessionize (30-min gaps), then
+    classify each session by its deepest IN-ORDER stage — view, then a
+    click at-or-after the first view, then a purchase at-or-after that
+    click — rolled into a depth histogram (the conversion report;
+    per-session stats sibling: ``events_session_gap_stats``). The
+    stage logic uses only each session's three MIN timestamps, so the
+    whole funnel is the sessionization shuffle + one group-by: no
+    self-join over the event sequence, O(4) output rows at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > FUNNEL_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.unix_micros("ts")))
+
+    stages = s.groupBy("user_id", "session_no").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    v, c, p = F.col("t_view"), F.col("t_click"), F.col("t_purchase")
+    depth = (
+        F.when(
+            v.isNotNull() & c.isNotNull() & (c >= v)
+            & p.isNotNull() & (p >= c),
+            3,
+        )
+        .when(v.isNotNull() & c.isNotNull() & (c >= v), 2)
+        .when(v.isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        stages.select(depth.cast("bigint").alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+
+
+ACF_LAGS = (1, 7)  # remainder autocorrelation probes (days)
+
+
+@query(
+    "analytics_remainder_acf",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   isodow(CAST(o_orderdate AS DATE)) AS dow,
+                   SUM(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT d, dow, rev,
+                   rev - AVG(rev) OVER (ORDER BY d
+                       ROWS BETWEEN {SEASONAL_WIN} PRECEDING
+                                AND {SEASONAL_WIN} FOLLOWING) AS detr
+            FROM daily
+        ),
+        r AS (
+            SELECT d,
+                   detr - AVG(detr) OVER (PARTITION BY dow) AS rem
+            FROM t
+        ),
+        lagged AS (
+            SELECT r.d, r.rem,
+                   LAG(rem, 1) OVER (ORDER BY d) AS rem_l1,
+                   LAG(rem, 7) OVER (ORDER BY d) AS rem_l7
+            FROM r
+        ),
+        m AS (SELECT AVG(rem) AS mu, VAR_POP(rem) AS v0,
+                     CAST(COUNT(*) AS DOUBLE) AS n FROM r)
+        SELECT 1 AS lag_days,
+               ROUND(SUM((rem - m.mu) * (rem_l1 - m.mu))
+                     / (m.n * m.v0), 6) AS acf,
+               CAST(COUNT(rem_l1) AS BIGINT) AS n_pairs
+        FROM lagged, m GROUP BY m.n, m.v0, m.mu
+        UNION ALL
+        SELECT 7,
+               ROUND(SUM((rem - m.mu) * (rem_l7 - m.mu))
+                     / (m.n * m.v0), 6),
+               CAST(COUNT(rem_l7) AS BIGINT)
+        FROM lagged, m GROUP BY m.n, m.v0, m.mu
+    """,
+    tags=("timeseries", "decomposition", "window", "orders"),
+)
+def analytics_remainder_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMAINDER whiteness check: autocorrelation of the
+    trend-and-seasonality-removed residual at lags 1 and 7 — if the
+    weekly decomposition captured the structure, both should sit near
+    zero (lag-7 leakage means the seasonal means under-fit). Same
+    day-spine pipeline as ``analytics_seasonal_strength``; the ACF is
+    the standard biased estimator (÷ N·σ², the statsmodels default),
+    computed by one LAG pass over the |days| frame. Raw-series ACF
+    sibling: ``analytics_acf_daily``."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.weekday(F.col("o_orderdate").cast("date")) + 1).alias("dow"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wt = Window.orderBy("d").rowsBetween(-SEASONAL_WIN, SEASONAL_WIN)
+    t = daily.select(
+        "d", "dow", (F.col("rev") - F.avg("rev").over(wt)).alias("detr")
+    )
+    r = t.select(
+        "d",
+        (F.col("detr") - F.avg("detr").over(Window.partitionBy("dow"))).alias(
+            "rem"
+        ),
+    )
+    wlag = Window.orderBy("d")
+    lagged = r.select(
+        "rem",
+        F.lag("rem", 1).over(wlag).alias("rem_l1"),
+        F.lag("rem", 7).over(wlag).alias("rem_l7"),
+    )
+    m = r.agg(
+        F.avg("rem").alias("mu"),
+        F.var_pop("rem").alias("v0"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    j = lagged.join(F.broadcast(m))
+
+    def leg(lag, col):
+        return j.agg(
+            F.lit(lag).alias("lag_days"),
+            F.round(
+                F.sum((F.col("rem") - F.col("mu")) * (F.col(col) - F.col("mu")))
+                / (F.max("n") * F.max("v0")),
+                6,
+            ).alias("acf"),
+            F.count(col).cast("bigint").alias("n_pairs"),
+        )
+
+    return leg(1, "rem_l1").unionByName(leg(7, "rem_l7"))

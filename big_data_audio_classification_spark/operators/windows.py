@@ -378,3 +378,61 @@ def window_rolling_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tmean, 6).alias("trimmed_mean"),
         F.round(F.col("value") - tmean, 6).alias("residual"),
     )
+
+
+# --- round-7 spare carrier: linear-decay rolling weighted mean ----------
+
+WMA_WIN = 5  # trailing rows in the weighted window (weights 1..5)
+
+
+@query(
+    "window_rolling_weighted_mean",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_id, user_id, value,
+                   LAG(value, 1) OVER w AS v1,
+                   LAG(value, 2) OVER w AS v2,
+                   LAG(value, 3) OVER w AS v3,
+                   LAG(value, 4) OVER w AS v4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               ROUND((5 * value + COALESCE(4 * v1, 0) + COALESCE(3 * v2, 0)
+                      + COALESCE(2 * v3, 0) + COALESCE(1 * v4, 0))
+                     / (5.0 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+                            + CASE WHEN v2 IS NULL THEN 0 ELSE 3 END
+                            + CASE WHEN v3 IS NULL THEN 0 ELSE 2 END
+                            + CASE WHEN v4 IS NULL THEN 0 ELSE 1 END), 6)
+                   AS wma
+        FROM x
+    """,
+    tags=("window", "rolling", "events"),
+)
+def window_rolling_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEARLY-DECAYING rolling weighted mean (WMA-{n}: weight n for
+    the current row down to 1 for the oldest) — the classic
+    trend-following smoother between the uniform rolling mean and the
+    EWMA (``events_ewma_deviation``). Spark states it as explicit LAGs
+    over ONE shared window spec (a single WindowExec pass, no frame
+    re-sort per weight); truncated leading frames renormalize by the
+    weights actually present, matching the oracle's NULL-guarded
+    arithmetic exactly.""".format(n=WMA_WIN)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [
+        F.lag("value", i).over(w) for i in range(1, WMA_WIN)
+    ]
+    num = sum(
+        F.coalesce(F.lit(WMA_WIN - i) * lags[i], F.lit(0.0))
+        for i in range(WMA_WIN)
+    )
+    den = sum(
+        F.when(lags[i].isNull(), 0.0).otherwise(float(WMA_WIN - i))
+        for i in range(WMA_WIN)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(num / den, 6).alias("wma"),
+    )
