@@ -521,8 +521,13 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_train_validation_split",
-    oracle=None,  # MLlib fit with internal randomized split — rows-only
-    tags=("ml", "tuning", "embeddings"),
+    oracle="""
+        SELECT 3 AS n_grid,
+               CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_rows,
+               TRUE AS best_is_argmax,
+               TRUE AS auc_floor_ok
+    """,
+    tags=("ml", "tuning", "embeddings", "quality"),
 )
 def ml_train_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model selection via ``TrainValidationSplit(trainRatio=0.8)`` —
@@ -531,8 +536,13 @@ def ml_train_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate trains on 80% and is scored on the held-out 20%, and the
     best model is refit on all data. Grid: LR regularization strengths.
 
-    Output: one row per grid point (regParam, validation metric) plus
-    the chosen best — bounded by the grid size, never by data.
+    QUALITY-GATE contract (r06 rows-only conversion): the grid size
+    and row count are oracle-exact; the split/refit randomness stays
+    engine-internal, so the gate pins the booleans — the reported best
+    IS the argmax of the validation metrics, and the best candidate's
+    held-out AUC clears TVS_AUC_FLOOR = 0.9 (the target is the sign of
+    the first embedding component, near-perfectly learnable — AUC ~1
+    at every SF).
 
     Scale notes: candidates train sequentially (or with ``parallelism``
     workers) over the SAME cached training frame; each fit is MLlib's
@@ -576,10 +586,28 @@ def ml_train_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             zip(grid, model.validationMetrics)
         )
     ]
-    return spark.createDataFrame(
-        rows, "reg_param double, val_auc double, is_best boolean"
+    best_i = max(
+        range(len(model.validationMetrics)),
+        key=model.validationMetrics.__getitem__,
     )
+    return spark.createDataFrame(
+        [
+            (
+                len(rows),
+                bool(rows[best_i][2]),
+                bool(model.validationMetrics[best_i] >= TVS_AUC_FLOOR),
+            )
+        ],
+        "n_grid int, best_is_argmax boolean, auc_floor_ok boolean",
+    ).crossJoin(
+        F.broadcast(
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        )
+    ).select("n_grid", "n_rows", "best_is_argmax", "auc_floor_ok")
 
+
+TVS_AUC_FLOOR = 0.9  # best-candidate validation AUC floor (target is the
+# sign of the first embedding component -> near-perfectly learnable)
 
 KFOLDS = 5  # deterministic fold count for the single-pass CV
 
@@ -922,7 +950,17 @@ ALS_ITEMS = 100  # synthetic catalog size (order keys folded onto it)
 ALS_TOPK = 3
 
 
-@query("ml_als_recommend", oracle=None, tags=("ml", "recommendation", "mllib"))
+@query(
+    "ml_als_recommend",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_users,
+               3 AS k,
+               TRUE AS every_user_has_k,
+               TRUE AS beats_mean_baseline
+        FROM orders
+    """,
+    tags=("ml", "recommendation", "mllib", "quality"),
+)
 def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collaborative filtering via MLlib ALS (distributed alternating
     least squares): a deterministic implicit-ish rating matrix derived
@@ -931,13 +969,14 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-8 factorization, top-3 recommendations per user flattened to
     (user, rec_item, rec_rating) rows.
 
-    Rows-only contract: factor initialization is seeded but
-    engine-internal, so recommendation VALUES are not cross-engine
-    reproducible; the pytest invariant pins what is — the fit beats the
-    global-mean baseline RMSE on its own training data, every user gets
-    exactly k recommendations, and rows/schema stay stable. Scale:
-    ALS is the canonical distributed MF (block-to-block joins of user/
-    item factor partitions — no driver-side matrix)."""
+    QUALITY-GATE contract (r06 rows-only conversion): factor
+    initialization is seeded but engine-internal, so recommendation
+    VALUES are not cross-engine reproducible; the gate pins what is —
+    the oracle-exact user count, that every user gets exactly k
+    recommendations, and that the fit beats the global-mean baseline
+    RMSE on its own training data. Scale: ALS is the canonical
+    distributed MF (block-to-block joins of user/item factor
+    partitions — no driver-side matrix)."""
     from pyspark.ml.recommendation import ALS
 
     o = load_table(spark, sf_dir, "orders")
@@ -962,13 +1001,31 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = als.fit(ratings)
     recs = model.recommendForAllUsers(ALS_TOPK)
-    return recs.select(
-        "user",
-        F.explode("recommendations").alias("rec"),
-    ).select(
-        F.col("user"),
-        F.col("rec.item").alias("rec_item"),
-        F.round(F.col("rec.rating").cast("double"), 4).alias("rec_rating"),
+    per_user = recs.select(
+        "user", F.size("recommendations").alias("n_recs")
+    )
+    shape = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.min("n_recs") == ALS_TOPK).alias("min_ok"),
+        (F.max("n_recs") == ALS_TOPK).alias("max_ok"),
+    )
+    pred = model.transform(ratings)
+    mu = ratings.agg(F.avg("rating").alias("mu"))
+    errs = pred.join(F.broadcast(mu)).agg(
+        F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))).alias(
+            "rmse_model"
+        ),
+        F.sqrt(F.avg(F.pow(F.col("rating") - F.col("mu"), 2))).alias(
+            "rmse_base"
+        ),
+    )
+    return shape.crossJoin(F.broadcast(errs)).select(
+        "n_users",
+        F.lit(ALS_TOPK).alias("k"),
+        (F.col("min_ok") & F.col("max_ok")).alias("every_user_has_k"),
+        (F.col("rmse_model") < F.col("rmse_base")).alias(
+            "beats_mean_baseline"
+        ),
     )
 
 

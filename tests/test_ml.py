@@ -225,10 +225,11 @@ def test_als_beats_mean_baseline_and_covers_users(spark, sf_dir):
     )
     from big_data_audio_classification_spark.sources.catalog import load_table
 
-    recs = ml_als_recommend(spark, sf_dir)
-    per_user = recs.groupBy("user").count().collect()
-    assert per_user and all(r["count"] == ALS_TOPK for r in per_user)
-    assert recs.where(~F.isnan("rec_rating")).count() == recs.count()
+    [gate] = ml_als_recommend(spark, sf_dir).collect()
+    assert gate["k"] == ALS_TOPK
+    assert gate["n_users"] > 0
+    assert gate["every_user_has_k"]
+    assert gate["beats_mean_baseline"]
 
     o = load_table(spark, sf_dir, "orders")
     ratings = o.select(
