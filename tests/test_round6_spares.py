@@ -357,3 +357,37 @@ def test_perplexity_outliers_ordering(spark, sf_dir):
     zs = [abs(r.z) for r in rows]
     assert zs == sorted(zs, reverse=True)
     assert all(r.doc_ce > 0 for r in rows)
+
+
+def test_spare_plans_no_cartesian(spark, sf_dir):
+    """Plan-shape regression for the heavier round-7 spares: no
+    CartesianProduct anywhere; the banded/bucketed joins stay hash
+    equi-joins."""
+    from big_data_audio_classification_spark.plans import introspect
+    from big_data_audio_classification_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "join_range_overlap_degree",
+        "dedup_minhash_band_sweep",
+        "ml_chi2_feature_selection",
+        "text_tfidf_source_cosine",
+        "events_session_funnel",
+    ):
+        plan = introspect.formatted_plan(qs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_overlap_degree_joins_on_month_bucket(spark, sf_dir):
+    """The overlap-degree range join must be a bucket equi-join (hash
+    join on the month key), never a non-equi nested loop."""
+    from big_data_audio_classification_spark.operators.relational import (
+        join_range_overlap_degree,
+    )
+    from big_data_audio_classification_spark.plans import introspect
+
+    plan = introspect.formatted_plan(join_range_overlap_degree(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
