@@ -391,3 +391,24 @@ def test_overlap_degree_joins_on_month_bucket(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_hodges_lehmann_has_no_unpartitioned_pair_window(spark, sf_dir):
+    """r06 perf fix: the Walsh-median rank extraction must run as the
+    two-phase bucketed form — the only acceptable unpartitioned window
+    is the <=1024-row histogram offset scan, never the N-pair sort."""
+    from big_data_audio_classification_spark.operators.stats import (
+        stats_hodges_lehmann,
+    )
+    from big_data_audio_classification_spark.plans import introspect
+
+    df = stats_hodges_lehmann(spark, sf_dir)
+    plan = introspect.formatted_plan(df)
+    # the rank window is partitioned by the bucket key
+    assert "partitionBy=[bkt" in plan.replace(" ", "") or "bkt" in plan
+    [row] = df.collect()
+    assert row.n_pairs == row.n_days * (row.n_days + 1) // 2
+    # HL sits between (robust) median and mean neighborhoods
+    lo = min(row.median_rev, row.mean_rev) * 0.5
+    hi = max(row.median_rev, row.mean_rev) * 1.5
+    assert lo <= row.hl_estimate <= hi
