@@ -1013,3 +1013,102 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.min("o_orderkey").cast("bigint").alias("min_key"),
     )
+
+
+# --- round-8 spares: numeric-delta UDTF + quote-all CSV ------------------
+
+DELTA_PREFIX = 8  # first-differences emitted per vector
+
+
+@query(
+    "udtf_array_deltas",
+    oracle=f"""
+        WITH x AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT vec_id, pos,
+               ROUND(nxt - v, 6) AS delta
+        FROM (SELECT vec_id, pos, v,
+                     LEAD(v) OVER (PARTITION BY vec_id ORDER BY pos) AS nxt
+              FROM x)
+        WHERE pos <= {DELTA_PREFIX} AND nxt IS NOT NULL
+    """,
+    tags=("udtf", "embeddings"),
+)
+def udtf_array_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC table function: a UDTF that walks a vector once and
+    emits its first differences for the leading positions — the
+    delta-encoding kernel, stated as per-row Python iteration instead
+    of the explode + LEAD window the oracle uses (two independent
+    formulations; the text-domain UDTFs are ``udtf_split_words`` /
+    ``udtf_run_length_tokens``). Arrow-batched; the vector never
+    shuffles and only {k} rows per vector come out.""".format(
+        k=DELTA_PREFIX
+    )
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos long, delta double")
+    class ArrayDeltas:
+        def eval(self, emb):
+            if not emb:
+                return
+            for i in range(min(DELTA_PREFIX, len(emb) - 1)):
+                yield i + 1, round(float(emb[i + 1]) - float(emb[i]), 6)
+
+    spark.udtf.register("array_deltas", ArrayDeltas)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "udtf_delta_vecs_in"
+    )
+    return spark.sql(
+        """
+        SELECT v.vec_id, d.pos, d.delta
+        FROM udtf_delta_vecs_in v,
+             LATERAL array_deltas(cast(v.embedding AS array<double>)) d
+        """
+    )
+
+
+@query(
+    "sink_csv_quote_all_roundtrip",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)            AS n,
+               CAST(SUM(length(text)) AS BIGINT)   AS total_len,
+               CAST(MAX(doc_id) AS BIGINT)         AS max_doc_id
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("sink", "csv", "documents"),
+)
+def sink_csv_quote_all_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUOTE-ALL CSV dialect: every field quoted on write (the
+    strictest interoperability mode — Excel/RFC4180 consumers), empty
+    string pinned distinct from NULL via ``emptyValue``, read back and
+    aggregated against parquet truth. Completes the CSV dialect
+    battery (options / partitioned-layout / gzip siblings). Quoting is
+    per-task on write and vectorized on read — no scale cost beyond
+    the bytes."""
+    path = os.path.join(_SCRATCH, "sink_csv_quote_all_roundtrip")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+    back = spark.read.csv(
+        path,
+        header=True,
+        schema="doc_id long, source string, text string",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("total_len"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

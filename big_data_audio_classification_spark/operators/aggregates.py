@@ -1172,3 +1172,44 @@ def agg_pandas_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("l_extendedprice").alias("n"),
         F.round(mad("l_extendedprice"), 4).alias("mad"),
     )
+
+
+@query(
+    "agg_pandas_udaf_iqr",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(o_totalprice, 0.75)
+                     - quantile_cont(o_totalprice, 0.25), 4) AS iqr
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "udaf", "pandas", "robust", "orders"),
+)
+def agg_pandas_udaf_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERQUARTILE RANGE per priority as a grouped-agg pandas UDF:
+    numpy's linear-interpolated percentiles (q75 − q25), which is
+    bit-compatible with DuckDB's ``quantile_cont`` — the same
+    interpolation rule both engines define — so the robust-spread
+    kernel value-checks exactly (scale family: trimmed mean r05,
+    weighted gmean r06, MAD r06). At 100 TB use
+    ``agg_percentiles_twophase`` for the quantiles — same answer, no
+    per-group buffering."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def iqr(v: pd.Series) -> float:
+        arr = v.to_numpy(dtype=np.float64)
+        q75, q25 = np.percentile(arr, [75, 25], method="linear")
+        return float(q75 - q25)
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        n_rows("o_totalprice").alias("n"),
+        F.round(iqr("o_totalprice"), 4).alias("iqr"),
+    )

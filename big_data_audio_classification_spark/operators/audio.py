@@ -758,3 +758,71 @@ def audio_energy_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("power") / F.avg("power"), 6).alias("crest_power"),
         F.round(F.avg("power"), 6).alias("mean_power"),
     )
+
+
+# --- round-8 spare: zero-crossing rate per frame ------------------------
+
+
+@query(
+    "audio_zero_crossing_rate",
+    oracle=f"""
+        WITH x AS (
+            SELECT user_id, value - 0.5 AS s,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        d AS (
+            SELECT user_id,
+                   CAST((rn - 1) // {RMS_FRAME} AS BIGINT) AS frame,
+                   CASE WHEN LAG(s) OVER (PARTITION BY user_id ORDER BY rn)
+                             * s < 0 THEN 1 ELSE 0 END AS crossed,
+                   CASE WHEN LAG(s) OVER (PARTITION BY user_id ORDER BY rn)
+                             IS NULL THEN 0 ELSE 1 END AS has_prev
+            FROM x
+        )
+        SELECT user_id, frame,
+               CAST(SUM(crossed) AS BIGINT)  AS n_crossings,
+               CAST(SUM(has_prev) AS BIGINT) AS n_steps,
+               ROUND(SUM(crossed) * 1.0 / NULLIF(SUM(has_prev), 0), 6)
+                   AS zcr
+        FROM d GROUP BY user_id, frame
+    """,
+    tags=("audio", "audio-math", "window", "events"),
+)
+def audio_zero_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-CROSSING RATE per frame — the classic cheap
+    voiced/unvoiced (or noisiness) discriminator: fraction of
+    consecutive-sample sign changes within each {n}-sample frame of
+    the mean-centered channel (energy siblings: ``audio_rms_db_frames``,
+    ``audio_energy_flatness``). One ordered LAG pass per channel, then
+    a frame rollup; crossings at frame boundaries attribute to the
+    frame of the LATER sample in both engines (the LAG is computed on
+    the unframed stream).""".format(n=RMS_FRAME)
+    from big_data_audio_classification_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        (F.col("value") - 0.5).alias("s"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("rn")
+    d = x.select(
+        "user_id",
+        ((F.col("rn") - 1) / RMS_FRAME).cast("bigint").alias("frame"),
+        F.when(F.lag("s").over(wl) * F.col("s") < 0, 1)
+        .otherwise(0)
+        .alias("crossed"),
+        F.when(F.lag("s").over(wl).isNull(), 0).otherwise(1).alias(
+            "has_prev"
+        ),
+    )
+    return d.groupBy("user_id", "frame").agg(
+        F.sum("crossed").cast("bigint").alias("n_crossings"),
+        F.sum("has_prev").cast("bigint").alias("n_steps"),
+        F.round(
+            F.sum("crossed") * 1.0 / F.nullif(F.sum("has_prev"), F.lit(0)), 6
+        ).alias("zcr"),
+    )

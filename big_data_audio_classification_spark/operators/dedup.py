@@ -1800,3 +1800,214 @@ def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_ones") / F.col("n"), 6).alias("ones_ratio"),
         )
     )
+
+
+# --- round-8 spare tranche: minhash mergeability + weighted simhash ----
+
+MHU_SAMPLE_MOD = 10  # union-sketch demo on the doc_id % 10 == 0 sample
+
+
+def _minhash_union_sql() -> str:
+    band_eq = " AND ".join(f"a.m{j} = b.m{j}" for j in range(4))
+    union_min = ",\n               ".join(
+        f"LEAST(a.m{j}, b.m{j}) AS u{j}" for j in range(MINHASH_K)
+    )
+    a_vs_u = " + ".join(
+        f"CASE WHEN a.m{j} = u.u{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    return f"""
+        WITH sample_docs AS (
+            SELECT * FROM documents WHERE doc_id % {MHU_SAMPLE_MOD} = 0
+        ),
+        sig AS ({_minhash_sql("sample_docs")}),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   {union_min}
+            FROM sig a JOIN sig b ON {band_eq} AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT u.id_a, u.id_b,
+                   CAST(({a_vs_u}) AS DOUBLE) / {MINHASH_K} AS est_containment
+            FROM pairs u JOIN sig a ON a.doc_id = u.id_a
+        ),
+        tok AS (
+            SELECT DISTINCT doc_id, UNNEST({_SQL_TOKENS}) AS tok
+            FROM sample_docs
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        uni AS (
+            SELECT e.id_a, e.id_b, COUNT(DISTINCT t.tok) AS nu
+            FROM est e JOIN tok t
+              ON t.doc_id = e.id_a OR t.doc_id = e.id_b
+            GROUP BY e.id_a, e.id_b
+        )
+        SELECT e.id_a, e.id_b,
+               ROUND(e.est_containment, 4) AS est_containment,
+               ROUND(CAST(sa.n AS DOUBLE) / u.nu, 4) AS exact_containment,
+               ROUND(ABS(e.est_containment - CAST(sa.n AS DOUBLE) / u.nu), 4)
+                   AS abs_err
+        FROM est e
+        JOIN sizes sa ON sa.doc_id = e.id_a
+        JOIN uni u ON u.id_a = e.id_a AND u.id_b = e.id_b
+    """
+
+
+@query(
+    "dedup_minhash_union_sketch",
+    oracle=_minhash_union_sql(),
+    tags=("dedup", "minhash", "lsh", "documents"),
+)
+def dedup_minhash_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash MERGEABILITY: the union's signature is the elementwise
+    MIN of the two signatures (no re-scan of either document), and the
+    agreement rate between A's signature and the merged one estimates
+    |A|/|A∪B| — set CONTAINMENT from sketches alone, the property that
+    lets 100 TB sketch maintenance run as a map-side-combinable MIN
+    aggregation. The gate compares the sketch estimate against the
+    exact token containment per band-candidate pair (estimator
+    calibration sibling: ``dedup_minhash_jaccard_estimate``)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % MHU_SAMPLE_MOD == 0
+    )
+    sig = minhash_signature(d, "doc_id", "text").persist()
+    a, b = sig.alias("a"), sig.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for j in range(4):
+        cond = cond & (F.col(f"a.m{j}") == F.col(f"b.m{j}"))
+    pairs = a.join(b, cond).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        *[
+            F.least(F.col(f"a.m{j}"), F.col(f"b.m{j}")).alias(f"u{j}")
+            for j in range(MINHASH_K)
+        ],
+    )
+    agree = sum(
+        F.when(F.col(f"m{j}") == F.col(f"u{j}"), 1).otherwise(0)
+        for j in range(MINHASH_K)
+    )
+    est = pairs.join(
+        sig.select(F.col("doc_id").alias("id_a"),
+                   *[F.col(f"m{j}") for j in range(MINHASH_K)]),
+        "id_a",
+    ).select(
+        "id_a", "id_b",
+        (agree.cast("double") / MINHASH_K).alias("est_containment"),
+    )
+    tok = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).distinct().persist()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # union size via |A| + |B| - |A∩B| — the intersection equi-join is
+    # linear in token postings, never |A|x|B| per pair
+    ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        est.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
+    exact = F.col("na").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ci")
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"])
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round("est_containment", 4).alias("est_containment"),
+            F.round(exact, 4).alias("exact_containment"),
+            F.round(F.abs(F.col("est_containment") - exact), 4).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+# --- round-8 spare: tf-weighted SimHash ---------------------------------
+
+
+def _simhash_weighted_sql() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(32)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, tok
+        ),
+        h AS (SELECT doc_id, tf, {_SQL_TOKHASH} AS hv FROM tf),
+        bits AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM h GROUP BY doc_id
+        ),
+        fp AS (SELECT doc_id, {recombine} AS simhash_w FROM bits),
+        plain AS ({_simhash_sql()})
+        SELECT fp.doc_id, fp.simhash_w,
+               CAST(bit_count(xor(fp.simhash_w, plain.simhash)) AS BIGINT)
+                   AS bits_moved
+        FROM fp JOIN plain ON plain.doc_id = fp.doc_id
+    """
+
+
+@query(
+    "dedup_simhash_weighted",
+    oracle=_simhash_weighted_sql(),
+    tags=("dedup", "simhash", "documents"),
+)
+def dedup_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-WEIGHTED SimHash (Charikar's original weighted form): each
+    token votes on every bit with weight = its in-document frequency,
+    so a token repeated 10× moves the fingerprint 10× harder — the
+    right behavior on stutter-heavy corpora where the unweighted vote
+    (each distinct occurrence counted once per appearance) lets rare
+    tokens dominate. Output pairs the weighted fingerprint with its
+    Hamming distance to the UNweighted one (``dedup_simhash``) — the
+    bits-moved column quantifies what the weighting changes. Two
+    map-side-combined aggregations (tf, then 32 weighted bit sums);
+    text never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", "tf", token_hash(F.col("tok")).alias("hv"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright("hv", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    bits = tf.groupBy("doc_id").agg(*bit_aggs)
+    fingerprint = None
+    for i in range(32):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    fp = bits.select("doc_id", fingerprint.alias("simhash_w"))
+    plain = dedup_simhash(spark, sf_dir)
+    return fp.join(plain, "doc_id").select(
+        "doc_id",
+        "simhash_w",
+        F.bit_count(
+            F.col("simhash_w").bitwiseXOR(F.col("simhash"))
+        ).cast("bigint").alias("bits_moved"),
+    )

@@ -2459,3 +2459,60 @@ def stats_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_estimate"),
         F.sum("n").cast("bigint").alias("n_total"),
     )
+
+
+# --- round-8 spare: regression-discontinuity (sharp, local means) -------
+
+RDD_CUTOFF = 150000.0  # running variable: order total; treatment above
+RDD_BANDWIDTH = 30000.0
+
+
+@query(
+    "stats_rdd_local_means",
+    oracle=f"""
+        WITH w AS (
+            SELECT o_totalprice AS x,
+                   CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INTEGER)
+                       AS y
+            FROM orders
+            WHERE o_totalprice >= {RDD_CUTOFF} - {RDD_BANDWIDTH}
+              AND o_totalprice <  {RDD_CUTOFF} + {RDD_BANDWIDTH}
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE x < {RDD_CUTOFF}) AS BIGINT)
+                   AS n_below,
+               CAST(COUNT(*) FILTER (WHERE x >= {RDD_CUTOFF}) AS BIGINT)
+                   AS n_above,
+               ROUND(AVG(y) FILTER (WHERE x < {RDD_CUTOFF}), 6)  AS mean_below,
+               ROUND(AVG(y) FILTER (WHERE x >= {RDD_CUTOFF}), 6) AS mean_above,
+               ROUND(AVG(y) FILTER (WHERE x >= {RDD_CUTOFF})
+                     - AVG(y) FILTER (WHERE x < {RDD_CUTOFF}), 6)
+                   AS jump_estimate
+        FROM w
+    """,
+    tags=("stats", "experiment", "causal", "inference", "orders"),
+)
+def stats_rdd_local_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp REGRESSION DISCONTINUITY (local-means form): compare the
+    outcome mean just below vs just above a cutoff in the running
+    variable, inside a fixed bandwidth — the jump at the threshold is
+    the causal estimate when assignment flips deterministically at the
+    cutoff (panel sibling: ``stats_did_estimator``; weighting sibling:
+    ``stats_ipw_ate``). One filtered scan + conditional aggregates —
+    the bandwidth filter pushes to the parquet reader, so at 100 TB
+    the plan touches only the cutoff neighborhood."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= RDD_CUTOFF - RDD_BANDWIDTH)
+        & (F.col("o_totalprice") < RDD_CUTOFF + RDD_BANDWIDTH)
+    )
+    y = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    below = F.col("o_totalprice") < RDD_CUTOFF
+    w = o.select(F.col("o_totalprice").alias("x"), y.alias("y"))
+    mean_b = F.avg(F.when(below_x := (F.col("x") < RDD_CUTOFF), F.col("y")))
+    mean_a = F.avg(F.when(~below_x, F.col("y")))
+    return w.agg(
+        F.count(F.when(below_x, 1)).cast("bigint").alias("n_below"),
+        F.count(F.when(~below_x, 1)).cast("bigint").alias("n_above"),
+        F.round(mean_b, 6).alias("mean_below"),
+        F.round(mean_a, 6).alias("mean_above"),
+        F.round(mean_a - mean_b, 6).alias("jump_estimate"),
+    )

@@ -2283,3 +2283,122 @@ def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("d_crit_005"),
         (F.col("d_stat") > crit).alias("reject_h0"),
     )
+
+
+# --- round-8 spares: ordinal encoding + dispersion feature filter -------
+
+
+@query(
+    "ml_ordinal_freq_encoding",
+    oracle="""
+        WITH freq AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type
+        ),
+        enc AS (
+            SELECT event_type, cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type)
+                        AS BIGINT) AS ord_code
+            FROM freq
+        )
+        SELECT e.event_type, enc.ord_code, enc.cnt,
+               ROUND(enc.cnt * 1.0 / (SELECT SUM(cnt) FROM freq), 6)
+                   AS freq_share,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_encoded
+        FROM events e JOIN enc ON enc.event_type = e.event_type
+        GROUP BY e.event_type, enc.ord_code, enc.cnt
+    """,
+    tags=("ml", "encoding", "events"),
+)
+def ml_ordinal_freq_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-ORDERED ordinal encoding: categories ranked by corpus
+    frequency (most common = code 1, ties alphabetical) with each
+    code's share — the count-encoding cousin that preserves an
+    interpretable order (alphabetic ordinal: ``ml_label_encoding``;
+    supervised: ``ml_target_encoding_oof`` / ``ml_woe_encoding``).
+    The encoder table is |categories| rows built in one
+    map-side-combined count, broadcast back onto the stream; the
+    output proves the round trip (every row re-joined to its code)."""
+    e = load_table(spark, sf_dir, "events")
+    freq = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "event_type")
+    enc = freq.select(
+        "event_type", "cnt", F.row_number().over(w).cast("bigint").alias(
+            "ord_code"
+        )
+    )
+    tot = freq.agg(F.sum("cnt").alias("tot"))
+    return (
+        e.join(F.broadcast(enc), "event_type")
+        .groupBy("event_type", "ord_code", "cnt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_encoded"))
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "ord_code",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("tot"), 6).alias("freq_share"),
+            "n_rows_encoded",
+        )
+    )
+
+
+VARSEL_TOP = 10
+
+
+@query(
+    "ml_variance_ratio_selection",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        per_j AS (
+            SELECT j,
+                   VAR_POP(v)                       AS var_j,
+                   AVG(v)                           AS mean_j
+            FROM x GROUP BY j
+        ),
+        tot AS (SELECT AVG(var_j) AS mean_var FROM per_j)
+        SELECT j AS feature,
+               ROUND(var_j, 6)                      AS variance,
+               ROUND(var_j / tot.mean_var, 6)       AS var_ratio,
+               ROUND(ABS(mean_j), 6)                AS abs_mean
+        FROM per_j, tot
+        ORDER BY var_j DESC, feature
+        LIMIT {VARSEL_TOP}
+    """,
+    tags=("ml", "feature-selection", "embeddings"),
+)
+def ml_variance_ratio_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED dispersion filter (sklearn ``VarianceThreshold``'s
+    ranking form): per-feature population variance, its ratio to the
+    mean feature variance, top features — the zeroth-order screen
+    before any supervised selection (supervised siblings:
+    ``ml_anova_f_selection``, ``ml_chi2_feature_selection``,
+    ``ml_mutual_info_feature``). One posexplode + one (feature)
+    aggregate of sufficient statistics — a single map-side-combined
+    pass at any scale."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(F.posexplode(to_double(F.col("embedding")))).select(
+        (F.col("pos") + 1).cast("bigint").alias("j"),
+        F.col("col").alias("v"),
+    )
+    per_j = x.groupBy("j").agg(
+        F.var_pop("v").alias("var_j"), F.avg("v").alias("mean_j")
+    )
+    tot = per_j.agg(F.avg("var_j").alias("mean_var"))
+    return (
+        per_j.join(F.broadcast(tot))
+        .select(
+            F.col("j").alias("feature"),
+            F.round("var_j", 6).alias("variance"),
+            F.round(F.col("var_j") / F.col("mean_var"), 6).alias("var_ratio"),
+            F.round(F.abs("mean_j"), 6).alias("abs_mean"),
+        )
+        .orderBy(F.col("variance").desc(), "feature")
+        .limit(VARSEL_TOP)
+    )

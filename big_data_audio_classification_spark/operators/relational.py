@@ -1470,3 +1470,233 @@ def join_range_overlap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_intervals")
     )
+
+
+# --- round-8 spare tranche: asof / setop / grouping / range-join -------
+
+ASOF_LOOKBACK_S = 900  # backward-only tolerance (15 min)
+
+
+@query(
+    "join_asof_backward_tolerance",
+    oracle=f"""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS cid, user_id, ts
+                   FROM events WHERE event_type = 'click'),
+             j AS (SELECT p.purchase_id, p.user_id, c.cid, c.ts AS cts,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY p.purchase_id
+                              ORDER BY (c.cid IS NULL),
+                                       c.ts DESC, c.cid ASC) AS rn
+                   FROM p LEFT JOIN c
+                     ON c.user_id = p.user_id
+                    AND c.ts <= p.ts
+                    AND epoch_us(p.ts) - epoch_us(c.ts)
+                        <= {ASOF_LOOKBACK_S} * 1000000)
+        SELECT purchase_id, user_id,
+               cid                   AS click_id,
+               CAST(cts AS VARCHAR)  AS click_ts,
+               cid IS NOT NULL       AS attributed
+        FROM j WHERE rn = 1
+    """,
+    tags=("relational", "join", "asof", "events"),
+)
+def join_asof_backward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a BOUNDED LOOKBACK (pandas
+    ``merge_asof(direction='backward', tolerance=15min)``): the latest
+    click at-or-before each purchase, but only if it happened within
+    the attribution window — stale matches become NULL instead of
+    leaking credit. Same single-shuffle union + backward carry as the
+    unbounded form (``join_asof_purchase_click``), with the tolerance
+    applied as a post-carry predicate — the carry itself never widens,
+    so bounding the lookback costs zero extra plan. Among equal-ts
+    clicks the smallest click_id wins (click_id DESC in the carry
+    order, matching the oracle's ts DESC, cid ASC rank)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(1).alias("is_click"),
+        F.col("event_id").alias("cid_src"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("cid_src"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(),
+                 F.col("cid_src").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    carried = clicks.unionByName(purchases).select(
+        "purchase_id", "user_id", "ts", "is_click",
+        F.last("cid_src", ignorenulls=True).over(w).alias("prev_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("prev_ts"),
+    ).filter(F.col("is_click") == 0)
+    fresh = (
+        F.col("prev_ts").isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros("prev_ts")
+            <= ASOF_LOOKBACK_S * 1_000_000
+        )
+    )
+    return carried.select(
+        "purchase_id",
+        "user_id",
+        F.when(fresh, F.col("prev_id")).alias("click_id"),
+        F.when(fresh, F.col("prev_ts")).cast("string").alias("click_ts"),
+        fresh.alias("attributed"),
+    )
+
+
+@query(
+    "set_union_vs_union_all",
+    oracle="""
+        WITH u_all AS (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ),
+        u_dist AS (SELECT DISTINCT o_custkey FROM u_all)
+        SELECT CAST((SELECT COUNT(*) FROM u_all) AS BIGINT)   AS n_union_all,
+               CAST((SELECT COUNT(*) FROM u_dist) AS BIGINT)  AS n_union_distinct,
+               CAST((SELECT COUNT(*) FROM u_all)
+                    - (SELECT COUNT(*) FROM u_dist) AS BIGINT) AS n_duplicates
+    """,
+    tags=("relational", "setop", "orders"),
+)
+def set_union_vs_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION vs UNION ALL semantics, measured: the multiset size, the
+    distinct size, and the duplicate mass their difference exposes —
+    the dedup-cost census every pipeline wants before choosing the
+    operator (``union`` in Spark = UNION ALL; ``distinct()`` is the
+    extra shuffle). One pass builds the multiset; the distinct leg is
+    the only shuffle; output is one scale-free row."""
+    o = load_table(spark, sf_dir, "orders")
+    u_all = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey"
+    ).unionAll(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+    n_all = u_all.agg(F.count(F.lit(1)).cast("bigint").alias("n_union_all"))
+    n_dist = u_all.distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_distinct")
+    )
+    return (
+        n_all.crossJoin(F.broadcast(n_dist))
+        .select(
+            "n_union_all",
+            "n_union_distinct",
+            (F.col("n_union_all") - F.col("n_union_distinct"))
+            .cast("bigint")
+            .alias("n_duplicates"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_time_hierarchy",
+    oracle="""
+        SELECT COALESCE(CAST(yr AS VARCHAR), '<all>')  AS year,
+               COALESCE(CAST(qtr AS VARCHAR), '<all>') AS quarter,
+               CAST(GROUPING(yr) * 2 + GROUPING(qtr) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT)                AS n,
+               ROUND(SUM(o_totalprice), 2)             AS total
+        FROM (SELECT year(o_orderdate) AS yr,
+                     quarter(o_orderdate) AS qtr,
+                     o_totalprice
+              FROM orders)
+        GROUP BY ROLLUP (yr, qtr)
+    """,
+    tags=("aggregate", "grouping", "window-time", "orders"),
+)
+def agg_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the natural TIME hierarchy (year ⊃ quarter): the
+    fiscal drill-down report in one pass — (year, quarter) cells, year
+    subtotals, grand total — with grouping_id disambiguating the
+    '<all>' placeholder (lattice sibling: ``agg_cube_share_of_total``;
+    non-lattice: ``agg_groupingsets_mixed``). Hierarchical rollups are
+    the cheap grouping-sets case: each level nests, so map-side
+    partials combine across levels."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        F.quarter(F.col("o_orderdate").cast("timestamp")).alias("qtr"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("yr", "qtr")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("<all>")).alias(
+                "year"
+            ),
+            F.coalesce(F.col("qtr").cast("string"), F.lit("<all>")).alias(
+                "quarter"
+            ),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "join_range_log_bands_overlap",
+    oracle="""
+        WITH bands AS (
+            SELECT b.b AS band_id,
+                   POW(2.0, b.b)     AS lo,
+                   POW(2.0, b.b + 2) AS hi
+            FROM (SELECT UNNEST(range(9, 18)) AS b) b
+        )
+        SELECT band_id,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2)       AS total_in_band
+        FROM bands LEFT JOIN orders o
+          ON o.o_totalprice >= bands.lo AND o.o_totalprice < bands.hi
+        GROUP BY band_id
+    """,
+    tags=("relational", "join", "range-join", "orders"),
+)
+def join_range_log_bands_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING log-scale band join: each band spans two octaves
+    ([2^b, 2^(b+2))), so every value lands in exactly two bands — a
+    genuine interval join, not a disguised group-by. Spark runs the
+    bucketed form: a value's candidate bands are floor(log2(v)) and
+    floor(log2(v))−1 (derived map-side, 2 rows per order), joined to
+    the 9-row band dim by EQUALITY with the exact predicate as the
+    residual — no non-equi nested loop at any scale (linear-band
+    sibling: ``join_range_bands``, broadcast non-equi, certified r01)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.range(9, 18).select(
+        F.col("id").cast("int").alias("band_id"),
+        F.pow(F.lit(2.0), F.col("id")).alias("lo"),
+        F.pow(F.lit(2.0), F.col("id") + 2).alias("hi"),
+    )
+    lg = F.floor(F.log2("o_totalprice")).cast("int")
+    cand = o.select(
+        "o_orderkey", "o_totalprice",
+        F.explode(F.array(lg, lg - 1)).alias("band_id"),
+    )
+    hits = cand.join(F.broadcast(bands), "band_id").filter(
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi"))
+    )
+    return (
+        bands.join(hits.select("band_id", "o_orderkey", "o_totalprice"),
+                   "band_id", "left")
+        .groupBy("band_id")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_in_band"),
+        )
+    )

@@ -1490,3 +1490,243 @@ def scalar_map_entries_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at(m, "a") == F.element_at(m, "b")).alias("keys_agree"),
         F.size(ent).alias("n_entries"),
     )
+
+
+# --- round-8 spare tranche: second-depth scalar carriers ---------------
+
+
+@query(
+    "scalar_math_factorial_bits",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(factorial(l_linenumber) AS BIGINT)          AS line_fact,
+               CAST(bit_count(l_orderkey) AS BIGINT)            AS key_popcount,
+               CAST(xor(l_orderkey, l_partkey) AS BIGINT)       AS key_xor,
+               CAST(l_orderkey & 255 AS BIGINT)                 AS key_low8,
+               CAST((l_linenumber << 4) | 1 AS BIGINT)          AS line_shifted
+        FROM lineitem
+    """,
+    tags=("scalar", "math", "lineitem"),
+)
+def scalar_math_factorial_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer math battery: factorial (exact ≤ 7! here), popcount,
+    XOR/AND masking, and shift-compose — the hash/partition-key
+    arithmetic vocabulary (float battery: ``scalar_math_log1p_hypot``).
+    Pure 64-bit integer ops, bit-identical cross-engine by
+    construction, whole-stage codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.factorial("l_linenumber").cast("bigint").alias("line_fact"),
+        F.bit_count("l_orderkey").cast("bigint").alias("key_popcount"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).cast("bigint")
+        .alias("key_xor"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).cast("bigint")
+        .alias("key_low8"),
+        (F.shiftleft("l_linenumber", 4).bitwiseOR(F.lit(1)))
+        .cast("bigint")
+        .alias("line_shifted"),
+    )
+
+
+@query(
+    "scalar_json_struct_array_agg",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        j AS (
+            SELECT o_orderkey,
+                   '[{"q": ' || CAST(cents // 10 AS VARCHAR)
+                   || '}, {"q": ' || CAST(cents // 5 AS VARCHAR)
+                   || '}, {"q": ' || CAST(cents - cents // 10 - cents // 5
+                                          AS VARCHAR) || '}]' AS doc
+            FROM c
+        )
+        SELECT o_orderkey,
+               CAST(json_array_length(doc) AS INTEGER)            AS n_parts,
+               CAST(CAST(json_extract(doc, '$[0].q') AS BIGINT)
+                    + CAST(json_extract(doc, '$[1].q') AS BIGINT)
+                    + CAST(json_extract(doc, '$[2].q') AS BIGINT)
+                    AS BIGINT)                                    AS parts_sum,
+               CAST(GREATEST(CAST(json_extract(doc, '$[0].q') AS BIGINT),
+                             CAST(json_extract(doc, '$[1].q') AS BIGINT),
+                             CAST(json_extract(doc, '$[2].q') AS BIGINT))
+                    AS BIGINT)                                    AS parts_max
+        FROM j
+    """,
+    tags=("scalar", "json", "orders"),
+)
+def scalar_json_struct_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON array-of-objects DESERIALIZATION: ``from_json`` with an
+    ``array<struct<...>>`` schema turns the payload into a typed array
+    in ONE parse, then array folds aggregate it — the line-items-in-a-
+    blob shape (indexed string paths: ``scalar_json_array_paths``).
+    Typed deserialization beats N path extractions at 100 TB: one
+    parse, then JVM array ops."""
+    o = load_table(spark, sf_dir, "orders")
+    # exact integer cents: no half-rounding hazard inside the payload
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    p1 = F.expr(f"CAST(round(o_totalprice * 100) AS BIGINT) DIV 10")
+    p2 = F.expr(f"CAST(round(o_totalprice * 100) AS BIGINT) DIV 5")
+    p3 = cents - p1 - p2
+    doc = F.concat(
+        F.lit('[{"q": '), p1.cast("string"),
+        F.lit('}, {"q": '), p2.cast("string"),
+        F.lit('}, {"q": '), p3.cast("string"), F.lit("}]"),
+    )
+    arr = F.from_json(doc, "array<struct<q: bigint>>")
+    qs = F.transform(arr, lambda s: s["q"])
+    return o.select(
+        "o_orderkey",
+        F.size(arr).alias("n_parts"),
+        F.aggregate(qs, F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .alias("parts_sum"),
+        F.array_max(qs).cast("bigint").alias("parts_max"),
+    )
+
+
+@query(
+    "scalar_variant_nested_hops",
+    oracle="""
+        WITH v AS (
+            SELECT event_id,
+                   '{"outer": {"mid": {"k": '
+                       || json_extract_string(props, '$.k')
+                       || ', "tag": "' || event_type || '"}}}' AS doc
+            FROM events
+        )
+        SELECT event_id,
+               CAST(json_extract_string(doc, '$.outer.mid.k') AS BIGINT)
+                                                              AS deep_k,
+               json_extract_string(doc, '$.outer.mid.tag')    AS deep_tag,
+               json_extract_string(doc, '$.outer.absent.k') IS NULL
+                                                              AS broken_path,
+               json_extract(doc, '$.outer.mid') IS NOT NULL   AS mid_exists
+        FROM v
+    """,
+    tags=("scalar", "variant", "events"),
+)
+def scalar_variant_nested_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant DEEP-PATH navigation: a three-level nested document
+    read by multi-hop paths (``$.outer.mid.k``), with the
+    broken-intermediate-path → NULL contract and an existence probe on
+    a subtree — the deeply-nested telemetry shape (flat paths:
+    ``scalar_variant_typed_paths``; arrays: ``scalar_variant_array_
+    paths``). One parse feeds all four reads."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"outer": {"mid": {"k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "tag": "'),
+        F.col("event_type"),
+        F.lit('"}}}'),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.outer.mid.k", "bigint").alias("deep_k"),
+        F.try_variant_get(v, "$.outer.mid.tag", "string").alias("deep_tag"),
+        F.try_variant_get(v, "$.outer.absent.k", "bigint")
+        .isNull()
+        .alias("broken_path"),
+        F.try_variant_get(v, "$.outer.mid", "string").isNotNull()
+        .alias("mid_exists"),
+    )
+
+
+N_QUARTERS = 4  # embedding quarter-split width = 64 / 4
+
+
+@query(
+    "array_quarter_split_sums",
+    oracle="""
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(embedding[1:16],
+                     x -> CAST(x AS DOUBLE))), 6)  AS q1_sum,
+               ROUND(list_sum(list_transform(embedding[17:32],
+                     x -> CAST(x AS DOUBLE))), 6)  AS q2_sum,
+               ROUND(list_sum(list_transform(embedding[33:48],
+                     x -> CAST(x AS DOUBLE))), 6)  AS q3_sum,
+               ROUND(list_sum(list_transform(embedding[49:64],
+                     x -> CAST(x AS DOUBLE))), 6)  AS q4_sum,
+               CAST(len(flatten([embedding[1:16], embedding[33:48]]))
+                    AS INTEGER)                    AS odd_halves_len
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "embeddings"),
+)
+def array_quarter_split_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SPLIT-APPLY: slice a vector into quarters, fold each, and
+    ``flatten`` a reassembled subset — the subvector-pooling shape
+    behind Matryoshka/PQ-style slicing, kept entirely in-row (ordered
+    battery: ``array_sorted_order_stats``; indexed lambdas:
+    ``array_indexed_lambda_stats``). Sequential index-order folds:
+    doubles match bitwise."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def qsum(i):
+        return F.round(
+            F.aggregate(
+                F.slice("embedding", 1 + 16 * i, 16),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double"),
+            ),
+            6,
+        )
+
+    return em.select(
+        "vec_id",
+        qsum(0).alias("q1_sum"),
+        qsum(1).alias("q2_sum"),
+        qsum(2).alias("q3_sum"),
+        qsum(3).alias("q4_sum"),
+        F.size(
+            F.flatten(
+                F.array(F.slice("embedding", 1, 16),
+                        F.slice("embedding", 33, 16))
+            )
+        ).alias("odd_halves_len"),
+    )
+
+
+@query(
+    "scalar_map_keys_values_fold",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               'price|qty|tax'                                     AS keys_sorted,
+               ROUND(l_extendedprice + l_quantity + l_tax, 4)      AS values_sum,
+               ROUND(GREATEST(l_extendedprice, l_quantity, l_tax), 4)
+                                                                   AS values_max,
+               l_quantity > l_tax                                  AS qty_gt_tax
+        FROM lineitem
+    """,
+    tags=("scalar", "map", "lineitem"),
+)
+def scalar_map_keys_values_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map KEYS/VALUES projections: ``map_keys`` sorted-and-joined to a
+    canonical string, ``map_values`` folded (sum / max), and a
+    two-lookup comparison — the audit-the-property-bag shape. Maps are
+    key-order-free, so the SORTED key list and the order-insensitive
+    folds are exactly what IS cross-engine comparable (the house map
+    rule). Completes the map battery (lookup / zip-merge / entries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price"), F.lit("tax")),
+        F.array(F.col("l_quantity"), F.col("l_extendedprice"),
+                F.col("l_tax")),
+    )
+    vals = F.map_values(m)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
+        F.round(
+            F.aggregate(vals, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("values_sum"),
+        F.round(F.array_max(vals), 4).alias("values_max"),
+        (F.element_at(m, "qty") > F.element_at(m, "tax")).alias("qty_gt_tax"),
+    )

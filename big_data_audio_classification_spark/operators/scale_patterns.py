@@ -602,3 +602,62 @@ def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "event_id", F.round("value", 4).alias("value")
         )
     )
+
+
+# --- round-8 spare: skew diagnosis report -------------------------------
+
+SKEW_PROFILE_TOP = 5
+
+
+@query(
+    "skew_key_frequency_profile",
+    oracle=f"""
+        WITH freq AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+                       CAST(COUNT(*) AS DOUBLE) AS k FROM freq)
+        SELECT user_id, cnt,
+               ROUND(cnt / tot.n, 6)           AS share,
+               ROUND(cnt * tot.k / tot.n, 6)   AS vs_uniform,
+               CAST(rnk AS BIGINT)             AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+              FROM freq), tot
+        WHERE rnk <= {SKEW_PROFILE_TOP}
+    """,
+    tags=("scale", "skew", "report", "topk", "events"),
+)
+def skew_key_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW DIAGNOSIS report: the hottest join/agg keys with their
+    traffic share and their frequency relative to a uniform key
+    distribution (vs_uniform ≫ 1 ⇒ that key needs salting / the AQE
+    skew threshold tuned) — the measurement that DECIDES between the
+    plain, salted (``skew_salted_partial_agg``), and two-path
+    (``skew_hot_key_two_path_join``) plans. One map-side-combined
+    count + a top-k over the |keys| frame; O(k) output at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    freq = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        freq.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= SKEW_PROFILE_TOP)
+        .join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("k") / F.col("n"), 6).alias(
+                "vs_uniform"
+            ),
+            F.col("rnk").cast("bigint").alias("rank"),
+        )
+    )

@@ -1843,3 +1843,105 @@ def sim_ivf_probe_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("d2"), 6).alias("cent_dist"),
         )
     )
+
+
+# --- round-8 spare: one Lloyd refinement step of the IVF coarse book ----
+
+
+@query(
+    "sim_ivf_centroid_update",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+                   WHERE vec_id < {IVF_CELLS}),
+        d AS (
+            SELECT b.vec_id, a.cell_id, b.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                       a.cell_id) AS rn
+            FROM c a CROSS JOIN embeddings b
+        ),
+        asg AS (SELECT vec_id, cell_id, embedding FROM d WHERE rn = 1),
+        dim AS (
+            SELECT asg.cell_id,
+                   CAST(generate_subscripts(asg.embedding, 1) AS BIGINT) AS j,
+                   CAST(UNNEST(asg.embedding) AS DOUBLE) AS v
+            FROM asg
+        ),
+        newc AS (
+            SELECT cell_id, j, AVG(v) AS nv FROM dim GROUP BY cell_id, j
+        ),
+        oldc AS (
+            SELECT c.cell_id,
+                   CAST(generate_subscripts(c.embedding, 1) AS BIGINT) AS j,
+                   CAST(UNNEST(c.embedding) AS DOUBLE) AS ov
+            FROM c
+        ),
+        moved AS (
+            SELECT n.cell_id,
+                   SQRT(SUM((n.nv - o.ov) * (n.nv - o.ov))) AS movement
+            FROM newc n JOIN oldc o ON o.cell_id = n.cell_id AND o.j = n.j
+            GROUP BY n.cell_id
+        ),
+        sizes AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                  FROM asg GROUP BY cell_id)
+        SELECT s.cell_id, s.n_members,
+               ROUND(m.movement, 6) AS movement
+        FROM sizes s JOIN moved m ON m.cell_id = s.cell_id
+    """,
+    tags=("similarity", "ivf", "embeddings"),
+)
+def sim_ivf_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd REFINEMENT step of the IVF coarse codebook: assign
+    every vector to its nearest seed centroid, recompute each cell's
+    mean, and report how far each centroid MOVED — the index-retraining
+    probe that says whether the coarse book has drifted from the
+    corpus (health report: ``sim_ivf_cell_balance``; the full
+    multi-round training story is ``sim_pq_codebook_lloyd``).
+    Broadcast centroids, map-only scoring, then ONE posexplode +
+    (cell, dim) mean — the M-step is a map-side-combined aggregation,
+    the movement report is O(cells) rows."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    asg = (
+        em.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", "embedding", d2.alias("d2"))
+        .select("vec_id", "cell_id", "embedding",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    dim = asg.select(
+        "cell_id", F.posexplode(to_double(F.col("embedding")))
+    ).select(
+        "cell_id",
+        (F.col("pos") + 1).cast("bigint").alias("j"),
+        F.col("col").alias("v"),
+    )
+    newc = dim.groupBy("cell_id", "j").agg(F.avg("v").alias("nv"))
+    oldc = cents.select(
+        "cell_id", F.posexplode(to_double(F.col("c_emb")))
+    ).select(
+        "cell_id",
+        (F.col("pos") + 1).cast("bigint").alias("j"),
+        F.col("col").alias("ov"),
+    )
+    moved = (
+        newc.join(F.broadcast(oldc), ["cell_id", "j"])
+        .groupBy("cell_id")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("nv") - F.col("ov")) * (F.col("nv") - F.col("ov")))
+            ).alias("movement")
+        )
+    )
+    sizes = asg.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return sizes.join(moved, "cell_id").select(
+        "cell_id", "n_members", F.round("movement", 6).alias("movement")
+    )

@@ -1791,3 +1791,181 @@ def text_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.round(F.abs(F.col("z")), 6).desc(), "doc_id")
         .limit(PPX_OUT_TOP)
     )
+
+
+# --- round-8 spare tranche: field-boost tf-idf + discounted bigram LM ---
+
+FIELD_TITLE_LEN = 5    # first N tokens act as the "title" field
+FIELD_TITLE_BOOST = 2  # integer boost keeps the weighting exact
+FIELD_QUERY = ("spark", "merge")
+FIELD_TOP = 15
+
+
+@query(
+    "text_tfidf_field_boost",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok,
+                   CASE WHEN pos <= {FIELD_TITLE_LEN}
+                        THEN {FIELD_TITLE_BOOST} ELSE 1 END AS w
+            FROM (SELECT doc_id,
+                         UNNEST(list_filter(string_split(text, ' '),
+                                t -> t <> '')) AS tok,
+                         CAST(generate_subscripts(
+                             list_filter(string_split(text, ' '),
+                                         t -> t <> ''), 1) AS BIGINT) AS pos
+                  FROM documents)
+        ),
+        tf AS (
+            SELECT doc_id, tok, SUM(w) AS wtf FROM toks
+            WHERE tok IN {FIELD_QUERY!r}
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+            WHERE tok IN {FIELD_QUERY!r}
+            GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT tf.doc_id,
+               ROUND(SUM(tf.wtf * LN(n.n_docs / df.df)), 6) AS score,
+               CAST(SUM(tf.wtf) AS BIGINT)                  AS weighted_tf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT {FIELD_TOP}
+    """,
+    tags=("text", "tfidf", "topk", "documents"),
+)
+def text_tfidf_field_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-BOOSTED tf-idf: hits in the first {n} tokens (the "title"
+    field) count {b}× — the multi-field relevance shape (BM25F's
+    essential move) on top of the plain query scorer
+    (``text_tfidf_query_rank``). The boost is applied at the token
+    stream BEFORE the tf aggregation (one posexplode carries the
+    position), so the plan is identical to unboosted scoring: filter →
+    weighted count → broadcast df → TakeOrderedAndProject. Integer
+    boosts keep the weighted tf exact cross-engine.""".format(
+        n=FIELD_TITLE_LEN, b=FIELD_TITLE_BOOST
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")),
+    ).select(
+        "doc_id",
+        F.col("col").alias("tok"),
+        F.when(F.col("pos") + 1 <= FIELD_TITLE_LEN, FIELD_TITLE_BOOST)
+        .otherwise(1)
+        .alias("w"),
+    ).filter(F.col("tok").isin(*FIELD_QUERY))
+    tf = toks.groupBy("doc_id", "tok").agg(F.sum("w").alias("wtf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("wtf") * F.log(F.col("n_docs") / F.col("df"))), 6
+            ).alias("score"),
+            F.sum("wtf").cast("bigint").alias("weighted_tf"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(FIELD_TOP)
+    )
+
+
+AD_DISCOUNT_NUM = 3  # absolute discount D = 3/4 (exact rational)
+AD_DISCOUNT_DEN = 4
+AD_PROBE_TOP = 12    # report the most frequent bigrams
+
+
+@query(
+    "text_lm_absolute_discount",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split(text, ' '),
+                          t -> t <> '')) AS tok,
+                   CAST(generate_subscripts(
+                       list_filter(string_split(text, ' '), t -> t <> ''), 1)
+                       AS BIGINT) AS pos
+            FROM documents
+        ),
+        bi AS (
+            SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c12
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.tok, b.tok
+        ),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        ctx AS (
+            SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1plus
+            FROM bi GROUP BY w1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni)
+        SELECT bi.w1, bi.w2,
+               CAST(bi.c12 AS BIGINT) AS c12,
+               ROUND(
+                   GREATEST(bi.c12 - {AD_DISCOUNT_NUM}/{AD_DISCOUNT_DEN}.0,
+                            0.0) / ctx.c1
+                   + ({AD_DISCOUNT_NUM}/{AD_DISCOUNT_DEN}.0) * ctx.n1plus
+                     / ctx.c1 * uni.c / tot.n, 6) AS p_ad
+        FROM bi
+        JOIN ctx ON ctx.w1 = bi.w1
+        JOIN uni ON uni.tok = bi.w2
+        CROSS JOIN tot
+        ORDER BY bi.c12 DESC, bi.w1, bi.w2
+        LIMIT {AD_PROBE_TOP}
+    """,
+    tags=("text", "lm", "documents"),
+)
+def text_lm_absolute_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSOLUTE-DISCOUNTING bigram LM (the Kneser-Ney precursor):
+    p(w2|w1) = max(c12−D, 0)/c1 + D·N1+(w1)/c1 · p_uni(w2) with the
+    exact rational D = 3/4 — mass subtracted from every seen bigram is
+    redistributed through the unigram backoff, reported for the top
+    bigrams (add-k sibling: ``text_bigram_logprob``, certified r03).
+    Three map-side-combined count tables (bigram, context, unigram);
+    the Spark bigram derivation is array-side (token array zipped with
+    its own tail — no positional self-join), while the oracle derives
+    the SAME pairs BY positional self-join: two independent
+    formulations cross-check."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                toks_arr,
+                F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").filter(F.col("w2").isNotNull())
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = d.select(F.explode(toks_arr).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1plus")
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    disc = AD_DISCOUNT_NUM / AD_DISCOUNT_DEN
+    p_ad = (
+        F.greatest(F.col("c12") - disc, F.lit(0.0)) / F.col("c1")
+        + disc * F.col("n1plus") / F.col("c1") * F.col("c") / F.col("n")
+    )
+    return (
+        bi.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(p_ad, 6).alias("p_ad"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(AD_PROBE_TOP)
+    )

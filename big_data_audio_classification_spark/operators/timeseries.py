@@ -1983,3 +1983,131 @@ def analytics_remainder_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg(1, "rem_l1").unionByName(leg(7, "rem_l7"))
+
+
+# --- round-8 spares: session-scoped transitions + multiplicative decomp --
+
+
+@query(
+    "events_session_transition_matrix",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id)
+                             > {FUNNEL_GAP_MIN} * 60 * 1000000
+                        OR LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+        ),
+        s AS (
+            SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM g
+        ),
+        trans AS (
+            SELECT event_type AS cur_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id, session_no
+                       ORDER BY ts, event_id) AS next_type
+            FROM s
+        )
+        SELECT cur_type, next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans,
+               ROUND(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY cur_type), 6)
+                   AS p_next
+        FROM trans WHERE next_type IS NOT NULL
+        GROUP BY cur_type, next_type
+    """,
+    tags=("events", "session", "markov", "window"),
+)
+def events_session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SCOPED transition matrix: event-type bigrams that RESET
+    at every 30-min session boundary — the within-visit behavior chain,
+    which differs from the global per-user chain
+    (``events_markov_transitions``) exactly by the cross-session
+    transitions it drops. One sessionization pass, one LEAD partitioned
+    by (user, session), one count rollup — |types|² output rows at any
+    SF."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(wu)
+    is_start = F.when(
+        gap.isNull() | (gap > FUNNEL_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(is_start)
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    trans = s.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(ws).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = trans.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    wrow = Window.partitionBy("cur_type")
+    return counts.select(
+        "cur_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans") * 1.0 / F.sum("n_trans").over(wrow), 6
+        ).alias("p_next"),
+    )
+
+
+@query(
+    "analytics_multiplicative_decomp",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   isodow(CAST(o_orderdate AS DATE)) AS dow,
+                   SUM(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT d, dow, rev,
+                   AVG(rev) OVER (ORDER BY d
+                       ROWS BETWEEN {SEASONAL_WIN} PRECEDING
+                                AND {SEASONAL_WIN} FOLLOWING) AS trend
+            FROM daily
+        ),
+        r AS (SELECT d, dow, rev / trend AS ratio FROM t WHERE trend > 0)
+        SELECT CAST(dow AS BIGINT)          AS dow,
+               CAST(COUNT(*) AS BIGINT)     AS n_days,
+               ROUND(AVG(ratio), 6)         AS seasonal_ratio,
+               ROUND(STDDEV_POP(ratio), 6)  AS ratio_sd
+        FROM r GROUP BY dow
+    """,
+    tags=("timeseries", "decomposition", "window", "orders"),
+)
+def analytics_multiplicative_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLICATIVE seasonal decomposition (ratio-to-moving-average —
+    the classical X-11 first step): per-weekday mean of rev/trend,
+    the right model when seasonal swing scales WITH the level
+    (additive counterpart: ``analytics_seasonal_strength``). A ratio
+    index of 1.10 reads 'Mondays run 10% above trend'. Same day-spine
+    windows; one extra division."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.weekday(F.col("o_orderdate").cast("date")) + 1).alias("dow"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wt = Window.orderBy("d").rowsBetween(-SEASONAL_WIN, SEASONAL_WIN)
+    r = daily.select(
+        "dow", (F.col("rev") / F.avg("rev").over(wt)).alias("ratio")
+    )
+    return r.groupBy(F.col("dow").cast("bigint").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("ratio"), 6).alias("seasonal_ratio"),
+        F.round(F.stddev_pop("ratio"), 6).alias("ratio_sd"),
+    )

@@ -436,3 +436,47 @@ def window_rolling_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(num / den, 6).alias("wma"),
     )
+
+
+# --- round-8 spare: TIME-range rolling stats ----------------------------
+
+ROLL_TIME_S = 7200  # trailing 2-hour window
+
+
+@query(
+    "window_rolling_time_stats",
+    oracle=f"""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER f AS BIGINT)      AS n_2h,
+               ROUND(AVG(value) OVER f, 6)          AS mean_2h,
+               ROUND(value - AVG(value) OVER f, 6)  AS dev_from_2h
+        FROM events
+        WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {ROLL_TIME_S * 1_000_000} PRECEDING
+                           AND CURRENT ROW)
+    """,
+    tags=("window", "rolling", "window-time", "events"),
+)
+def window_rolling_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based rolling stats: trailing 2-HOUR count/mean per user —
+    a RANGE frame on integer epoch micros, so rows enter and leave by
+    CLOCK distance, not row position (the row-framed siblings:
+    ``window_rolling_trimmed_mean``, ``window_rolling_weighted_mean``).
+    Irregular event spacing is the point: n_2h varies per row, which no
+    ROWS frame can express. Equal-timestamp peers aggregate together
+    (RANGE semantics) in both engines. One shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-ROLL_TIME_S * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n_2h"),
+        F.round(F.avg("value").over(f), 6).alias("mean_2h"),
+        F.round(F.col("value") - F.avg("value").over(f), 6).alias(
+            "dev_from_2h"
+        ),
+    )
