@@ -1446,9 +1446,15 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     walsh = a.join(b, F.col("da") <= F.col("db")).select(
         (F.col("ca") + F.col("cb")).alias("w2")
     ).persist()
-    n = walsh.agg(F.count("*").cast("bigint").alias("np"))
     hl_nb = 1024
-    bounds = walsh.agg(F.min("w2").alias("lo"), F.max("w2").alias("hi"))
+    # ONE pass over the persisted pair frame collects count + bounds
+    stats1 = walsh.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.min("w2").alias("lo"),
+        F.max("w2").alias("hi"),
+    ).persist()
+    n = stats1.select("np")
+    bounds = stats1.select("lo", "hi")
     # integer bucket id: (w2-lo)*nb DIV span — exact bigint math, the
     # products stay far below 2^63 at cent scale
     wb = walsh.join(F.broadcast(bounds)).select(
