@@ -1366,32 +1366,43 @@ JENKS_BUCKET = 10_000.0  # o_totalprice bucket width
 
 
 def _jenks_oracle() -> str:
-    """Unrolled DP oracle. cost(j+1..i) is computed from running sums
-    that BOTH engines accumulate in bin order (window cumsum), so the
-    doubles match bitwise and the argmin tiebreak (smallest j) is
-    deterministic."""
+    """Unrolled DP oracle. Every moment is an EXACT integer: counts and
+    integer-cent sums (BIGINT) plus cents^2 sums (HUGEINT on DuckDB,
+    DECIMAL(38,0) on Spark). Each per-interval cost emits EXACTLY ONE
+    float division — double(exact_int) / double(exact_int) is correctly
+    rounded by IEEE 754, hence bit-identical cross-engine — so the DP
+    argmin (smallest-j tiebreak) and the emitted SSE doubles agree
+    bitwise. Replaces the r06 formulation whose post-ROUND doubles at
+    ~2.4e12 flipped on a cross-engine ULP (driver red row)."""
     parts = [
         f"""b AS MATERIALIZED (
             SELECT CAST(FLOOR(o_totalprice / {JENKS_BUCKET}) AS BIGINT) AS bin,
-                   CAST(COUNT(*) AS DOUBLE) AS w,
-                   SUM(o_totalprice) AS s,
-                   SUM(o_totalprice * o_totalprice) AS ss
-            FROM orders WHERE o_totalprice < {JENKS_BINS} * {JENKS_BUCKET}
+                   CAST(COUNT(*) AS BIGINT) AS w,
+                   CAST(SUM(y) AS BIGINT) AS s,
+                   SUM(y * y) AS ss
+            FROM (SELECT o_totalprice,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+                  FROM orders
+                  WHERE o_totalprice < {JENKS_BINS} * {JENKS_BUCKET})
             GROUP BY 1)""",
         """p AS MATERIALIZED (
             SELECT bin, ROW_NUMBER() OVER (ORDER BY bin) AS i,
-                   SUM(w)  OVER (ORDER BY bin) AS cw,
-                   SUM(s)  OVER (ORDER BY bin) AS cs,
+                   CAST(SUM(w)  OVER (ORDER BY bin) AS BIGINT) AS cw,
+                   CAST(SUM(s)  OVER (ORDER BY bin) AS BIGINT) AS cs,
                    SUM(ss) OVER (ORDER BY bin) AS css
             FROM b)""",
         """cost AS MATERIALIZED (
-            SELECT lo.i AS j, hi.i AS i,
-                   (hi.css - COALESCE(pl.css, 0))
-                   - (hi.cs - COALESCE(pl.cs, 0)) * (hi.cs - COALESCE(pl.cs, 0))
-                     / (hi.cw - COALESCE(pl.cw, 0)) AS c
-            FROM p hi
-            JOIN p lo ON lo.i <= hi.i
-            LEFT JOIN p pl ON pl.i = lo.i - 1)""",
+            SELECT j, i,
+                   CAST(dss * dw - CAST(ds AS HUGEINT) * ds AS DOUBLE)
+                   / CAST(dw * 10000 AS DOUBLE) AS c
+            FROM (
+                SELECT lo.i AS j, hi.i AS i,
+                       hi.cw - COALESCE(pl.cw, 0) AS dw,
+                       hi.cs - COALESCE(pl.cs, 0) AS ds,
+                       hi.css - COALESCE(pl.css, 0) AS dss
+                FROM p hi
+                JOIN p lo ON lo.i <= hi.i
+                LEFT JOIN p pl ON pl.i = lo.i - 1))""",
         """dp1 AS MATERIALIZED (
             SELECT i, c AS cost, 0 AS j FROM cost WHERE j = 1)""",
     ]
@@ -1424,8 +1435,9 @@ def _jenks_oracle() -> str:
         segs AS ({' UNION ALL '.join(seg_selects)})
         SELECT s.segment, s.lo_bin, s.hi_bin,
                CAST(SUM(b.w) AS BIGINT) AS n,
-               ROUND(SUM(b.ss) - SUM(b.s) * SUM(b.s) / SUM(b.w), 2) AS sse,
-               (SELECT ROUND(cost, 2) FROM dp{JENKS_K}
+               CAST(SUM(b.ss) * SUM(b.w) - SUM(b.s) * SUM(b.s) AS DOUBLE)
+               / CAST(SUM(b.w) * 10000 AS DOUBLE) AS sse,
+               (SELECT cost FROM dp{JENKS_K}
                 WHERE i = {n}) AS total_sse
         FROM segs s JOIN b ON b.bin BETWEEN s.lo_bin AND s.hi_bin
         GROUP BY s.segment, s.lo_bin, s.hi_bin"""
@@ -1446,20 +1458,28 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dimension-sized prefix-sum frame as {k} unrolled min-plus
     layers (each one join + one argmin window — never a driver loop),
     and the boundary backtrack is {k} one-row joins. Cross-engine
-    exact: both engines build the prefix sums by an ORDER BY bin
-    cumulative window (identical summation order → bitwise-identical
-    doubles), so the argmin with its smallest-j tiebreak picks the
-    same splits. Output: each segment's bin range, population, SSE,
+    exact: every moment is an EXACT integer (counts + integer-cent
+    sums in BIGINT, cents² sums in DECIMAL(38,0) mirroring DuckDB's
+    HUGEINT promotion) and each cost/SSE cell emits exactly ONE float
+    division — double(exact)/double(exact) is IEEE correctly rounded,
+    hence bit-identical cross-engine — so the argmin with its
+    smallest-j tiebreak picks the same splits and the driver's typed
+    hash matches (house idiom from stats_ipw_ate / stats_hodges_
+    lehmann; replaces the r06 double-sum form that flipped on an ULP
+    at ~2.4e12). Output: each segment's bin range, population, SSE,
     and the DP's optimal total.""".format(bins=JENKS_BINS, k=JENKS_K)
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_totalprice") < JENKS_BINS * JENKS_BUCKET
     )
+    y = F.round(F.col("o_totalprice") * 100).cast("bigint")
     b = o.groupBy(
         F.floor(F.col("o_totalprice") / JENKS_BUCKET).cast("bigint").alias("bin")
     ).agg(
-        F.count(F.lit(1)).cast("double").alias("w"),
-        F.sum("o_totalprice").alias("s"),
-        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum(y).cast("bigint").alias("s"),
+        # cents² fits int64 per row (< 1.6e15) but not summed at scale:
+        # exact 128-bit-wide decimal sum = DuckDB's HUGEINT promotion
+        F.sum((y * y).cast("decimal(38,0)")).alias("ss"),
     )
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     p = b.select(
@@ -1468,11 +1488,19 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         "ss",
         F.row_number().over(Window.orderBy("bin")).alias("i"),
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("s").over(wcum).alias("cs"),
-        F.sum("ss").over(wcum).alias("css"),
+        F.sum("w").over(wcum).cast("bigint").alias("cw"),
+        F.sum("s").over(wcum).cast("bigint").alias("cs"),
+        F.sum("ss").over(wcum).cast("decimal(38,0)").alias("css"),
     ).localCheckpoint(eager=True)
     hi, lo, pl = p.alias("hi"), p.alias("lo"), p.alias("pl")
+    dw = F.col("hi.cw") - F.coalesce(F.col("pl.cw"), F.lit(0))
+    ds = F.col("hi.cs") - F.coalesce(F.col("pl.cs"), F.lit(0))
+    dss = F.col("hi.css") - F.coalesce(
+        F.col("pl.css"), F.lit(0).cast("decimal(38,0)")
+    )
+    num = dss * dw.cast("decimal(19,0)") - ds.cast("decimal(19,0)") * ds.cast(
+        "decimal(19,0)"
+    )
     cost = (
         hi.join(lo, F.col("lo.i") <= F.col("hi.i"))
         .join(pl, F.col("pl.i") == F.col("lo.i") - 1, "left")
@@ -1480,10 +1508,7 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo.i").alias("j"),
             F.col("hi.i").alias("i"),
             (
-                (F.col("hi.css") - F.coalesce(F.col("pl.css"), F.lit(0.0)))
-                - (F.col("hi.cs") - F.coalesce(F.col("pl.cs"), F.lit(0.0)))
-                * (F.col("hi.cs") - F.coalesce(F.col("pl.cs"), F.lit(0.0)))
-                / (F.col("hi.cw") - F.coalesce(F.col("pl.cw"), F.lit(0.0)))
+                num.cast("double") / (dw * 10000).cast("double")
             ).alias("c"),
         )
         .localCheckpoint(eager=True)
@@ -1508,9 +1533,7 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         layers.append({r["i"]: r["j"] for r in dp_l.collect()})
-    total_sse = round(
-        [r["cost"] for r in dp_l.collect() if r["i"] == n_i][0], 2
-    )
+    total_sse = [r["cost"] for r in dp_l.collect() if r["i"] == n_i][0]
     bounds = [n_i]
     for k in range(JENKS_K, 1, -1):
         bounds.append(layers[k - 1][bounds[-1]])
@@ -1531,8 +1554,13 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "lo_bin", "hi_bin")
         .agg(
             F.sum("w").cast("bigint").alias("n"),
-            F.round(
-                F.sum("ss") - F.sum("s") * F.sum("s") / F.sum("w"), 2
+            (
+                (
+                    F.sum("ss") * F.sum("w").cast("decimal(19,0)")
+                    - F.sum("s").cast("decimal(19,0)")
+                    * F.sum("s").cast("decimal(19,0)")
+                ).cast("double")
+                / (F.sum("w") * 10000).cast("double")
             ).alias("sse"),
         )
         .select("*", F.lit(total_sse).alias("total_sse"))

@@ -1913,7 +1913,11 @@ def dedup_minhash_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("ci")
     )
     return (
-        est.join(inter, ["id_a", "id_b"])
+        # LEFT join + coalesce(0): a band-collided pair with ZERO shared
+        # tokens (4-way 32-bit minhash collision) must still emit a row —
+        # the oracle's OR-join uni CTE keeps such pairs (advice r06)
+        est.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("ci", F.coalesce(F.col("ci"), F.lit(0)))
         .join(sizes.select(F.col("doc_id").alias("id_a"),
                            F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"),

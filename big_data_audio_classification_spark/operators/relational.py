@@ -1206,7 +1206,10 @@ def join_range_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            (F.sum("ov_us") / 3_600_000_000)
+            # exact integer floor-division mirroring the oracle's `//` —
+            # Spark `/` is double math and only stays exact here while
+            # every boundary is midnight-aligned (advice r06)
+            F.expr("SUM(ov_us) DIV 3600000000")
             .cast("bigint")
             .alias("overlap_hours"),
         )

@@ -1303,14 +1303,22 @@ def scalar_math_log1p_hypot(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN substr(props, 1, length(props) - 1)
                         ELSE props END AS doc
             FROM events
+        ),
+        -- validity = parses AND $.k is integer-typed, matching Spark's
+        -- from_json('k BIGINT') null-row semantics exactly (advice r06:
+        -- json_valid alone would accept a k-less/non-integer payload)
+        v AS (
+            SELECT event_id, doc,
+                   TRY_CAST(CASE WHEN json_valid(doc)
+                                 THEN json_extract_string(doc, '$.k')
+                            END AS BIGINT) AS kv
+            FROM j
         )
         SELECT event_id,
-               json_valid(doc)                                AS is_valid,
-               CASE WHEN json_valid(doc)
-                    THEN CAST(json_extract_string(doc, '$.k') AS BIGINT)
-                    END                                       AS k_parsed,
-               CASE WHEN NOT json_valid(doc) THEN doc END     AS corrupt_payload
-        FROM j
+               kv IS NOT NULL                       AS is_valid,
+               kv                                   AS k_parsed,
+               CASE WHEN kv IS NULL THEN doc END    AS corrupt_payload
+        FROM v
     """,
     tags=("scalar", "json", "events"),
 )

@@ -468,7 +468,9 @@ def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH ``approxSimilarityJoin`` as a QUALITY GATE
     (r05→r06 rows-only conversion): on the deterministic 20% slice,
     ground truth = exact distinct-token Jaccard ≥ 0.8 pairs
-    (cross-multiplied integers, no float threshold), and the gate
+    (cross-multiplied integers; INCLUSIVE because MLlib's float cut
+    `1 - J < 0.2` admits the exact boundary — 1.0 - double(4/5) is one
+    ULP under 0.2 — verified empirically at sf0.01), and the gate
     reports (a) the oracle-exact truth-pair count, (b) whether MLlib's
     candidate recall clears {floor} (8 OR-ed hash tables ⇒ theoretical
     recall 1-(1-J)^8 ≥ 0.999997 at J = 0.8; measured 1.0 at all three
@@ -532,6 +534,13 @@ def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
         .where(
+            # INCLUSIVE >= deliberately: approxSimilarityJoin's cut is
+            # `distance < 0.2` on a FLOAT distance, and 1.0 - double(4/5)
+            # = 0.19999999999999996 < 0.2, so exact-boundary pairs (true
+            # J = 4/5) ARE emitted by MLlib — verified at sf0.01, where a
+            # strict > truth flipped precision_exact to False. The r06
+            # advice to use strict > assumed exact threshold arithmetic;
+            # the IEEE representation makes the boundary inclusive.
             MLLIB_LSH_TAU_DEN * F.col("i")
             >= MLLIB_LSH_TAU_NUM * (F.col("sz_a") + F.col("sz_b") - F.col("i"))
         )

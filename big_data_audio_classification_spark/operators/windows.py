@@ -341,9 +341,13 @@ TRIM_WIN = 2  # rows on each side of the 5-row centered rolling frame
         SELECT event_id, user_id,
                CAST(n AS BIGINT) AS n_win,
                ROUND(CASE WHEN n > 2 THEN (s - lo - hi) / (n - 2)
-                          ELSE s / n END, 6) AS trimmed_mean,
+                          ELSE s / n END, 6) + 0 AS trimmed_mean,
+               -- + 0 normalizes DuckDB's -0.0 (ROUND of a tiny negative)
+               -- to +0.0: Spark's BigDecimal round never emits -0.0, and
+               -- the driver's typed hash distinguishes the sign bit
+               -- (r06 red row: 33 negative-zero residual cells).
                ROUND(value - CASE WHEN n > 2 THEN (s - lo - hi) / (n - 2)
-                                  ELSE s / n END, 6) AS residual
+                                  ELSE s / n END, 6) + 0 AS residual
         FROM w
     """,
     tags=("window", "rolling", "robust", "events"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
 
@@ -52,6 +53,29 @@ def _values_equal(a, b) -> bool:
         return math.isclose(float(a), b, rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def _values_bitexact(a, b) -> bool:
+    """Driver-faithful comparison: the driver hashes pandas-typed values,
+    so floats must match BIT-FOR-BIT (catches both the -0.0 vs +0.0 sign
+    split and ULP-level ROUND flips that isclose masks — the two r06
+    red-row classes). NaN==NaN is kept equal (one canonical quiet NaN on
+    both engines through toPandas/fetchdf)."""
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return struct.pack("<d", a) == struct.pack("<d", b)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _values_bitexact(x, y) for x, y in zip(a, b)
+        )
+    if type(a) is not type(b) and not (
+        isinstance(a, (int, bool)) and isinstance(b, (int, bool))
+    ):
+        # int-vs-float kind splits are reported by dtype_problems; here
+        # they are value mismatches under the driver's typed hash.
+        return False
     return a == b
 
 
@@ -126,15 +150,53 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     d = sorted(
         (tuple(_norm(r[i]) for i in dorder) for r in duck_rows), key=_sort_key
     )
-    bad = 0
+    bad = bitbad = 0
     for i, (sr, dr) in enumerate(zip(s, d)):
         if not _values_equal(sr, dr):
             if bad < 3:
                 problems.append(f"row {i}: spark={sr} duck={dr}")
             bad += 1
+        elif not _values_bitexact(sr, dr):
+            if bitbad < 3:
+                problems.append(
+                    f"BITEXACT row {i}: spark={sr!r} duck={dr!r} "
+                    f"(equal under tolerance, distinct under the driver's "
+                    f"typed hash)"
+                )
+            bitbad += 1
     if bad:
         problems.append(f"{bad} mismatched rows of {len(s)}")
+    if bitbad:
+        problems.append(f"{bitbad} bit-inexact rows of {len(s)}")
     return problems
+
+
+ROUND_MAG_LIMIT = 1e12  # |value| above this puts ROUND(x, 2) at the
+# float64 precision edge — cross-engine ULP flips become coin flips.
+
+
+def magnitude_warnings(spark_cols, spark_rows, sdf) -> list[str]:
+    """Lint: float output columns whose magnitude reaches the double
+    precision edge (the analytics_jenks_breaks r06 failure mode). Not a
+    failure — a per-query review flag for ROUND'd large sums."""
+    fcols = [
+        i
+        for i, f in enumerate(sdf.schema.fields)
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    ]
+    warns = []
+    for i in fcols:
+        mx = 0.0
+        for r in spark_rows:
+            v = r[i]
+            if isinstance(v, float) and not math.isnan(v) and abs(v) > mx:
+                mx = abs(v)
+        if mx > ROUND_MAG_LIMIT:
+            warns.append(
+                f"MAGNITUDE {spark_cols[i]}: max |value| = {mx:.3e} "
+                f"(> {ROUND_MAG_LIMIT:.0e}; ROUNDing here is ULP-unstable)"
+            )
+    return warns
 
 
 def main():
@@ -195,15 +257,18 @@ def main():
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         problems += dtype_problems(name, q, sdf, con)
+        warns = magnitude_warnings(spark_cols, spark_rows, sdf)
         if problems:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name} ({time.time()-t0:.1f}s)")
-            for p in problems:
+            for p in problems + warns:
                 print(f"      {p}")
         else:
             n_pass += 1
             print(f"PASS  {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            for p in warns:
+                print(f"      {p}")
 
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
