@@ -735,7 +735,11 @@ RFM_Q = (0.2, 0.4, 0.6, 0.8)  # quintile cutoffs
                    date_diff('day', MAX(o_orderdate),
                              (SELECT MAX(o_orderdate) FROM orders)) AS recency,
                    CAST(COUNT(*) AS DOUBLE)  AS frequency,
-                   SUM(o_totalprice)         AS monetary
+                   -- exact integer cents: double spend sums differ by an
+                   -- ULP cross-engine and flipped ROUND(AVG, 4) in the
+                   -- r07 bit-exact sweep
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)           AS monetary
             FROM orders GROUP BY o_custkey
         ),
         cuts AS (
@@ -761,7 +765,8 @@ RFM_Q = (0.2, 0.4, 0.6, 0.8)  # quintile cutoffs
         )
         SELECT r_score, f_score, m_score,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               ROUND(AVG(monetary), 4)  AS avg_monetary
+               CAST(SUM(monetary) AS DOUBLE)
+               / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_monetary
         FROM scored
         GROUP BY r_score, f_score, m_score
     """,
@@ -770,7 +775,9 @@ RFM_Q = (0.2, 0.4, 0.6, 0.8)  # quintile cutoffs
 def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quintile scores for Recency (days
     since last order, inverted so fresher = higher), Frequency (order
-    count), and Monetary (total spend), rolled up to segment sizes.
+    count), and Monetary (total spend, exact integer cents so the
+    segment averages are one bit-exact float division rather than a
+    ROUND over cross-engine double sums), rolled up to segment sizes.
 
     Plan: one order scan to the customer grain; the 12 quintile
     cutoffs are ONE aggregate row broadcast back (cutoffs are ROUNDed
@@ -788,7 +795,10 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.datediff(F.max("ref_date"), F.max("o_orderdate")).alias("recency"),
             F.count("*").cast("double").alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            # exact integer cents — see the oracle comment
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary"),
         )
     )
     cuts = cust.agg(
@@ -813,7 +823,10 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("n_customers"),
-        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        (
+            F.sum("monetary").cast("double")
+            / (F.count("*") * 100).cast("double")
+        ).alias("avg_monetary"),
     )
 
 

@@ -15,6 +15,7 @@ import os
 import struct
 import sys
 import time
+from decimal import Decimal as _Decimal
 
 sys.path.insert(0, "/root/repo")
 
@@ -61,7 +62,15 @@ def _values_bitexact(a, b) -> bool:
     so floats must match BIT-FOR-BIT (catches both the -0.0 vs +0.0 sign
     split and ULP-level ROUND flips that isclose masks — the two r06
     red-row classes). NaN==NaN is kept equal (one canonical quiet NaN on
-    both engines through toPandas/fetchdf)."""
+    both engines through toPandas/fetchdf). A DuckDB Decimal against a
+    Spark float is compared as float64, because the driver reads the
+    oracle through fetchdf(), which coerces DECIMAL columns to float64
+    before hashing (ref_interval_join was driver-certified green in r02
+    with exactly this shape)."""
+    if isinstance(b, _Decimal) and isinstance(a, float):
+        b = float(b)
+    if isinstance(a, _Decimal) and isinstance(b, float):
+        a = float(a)
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
