@@ -62,76 +62,73 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # displaced from an earlier window stays registered and tri-SF green
 # in the local gate (scripts/check_oracle.py).
 #
-# Round-6 rotation: 49 of the 50 r05 rows came back green
-# (CORRECTNESS_r05: the one red row, events_session_gap_stats, was a
-# typed-hash artifact — DuckDB HUGEINT window SUM fetching as float64
-# against Spark's int64 with bit-identical values; the oracle now
-# CASTs to BIGINT and the query re-enters this window as the one
-# sanctioned retry). All other 49 slots are FIRST-TIME entries:
-# the 7 judge-named r05 additions (ml_isotonic_calibration,
-# analytics_jenks_breaks, ml_conformal_interval, text_ppmi_neighbors,
-# sim_pq_codebook_lloyd, stats_benjamini_hochberg,
-# events_markov_stationary), the 21 round-6 family carriers (fresh
-# never-certified exemplars for the 22 family tags whose earlier
-# carriers were all certified in r01-r05), the 4 round-6 rows-only ->
-# quality-gate conversions (sim_minhash_mllib_join, text_word2vec,
-# ml_gmm_clusters, curation_quality_classifier), and a diverse
-# never-certified remainder (incl. dedup_containment_join_xxhash, the
-# 100 TB containment engine variant). Every entry passed the tri-SF
-# local gate AND the scripts/check_dtypes.py typed-hash gate before
-# rotation (the mandatory pre-rotation step added this round).
-# 203 distinct queries were driver-certified across r01-r05.
+# Round-7 rotation: 48 of the 50 r06 rows came back green
+# (CORRECTNESS_r06); the two red rows were ROUND-float typed-hash
+# hazards, both root-caused and fixed at round-6 close:
+# analytics_jenks_breaks (cross-engine ULP under ROUND at ~2.4e12 —
+# now exact integer-cent/DECIMAL(38) moments with one final float
+# division) and window_rolling_trimmed_mean (DuckDB ROUND emitting
+# -0.0 where Spark emits +0.0 — oracle normalizes with `+ 0`). Both
+# re-enter this window as the two sanctioned retries, alongside
+# stats_sprt_sequential (fixed r06 for the HUGEINT class, never yet
+# inside a driver window). All other 47 slots are FIRST-TIME entries
+# drawn from the round-6 spare tranches plus the never-certified
+# backlog, sampling every REQUIRED_FAMILY_TAG. Every entry passed
+# the tri-SF local gate (now BIT-EXACT on floats — struct.pack
+# equality, catching both r06 red-row classes), and the
+# scripts/check_dtypes.py typed-hash gate before rotation.
+# 252 distinct queries were driver-certified across r01-r06.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "events_session_gap_stats",
-    "ml_isotonic_calibration",
     "analytics_jenks_breaks",
-    "ml_conformal_interval",
-    "text_ppmi_neighbors",
-    "sim_pq_codebook_lloyd",
-    "stats_benjamini_hochberg",
-    "events_markov_stationary",
-    "scalar_math_haversine",
-    "scalar_json_array_paths",
-    "scalar_variant_typed_paths",
-    "array_sorted_order_stats",
-    "scalar_map_zip_merge",
-    "agg_cube_share_of_total",
-    "agg_pandas_udaf_weighted_gmean",
-    "join_asof_nearest_tolerance",
-    "join_range_month_overlap",
     "window_rolling_trimmed_mean",
-    "analytics_seasonal_strength",
-    "skew_hot_key_two_path_join",
-    "dedup_minhash_jaccard_estimate",
-    "dedup_simhash_distance_histogram",
-    "text_tfidf_query_rank",
-    "sim_ivf_cell_balance",
-    "ml_anova_f_selection",
-    "ml_report_macro_micro",
-    "audio_rms_db_frames",
-    "udtf_run_length_tokens",
-    "sink_csv_partitioned_roundtrip",
-    "sim_minhash_mllib_join",
-    "text_word2vec",
-    "ml_gmm_clusters",
-    "curation_quality_classifier",
-    "mm_frame_sample",
-    "agg_hll_sliding_distinct",
-    "agg_string_concat",
-    "analytics_harmonic_fit",
-    "ml_feature_hashing",
-    "ref_axis_rescale",
-    "set_union_by_name",
-    "sql_group_by_all",
-    "stats_ipw_ate",
-    "tpch_q15_top_supplier",
-    "dedup_containment_join_xxhash",
-    "events_attribution_last_touch",
-    "graph_adamic_adar",
-    "profile_benford_first_digit",
-    "retrieval_maxsim_late_interaction",
-    "warehouse_bloom_filter_semijoin",
-    "window_hampel_filter",
+    "stats_sprt_sequential",
+    "join_asof_locf_grid",
+    "set_symdiff_active_customers",
+    "stats_ks_binned_ecdf",
+    "agg_groupingsets_mixed",
+    "scalar_math_log1p_hypot",
+    "scalar_json_schema_validity",
+    "scalar_variant_array_paths",
+    "array_indexed_lambda_stats",
+    "scalar_map_entries_arith",
+    "dedup_minhash_band_sweep",
+    "sim_brp_lsh_ann",
+    "dedup_simhash_bit_balance",
+    "text_tfidf_field_boost",
+    "text_perplexity_outliers",
+    "tpch_q17_small_quantity_revenue",
+    "sim_ivf_probe_schedule",
+    "ml_chi2_feature_selection",
+    "ml_woe_encoding",
+    "source_python_datasource",
+    "join_range_overlap_degree",
+    "audio_energy_flatness",
+    "skew_salted_topk",
+    "events_session_transition_matrix",
+    "udtf_char_topfreq",
+    "agg_pandas_udaf_mad",
+    "sink_csv_gzip_roundtrip",
+    "analytics_remainder_acf",
+    "stats_did_estimator",
+    "scalar_collation_ci",
+    "mm_wav_resample_sink",
+    "sql_recursive_reachability",
+    "ml_isotonic_minimax",
+    "tpch_q7_volume_shipping",
+    "events_funnel_conversion",
+    "analytics_rfm_segmentation",
+    "stats_mad_outliers",
+    "ml_kmeans_lloyd_step_sql",
+    "text_token_stats",
+    "scalar_null_handling",
+    "events_retention_cohorts",
+    "window_rolling_weighted_mean",
+    "sim_neardup_pairs",
+    "dedup_ngram_jaccard",
+    "graph_triangle_count",
+    "profile_price_histogram",
+    "warehouse_zone_map_skipping",
+    "curation_sample_per_source",
 )
 
 
