@@ -1449,3 +1449,725 @@ def ml_count_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("target_encoding"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# reference: parity-labelled duration shares over the phrase catalog
+# ---------------------------------------------------------------------------
+
+
+def _ref_parity_shares_sql() -> str:
+    from big_data_audio_classification_spark.operators.reference_pipeline import (
+        _SEGMENTS_SQL,
+    )
+
+    return f"""
+        WITH seg AS ({_SEGMENTS_SQL}),
+        tot AS (SELECT SUM(dur) AS total_dur FROM seg)
+        SELECT speaker,
+               CAST(COUNT(*) AS BIGINT)       AS n_phrases,
+               SUM(dur)                       AS speaker_dur,
+               ROUND(SUM(dur) / MAX(tot.total_dur), 6) AS dur_share,
+               MAX(seconds)                   AS last_cum_second
+        FROM seg, tot
+        GROUP BY speaker
+    """
+
+
+@query(
+    "ref_parity_duration_shares",
+    oracle=_ref_parity_shares_sql(),
+    tags=("reference", "aggregate", "window"),
+)
+def ref_parity_duration_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R3+R7+R19 composed: per-SPEAKER duration share of the
+    phrase catalog — parity labels (R3, `src/data_generator.py`),
+    cumulative seconds (R7), and the group-by reduction (R19) in one
+    report (the per-phrase ledger itself: ``ref_segments_cumsum``).
+    Durations are whole seconds stored as doubles (exactly
+    representable), so the sums are exact and the single share
+    division is bit-stable. The phrase table is one tiny broadcast at
+    any SF — the 100 TB form partitions the cumulative window by
+    recording id, as ``ref_segments_cumsum`` documents."""
+    from big_data_audio_classification_spark.operators.reference_pipeline import (
+        segments,
+    )
+
+    seg = segments(spark)
+    tot = seg.agg(F.sum("dur").alias("total_dur"))
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .groupBy("speaker")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_phrases"),
+            F.sum("dur").alias("speaker_dur"),
+            F.round(F.sum("dur") / F.max("total_dur"), 6).alias("dur_share"),
+            F.max("seconds").alias("last_cum_second"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio-math: crest factor per frame, rolled up per channel
+# ---------------------------------------------------------------------------
+
+CREST_FRAME = 64  # samples per frame, matches the RMS/ZCR framing
+
+
+@query(
+    "audio_crest_factor",
+    oracle=f"""
+        WITH x AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        frames AS (
+            SELECT user_id,
+                   CAST((rn - 1) // {CREST_FRAME} AS BIGINT) AS frame,
+                   MAX(value) / SQRT(AVG(value * value)) AS crest
+            FROM x GROUP BY user_id, (rn - 1) // {CREST_FRAME}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               ROUND(AVG(crest), 6)     AS mean_crest,
+               ROUND(MAX(crest), 6)     AS max_crest,
+               ROUND(MIN(crest), 6)     AS min_crest
+        FROM frames
+        GROUP BY user_id
+    """,
+    tags=("audio", "audio-math", "events"),
+)
+def audio_crest_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREST FACTOR per frame (peak ÷ RMS — the impulsiveness measure
+    that separates percussive from steady material; dB siblings:
+    ``audio_rms_db_frames`` r06, flatness: ``audio_energy_flatness``
+    stock), rolled up per channel. Same row_number÷N framing as the
+    whole framed-audio family; the frame aggregate carries max and
+    mean-square together so crest is one division per frame; the
+    channel rollup is O(frames). Strictly positive signal (value ≥
+    0.01) keeps RMS nonzero and the division total."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        "value",
+        ((F.row_number().over(w) - 1) / CREST_FRAME).cast("bigint").alias(
+            "frame"
+        ),
+    )
+    frames = x.groupBy("user_id", "frame").agg(
+        (F.max("value") / F.sqrt(F.avg(F.col("value") * F.col("value"))))
+        .alias("crest")
+    )
+    return frames.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.round(F.avg("crest"), 6).alias("mean_crest"),
+        F.round(F.max("crest"), 6).alias("max_crest"),
+        F.round(F.min("crest"), 6).alias("min_crest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew: salt-factor planning table from the key-frequency census
+# ---------------------------------------------------------------------------
+
+SALT_TARGET_PARTS = 32  # executor-slot count the salt plan levels for
+
+
+@query(
+    "skew_salt_factor_plan",
+    oracle=f"""
+        WITH f AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM events GROUP BY event_type
+        ),
+        g AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+        plan AS (
+            SELECT event_type, freq,
+                   CAST(CEIL(CAST(g.total AS DOUBLE) / {SALT_TARGET_PARTS})
+                        AS BIGINT) AS target_rows,
+                   GREATEST(1, CAST(CEIL(CAST(freq AS DOUBLE) /
+                       CEIL(CAST(g.total AS DOUBLE) / {SALT_TARGET_PARTS}))
+                       AS BIGINT)) AS salt_k
+            FROM f, g
+        )
+        SELECT event_type, freq, target_rows, salt_k,
+               CAST(CEIL(CAST(freq AS DOUBLE) / salt_k) AS BIGINT)
+                   AS max_salted_load,
+               salt_k > 1 AS needs_salting
+        FROM plan
+    """,
+    tags=("scale", "skew", "events"),
+)
+def skew_salt_factor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALT-FACTOR PLANNING table: from the key-frequency census,
+    derive per key the salt fan-out k = ⌈freq ÷ target⌉ that levels
+    its rows across {p} partitions, and the resulting worst partition
+    load — the numbers you compute BEFORE keying a 100 TB shuffle
+    (the executed two-path form: ``skew_hot_key_two_path_join`` r06;
+    the frequency census alone: ``skew_key_frequency_profile``
+    stock). One aggregate + a 1-row broadcast; every output is exact
+    integer arithmetic (CEIL of an exact ratio), output = |keys|
+    rows.""".format(p=SALT_TARGET_PARTS)
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    g = f.agg(F.sum("freq").cast("bigint").alias("total"))
+    target = F.ceil(F.col("total").cast("double") / SALT_TARGET_PARTS).cast(
+        "bigint"
+    )
+    plan = f.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "freq",
+        target.alias("target_rows"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("freq").cast("double") / target).cast("bigint"),
+        ).alias("salt_k"),
+    )
+    return plan.select(
+        "event_type",
+        "freq",
+        "target_rows",
+        "salt_k",
+        F.ceil(F.col("freq").cast("double") / F.col("salt_k"))
+        .cast("bigint")
+        .alias("max_salted_load"),
+        (F.col("salt_k") > 1).alias("needs_salting"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# session: gap-sessionized duration deciles via exact order statistics
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # 30 min, the house sessionization gap
+
+
+@query(
+    "events_session_duration_deciles",
+    oracle=f"""
+        WITH x AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                             > {SESSION_GAP_S * 1000000}
+                        OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, t,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY t ROWS UNBOUNDED PRECEDING)
+                       AS session_no
+            FROM x
+        ),
+        durs AS (
+            SELECT user_id, session_no,
+                   (MAX(t) - MIN(t)) // 1000000 AS dur_s
+            FROM s GROUP BY user_id, session_no
+        ),
+        ranked AS (
+            SELECT dur_s,
+                   ROW_NUMBER() OVER (ORDER BY dur_s) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM durs
+        )
+        SELECT CAST(d.dec AS BIGINT) AS decile,
+               CAST(MAX(CASE WHEN rk = CAST(CEIL(n * d.dec / 10.0) AS BIGINT)
+                             THEN dur_s END) AS BIGINT) AS dur_s
+        FROM ranked, (SELECT UNNEST(range(1, 10)) AS dec) d
+        GROUP BY d.dec
+    """,
+    tags=("events", "session", "window", "robust"),
+)
+def events_session_duration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-DURATION DECILES under the house 30-min-gap
+    sessionization (``events_session_gap_stats``, certified r06
+    retry): gap flag → running-sum session ids → per-session duration
+    in whole seconds → the d1..d9 decile table read by EXACT order
+    statistic (value at rank ⌈n·q⌉ — type-1 quantile, integer in,
+    integer out, no interpolation, bit-stable by construction). The
+    rank pass runs over the SESSION frame (thousands of rows per
+    million events), not the event frame, so the unpartitioned rank
+    window costs nothing at scale; at 100 TB swap it for the
+    two-phase histogram rank (``agg_percentiles_twophase``) if
+    sessions themselves explode. Output = 9 rows."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(
+            F.lag(F.unix_micros("ts")).over(wo).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+                > SESSION_GAP_S * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = x.select("user_id", "t", F.sum("new_s").over(ws).alias("session_no"))
+    durs = s.groupBy("user_id", "session_no").agg(
+        ((F.max("t") - F.min("t")) / 1_000_000).cast("bigint").alias("dur_s")
+    )
+    wr = Window.orderBy("dur_s")
+    ranked = durs.select(
+        "dur_s",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    decs = F.broadcast(
+        load_table(spark, sf_dir, "region")
+        .sparkSession.range(1, 10)
+        .select(F.col("id").alias("dec"))
+    )
+    return (
+        ranked.crossJoin(decs)
+        .filter(
+            F.col("rk")
+            == F.ceil(F.col("n") * F.col("dec") / 10.0).cast("bigint")
+        )
+        .groupBy(F.col("dec").cast("bigint").alias("decile"))
+        .agg(F.max("dur_s").cast("bigint").alias("dur_s"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# udtf: leading word-bigram emitter
+# ---------------------------------------------------------------------------
+
+BIGRAM_PREFIX = 6     # bigrams emitted per document
+BIGRAM_DOC_CAP = 150  # documents scanned (bounded-output exemplar)
+
+
+@query(
+    "udtf_word_bigrams",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id) AS pos
+            FROM (SELECT doc_id,
+                         UNNEST(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS tok
+                  FROM documents WHERE doc_id < {BIGRAM_DOC_CAP})
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               tok || ' ' || nxt AS bigram
+        FROM (SELECT doc_id, pos, tok,
+                     LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+              FROM w)
+        WHERE pos <= {BIGRAM_PREFIX} AND nxt IS NOT NULL
+    """,
+    tags=("udtf", "text", "documents"),
+)
+def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-BIGRAM UDTF: a Python table function walks each document
+    once and yields its leading {k} bigrams with positions — the
+    shingling kernel as per-row iteration, where the oracle needs an
+    explode + two windows (ROW_NUMBER for position, LEAD for the
+    successor) to state the same thing — two independent professional
+    formulations (the full n-gram families live in
+    ``dedup_ngram_jaccard`` / ``text_pmi_collocations``; UDTF
+    siblings: ``udtf_run_length_tokens`` r06, ``udtf_char_topfreq``
+    stock). DuckDB's bare ROW_NUMBER is list-order over the unnest,
+    matching the split order. Arrow-batched, text never shuffles,
+    ≤ {k} rows per document.""".format(k=BIGRAM_PREFIX)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos long, bigram string")
+    class WordBigrams:
+        def eval(self, text: str):
+            if not text:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for i in range(min(BIGRAM_PREFIX, len(toks) - 1)):
+                yield i + 1, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BIGRAM_DOC_CAP
+    ).createOrReplaceTempView("udtf_bigram_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM udtf_bigram_docs_in d, LATERAL word_bigrams(d.text) b
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# csv: TSV dialect (tab separator, custom null token) roundtrip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_csv_tsv_dialect_roundtrip",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)                       AS n,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_nonen_null,
+               CAST(SUM(n_chars) AS BIGINT)                   AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT)                    AS min_doc_id
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("sink", "csv", "documents"),
+)
+def sink_csv_tsv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV DIALECT roundtrip: tab separator + a custom NULL token
+    (``\\N``, the classic MySQL-dump convention) written and read
+    back with the SAME dialect options — non-English lang values are
+    nulled on write, survive the wire as ``\\N``, and come back as
+    SQL NULLs the aggregate can count (dialect family:
+    ``sink_csv_options_roundtrip`` r03, gzip r06-stock, quote-all
+    stock, hive-partitioned r06). The oracle restates the aggregates
+    from the parquet truth — the roundtrip is the thing under test.
+    Text is space-tokenized (never contains tabs), making TSV the
+    natural quoting-free dialect here."""
+    path = os.path.join(_SCRATCH, "sink_csv_tsv_dialect_roundtrip")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", F.col("lang")).alias("lang_en_only"),
+        "n_chars",
+    )
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "\t")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    back = spark.read.csv(
+        path,
+        header=True,
+        sep="\t",
+        nullValue="\\N",
+        schema="doc_id long, source string, lang_en_only string, n_chars long",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang_en_only").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonen_null"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling: windowed skewness / kurtosis from exact power sums
+# ---------------------------------------------------------------------------
+
+RSK_WINDOW = 24  # rows preceding (25-row frame with the current row)
+RSK_MIN_N = 5    # emit NULL moments below this frame population
+
+
+@query(
+    "window_rolling_skew_kurt",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_id, user_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        s AS (
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS DOUBLE)          AS n,
+                   CAST(SUM(c) OVER w AS DOUBLE)            AS s1,
+                   CAST(SUM(c * c) OVER w AS DOUBLE)        AS s2,
+                   CAST(SUM(c * c * c) OVER w AS DOUBLE)    AS s3,
+                   CAST(SUM(CAST(c * c AS DECIMAL(38, 0))
+                            * CAST(c * c AS DECIMAL(38, 0))) OVER w AS DOUBLE)
+                                                            AS s4
+            FROM x
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {RSK_WINDOW} PRECEDING AND CURRENT ROW)
+        ),
+        m AS (
+            SELECT event_id, user_id, n,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                          + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+                              AS m4
+            FROM s
+        )
+        SELECT event_id, user_id, CAST(n AS BIGINT) AS n,
+               CASE WHEN n >= {RSK_MIN_N} AND m2 > 0
+                    THEN ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6)
+               END AS roll_skew,
+               CASE WHEN n >= {RSK_MIN_N} AND m2 > 0
+                    THEN ROUND(m4 / (m2 * m2) - 3.0, 6)
+               END AS roll_kurt
+        FROM m
+    """,
+    tags=("window", "rolling", "events"),
+)
+def window_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING SKEWNESS and EXCESS KURTOSIS over a 25-row frame — the
+    shape moments that flag regime changes a rolling mean/stddev
+    can't see. The house bit-stability idiom end-to-end: the four
+    power sums S₁..S₄ accumulate EXACT integer cents inside the
+    window frame (S₄ in DECIMAL(38) — cents⁴ × 25 rows overflows
+    int64), every engine-visible float is derived from those exact
+    integers through ONE shared expression template (the m₂/m₃/m₄
+    central-moment expansions, written in identical operation order
+    in both dialects), and frames too small for a third moment emit
+    honest NULLs. One shuffle keyed by channel; the frame is
+    row-bounded so state is O(window) — the same plan shape as every
+    certified rolling carrier (trimmed mean r07-retry, weighted mean
+    stock)."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    x = e.select("event_id", "user_id", "ts", c.alias("c"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-RSK_WINDOW, Window.currentRow)
+    )
+    cc = F.col("c") * F.col("c")
+    s = x.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("c").over(w).cast("double").alias("s1"),
+        F.sum(cc).over(w).cast("double").alias("s2"),
+        F.sum(cc * F.col("c")).over(w).cast("double").alias("s3"),
+        F.sum(cc.cast("decimal(38,0)") * cc.cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(k) for k in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4.0 * mu * (s3 / n)
+        + 6.0 * mu * mu * (s2 / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    ok = (n >= RSK_MIN_N) & (m2 > 0)
+    return s.select(
+        "event_id",
+        "user_id",
+        n.cast("bigint").alias("n"),
+        F.when(ok, F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6))
+        .alias("roll_skew"),
+        F.when(ok, F.round(m4 / (m2 * m2) - 3.0, 6)).alias("roll_kurt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decomposition: day-of-week additive profile with exact remainders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_dow_additive_profile",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(cents) AS BIGINT) AS total FROM daily),
+        agg AS (
+            SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(SUM(cents) AS BIGINT) AS dow_cents
+            FROM daily GROUP BY dow
+        ),
+        dev AS (
+            SELECT d.dow,
+                   CAST(SUM(ABS(d.cents * a.nd - a.dow_cents)) AS BIGINT)
+                       AS sum_abs_dev_nd
+            FROM daily d JOIN agg a ON d.dow = a.dow
+            GROUP BY d.dow
+        )
+        SELECT CAST(a.dow AS BIGINT) AS dow,
+               a.nd AS n_days,
+               ROUND(CAST(a.dow_cents AS DOUBLE) / a.nd / 100.0, 4)
+                   AS dow_mean,
+               ROUND(CAST(a.dow_cents AS DOUBLE) / a.nd / 100.0
+                     - CAST(g.total AS DOUBLE) / g.n_days / 100.0, 4)
+                   AS dow_effect,
+               ROUND(CAST(dev.sum_abs_dev_nd AS DOUBLE)
+                     / a.nd / a.nd / 100.0, 4)
+                   AS remainder_mad
+        FROM agg a JOIN dev ON a.dow = dev.dow, g
+    """,
+    tags=("analytics", "decomposition", "timeseries", "orders"),
+)
+def analytics_dow_additive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE day-of-week decomposition profile: per weekday, the
+    mean daily revenue, its EFFECT (deviation from the grand daily
+    mean — the seasonal component of level + season + remainder), and
+    the remainder's mean absolute deviation — with the MAD numerator
+    kept in EXACT integers by scaling before subtracting
+    (|cents·n_d − Σcents| is integer math; dividing by n_d² once at
+    the end is the only float op), the same trick the house uses
+    everywhere a difference-of-floats would wobble (sibling
+    decompositions: ``analytics_seasonal_strength`` r06,
+    ``analytics_multiplicative_decomp`` stock, remainder ACF in the
+    r07 window). Two aggregates over the daily frame (which is
+    O(days) — tiny at any SF) after one group-by over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    agg = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("cents").cast("bigint").alias("dow_cents"),
+    )
+    dev = (
+        daily.join(agg, "dow")
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                F.abs(F.col("cents") * F.col("nd") - F.col("dow_cents"))
+            )
+            .cast("bigint")
+            .alias("sum_abs_dev_nd")
+        )
+    )
+    return (
+        agg.join(dev, "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("nd").alias("n_days"),
+            F.round(
+                F.col("dow_cents").cast("double") / F.col("nd") / 100.0, 4
+            ).alias("dow_mean"),
+            F.round(
+                F.col("dow_cents").cast("double") / F.col("nd") / 100.0
+                - F.col("total").cast("double") / F.col("n_days") / 100.0,
+                4,
+            ).alias("dow_effect"),
+            F.round(
+                F.col("sum_abs_dev_nd").cast("double")
+                / F.col("nd")
+                / F.col("nd")
+                / 100.0,
+                4,
+            ).alias("remainder_mad"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# causal: stratified (blocked) treatment-effect table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_stratified_ate",
+    oracle="""
+        WITH base AS (
+            SELECT c.c_mktsegment AS stratum,
+                   CAST(c.c_custkey % 2 AS BIGINT) AS treated,
+                   CAST(ROUND(t.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders t JOIN customer c ON t.o_custkey = c.c_custkey
+        ),
+        s AS (
+            SELECT stratum,
+                   CAST(SUM(treated) AS BIGINT)                    AS n1,
+                   CAST(SUM(1 - treated) AS BIGINT)                AS n0,
+                   CAST(SUM(treated * cents) AS BIGINT)            AS s1,
+                   CAST(SUM((1 - treated) * cents) AS BIGINT)      AS s0,
+                   SUM(treated * CAST(cents AS DECIMAL(38, 0))
+                       * CAST(cents AS DECIMAL(38, 0)))            AS ss1,
+                   SUM((1 - treated) * CAST(cents AS DECIMAL(38, 0))
+                       * CAST(cents AS DECIMAL(38, 0)))            AS ss0
+            FROM base GROUP BY stratum
+        )
+        SELECT stratum, n1, n0,
+               ROUND((CAST(s1 AS DOUBLE) / n1
+                      - CAST(s0 AS DOUBLE) / n0) / 100.0, 4) AS diff_dollars,
+               ROUND(SQRT(
+                   (CAST(ss1 AS DOUBLE) / n1
+                    - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))
+                       / (n1 - 1)
+                   + (CAST(ss0 AS DOUBLE) / n0
+                      - (CAST(s0 AS DOUBLE) / n0) * (CAST(s0 AS DOUBLE) / n0))
+                       / (n0 - 1)) / 100.0, 4)               AS se_dollars
+        FROM s
+    """,
+    tags=("stats", "causal", "inference", "orders"),
+)
+def stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED (blocked) treatment-effect table: within each
+    customer segment, the treated-minus-control mean outcome and its
+    Neyman standard error — the blocked-experiment estimator that
+    removes between-stratum variance from the comparison (IPW
+    weighting: ``stats_ipw_ate``, certified r06; diff-in-diff /
+    regression-discontinuity: ``stats_did_estimator`` /
+    ``stats_rdd_local_means`` in the r07 window and stock). The
+    treatment flag is the deterministic custkey parity; all six
+    sufficient statistics per stratum are EXACT integers (squared
+    cents in DECIMAL(38) — cents² × group size overflows int64 past
+    sf0.1), and the effect and SE are fixed-order float expressions
+    over them — the ``stats_ipw_ate`` bit-stability idiom. One
+    broadcast join + one aggregate; output = |strata| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("stratum"),
+        (F.col("c_custkey") % 2).cast("bigint").alias("treated"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t = F.col("treated")
+    cents = F.col("cents")
+    cd = cents.cast("decimal(38,0)")
+    s = base.groupBy("stratum").agg(
+        F.sum(t).cast("bigint").alias("n1"),
+        F.sum(1 - t).cast("bigint").alias("n0"),
+        F.sum(t * cents).cast("bigint").alias("s1"),
+        F.sum((1 - t) * cents).cast("bigint").alias("s0"),
+        F.sum(t * cd * cd).alias("ss1"),
+        F.sum((1 - t) * cd * cd).alias("ss0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    m1 = F.col("s1").cast("double") / n1
+    m0 = F.col("s0").cast("double") / n0
+    v1 = (F.col("ss1").cast("double") / n1 - m1 * m1) / (n1 - 1)
+    v0 = (F.col("ss0").cast("double") / n0 - m0 * m0) / (n0 - 1)
+    return s.select(
+        "stratum",
+        "n1",
+        "n0",
+        F.round((m1 - m0) / 100.0, 4).alias("diff_dollars"),
+        F.round(F.sqrt(v1 + v0) / 100.0, 4).alias("se_dollars"),
+    )
