@@ -705,7 +705,7 @@ def audio_rms_db_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_energy_flatness",
     oracle=f"""
         WITH x AS (
-            SELECT user_id, value,
+            SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c,
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
             FROM events
@@ -713,16 +713,23 @@ def audio_rms_db_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames AS (
             SELECT user_id,
                    CAST((rn - 1) // {RMS_FRAME} AS BIGINT) AS frame,
-                   AVG(value * value) AS power
+                   CAST(SUM(c * c) AS DOUBLE)
+                       / (COUNT(*) * 10000.0) AS power
             FROM x GROUP BY user_id, (rn - 1) // {RMS_FRAME}
+        ),
+        ch AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT)          AS n_frames,
+                   list(power ORDER BY frame)        AS ps,
+                   MAX(power)                        AS max_power
+            FROM frames GROUP BY user_id
         )
-        SELECT user_id,
-               CAST(COUNT(*) AS BIGINT)                     AS n_frames,
-               ROUND(EXP(AVG(LN(power))) / AVG(power), 6)   AS flatness,
-               ROUND(MAX(power) / AVG(power), 6)            AS crest_power,
-               ROUND(AVG(power), 6)                         AS mean_power
-        FROM frames
-        GROUP BY user_id
+        SELECT user_id, n_frames,
+               ROUND(EXP(list_sum(list_transform(ps, p -> LN(p))) / n_frames)
+                     / (list_sum(ps) / n_frames), 6)  AS flatness,
+               ROUND(max_power / (list_sum(ps) / n_frames), 6) AS crest_power,
+               ROUND(list_sum(ps) / n_frames, 6)      AS mean_power
+        FROM ch
     """,
     tags=("audio", "audio-math", "events"),
 )
@@ -731,32 +738,55 @@ def audio_energy_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula — geometric over arithmetic mean — applied to framed
     power): flatness → 1 for noise-like channels, → 0 for impulsive
     ones, plus the power crest factor. The frame pass is the same
-    row_number÷N framing as ``audio_rms_db_frames``; the flatness
-    reduces each channel to one row via two aggregates over the frame
-    energies (EXP∘AVG∘LN is the gmean the engines share exactly).
-    Values here are strictly positive (value² of nonzero doubles), so
-    LN is total."""
+    row_number÷N framing as ``audio_rms_db_frames``; per-frame power
+    is EXACT integer cents² divided once, and every cross-frame
+    reduction (Σ power, Σ ln power) runs as a SEQUENTIAL frame-ordered
+    in-row fold over the per-channel frame array — the deterministic
+    summation-order idiom — because engine-side AVG over frames
+    proved ULP-unstable under ROUND at sf0.1 (one flipped cell,
+    caught by the r07 bit-exact sweep). Frame counts per channel are
+    bounded (events/channel ÷ {RMS_FRAME}); at 100 TB cap or re-chunk
+    channels before collecting the frame array. Values are strictly
+    positive so LN is total."""
     from big_data_audio_classification_spark.sources.catalog import load_table
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("bigint")
     x = e.select(
         "user_id",
-        "value",
+        c.alias("c"),
         ((F.row_number().over(w) - 1) / RMS_FRAME).cast("bigint").alias(
             "frame"
         ),
     )
     frames = x.groupBy("user_id", "frame").agg(
-        F.avg(F.col("value") * F.col("value")).alias("power")
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.count(F.lit(1)) * 10000.0)
+        ).alias("power")
     )
-    return frames.groupBy("user_id").agg(
+    ch = frames.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
-        F.round(F.exp(F.avg(F.log("power"))) / F.avg("power"), 6).alias(
-            "flatness"
-        ),
-        F.round(F.max("power") / F.avg("power"), 6).alias("crest_power"),
-        F.round(F.avg("power"), 6).alias("mean_power"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("frame", "power"))),
+            lambda s: s.getField("power"),
+        ).alias("ps"),
+        F.max("power").alias("max_power"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, p: acc + p
+    )
+    mean_power = fold(F.col("ps")) / F.col("n_frames")
+    log_mean = (
+        fold(F.transform(F.col("ps"), lambda p: F.log(p))) / F.col("n_frames")
+    )
+    return ch.select(
+        "user_id",
+        "n_frames",
+        F.round(F.exp(log_mean) / mean_power, 6).alias("flatness"),
+        F.round(F.col("max_power") / mean_power, 6).alias("crest_power"),
+        F.round(mean_power, 6).alias("mean_power"),
     )
 
 

@@ -228,3 +228,90 @@ def ml_pipeline_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_class",
         *[F.round(prob[i], 4).alias(f"p_{name}") for i, name in enumerate(labels)],
     ).orderBy("vec_id")
+
+
+# --- round-7: the SQL-oracled half of the model-persistence surface -----
+
+_PIPE_META_N_CLASSES = 10  # labels 0..9 by the generator's construction
+
+
+@query(
+    "ml_pipeline_metadata_contract",
+    oracle=f"""
+        SELECT * FROM (VALUES
+            (0, 'VectorAssembler', 'n_input_cols', '{N_DIMS}'),
+            (0, 'VectorAssembler', 'output_col', 'features'),
+            (1, 'StringIndexerModel', 'order_type', 'alphabetAsc'),
+            (1, 'StringIndexerModel', 'handle_invalid', 'skip'),
+            (1, 'StringIndexerModel', 'n_labels', '{_PIPE_META_N_CLASSES}'),
+            (1, 'StringIndexerModel', 'first_label', 'cls_0'),
+            (2, 'MultilayerPerceptronClassificationModel', 'layers',
+             '{N_DIMS},16,{_PIPE_META_N_CLASSES}'),
+            (2, 'MultilayerPerceptronClassificationModel', 'max_iter', '40'),
+            (2, 'MultilayerPerceptronClassificationModel', 'seed', '42'),
+            (2, 'MultilayerPerceptronClassificationModel', 'n_weights',
+             '{(N_DIMS + 1) * 16 + (16 + 1) * _PIPE_META_N_CLASSES}')
+        ) AS t(stage_idx, stage_class, param, value)
+    """,
+    tags=("ml", "persist", "mllib", "report"),
+)
+def ml_pipeline_metadata_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-ORACLED half of the R38/R39 persistence surface: fit the
+    ``ml_pipeline_save_load`` pipeline, ``save()`` it, ``load()`` it,
+    and read the CONTRACT back OUT OF THE RELOADED MODEL — stage
+    classes and order, assembler arity and output column, the fitted
+    indexer's order type / invalid policy / label inventory, the MLP's
+    layer spec, iteration budget, seed, and fitted weight-vector
+    length. Every row is determined by construction (labels cls_0..9
+    exist at every SF and alphabetAsc fixes their order), so the
+    oracle is the literal expected table — if (de)serialization
+    dropped or mutated ANY of it, the Spark side diverges and the
+    hash goes red. The non-SQL-expressible half (iterative training,
+    prediction values) stays rows-only in ``ml_pipeline_save_load``,
+    with its invariants pytest-asserted — the split VERDICT r06 item
+    7 asked for."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    em = _dims(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "class_name", F.concat(F.lit("cls_"), F.col("label"))
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=[f"x{i}" for i in range(N_DIMS)], outputCol="features"
+            ),
+            StringIndexer(
+                inputCol="class_name", outputCol="y",
+                stringOrderType="alphabetAsc", handleInvalid="skip",
+            ),
+            MultilayerPerceptronClassifier(
+                featuresCol="features", labelCol="y",
+                layers=[N_DIMS, 16, _PIPE_META_N_CLASSES],
+                maxIter=40, seed=42, blockSize=64,
+            ),
+        ]
+    )
+    model = pipe.fit(em)
+    path = os.path.join(_SCRATCH, "ml_pipeline_metadata_contract")
+    model.write().overwrite().save(path)
+    m = PipelineModel.load(path)
+
+    asm, idx, mlp = m.stages
+    rows = [
+        (0, type(asm).__name__, "n_input_cols", str(len(asm.getInputCols()))),
+        (0, type(asm).__name__, "output_col", asm.getOutputCol()),
+        (1, type(idx).__name__, "order_type", idx.getStringOrderType()),
+        (1, type(idx).__name__, "handle_invalid", idx.getHandleInvalid()),
+        (1, type(idx).__name__, "n_labels", str(len(idx.labelsArray[0]))),
+        (1, type(idx).__name__, "first_label", idx.labelsArray[0][0]),
+        (2, type(mlp).__name__, "layers",
+         ",".join(str(x) for x in mlp.getLayers())),
+        (2, type(mlp).__name__, "max_iter", str(mlp.getMaxIter())),
+        (2, type(mlp).__name__, "seed", str(mlp.getSeed())),
+        (2, type(mlp).__name__, "n_weights", str(mlp.weights.size)),
+    ]
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage_class string, param string, value string"
+    )

@@ -1518,7 +1518,7 @@ CREST_FRAME = 64  # samples per frame, matches the RMS/ZCR framing
     "audio_crest_factor",
     oracle=f"""
         WITH x AS (
-            SELECT user_id, value,
+            SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c,
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
             FROM events
@@ -1526,46 +1526,77 @@ CREST_FRAME = 64  # samples per frame, matches the RMS/ZCR framing
         frames AS (
             SELECT user_id,
                    CAST((rn - 1) // {CREST_FRAME} AS BIGINT) AS frame,
-                   MAX(value) / SQRT(AVG(value * value)) AS crest
+                   (CAST(MAX(c) AS DOUBLE) / 100.0)
+                   / SQRT(CAST(SUM(c * c) AS DOUBLE)
+                          / (COUNT(*) * 10000.0)) AS crest
             FROM x GROUP BY user_id, (rn - 1) // {CREST_FRAME}
+        ),
+        ch AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT)   AS n_frames,
+                   list(crest ORDER BY frame) AS cs,
+                   MAX(crest)                 AS max_crest,
+                   MIN(crest)                 AS min_crest
+            FROM frames GROUP BY user_id
         )
-        SELECT user_id,
-               CAST(COUNT(*) AS BIGINT) AS n_frames,
-               ROUND(AVG(crest), 6)     AS mean_crest,
-               ROUND(MAX(crest), 6)     AS max_crest,
-               ROUND(MIN(crest), 6)     AS min_crest
-        FROM frames
-        GROUP BY user_id
+        SELECT user_id, n_frames,
+               ROUND(list_sum(cs) / n_frames, 6) AS mean_crest,
+               ROUND(max_crest, 6)               AS max_crest,
+               ROUND(min_crest, 6)               AS min_crest
+        FROM ch
     """,
     tags=("audio", "audio-math", "events"),
 )
 def audio_crest_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREST FACTOR per frame (peak ÷ RMS — the impulsiveness measure
     that separates percussive from steady material; dB siblings:
-    ``audio_rms_db_frames`` r06, flatness: ``audio_energy_flatness``
-    stock), rolled up per channel. Same row_number÷N framing as the
-    whole framed-audio family; the frame aggregate carries max and
-    mean-square together so crest is one division per frame; the
-    channel rollup is O(frames). Strictly positive signal (value ≥
-    0.01) keeps RMS nonzero and the division total."""
+    ``audio_rms_db_frames`` r06, flatness: ``audio_energy_flatness``),
+    rolled up per channel. Same row_number÷N framing as the whole
+    framed-audio family; per-frame peak and energy are EXACT integer
+    cents (one division + one sqrt per frame), and the cross-frame
+    mean runs as a SEQUENTIAL frame-ordered in-row fold — the
+    deterministic-summation idiom the r07 bit-exact sweep forced onto
+    ``audio_energy_flatness`` (engine-side AVG over frames is
+    ULP-unstable under ROUND). max/min are order-free. Strictly
+    positive signal keeps RMS nonzero and the division total."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("bigint")
     x = e.select(
         "user_id",
-        "value",
+        c.alias("c"),
         ((F.row_number().over(w) - 1) / CREST_FRAME).cast("bigint").alias(
             "frame"
         ),
     )
     frames = x.groupBy("user_id", "frame").agg(
-        (F.max("value") / F.sqrt(F.avg(F.col("value") * F.col("value"))))
-        .alias("crest")
+        (
+            (F.max("c").cast("double") / 100.0)
+            / F.sqrt(
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.count(F.lit(1)) * 10000.0)
+            )
+        ).alias("crest")
     )
-    return frames.groupBy("user_id").agg(
+    ch = frames.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
-        F.round(F.avg("crest"), 6).alias("mean_crest"),
-        F.round(F.max("crest"), 6).alias("max_crest"),
-        F.round(F.min("crest"), 6).alias("min_crest"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("frame", "crest"))),
+            lambda s: s.getField("crest"),
+        ).alias("cs"),
+        F.max("crest").alias("max_crest"),
+        F.min("crest").alias("min_crest"),
+    )
+    mean_crest = (
+        F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, p: acc + p)
+        / F.col("n_frames")
+    )
+    return ch.select(
+        "user_id",
+        "n_frames",
+        F.round(mean_crest, 6).alias("mean_crest"),
+        F.round("max_crest", 6).alias("max_crest"),
+        F.round("min_crest", 6).alias("min_crest"),
     )
 
 
