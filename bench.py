@@ -106,6 +106,14 @@ HEADLINE = [
     "analytics_jenks_breaks",
     "ml_conformal_interval",
     "dedup_minhash_jaccard_estimate",
+    # round-7 flagship additions (VERDICT r06 item 6: carry the now-
+    # permanent retry plus this round's heaviest new operators; the
+    # 46-query shared subset above stays frozen for round-over-round
+    # comparability)
+    "window_rolling_trimmed_mean",
+    "window_rolling_skew_kurt",
+    "text_bm25_rank",
+    "dedup_lsh_bucket_profile",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a
