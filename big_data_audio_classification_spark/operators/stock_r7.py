@@ -1762,11 +1762,7 @@ def events_session_duration_deciles(spark: SparkSession, sf_dir: str) -> DataFra
         F.row_number().over(wr).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
-    decs = F.broadcast(
-        load_table(spark, sf_dir, "region")
-        .sparkSession.range(1, 10)
-        .select(F.col("id").alias("dec"))
-    )
+    decs = F.broadcast(spark.range(1, 10).select(F.col("id").alias("dec")))
     return (
         ranked.crossJoin(decs)
         .filter(
