@@ -30,6 +30,13 @@ from big_data_audio_classification_spark.registry import query
 from big_data_audio_classification_spark.scratch import SCRATCH_DIR as _SCRATCH
 from big_data_audio_classification_spark.sources.catalog import load_table
 
+# Single source of truth for the IVF coarse-centroid count (oracle
+# strings interpolate it at decoration time, so a change in
+# similarity.py moves BOTH engines together).
+from big_data_audio_classification_spark.operators.similarity import (  # noqa: E402
+    IVF_CELLS as _IVF_CELLS,
+)
+
 # ---------------------------------------------------------------------------
 # asof: forward direction with bounded look-AHEAD
 # ---------------------------------------------------------------------------
@@ -361,12 +368,12 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     group is a rank window over the DISTINCT hash set — mergeable,
     fixed memory, and the exact side (for the error column) drops
     away leaving a k-row-per-group sketch.""".format(k=KMV_K)
+    from big_data_audio_classification_spark.operators.dedup import token_hash
+
     o = load_table(spark, sf_dir, "orders")
     h = o.select(
         F.col("o_orderpriority").alias("priority"),
-        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
+        token_hash(F.col("o_custkey").cast("string")).alias("hv"),
     ).distinct()
     wr = Window.partitionBy("priority").orderBy("hv")
     wn = Window.partitionBy("priority")
@@ -482,6 +489,10 @@ def agg_pandas_udaf_decile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return float((p90 - p10) / (p75 - p25))
 
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count must also ride through Arrow — the same constraint
+    # behind agg_pandas_udaf_mad/iqr's n_rows kernels.
     @pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
         return len(v)
@@ -921,7 +932,10 @@ def dedup_simhash_prefix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
     3 rows at any SF."""
     from big_data_audio_classification_spark.operators.dedup import dedup_simhash
 
-    sh = dedup_simhash(spark, sf_dir).persist()
+    # no persist: the 3 legs each re-derive the 1-row-per-doc
+    # fingerprint frame (cheap), and a persisted frame would pin
+    # executor storage for the rest of a long gate/bench session
+    sh = dedup_simhash(spark, sf_dir)
     legs = [
         sh.select(
             F.lit(bits).alias("prefix_bits"),
@@ -1168,9 +1182,9 @@ def text_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivf_second_choice_margin",
-    oracle="""
+    oracle=f"""
         WITH c AS (SELECT vec_id AS cell_id, embedding FROM embeddings
-                   WHERE vec_id < 8),
+                   WHERE vec_id < {_IVF_CELLS}),
         d AS (
             SELECT e.vec_id, c.cell_id,
                    list_sum(list_transform(list_zip(c.embedding, e.embedding),
@@ -1188,17 +1202,24 @@ def text_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
         m AS (
             SELECT vec_id,
                    MAX(CASE WHEN rn = 1 THEN cell_id END) AS cell_id,
-                   MAX(CASE WHEN rn = 1 THEN dist END)    AS d1,
-                   MAX(CASE WHEN rn = 2 THEN dist END)    AS d2
+                   MAX(CASE WHEN rn = 2 THEN dist END)
+                       - MAX(CASE WHEN rn = 1 THEN dist END) AS margin
             FROM r WHERE rn <= 2 GROUP BY vec_id
+        ),
+        cells AS (
+            SELECT cell_id,
+                   CAST(COUNT(*) AS BIGINT)       AS n_vectors,
+                   list(margin ORDER BY vec_id)   AS ms,
+                   MIN(margin)                    AS min_margin,
+                   CAST(SUM(CASE WHEN margin < 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT)                AS n_ambiguous
+            FROM m GROUP BY cell_id
         )
-        SELECT cell_id,
-               CAST(COUNT(*) AS BIGINT)            AS n_vectors,
-               ROUND(AVG(d2 - d1), 6)              AS mean_margin,
-               ROUND(MIN(d2 - d1), 6)              AS min_margin,
-               CAST(SUM(CASE WHEN d2 - d1 < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-                                                   AS n_ambiguous
-        FROM m GROUP BY cell_id
+        SELECT cell_id, n_vectors,
+               ROUND(list_sum(ms) / n_vectors, 6) AS mean_margin,
+               ROUND(min_margin, 6)               AS min_margin,
+               n_ambiguous
+        FROM cells
     """,
     tags=("similarity", "ivf", "embeddings"),
 )
@@ -1208,19 +1229,23 @@ def sim_ivf_second_choice_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization-confidence statistic that directly predicts how much
     recall nprobe=1 loses (vectors with small margins are the ones a
     single-probe search misassigns; cell sizes alone —
-    ``sim_ivf_cell_balance`` — can't see this). Broadcast the 8
+    ``sim_ivf_cell_balance`` — can't see this). Broadcast the
     centroids, map-only distance scoring, one rank window per vector,
-    then an O(cells)-row aggregate; the margin threshold (0.5) counts
-    the ambiguous population per cell. Same scale shape as every IVF
-    report here: linear scan, no pairwise blow-up."""
+    then an O(cells)-row aggregate; per-vector margins are
+    deterministic row-local floats and the per-cell MEAN runs as a
+    vec_id-ordered SEQUENTIAL in-row fold (an engine-side AVG across
+    rows is summation-order-dependent — the audio_energy_flatness
+    lesson applied before certification this time); min and the
+    threshold count are order-free. The margin threshold (0.5) counts
+    the ambiguous population per cell. At 100 TB cap the per-cell
+    margin array or histogram the margins instead."""
     from big_data_audio_classification_spark.functions.vector import (
         l2_dist_sq,
         to_double,
     )
-    from big_data_audio_classification_spark.operators.similarity import IVF_CELLS
 
     em = load_table(spark, sf_dir, "embeddings")
-    cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
+    cents = em.filter(F.col("vec_id") < _IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
     )
     d2 = l2_dist_sq(to_double(F.col("c_emb")), to_double(F.col("embedding")))
@@ -1234,17 +1259,32 @@ def sim_ivf_second_choice_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= 2)
     m = r.groupBy("vec_id").agg(
         F.max(F.when(F.col("rn") == 1, F.col("cell_id"))).alias("cell_id"),
-        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1"),
-        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
+        (
+            F.max(F.when(F.col("rn") == 2, F.col("dist")))
+            - F.max(F.when(F.col("rn") == 1, F.col("dist")))
+        ).alias("margin"),
     )
-    margin = F.col("d2") - F.col("d1")
-    return m.groupBy("cell_id").agg(
+    cells = m.groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-        F.round(F.avg(margin), 6).alias("mean_margin"),
-        F.round(F.min(margin), 6).alias("min_margin"),
-        F.sum(F.when(margin < 0.5, 1).otherwise(0))
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "margin"))),
+            lambda s: s.getField("margin"),
+        ).alias("ms"),
+        F.min("margin").alias("min_margin"),
+        F.sum(F.when(F.col("margin") < 0.5, 1).otherwise(0))
         .cast("bigint")
         .alias("n_ambiguous"),
+    )
+    mean_margin = (
+        F.aggregate(F.col("ms"), F.lit(0.0), lambda acc, p: acc + p)
+        / F.col("n_vectors")
+    )
+    return cells.select(
+        "cell_id",
+        "n_vectors",
+        F.round(mean_margin, 6).alias("mean_margin"),
+        F.round("min_margin", 6).alias("min_margin"),
+        "n_ambiguous",
     )
 
 
@@ -1253,20 +1293,27 @@ def sim_ivf_second_choice_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MRMR_DIMS = 8  # score dims 0..7; dim 0 is the already-selected anchor
+MRMR_Q = 10000  # fixed-point scale: x -> round(x * 1e4) exact integer
 
 
 def _mrmr_sql() -> str:
-    # sufficient statistics for corr(x_d, label) and corr(x_d, x_0)
+    # sufficient statistics for corr(x_d, label) and corr(x_d, x_0) —
+    # accumulated over EXACT fixed-point integers (scale {MRMR_Q}) so
+    # the cross-row sums are order-independent on both engines; the
+    # correlations are then fixed-order float expressions over the
+    # 1-row exact frame (cast-to-double of an int < 2^53 is exact).
     stat_cols = []
     for d in range(MRMR_DIMS):
         stat_cols += [
-            f"SUM(x{d}) AS s{d}",
-            f"SUM(x{d} * x{d}) AS ss{d}",
-            f"SUM(x{d} * y) AS sy{d}",
-            f"SUM(x{d} * x0) AS sx0_{d}",
+            f"CAST(SUM(x{d}) AS DOUBLE) AS s{d}",
+            f"CAST(SUM(x{d} * x{d}) AS DOUBLE) AS ss{d}",
+            f"CAST(SUM(x{d} * y) AS DOUBLE) AS sy{d}",
+            f"CAST(SUM(x{d} * x0) AS DOUBLE) AS sx0_{d}",
         ]
     xs = ", ".join(
-        f"CAST(embedding[{d + 1}] AS DOUBLE) AS x{d}" for d in range(MRMR_DIMS)
+        f"CAST(ROUND(CAST(embedding[{d + 1}] AS DOUBLE) * {MRMR_Q}) AS BIGINT)"
+        f" AS x{d}"
+        for d in range(MRMR_DIMS)
     )
     legs = "\n        UNION ALL\n        ".join(
         f"""SELECT {d} AS dim,
@@ -1281,12 +1328,13 @@ def _mrmr_sql() -> str:
     )
     return f"""
         WITH base AS (
-            SELECT CAST(label AS DOUBLE) AS y, {xs}
+            SELECT CAST(label AS BIGINT) AS y, {xs}
             FROM embeddings
         ),
         stats AS (
             SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                   SUM(y) AS sy, SUM(y * y) AS ssy,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(y * y) AS DOUBLE) AS ssy,
                    {", ".join(stat_cols)}
             FROM base
         ),
@@ -1317,29 +1365,34 @@ def ml_mrmr_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pure-relevance siblings: ``ml_anova_f_selection`` r06,
     ``ml_chi2_feature_selection`` stock). ONE pass computes every
     sufficient statistic (n, Σx, Σx², Σxy, Σxx₀ per dim — 34 aggregates
-    map-side combined); the correlations and the score are per-dim
-    scalar expressions over that 1-row frame. At 100 TB this is one
-    scan regardless of how many candidate features enter the round."""
+    map-side combined) over FIXED-POINT integers (x → round(x·10⁴), so
+    the cross-row sums are EXACT and order-independent — raw float
+    sums here would make the rank itself partition-order-dependent);
+    the correlations and the score are fixed-order float expressions
+    over that 1-row exact frame. At 100 TB this is one scan regardless
+    of how many candidate features enter the round."""
     em = load_table(spark, sf_dir, "embeddings")
     base = em.select(
-        F.col("label").cast("double").alias("y"),
+        F.col("label").cast("bigint").alias("y"),
         *[
-            F.col("embedding").getItem(d).cast("double").alias(f"x{d}")
+            F.round(F.col("embedding").getItem(d).cast("double") * MRMR_Q)
+            .cast("bigint")
+            .alias(f"x{d}")
             for d in range(MRMR_DIMS)
         ],
     )
     aggs = [
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("ssy"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("ssy"),
     ]
     for d in range(MRMR_DIMS):
         x = F.col(f"x{d}")
         aggs += [
-            F.sum(x).alias(f"s{d}"),
-            F.sum(x * x).alias(f"ss{d}"),
-            F.sum(x * F.col("y")).alias(f"sy{d}"),
-            F.sum(x * F.col("x0")).alias(f"sx0_{d}"),
+            F.sum(x).cast("double").alias(f"s{d}"),
+            F.sum(x * x).cast("double").alias(f"ss{d}"),
+            F.sum(x * F.col("y")).cast("double").alias(f"sy{d}"),
+            F.sum(x * F.col("x0")).cast("double").alias(f"sx0_{d}"),
         ]
     stats = base.agg(*aggs)
     legs = []
@@ -1682,7 +1735,7 @@ SESSION_GAP_S = 1800  # 30 min, the house sessionization gap
     "events_session_duration_deciles",
     oracle=f"""
         WITH x AS (
-            SELECT user_id, epoch_us(ts) AS t,
+            SELECT user_id, event_id, epoch_us(ts) AS t,
                    CASE WHEN epoch_us(ts)
                              - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                                        ORDER BY ts, event_id)
@@ -1696,7 +1749,8 @@ SESSION_GAP_S = 1800  # 30 min, the house sessionization gap
         s AS (
             SELECT user_id, t,
                    SUM(new_s) OVER (PARTITION BY user_id
-                                    ORDER BY t ROWS UNBOUNDED PRECEDING)
+                                    ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING)
                        AS session_no
             FROM x
         ),
@@ -1735,6 +1789,7 @@ def events_session_duration_deciles(spark: SparkSession, sf_dir: str) -> DataFra
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     x = e.select(
         "user_id",
+        "event_id",
         F.unix_micros("ts").alias("t"),
         F.when(
             F.lag(F.unix_micros("ts")).over(wo).isNull()
@@ -1749,7 +1804,7 @@ def events_session_duration_deciles(spark: SparkSession, sf_dir: str) -> DataFra
     )
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("t")
+        .orderBy("t", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s = x.select("user_id", "t", F.sum("new_s").over(ws).alias("session_no"))
@@ -1786,11 +1841,12 @@ BIGRAM_DOC_CAP = 150  # documents scanned (bounded-output exemplar)
     "udtf_word_bigrams",
     oracle=f"""
         WITH w AS (
-            SELECT doc_id, tok,
-                   ROW_NUMBER() OVER (PARTITION BY doc_id) AS pos
+            SELECT doc_id,
+                   CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+                   UNNEST(l) AS tok
             FROM (SELECT doc_id,
-                         UNNEST(list_filter(string_split(text, ' '),
-                                            t -> t <> '')) AS tok
+                         list_filter(string_split(text, ' '),
+                                     t -> t <> '') AS l
                   FROM documents WHERE doc_id < {BIGRAM_DOC_CAP})
         )
         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
@@ -1811,9 +1867,11 @@ def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations (the full n-gram families live in
     ``dedup_ngram_jaccard`` / ``text_pmi_collocations``; UDTF
     siblings: ``udtf_run_length_tokens`` r06, ``udtf_char_topfreq``
-    stock). DuckDB's bare ROW_NUMBER is list-order over the unnest,
-    matching the split order. Arrow-batched, text never shuffles,
-    ≤ {k} rows per document.""".format(k=BIGRAM_PREFIX)
+    stock). Positions come from ``generate_subscripts`` over the
+    token list — guaranteed list order, not scan order (a bare
+    PARTITION BY window would depend on DuckDB's parallel delivery
+    order). Arrow-batched, text never shuffles, ≤ {k} rows per
+    document.""".format(k=BIGRAM_PREFIX)
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos long, bigram string")

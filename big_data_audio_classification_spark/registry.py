@@ -77,7 +77,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the tri-SF local gate (now BIT-EXACT on floats — struct.pack
 # equality, catching both r06 red-row classes), and the
 # scripts/check_dtypes.py typed-hash gate before rotation.
-# 252 distinct queries were driver-certified across r01-r06.
+# 250 distinct queries came back GREEN across r01-r06 (252 entered a
+# window; the 2 r06 hash-red rows are this window's retries).
 DRIVER_WINDOW: tuple[str, ...] = (
     "analytics_jenks_breaks",
     "window_rolling_trimmed_mean",
