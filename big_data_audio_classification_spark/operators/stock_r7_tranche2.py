@@ -2214,3 +2214,129 @@ def audio_phase_energy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         even.cast("bigint").alias("even_energy"),
         F.round(odd.cast("double") / even, 6).alias("phase_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas: byte-level payload histogram (Arrow batch processing)
+# ---------------------------------------------------------------------------
+
+BYTE_BUCKETS = 16
+
+
+@query(
+    "mm_payload_byte_histogram",
+    oracle=f"""
+        WITH ch AS (
+            SELECT doc_id, UNNEST(string_split_regex(text, '')) AS c
+            FROM documents
+        )
+        SELECT CAST(ascii(c) // {BYTE_BUCKETS} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT)                   AS n_bytes,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT)     AS n_docs
+        FROM ch WHERE c <> ''
+        GROUP BY ascii(c) // {BYTE_BUCKETS}
+    """,
+    tags=("multimodal", "mapInPandas", "documents"),
+)
+def mm_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAYLOAD BYTE HISTOGRAM via ``mapInPandas``: each Arrow batch of
+    documents is scanned in Python as RAW BYTES (the opaque-payload
+    discipline every binary-column pipeline needs — here the payload
+    happens to be ASCII text so the oracle can restate it with
+    ``ascii()``), emitting per-batch PARTIAL (bucket, count, doc-set)
+    rows that one tiny groupBy folds — the map-side-combine shape that
+    keeps the Python boundary O(batches), not O(bytes). The per-doc
+    de-dup for n_docs rides the partials as distinct doc ids only for
+    buckets the doc actually hits. All integers; decoders for real
+    media formats are the stubbed step, the Spark-side plumbing here
+    is the real contract (family: ``mm_metadata_stats``,
+    ``mm_maparrow_bytelen``)."""
+    from collections import Counter
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                cnt = Counter(b // BYTE_BUCKETS for b in payload)
+                rows += [
+                    (int(doc_id), int(bucket), int(n))
+                    for bucket, n in cnt.items()
+                ]
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "bucket", "partial"]
+                )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    partials = d.mapInPandas(
+        batches, "doc_id long, bucket long, partial long"
+    )
+    return partials.groupBy("bucket").agg(
+        F.sum("partial").cast("bigint").alias("n_bytes"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql: the SQL PIVOT surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_pivot_status_matrix",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                    AS BIGINT) AS f_n,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                    AS BIGINT) AS o_n,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                    AS BIGINT) AS p_n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS f_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql", "grouping", "orders"),
+)
+def sql_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause surface: priority × status count/sum
+    matrix written in Spark's native PIVOT syntax (``FROM ... PIVOT
+    (agg FOR col IN (...))``) — the SQL-text form of the DataFrame
+    ``pivot()`` certified in r02 (``agg_pivot_status``) — while the
+    oracle states the universal conditional-aggregation rewrite every
+    engine lowers PIVOT to. Exact integer cents; one shuffle, the IN
+    list bounds the output columns statically (the 100 TB rule: never
+    PIVOT on an unbounded value domain)."""
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("sql_pivot_in")
+    return spark.sql(
+        """
+        SELECT priority,
+               coalesce(F_cnt, 0)   AS f_n,
+               coalesce(O_cnt, 0)   AS o_n,
+               coalesce(P_cnt, 0)   AS p_n,
+               coalesce(F_cents, 0) AS f_cents
+        FROM (
+            SELECT * FROM (
+                SELECT o_orderpriority AS priority, o_orderstatus, cents
+                FROM sql_pivot_in
+            )
+            PIVOT (
+                count(1) AS cnt, sum(cents) AS cents
+                FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)
+            )
+        )
+        """
+    ).select(
+        "priority",
+        F.col("f_n").cast("bigint").alias("f_n"),
+        F.col("o_n").cast("bigint").alias("o_n"),
+        F.col("p_n").cast("bigint").alias("p_n"),
+        F.col("f_cents").cast("bigint").alias("f_cents"),
+    )

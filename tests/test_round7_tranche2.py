@@ -411,3 +411,37 @@ def test_phase_energy_accounts_total(spark, sf_dir):
     assert sum(r.odd_energy + r.even_energy for r in rows) == total
     for r in rows:
         assert r.phase_ratio > 0
+
+
+def test_payload_byte_histogram_accounts_chars(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.stock_r7_tranche2 import (
+        mm_payload_byte_histogram,
+    )
+
+    rows = mm_payload_byte_histogram(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    total_chars = d.select(F.sum(F.length("text"))).first()[0]
+    assert sum(r.n_bytes for r in rows) == total_chars
+    n_docs = d.count()
+    for r in rows:
+        assert 0 < r.n_docs <= n_docs
+
+
+def test_sql_pivot_matches_dataframe_pivot(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.stock_r7_tranche2 import (
+        sql_pivot_status_matrix,
+    )
+
+    got = {
+        r.priority: (r.f_n, r.o_n, r.p_n)
+        for r in sql_pivot_status_matrix(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    df = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    for r in df.collect():
+        assert got[r.o_orderpriority] == (r.F, r.O, r.P)
