@@ -453,18 +453,36 @@ def agg_grouping_id_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _decile_px100(k: int) -> str:
+    """Exact linear-interpolated percentile ×100 in integer cent units:
+    with 1-based sorted list ``xs`` of exact cents and ``n`` rows,
+    rank h = (n-1)·k/100 splits into lo = ((n-1)k)//100 and
+    rem = ((n-1)k)%100, and 100·p = 100·xs[lo+1] + rem·(xs[lo+2]−xs[lo+1])
+    — pure BIGINT arithmetic, the one formula BOTH engines evaluate."""
+    lo = f"(((n - 1) * {k}) // 100)"
+    a = f"xs[{lo} + 1]"
+    b = f"COALESCE(xs[{lo} + 2], {a})"
+    return f"({a} * 100 + (((n - 1) * {k}) % 100) * ({b} - {a}))"
+
+
 @query(
     "agg_pandas_udaf_decile_ratio",
-    oracle="""
-        SELECT l_linestatus AS status,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND((quantile_cont(l_extendedprice, 0.9)
-                      - quantile_cont(l_extendedprice, 0.1))
-                     / (quantile_cont(l_extendedprice, 0.75)
-                        - quantile_cont(l_extendedprice, 0.25)), 4)
-                   AS decile_iqr_ratio
-        FROM lineitem
-        GROUP BY l_linestatus
+    oracle=f"""
+        WITH c AS (
+            SELECT l_linestatus AS status,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        g AS (
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+                   list(cents ORDER BY cents) AS xs
+            FROM c GROUP BY status
+        )
+        SELECT status, n,
+               ROUND(CAST({_decile_px100(90)} - {_decile_px100(10)} AS DOUBLE)
+                     / CAST({_decile_px100(75)} - {_decile_px100(25)} AS DOUBLE),
+                     4) AS decile_iqr_ratio
+        FROM g
     """,
     tags=("aggregate", "udaf", "pandas", "robust", "lineitem"),
 )
@@ -473,9 +491,13 @@ def agg_pandas_udaf_decile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-agg pandas UDF — a robust kurtosis proxy (≈ 1.9 for the
     uniform, ≈ 2.44 for the normal, larger for heavy tails) joining
     the Arrow-UDAF family (trimmed mean r05, weighted gmean r06, MAD /
-    IQR stocked r06). numpy's linear-interpolated percentile is the
-    same rule as DuckDB's ``quantile_cont``, so the kernel
-    value-checks exactly. At 100 TB swap the per-group buffer for the
+    IQR stocked r06). Percentiles are computed over EXACT integer
+    cents with the rank split into integer lo/rem parts, so every
+    interpolated percentile is itself an exact BIGINT (×100) and the
+    only float op is the final ratio division — the same expression
+    the oracle evaluates, closing the np.percentile-vs-quantile_cont
+    interpolation-ULP hazard (r07 advice; the class that produced both
+    r06 red rows). At 100 TB swap the per-group buffer for the
     two-phase exact-percentile plan (``agg_percentiles_twophase``) —
     same answer, bounded memory."""
     import numpy as np
@@ -483,11 +505,18 @@ def agg_pandas_udaf_decile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def decile_iqr_ratio(v: pd.Series) -> float:
-        arr = v.to_numpy(dtype=np.float64)
-        p90, p75, p25, p10 = np.percentile(
-            arr, [90, 75, 25, 10], method="linear"
+        xs = np.sort(
+            np.rint(v.to_numpy(dtype=np.float64) * 100).astype(np.int64)
         )
-        return float((p90 - p10) / (p75 - p25))
+        n = len(xs)
+
+        def px100(k: int) -> int:
+            lo, rem = divmod((n - 1) * k, 100)
+            a = int(xs[lo])
+            b = int(xs[lo + 1]) if lo + 1 < n else a
+            return a * 100 + rem * (b - a)
+
+        return float(px100(90) - px100(10)) / float(px100(75) - px100(25))
 
     # Spark disallows mixing a grouped-agg pandas UDF with JVM
     # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
@@ -876,7 +905,11 @@ def dedup_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_singletons"),
-        F.sum((F.col("s") * (F.col("s") - 1) / 2).cast("bigint"))
+        # Σ s(s−1) accumulated in DECIMAL(38,0) then halved with exact
+        # decimal division: bigint s·(s−1) wraps silently past 3e9-doc
+        # buckets and double `/2` loses exactness past 2^53, while the
+        # DuckDB oracle promotes to HUGEINT (r07 advice)
+        (F.sum(F.col("s").cast("decimal(38,0)") * (F.col("s") - 1)) / 2)
         .cast("bigint")
         .alias("pair_mass"),
     )
@@ -954,7 +987,9 @@ def dedup_simhash_prefix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.max("s").cast("bigint").alias("max_bucket"),
-        F.sum((F.col("s") * (F.col("s") - 1) / 2).cast("bigint"))
+        # same exact DECIMAL(38,0) pair-mass idiom as
+        # dedup_lsh_bucket_profile (r07 advice)
+        (F.sum(F.col("s").cast("decimal(38,0)") * (F.col("s") - 1)) / 2)
         .cast("bigint")
         .alias("pair_mass"),
     )
@@ -1024,7 +1059,7 @@ def _bm25_sql() -> str:
     tags=("text", "tfidf", "topk", "documents"),
 )
 def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranking (k1={k1}, b={b}) for a fixed 3-term query — the
+    """BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query — the
     retrieval scoring function that superseded raw tf-idf (Robertson/
     Okapi; the Lucene default). Everything upstream of the score is
     EXACT integers (tf per term via conditional aggregation — no
@@ -1034,9 +1069,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline for float scoring. Corpus stats are a 1-row broadcast;
     top-k is a rank over scored docs only (zero-match docs pruned
     before the sort). tf-idf siblings: ``text_tfidf_query_rank``
-    (r06), ``text_tfidf_field_boost`` (stock).""".format(
-        k1=BM25_K1, b=BM25_B
-    )
+    (r06), ``text_tfidf_field_boost`` (stock)."""
     from big_data_audio_classification_spark.operators.dedup import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -1134,7 +1167,7 @@ def _jm_sql() -> str:
     tags=("text", "lm", "documents"),
 )
 def text_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JELINEK-MERCER smoothed query log-likelihood (λ={lam}): each
+    """JELINEK-MERCER smoothed query log-likelihood (λ=0.7): each
     document scores a fixed 3-term query under the interpolated
     language model λ·tf/dl + (1−λ)·cf/|C| — the query-likelihood
     retrieval model (Zhai & Lafferty) whose collection interpolation
@@ -1144,7 +1177,7 @@ def text_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood is one fixed-order 3-term float expression per row
     against a 1-row broadcast of collection stats — the same
     bit-stability discipline as ``text_bm25_rank``. One token pass,
-    one aggregate, no sort.""".format(lam=JM_LAMBDA)
+    one aggregate, no sort."""
     from big_data_audio_classification_spark.operators.dedup import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -1388,11 +1421,18 @@ def ml_mrmr_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for d in range(MRMR_DIMS):
         x = F.col(f"x{d}")
+        # x² and x·x₀ reach 1e8/row: accumulate in DECIMAL(38,0) so the
+        # sums stay exact at any row count — Spark bigint SUM wraps
+        # silently (non-ANSI) while the DuckDB oracle promotes to
+        # HUGEINT (r07 advice); identical exact integers cast to
+        # identical doubles
         aggs += [
             F.sum(x).cast("double").alias(f"s{d}"),
-            F.sum(x * x).cast("double").alias(f"ss{d}"),
+            F.sum(x.cast("decimal(38,0)") * x).cast("double").alias(f"ss{d}"),
             F.sum(x * F.col("y")).cast("double").alias(f"sy{d}"),
-            F.sum(x * F.col("x0")).cast("double").alias(f"sx0_{d}"),
+            F.sum(x.cast("decimal(38,0)") * F.col("x0"))
+            .cast("double")
+            .alias(f"sx0_{d}"),
         ]
     stats = base.agg(*aggs)
     legs = []
@@ -1977,7 +2017,8 @@ RSK_MIN_N = 5    # emit NULL moments below this frame population
                    CAST(COUNT(*) OVER w AS DOUBLE)          AS n,
                    CAST(SUM(c) OVER w AS DOUBLE)            AS s1,
                    CAST(SUM(c * c) OVER w AS DOUBLE)        AS s2,
-                   CAST(SUM(c * c * c) OVER w AS DOUBLE)    AS s3,
+                   CAST(SUM(CAST(c * c AS DECIMAL(38, 0)) * c)
+                        OVER w AS DOUBLE)                   AS s3,
                    CAST(SUM(CAST(c * c AS DECIMAL(38, 0))
                             * CAST(c * c AS DECIMAL(38, 0))) OVER w AS DOUBLE)
                                                             AS s4
@@ -2036,7 +2077,14 @@ def window_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("double").alias("n"),
         F.sum("c").over(w).cast("double").alias("s1"),
         F.sum(cc).over(w).cast("double").alias("s2"),
-        F.sum(cc * F.col("c")).over(w).cast("double").alias("s3"),
+        # cc*c in DECIMAL(38,0) like s4: Spark bigint SUM wraps silently
+        # (non-ANSI) past int64 while DuckDB promotes to HUGEINT — the
+        # decimal accumulator keeps both engines exact at any magnitude
+        # (r07 advice)
+        F.sum(cc.cast("decimal(38,0)") * F.col("c"))
+        .over(w)
+        .cast("double")
+        .alias("s3"),
         F.sum(cc.cast("decimal(38,0)") * cc.cast("decimal(38,0)"))
         .over(w)
         .cast("double")

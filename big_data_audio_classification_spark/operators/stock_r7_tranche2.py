@@ -2233,7 +2233,12 @@ BYTE_BUCKETS = 16
         SELECT CAST(ascii(c) // {BYTE_BUCKETS} AS BIGINT) AS bucket,
                CAST(COUNT(*) AS BIGINT)                   AS n_bytes,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT)     AS n_docs
-        FROM ch WHERE c <> ''
+        -- ascii(c) < 128 pins the bytes==codepoints contract the Spark
+        -- side asserts with payload.isascii(): a non-ASCII char would
+        -- otherwise count 2+ UTF-8 bytes here vs one codepoint (r07
+        -- advice) — with the guard, divergence becomes a loud Spark
+        -- error instead of a silent hash mismatch
+        FROM ch WHERE c <> '' AND ascii(c) < 128
         GROUP BY ascii(c) // {BYTE_BUCKETS}
     """,
     tags=("multimodal", "mapInPandas", "documents"),
@@ -2258,6 +2263,14 @@ def mm_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = text.encode("utf-8")
+                # bytes==codepoints only holds for ASCII; the oracle
+                # counts codepoints (ascii(c) < 128 guard), so fail
+                # LOUDLY if the generator ever emits non-ASCII text
+                # rather than silently diverging (r07 advice)
+                assert text.isascii(), (
+                    f"doc {doc_id}: non-ASCII text breaks the "
+                    "byte==codepoint oracle contract"
+                )
                 cnt = Counter(b // BYTE_BUCKETS for b in payload)
                 rows += [
                     (int(doc_id), int(bucket), int(n))
