@@ -217,7 +217,9 @@ def cnn_train_distributed(
     At 100 TB the same loop shape holds (gradients tree-reduce instead
     of collect; params move via broadcast instead of closure) — or swap
     the fit for ``TorchDistributor`` over the same window DataFrame.
-    Returns (params, n_train, n_partitions_seen)."""
+    Returns (params, n_train, n_partitions_seen, per_round_losses) —
+    the loss history feeds the SQL-oracled training contract
+    (``ml_cnn_loss_contract``)."""
     first = train.select("frames", "label").first()
     c_in = len(first["frames"][0])
     p = cnn_init(c_in, n_out, seed=seed)
@@ -227,6 +229,7 @@ def cnn_train_distributed(
     v = {k: np.zeros_like(p[k]) for k in grad_keys}
     b1, b2, eps = 0.9, 0.999, 1e-8
     n_train = n_parts = 0
+    losses: list[float] = []
     for step in range(1, rounds + 1):
         cur = {k: np.array(val) if isinstance(val, np.ndarray) else val
                for k, val in p.items()}
@@ -258,6 +261,7 @@ def cnn_train_distributed(
         ).collect()  # one row per non-empty partition — NEVER data-sized
         n_train = sum(r["n"] for r in parts)
         n_parts = len(parts)
+        losses.append(sum(r["loss_n"] for r in parts) / n_train)
         gvec = sum(np.asarray(r["grad_n"]) for r in parts) / n_train
         bnvec = sum(np.asarray(r["bn_n"]) for r in parts) / n_train
         g = _unflatten(gvec, p, grad_keys)
@@ -269,7 +273,7 @@ def cnn_train_distributed(
             mh = m[key] / (1 - b1**step)
             vh = v[key] / (1 - b2**step)
             p[key] -= lr * mh / (np.sqrt(vh) + eps)
-    return p, n_train, n_parts
+    return p, n_train, n_parts, losses
 
 
 def spectrogram_windows(spark: SparkSession) -> DataFrame:
@@ -325,7 +329,7 @@ def ml_cnn_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_feat = (
         train.select("frames", "label").repartition(4).localCheckpoint(eager=True)
     )
-    params, n_train, _ = cnn_train_distributed(train_feat, n_out=2)
+    params, n_train, _, _ = cnn_train_distributed(train_feat, n_out=2)
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -366,6 +370,60 @@ def ml_cnn_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_train).cast("long").alias("n_train"),
         F.col("n_test").cast("long"),
     )
+
+
+CONTRACT_ROUNDS = 60  # 3 segments of 20 — enough to show monotone descent
+
+
+@query(
+    "ml_cnn_loss_contract",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('final_lt_initial',  TRUE),
+            ('halved',            TRUE),
+            ('n_rounds_recorded', TRUE),
+            ('seg2_lt_seg1',      TRUE),
+            ('seg3_lt_seg2',      TRUE)
+        ) AS t(contract, ok)
+    """,
+    tags=("ml", "cnn", "train", "mapInPandas"),
+)
+def ml_cnn_loss_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-LOSS MONOTONICITY CONTRACT — the SQL-oracled face of
+    the distributed CNN trainer (VERDICT r07 item 7: the one rows-only
+    residue with a real oracle shape). Runs the parameter-server loop
+    for 60 rounds on the deterministic two-harmonic spectrogram corpus
+    (synthetic and SF-independent — recordings() never touches sf_dir,
+    so the contract is identical at every SF) and asserts what a
+    WORKING trainer must produce: segment-mean loss strictly decreasing
+    across the three 20-round segments, final < initial, and final <
+    ½·initial (real learning, not noise — the margins on this
+    separable corpus are wide, so the booleans are stable under any
+    partitioning even though per-partition BatchNorm statistics shift
+    with the physical layout). The oracle is the LITERAL expected
+    table; a broken trainer flips a boolean and the driver hash-gate
+    goes red. Training stays fully distributed (per-partition gradient
+    partials, O(|params|) exchange — tests/test_cnn.py asserts the
+    bound); only the 60-float loss history reaches this check."""
+    win = spectrogram_windows(spark).localCheckpoint()
+    feat = (
+        win.select("frames", "label").repartition(4).localCheckpoint(eager=True)
+    )
+    _, _, _, losses = cnn_train_distributed(
+        feat, n_out=2, rounds=CONTRACT_ROUNDS
+    )
+    seg = CONTRACT_ROUNDS // 3
+    m1 = sum(losses[:seg]) / seg
+    m2 = sum(losses[seg : 2 * seg]) / seg
+    m3 = sum(losses[2 * seg :]) / seg
+    rows = [
+        ("final_lt_initial", bool(losses[-1] < losses[0])),
+        ("halved", bool(losses[-1] < 0.5 * losses[0])),
+        ("n_rounds_recorded", len(losses) == CONTRACT_ROUNDS),
+        ("seg2_lt_seg1", bool(m2 < m1)),
+        ("seg3_lt_seg2", bool(m3 < m2)),
+    ]
+    return spark.createDataFrame(rows, "contract string, ok boolean")
 
 
 # kernels reference module-level helpers; ship by value (see multimodal.py)

@@ -40,3 +40,4 @@ import big_data_audio_classification_spark.operators.experiments  # noqa: F401
 import big_data_audio_classification_spark.streaming.events  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r7  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r7_tranche2  # noqa: F401
+import big_data_audio_classification_spark.operators.stock_r8  # noqa: F401

@@ -62,74 +62,77 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # displaced from an earlier window stays registered and tri-SF green
 # in the local gate (scripts/check_oracle.py).
 #
-# Round-7 rotation: 48 of the 50 r06 rows came back green
-# (CORRECTNESS_r06); the two red rows were ROUND-float typed-hash
-# hazards, both root-caused and fixed at round-6 close:
-# analytics_jenks_breaks (cross-engine ULP under ROUND at ~2.4e12 —
-# now exact integer-cent/DECIMAL(38) moments with one final float
-# division) and window_rolling_trimmed_mean (DuckDB ROUND emitting
-# -0.0 where Spark emits +0.0 — oracle normalizes with `+ 0`). Both
-# re-enter this window as the two sanctioned retries, alongside
-# stats_sprt_sequential (fixed r06 for the HUGEINT class, never yet
-# inside a driver window). All other 47 slots are FIRST-TIME entries
-# drawn from the round-6 spare tranches plus the never-certified
-# backlog, sampling every REQUIRED_FAMILY_TAG. Every entry passed
-# the tri-SF local gate (now BIT-EXACT on floats — struct.pack
-# equality, catching both r06 red-row classes), and the
-# scripts/check_dtypes.py typed-hash gate before rotation.
-# 250 distinct queries came back GREEN across r01-r06 (252 entered a
-# window; the 2 r06 hash-red rows are this window's retries).
+# Round-8 rotation: round 7 came back 50/50 GREEN (CORRECTNESS_r07 —
+# the first clean round; zero retries needed). All 50 slots here are
+# FIRST-TIME entries drawn from the never-certified backlog (224
+# SQL-oracled queries at r08 open). Selection: a greedy tag cover so
+# the window samples every REQUIRED_FAMILY_TAG (29 queries), the five
+# carriers whose contracts were hardened by the round-7 ADVICE items
+# (agg_pandas_udaf_decile_ratio — shared exact-integer decile
+# interpolation; mm_payload_byte_histogram — explicit ASCII guard;
+# window_rolling_skew_kurt + ml_mrmr_feature_rank +
+# dedup_lsh_bucket_profile/dedup_simhash_prefix_schedule —
+# DECIMAL(38,0) overflow headroom) so the driver certifies the FIXED
+# contracts, and 18 fills chosen to drain abundant-tag stock while
+# keeping every family tag >= 2-deep in never-certified spares (the
+# three tags the musts depleted — rolling/mapInPandas/lm — are
+# restocked by the round-8 stock tranche). Every entry passed the
+# tri-SF BIT-EXACT local gate (scripts/check_oracle.py), the
+# scripts/check_dtypes.py typed-hash gate, and the two-config
+# partition-robustness gate before rotation.
+# 300 distinct queries came back GREEN across r01-r07 (300 entered,
+# zero outstanding red rows).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "analytics_jenks_breaks",
-    "window_rolling_trimmed_mean",
-    "stats_sprt_sequential",
-    "join_asof_locf_grid",
-    "set_symdiff_active_customers",
-    "stats_ks_binned_ecdf",
-    "agg_groupingsets_mixed",
-    "scalar_math_log1p_hypot",
-    "scalar_json_schema_validity",
-    "scalar_variant_array_paths",
-    "array_indexed_lambda_stats",
-    "scalar_map_entries_arith",
-    "dedup_minhash_band_sweep",
-    "sim_brp_lsh_ann",
-    "dedup_simhash_bit_balance",
-    "text_tfidf_field_boost",
-    "text_perplexity_outliers",
-    "tpch_q17_small_quantity_revenue",
-    "sim_ivf_probe_schedule",
-    "ml_chi2_feature_selection",
-    "ml_woe_encoding",
-    "source_python_datasource",
-    "join_range_overlap_degree",
-    "audio_energy_flatness",
-    "skew_salted_topk",
-    "events_session_transition_matrix",
-    "udtf_char_topfreq",
-    "agg_pandas_udaf_mad",
-    "sink_csv_gzip_roundtrip",
-    "analytics_remainder_acf",
-    "stats_did_estimator",
-    "scalar_collation_ci",
-    "mm_wav_resample_sink",
-    "sql_recursive_reachability",
-    "ml_isotonic_minimax",
-    "tpch_q7_volume_shipping",
-    "events_funnel_conversion",
-    "analytics_rfm_segmentation",
-    "stats_mad_outliers",
-    "ml_kmeans_lloyd_step_sql",
-    "text_token_stats",
-    "scalar_null_handling",
-    "events_retention_cohorts",
-    "window_rolling_weighted_mean",
-    "sim_neardup_pairs",
-    "dedup_ngram_jaccard",
-    "graph_triangle_count",
-    "profile_price_histogram",
-    "warehouse_zone_map_skipping",
-    "curation_sample_per_source",
+    "skew_key_frequency_profile",
+    "agg_pandas_udaf_decile_ratio",
+    "join_range_week_containment",
+    "dedup_lsh_bucket_profile",
+    "window_rolling_time_stats",
+    "text_tfidf_source_cosine",
+    "set_semi_anti_census",
+    "sql_pivot_status_matrix",
+    "stats_stratified_ate",
+    "mm_scene_segments",
+    "sink_csv_quote_all_roundtrip",
+    "ml_ols_normal_equations",
+    "scalar_variant_object_tree",
+    "agg_theta_sketch_setops",
+    "dedup_simhash_prefix_schedule",
+    "join_asof_forward_tolerance",
+    "sim_ivf_nprobe_cost_model",
+    "ref_dedup_keep_policy",
+    "scalar_map_user_type_histogram",
+    "scalar_json_object_shape",
+    "ml_ordinal_freq_encoding",
+    "audio_zero_crossing_rate",
+    "text_lm_absolute_discount",
+    "udtf_word_bigrams",
+    "scalar_base64_roundtrip",
+    "scalar_math_inverse_trig",
+    "array_quarter_split_sums",
+    "ml_mrmr_feature_rank",
+    "analytics_multiplicative_decomp",
+    "mm_payload_byte_histogram",
+    "text_lm_jelinek_mercer",
+    "window_rolling_skew_kurt",
+    "profile_dq_rules",
+    "profile_functional_dependencies",
+    "retrieval_rrf_hybrid",
+    "warehouse_compaction_binpack",
+    "er_golden_record",
+    "stats_permutation_test",
+    "curation_weighted_sample_aes",
+    "curation_token_weighted_median",
+    "stats_gini_concentration",
+    "stats_spearman_corr",
+    "stats_overdispersion",
+    "analytics_mom_growth",
+    "analytics_abc_pareto",
+    "retrieval_phrase_positions",
+    "graph_pagerank_oracle",
+    "ml_fpgrowth_baskets",
+    "winsorize_order_prices",
+    "stats_jackknife_ratio",
 )
 
 

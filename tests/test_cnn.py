@@ -109,7 +109,10 @@ def test_distributed_training_exchange_is_bounded(spark, sf_dir):
 
     win = spectrogram_windows(spark).localCheckpoint()
     train = win.select("frames", "label").repartition(4).localCheckpoint(eager=True)
-    params, n_train, n_parts = cnn_train_distributed(train, n_out=2, rounds=2)
+    params, n_train, n_parts, losses = cnn_train_distributed(
+        train, n_out=2, rounds=2
+    )
+    assert len(losses) == 2
     assert n_train == train.count()          # every sample contributed
     assert 0 < n_parts <= 4                  # one partial row per partition
     # gradient vector dimension matches the parameter count, not N
