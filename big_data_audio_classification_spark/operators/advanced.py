@@ -456,11 +456,11 @@ ASOF_TOL_MIN = 10  # as-of lookback tolerance (minutes)
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
     semantics): the most recent click at or before each purchase, but
-    only if it happened within the last {tol} minutes — older matches
+    only if it happened within the last 10 minutes — older matches
     become NULL. Same union + carry-forward plan as
     ``join_asof_purchase_click`` (one shuffle, no explosion) plus a
     map-side staleness filter on the carried timestamp; the quadratic
-    join-then-prune alternative never appears.""".format(tol=ASOF_TOL_MIN)
+    join-then-prune alternative never appears."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -938,14 +938,14 @@ CHARFREQ_DOC_CAP = 100
     tags=("udtf", "text", "documents"),
 )
 def udtf_char_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document TOP-{n} character frequencies as a Python UDTF: the
+    """Per-document TOP-3 character frequencies as a Python UDTF: the
     UDTF holds a dict in eval(), counts, sorts, and emits only the
     winners — a bounded-output profile the engine would otherwise
     compute by exploding every character through a shuffle (the
     oracle's formulation, deliberately — two independent plans, one
     answer). Ties break alphabetically inside the UDTF with the same
     (−count, char) key the oracle's window uses. Arrow-batched,
-    text never shuffles, output ≤ {n} rows/doc.""".format(n=CHARFREQ_TOPN)
+    text never shuffles, output ≤ 3 rows/doc."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="ch string, cnt long, rank long")
@@ -1045,9 +1045,7 @@ def udtf_array_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the explode + LEAD window the oracle uses (two independent
     formulations; the text-domain UDTFs are ``udtf_split_words`` /
     ``udtf_run_length_tokens``). Arrow-batched; the vector never
-    shuffles and only {k} rows per vector come out.""".format(
-        k=DELTA_PREFIX
-    )
+    shuffles and only 8 rows per vector come out."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos long, delta double")

@@ -1467,10 +1467,10 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Fisher's dynamic program minimizing within-segment SSE) over the
     order-price axis, the principled alternative to eyeballed price
     bands (``join_range_bands``) and equal-width histograms. The corpus
-    collapses map-side to ≤{bins} weighted bins; the DP then runs on
-    the dimension-sized prefix-sum frame as {k} unrolled min-plus
+    collapses map-side to ≤40 weighted bins; the DP then runs on
+    the dimension-sized prefix-sum frame as 4 unrolled min-plus
     layers (each one join + one argmin window — never a driver loop),
-    and the boundary backtrack is {k} one-row joins. Cross-engine
+    and the boundary backtrack is 4 one-row joins. Cross-engine
     exact: every moment is an EXACT integer (counts + integer-cent
     sums in BIGINT, cents² sums in DECIMAL(38,0) mirroring DuckDB's
     HUGEINT promotion) and each cost/SSE cell emits exactly ONE float
@@ -1480,7 +1480,7 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash matches (house idiom from stats_ipw_ate / stats_hodges_
     lehmann; replaces the r06 double-sum form that flipped on an ULP
     at ~2.4e12). Output: each segment's bin range, population, SSE,
-    and the DP's optimal total.""".format(bins=JENKS_BINS, k=JENKS_K)
+    and the DP's optimal total."""
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_totalprice") < JENKS_BINS * JENKS_BUCKET
     )

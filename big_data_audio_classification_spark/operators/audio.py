@@ -665,12 +665,12 @@ def audio_rms_db_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed RMS → dB-relative-to-peak (the R15 power→dB two-pass
     shape on the time domain instead of the spectrogram): treat each
     user's ordered event values as a PCM channel, cut non-overlapping
-    {n}-sample frames, and report each frame's RMS and its level in dB
+    64-sample frames, and report each frame's RMS and its level in dB
     re the GLOBAL peak frame — pass 1 computes frame energies (one
     keyed aggregation), pass 2 broadcasts the 1-row peak, exactly the
     ``audio_power_to_db`` discipline (certified r02-r04). Framing via
     row_number ÷ frame-size keeps the frame assignment deterministic
-    and shuffle-free after the one user-keyed sort.""".format(n=RMS_FRAME)
+    and shuffle-free after the one user-keyed sort."""
     from big_data_audio_classification_spark.sources.catalog import load_table
 
     e = load_table(spark, sf_dir, "events")
@@ -823,12 +823,12 @@ def audio_energy_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_zero_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZERO-CROSSING RATE per frame — the classic cheap
     voiced/unvoiced (or noisiness) discriminator: fraction of
-    consecutive-sample sign changes within each {n}-sample frame of
+    consecutive-sample sign changes within each 64-sample frame of
     the mean-centered channel (energy siblings: ``audio_rms_db_frames``,
     ``audio_energy_flatness``). One ordered LAG pass per channel, then
     a frame rollup; crossings at frame boundaries attribute to the
     frame of the LATER sample in both engines (the LAG is computed on
-    the unframed stream).""".format(n=RMS_FRAME)
+    the unframed stream)."""
     from big_data_audio_classification_spark.sources.catalog import load_table
 
     e = load_table(spark, sf_dir, "events")

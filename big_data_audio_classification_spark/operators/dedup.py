@@ -1447,7 +1447,7 @@ def dedup_simhash_band_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-cartesian discipline as the MinHash LSH path, but on a 4-byte
     signature instead of a 16-hash signature (cheaper at equal recall
     for small Hamming radii). Output: verified pairs with their exact
-    Hamming distance (≤ {max_h}).""".format(max_h=SIMHASH_MAX_HAMMING)
+    Hamming distance (≤ 8)."""
     sh = dedup_simhash(spark, sf_dir)
     bands = None
     for b in range(4):
@@ -1539,9 +1539,9 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     calibration table that justifies a chosen (bands, rows) config.
     Candidates only ever form through the band equi-join (no all-pairs)
     and the exact side runs on candidates × distinct tokens, both
-    linear-output; the doc_id % {mod} sample keeps the verify frame
+    linear-output; the doc_id % 5 sample keeps the verify frame
     bounded at any SF (the production knob a 100 TB calibration pass
-    would use).""".format(mod=MHEST_SAMPLE_MOD)
+    would use)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % MHEST_SAMPLE_MOD == 0
     )

@@ -1053,7 +1053,7 @@ def ml_gmm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 4 dims) as an INVARIANT GATE (r06 rows-only conversion):
     oracle-exact point count plus the model-contract booleans — mixing
     weights sum to 1 (|Σw−1| < 1e-9), every component claims ≥1 point,
-    no component degenerates below weight {minw} (measured 0.15-0.19
+    no component degenerates below weight 0.05 (measured 0.15-0.19
     across SFs), and every point's responsibility row is a proper
     distribution (max |Σγ−1| < 1e-6). Component means/weights stay
     engine-internal (seeded EM) — the pytest pins the LL-improvement
@@ -1062,9 +1062,7 @@ def ml_gmm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are independent of the embedding geometry).
 
     Scale: EM's E-step is map-only (broadcast params), the M-step one
-    aggregation per iteration — MLlib's distributed shape.""".format(
-        minw=GMM_MIN_WEIGHT
-    )
+    aggregation per iteration — MLlib's distributed shape."""
     from pyspark.ml.clustering import GaussianMixture
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -1839,14 +1837,12 @@ ANOVA_TOP_FEATURES = 10
 def ml_anova_f_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F-statistic feature ranking (sklearn
     ``f_classif``): between-group over within-group mean squares per
-    embedding dimension against the class label, top-{top} features.
+    embedding dimension against the class label, top-10 features.
     The whole test reduces to ONE aggregation over (feature, label)
     cells carrying (n, Σx, Σx²) — the sufficient-statistic trick that
     makes filter-method selection a single map-side-combined pass at
     100 TB (MI sibling: ``ml_mutual_info_feature``). posexplode is
-    1-based to match the oracle's generate_subscripts.""".format(
-        top=ANOVA_TOP_FEATURES
-    )
+    1-based to match the oracle's generate_subscripts."""
     em = load_table(spark, sf_dir, "embeddings")
     x = em.select(
         "label", F.posexplode(to_double(F.col("embedding")))

@@ -441,6 +441,9 @@ def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "setop"),
 )
 def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets — the set-op sibling of
+    ``set_union_segments``; lowers to a distinct-aggregated semi-join
+    (one shuffle on the key), never a cartesian."""
     c = load_table(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")

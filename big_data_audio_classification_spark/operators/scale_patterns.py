@@ -566,14 +566,14 @@ SALT_TOPK_BUCKETS = 8
 )
 def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALTED two-phase TOP-K per key: phase 1 ranks within
-    (key, salt) buckets and keeps k per bucket — {b} parallel partial
+    (key, salt) buckets and keeps k per bucket — 8 parallel partial
     top-ks instead of one sort-buffer per hot key — phase 2 merges the
-    ≤ k·{b} survivors per key. The split is RESULT-INVISIBLE (any
+    ≤ k·8 survivors per key. The split is RESULT-INVISIBLE (any
     global top-k member is top-k within its bucket), which the plain
     windowed oracle certifies. The aggregation twin is
     ``skew_salted_partial_agg`` (certified r05); this carries the same
     discipline to order statistics, where skew hurts MORE (rank
-    windows sort-buffer whole partitions).""".format(b=SALT_TOPK_BUCKETS)
+    windows sort-buffer whole partitions)."""
     e = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 

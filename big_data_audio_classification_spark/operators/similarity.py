@@ -472,7 +472,7 @@ def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `1 - J < 0.2` admits the exact boundary — 1.0 - double(4/5) is one
     ULP under 0.2 — verified empirically at sf0.01), and the gate
     reports (a) the oracle-exact truth-pair count, (b) whether MLlib's
-    candidate recall clears {floor} (8 OR-ed hash tables ⇒ theoretical
+    candidate recall clears 0.95 (8 OR-ed hash tables ⇒ theoretical
     recall 1-(1-J)^8 ≥ 0.999997 at J = 0.8; measured 1.0 at all three
     SFs), and (c) that every emitted pair's MLlib keyDistance agrees
     with truth membership — provable, since approxSimilarityJoin
@@ -483,7 +483,7 @@ def sim_minhash_mllib_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Full-corpus self-join stays quarantined (threshold 0.5 produced
     8.6M pairs / 11 min at sf0.1); the linear-output production path
-    is dedup_minhash_keep_first.""".format(floor=MLLIB_LSH_RECALL_FLOOR)
+    is dedup_minhash_keep_first."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from big_data_audio_classification_spark.operators.dedup import tokens_col
@@ -1824,12 +1824,12 @@ PROBE_SCHED_K = 3      # first k cells of each query's probe order
 )
 def sim_ivf_probe_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF PROBE SCHEDULE: for each sampled query, the first
-    {k} cells in centroid-distance order — the exact list an
+    3 cells in centroid-distance order — the exact list an
     nprobe-limited search visits, materialized as a plan (recall
     consequences of the schedule: ``sim_ivf_nprobe_sweep``, certified
     r05). Broadcast centroids, map-only scoring, per-query rank — the
     schedule never touches cell CONTENTS, which is why computing it is
-    cheap at any corpus size.""".format(k=PROBE_SCHED_K)
+    cheap at any corpus size."""
     em = load_table(spark, sf_dir, "embeddings")
     cents = em.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")

@@ -1428,13 +1428,13 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rank extraction is the TWO-PHASE BUCKETED form (r05 VERDICT's
     named replacement, shipped r06): phase 1 histograms the pair
-    multiset into {nb} integer buckets (map-side combined), phase 2
+    multiset into 1024 integer buckets (map-side combined), phase 2
     sorts ONLY the 1-2 buckets that contain the middle ranks (a
-    window PARTITIONED by bucket over ~N/{nb} rows) and offsets by
+    window PARTITIONED by bucket over ~N/1024 rows) and offsets by
     the broadcast cumulative counts — value-at-rank is tie-order
     invariant, so the answer is identical to the global sort the
     oracle uses, without any unpartitioned N-row window.
-    """.format(nb=1024)
+    """
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))

@@ -356,7 +356,7 @@ KMV_SPACE = 4294967296  # 2^32: the portable md5-derived hash domain
     tags=("aggregate", "sketch", "orders"),
 )
 def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (k-minimum-values) DISTINCT-COUNT sketch, k={k}: keep the k
+    """KMV (k-minimum-values) DISTINCT-COUNT sketch, k=32: keep the k
     smallest portable hashes per group; the k-th minimum's position in
     the hash space estimates the distinct count as (k−1)/x̂ — the
     classic Bar-Yossef bottom-k estimator HLL superseded but every
@@ -367,7 +367,7 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, bit-stable by construction. At 100 TB the bottom-k per
     group is a rank window over the DISTINCT hash set — mergeable,
     fixed memory, and the exact side (for the error column) drops
-    away leaving a k-row-per-group sketch.""".format(k=KMV_K)
+    away leaving a k-row-per-group sketch."""
     from big_data_audio_classification_spark.operators.dedup import token_hash
 
     o = load_table(spark, sf_dir, "orders")
@@ -1504,14 +1504,14 @@ ENC_SMOOTHING_M = 10  # pseudo-observations pulled toward the global prior
 def ml_count_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CATEGORY ENCODINGS with Bayesian smoothing: frequency encoding
     (share of rows) and m-estimate target encoding — the per-category
-    mean pulled toward the global prior by m={m} pseudo-observations,
+    mean pulled toward the global prior by m=10 pseudo-observations,
     the standard high-cardinality-category defense against small-n
     overfitting (leave-one-out variant: ``ml_target_encoding_oof``,
     r04; unsmoothed ordinal/freq: ``ml_ordinal_freq_encoding``,
     stock). Sums stay EXACT integer cents; each output is a fixed
     two-division float expression, bit-stable on both engines. One
     join (customer side broadcastable) + one aggregate; the global
-    prior is a 1-row broadcast.""".format(m=ENC_SMOOTHING_M)
+    prior is a 1-row broadcast."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
@@ -1728,13 +1728,13 @@ SALT_TARGET_PARTS = 32  # executor-slot count the salt plan levels for
 def skew_salt_factor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALT-FACTOR PLANNING table: from the key-frequency census,
     derive per key the salt fan-out k = ⌈freq ÷ target⌉ that levels
-    its rows across {p} partitions, and the resulting worst partition
+    its rows across 32 partitions, and the resulting worst partition
     load — the numbers you compute BEFORE keying a 100 TB shuffle
     (the executed two-path form: ``skew_hot_key_two_path_join`` r06;
     the frequency census alone: ``skew_key_frequency_profile``
     stock). One aggregate + a 1-row broadcast; every output is exact
     integer arithmetic (CEIL of an exact ratio), output = |keys|
-    rows.""".format(p=SALT_TARGET_PARTS)
+    rows."""
     e = load_table(spark, sf_dir, "events")
     f = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq")
@@ -1900,7 +1900,7 @@ BIGRAM_DOC_CAP = 150  # documents scanned (bounded-output exemplar)
 )
 def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WORD-BIGRAM UDTF: a Python table function walks each document
-    once and yields its leading {k} bigrams with positions — the
+    once and yields its leading 6 bigrams with positions — the
     shingling kernel as per-row iteration, where the oracle needs an
     explode + two windows (ROW_NUMBER for position, LEAD for the
     successor) to state the same thing — two independent professional
@@ -1910,8 +1910,8 @@ def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     stock). Positions come from ``generate_subscripts`` over the
     token list — guaranteed list order, not scan order (a bare
     PARTITION BY window would depend on DuckDB's parallel delivery
-    order). Arrow-batched, text never shuffles, ≤ {k} rows per
-    document.""".format(k=BIGRAM_PREFIX)
+    order). Arrow-batched, text never shuffles, ≤ 6 rows per
+    document."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos long, bigram string")

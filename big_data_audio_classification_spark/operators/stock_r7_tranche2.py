@@ -193,7 +193,7 @@ def _theta_sql() -> str:
 )
 def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THETA-SKETCH set algebra (DataSketches semantics) from bottom-k
-    samples: the union's bottom-{k} portable hashes fix a threshold θ
+    samples: the union's bottom-64 portable hashes fix a threshold θ
     (= the k-th minimum), the union size is estimated as (k−1)·S/θ,
     and the INTERSECTION is estimated by counting sub-θ hashes present
     in both streams — the mergeable sketch identity that lets a 100 TB
@@ -202,7 +202,7 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic (counts and one floored division), and
     small unions fall back to exact mode — bit-stable by construction.
     One distinct-hash pass per stream + one rank over the union's
-    k-head.""".format(k=THETA_K)
+    k-head."""
     from big_data_audio_classification_spark.operators.dedup import token_hash
 
     o = load_table(spark, sf_dir, "orders")
@@ -702,10 +702,8 @@ def dedup_minhash_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame
     sibling of ``dedup_minhash_jaccard_estimate``, r06 green; the
     production containment engine is ``dedup_containment_join``).
     Signatures come from the one shared pass; exact sets only for the
-    sampled pairs (doc_id % {m} == 0 with its successor) — the verify
-    side stays O(sample), integers + two single divisions.""".format(
-        m=MHC_SAMPLE_MOD
-    )
+    sampled pairs (doc_id % 25 == 0 with its successor) — the verify
+    side stays O(sample), integers + two single divisions."""
     from big_data_audio_classification_spark.operators.dedup import (
         MINHASH_K,
         minhash_signature,
@@ -1071,7 +1069,7 @@ GT_MAX_R = 10
 def text_lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOOD-TURING count-of-counts at the DOCUMENT level: N_r = how
     many (document, term) pairs have within-document frequency exactly
-    r, for r ≤ {m}, and the smoothed count r* = (r+1)·N_{{r+1}}/N_r —
+    r, for r ≤ 10, and the smoothed count r* = (r+1)·N_{r+1}/N_r —
     the frequency-of-frequencies table underpinning every discounting
     scheme (absolute discounting: ``text_lm_absolute_discount``; JM
     interpolation: ``text_lm_jelinek_mercer``). Document-level rather
@@ -1079,9 +1077,7 @@ def text_lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     every corpus count huge — the doc-level table is the one a
     per-document LM actually discounts with. Two exact-integer
     aggregations + a 1-step self-join on r; r* is one fixed-order
-    division per row. Output ≤ {m} rows at any SF.""".format(
-        m=GT_MAX_R
-    )
+    division per row. Output ≤ 10 rows at any SF."""
     from big_data_audio_classification_spark.operators.dedup import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -1374,15 +1370,13 @@ HASH_ENC_BUCKETS = 16
 )
 def ml_hashing_trick_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASHING-TRICK encoding with an honest COLLISION CENSUS: each
-    category maps to md5-hash mod {b} (the portable scheme — NOT
+    category maps to md5-hash mod 16 (the portable scheme — NOT
     Spark's murmur, so the oracle reproduces it exactly), and the
     report shows which buckets collide, what they absorbed, and the
     row mass they carry — the dimensionality-vs-collision trade
     ``ml_feature_hashing`` (r07 window) makes implicitly, made
     visible. Distinct-key frame is tiny (broadcast); row counts ride
-    one keyed aggregate. All integers + sorted string_agg.""".format(
-        b=HASH_ENC_BUCKETS
-    )
+    one keyed aggregate. All integers + sorted string_agg."""
     from big_data_audio_classification_spark.operators.dedup import token_hash
 
     o = load_table(spark, sf_dir, "orders")
@@ -1743,14 +1737,14 @@ PREFIX_STATS_N = 6
 def udtf_prefix_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RUNNING-PREFIX stats UDTF: a Python table function walks each
     vector once, maintaining sum/min/max state, and emits the first
-    {k} prefix rows — per-row sequential state vs the oracle's
+    6 prefix rows — per-row sequential state vs the oracle's
     window-function formulation (two independent statements of the
     running-aggregate semantics; delta sibling: ``udtf_array_deltas``).
     The Python running sum adds elements in index order — the same
     sequential order the oracle's ROWS UNBOUNDED PRECEDING frame
     accumulates in, so the floats match bitwise (float32→double
-    widening is exact). Arrow-batched; ≤ {k} rows out per
-    vector.""".format(k=PREFIX_STATS_N)
+    widening is exact). Arrow-batched; ≤ 6 rows out per
+    vector."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos long, run_sum double, run_min double, run_max double")

@@ -390,7 +390,7 @@ def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word2Vec (seeded) as a CONTRACT GATE (r06 rows-only conversion):
     the learned model's vocabulary size must equal the oracle's exact
     count of tokens with corpus frequency ≥ minCount (MLlib's documented
-    vocabulary rule), the vector table must be exactly {dim}-wide, doc
+    vocabulary rule), the vector table must be exactly 16-wide, doc
     scoring must cover every document, and every scored source must
     have positive mean vector norm. SGD weights stay rows-only by
     nature; the vocab/coverage/shape contract is what IS cross-engine
@@ -398,9 +398,7 @@ def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``text_ppmi_neighbors``) was MEASURED and REJECTED as a gate:
     avg overlap@5 ≈ 0.16-0.20 at all three SFs ≈ the 5/|vocab| ≈ 0.17
     chance level on this template corpus — a floor there would certify
-    noise (same rejection class as the PCA eigen-oracle).""".format(
-        dim=W2V_DIM
-    )
+    noise (same rejection class as the PCA eigen-oracle)."""
     from pyspark.ml.feature import Word2Vec
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -1745,7 +1743,7 @@ def text_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified r05). The unigram table broadcasts; per-doc CE is one
     map-side-combined aggregate; the z-score windows sit on the
     |docs|-row CE frame. Ranking keys are rounded BEFORE the sort so
-    both engines cut the identical top-{top}.""".format(top=PPX_OUT_TOP)
+    both engines cut the identical top-10."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1838,16 +1836,14 @@ FIELD_TOP = 15
     tags=("text", "tfidf", "topk", "documents"),
 )
 def text_tfidf_field_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIELD-BOOSTED tf-idf: hits in the first {n} tokens (the "title"
-    field) count {b}× — the multi-field relevance shape (BM25F's
+    """FIELD-BOOSTED tf-idf: hits in the first 5 tokens (the "title"
+    field) count 2× — the multi-field relevance shape (BM25F's
     essential move) on top of the plain query scorer
     (``text_tfidf_query_rank``). The boost is applied at the token
     stream BEFORE the tf aggregation (one posexplode carries the
     position), so the plan is identical to unboosted scoring: filter →
     weighted count → broadcast df → TakeOrderedAndProject. Integer
-    boosts keep the weighted tf exact cross-engine.""".format(
-        n=FIELD_TITLE_LEN, b=FIELD_TITLE_BOOST
-    )
+    boosts keep the weighted tf exact cross-engine."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

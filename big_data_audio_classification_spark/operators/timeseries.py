@@ -1661,16 +1661,16 @@ def _markov_stationary_oracle() -> str:
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the event-type Markov chain — the
     long-run behavioral mix the `events_markov_transitions` matrix
-    converges to — by {it} synchronous power-iteration rounds from the
-    uniform start (π_{{t+1}} = π_t P). The per-round state is k≤5
+    converges to — by 24 synchronous power-iteration rounds from the
+    uniform start (π_{t+1} = π_t P). The per-round state is k≤5
     doubles, so iterations after the one transition-count shuffle are
     dimension-sized: the heavy lifting is exactly one LEAD window +
     one (cur,next) aggregate, same as the matrix query; convergence is
     geometric (chain is irreducible here: every type both emits and
     receives transitions at every SF), so ROUND(_, 8) sits far inside
-    the contraction after {it} rounds. Spark loop localCheckpoints the
+    the contraction after 24 rounds. Spark loop localCheckpoints the
     k-row π each round (lineage idiom); oracle unrolls MATERIALIZED
-    CTEs.""".format(it=MARKOV_POWER_ITERS)
+    CTEs."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = e.select(

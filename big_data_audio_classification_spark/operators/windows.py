@@ -414,14 +414,14 @@ WMA_WIN = 5  # trailing rows in the weighted window (weights 1..5)
     tags=("window", "rolling", "events"),
 )
 def window_rolling_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LINEARLY-DECAYING rolling weighted mean (WMA-{n}: weight n for
+    """LINEARLY-DECAYING rolling weighted mean (WMA-5: weight n for
     the current row down to 1 for the oldest) — the classic
     trend-following smoother between the uniform rolling mean and the
     EWMA (``events_ewma_deviation``). Spark states it as explicit LAGs
     over ONE shared window spec (a single WindowExec pass, no frame
     re-sort per weight); truncated leading frames renormalize by the
     weights actually present, matching the oracle's NULL-guarded
-    arithmetic exactly.""".format(n=WMA_WIN)
+    arithmetic exactly."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lags = [F.col("value")] + [
