@@ -114,12 +114,13 @@ HEADLINE = [
     "window_rolling_skew_kurt",
     "text_bm25_rank",
     "dedup_lsh_bucket_profile",
-    # round-8 flagship additions (the r08 stock tranche; the 50-query
+    # round-8 flagship additions (the r08 stock tranches; the 50-query
     # shared subset above stays frozen for round-over-round
     # comparability — report the shared-50 ratio vs BENCH_r07)
     "window_rolling_drawdown",
     "mm_payload_adler_checksum",
     "text_lm_dirichlet_prior",
+    "dedup_lsh_amplification_curve",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a
