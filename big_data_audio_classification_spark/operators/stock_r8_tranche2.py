@@ -2592,3 +2592,264 @@ def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                w_all AS (PARTITION BY o_custkey)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch: portable HyperLogLog with measured-vs-exact distinct
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                       # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P          # 24 rank bits per hashed key
+_HLL_ALPHA = ("(CAST(0.7213 AS DOUBLE) / "
+              "(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256.0))")
+# alpha_256 — explicit DOUBLE casts: bare numeric literals parse as
+# DECIMAL in BOTH engines and Spark would carry decimal arithmetic
+# into the estimate (typed-hash mismatch caught at the gate)
+
+
+def _bitlen_case_sql(col: str, bits: int) -> str:
+    branches = " ".join(
+        f"WHEN {col} >= {1 << (k - 1)} THEN {k}"
+        for k in range(bits, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+@query(
+    "sketch_hll_portable",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT UNNEST(list_filter(string_split(text, ' '),
+                                   t -> t <> '')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+            FROM toks
+        ),
+        regs AS (
+            SELECT hv >> {HLL_WBITS} AS bucket,
+                   MAX({HLL_WBITS + 1}
+                       - {_bitlen_case_sql(f"(hv & {(1 << HLL_WBITS) - 1})",
+                                           HLL_WBITS)}) AS m
+            FROM h GROUP BY hv >> {HLL_WBITS}
+        ),
+        spine AS (SELECT UNNEST(range(0, {HLL_M})) AS bucket),
+        full_regs AS (
+            SELECT s.bucket, COALESCE(r.m, 0) AS m
+            FROM spine s LEFT JOIN regs r ON s.bucket = r.bucket
+        ),
+        s AS (
+            SELECT CAST(SUM(CAST(1 AS BIGINT)
+                            << ({HLL_WBITS + 1} - m)) AS BIGINT) AS s_int,
+                   CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero
+            FROM full_regs
+        ),
+        x AS (
+            SELECT s_int, n_zero,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_exact,
+                   ({_HLL_ALPHA}) * {HLL_M} * {HLL_M}
+                       * {1 << (HLL_WBITS + 1)} / s_int AS e_raw
+            FROM s
+        )
+        SELECT n_exact, n_zero,
+               ROUND(e_raw, 4) AS raw_estimate,
+               ROUND(CASE WHEN e_raw <= 2.5 * {HLL_M} AND n_zero > 0
+                          THEN {HLL_M} * LN({HLL_M} / CAST(n_zero AS DOUBLE))
+                          ELSE e_raw END, 4) AS corrected_estimate,
+               ROUND((CASE WHEN e_raw <= 2.5 * {HLL_M} AND n_zero > 0
+                           THEN {HLL_M} * LN({HLL_M} / CAST(n_zero AS DOUBLE))
+                           ELSE e_raw END - n_exact)
+                     / n_exact, 4) AS rel_error
+        FROM x
+    """,
+    tags=("aggregate", "sketch", "dedup", "documents"),
+)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HYPERLOGLOG, simulated relationally and calibrated
+    against the exact distinct count: hash every distinct token with
+    the cross-engine md5 family, split top-8 bits → 256 registers,
+    register value = leading-zero rank of the remaining 24 bits
+    (computed by a pure-integer comparison CASE — never a float log2,
+    whose boundary ULPs differ per libm), and the harmonic-mean
+    estimator Σ2^(−M_j) accumulated as an EXACT INTEGER in units of
+    2⁻²⁵ (every term is a power of two, so the sum is exact and
+    order-independent) before the one float estimate expression,
+    Flajolet's small-range correction m·ln(m/V) included. The engines'
+    own HLLs (approx_count_distinct vs DuckDB's) can never cross-check
+    — different hash families — so this carrier IS the portable
+    contract, with measured relative error in the output (companion
+    sketches: ``sketch_bloom_filter_portable``, ``agg_kmv_distinct_
+    sketch``, theta setops). One token pass + one 256-row aggregate at
+    any SF; the register table is the whole sketch state."""
+    from big_data_audio_classification_spark.operators.dedup import (
+        token_hash,
+        tokens_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    h = toks.select(token_hash(F.col("tok")).alias("hv"))
+    wmask = (1 << HLL_WBITS) - 1
+    w = F.col("hv").bitwiseAND(F.lit(wmask))
+    bitlen = F.lit(0)
+    for k in range(1, HLL_WBITS + 1):
+        bitlen = F.when(w >= (1 << (k - 1)), k).otherwise(bitlen)
+    regs = h.groupBy(
+        F.shiftright("hv", HLL_WBITS).alias("bucket")
+    ).agg(F.max(F.lit(HLL_WBITS + 1) - bitlen).alias("m"))
+    spine = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    full_regs = spine.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    s = full_regs.agg(
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m)"))
+        .cast("bigint")
+        .alias("s_int"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    n_exact = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    x = s.crossJoin(F.broadcast(n_exact)).select(
+        "s_int",
+        "n_zero",
+        "n_exact",
+        (
+            F.expr(_HLL_ALPHA)
+            * HLL_M
+            * HLL_M
+            * (1 << (HLL_WBITS + 1))
+            / F.col("s_int")
+        ).alias("e_raw"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
+        HLL_M * F.log(HLL_M / F.col("n_zero").cast("double")),
+    ).otherwise(F.col("e_raw"))
+    return x.select(
+        "n_exact",
+        "n_zero",
+        F.round("e_raw", 4).alias("raw_estimate"),
+        F.round(corrected, 4).alias("corrected_estimate"),
+        F.round((corrected - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph: synchronous min-label propagation over the k-NN graph
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 4
+LP_NODE_CAP = 600  # same bounded exact-kNN slice as graph_pagerank_knn
+
+
+def _label_prop_sql() -> str:
+    from big_data_audio_classification_spark.operators.graph import KNN_K
+
+    sql_cos = """
+        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (SQRT(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    parts = [
+        f"""nset AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {LP_NODE_CAP})""",
+        f"""dedges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY ROUND({sql_cos}, 6) DESC, b.vec_id) AS rn
+                FROM nset a JOIN nset b ON a.vec_id <> b.vec_id)
+            WHERE rn <= {KNN_K})""",
+        """edges AS MATERIALIZED (
+            SELECT src, dst FROM dedges
+            UNION SELECT dst, src FROM dedges)""",
+        """labels0 AS MATERIALIZED (
+            SELECT vec_id, vec_id AS label FROM nset)""",
+    ]
+    for r in range(1, LP_ROUNDS + 1):
+        parts.append(f"""labels{r} AS MATERIALIZED (
+            SELECT l.vec_id,
+                   LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+            FROM labels{r - 1} l
+            LEFT JOIN edges e ON e.dst = l.vec_id
+            LEFT JOIN labels{r - 1} nl ON nl.vec_id = e.src
+            GROUP BY l.vec_id, l.label)""")
+    sep = ",\n        "
+    return f"""
+        WITH {sep.join(parts)}
+        SELECT CAST(label AS BIGINT)    AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM labels{LP_ROUNDS} GROUP BY label
+    """
+
+
+@query(
+    "graph_label_propagation_sync",
+    oracle=_label_prop_sql(),
+    tags=("graph", "iterative", "similarity", "embeddings"),
+)
+def graph_label_propagation_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNCHRONOUS MIN-LABEL PROPAGATION (4 rounds) over the
+    symmetrized k-NN embedding graph — the community/component seeding
+    pass (HashMin: every node takes the minimum label in its closed
+    neighborhood each round; after r rounds labels have flowed r hops,
+    so cluster structure at radius 4 is visible without running CC to
+    convergence — full CC: ``dedup_connected_components``; spectral
+    cousin: ``graph_pagerank_knn``). Deterministic end-to-end: the
+    exact k-NN build uses the rounded-cosine/dst tiebreak shared with
+    pagerank, labels are integers, min is order-free. Spark unrolls
+    the rounds as join+groupBy over a checkpointed edge list (the
+    Pregel superstep shape — at 100 TB each round is ONE shuffle keyed
+    by dst); the oracle unrolls MATERIALIZED CTEs. Output is the
+    cluster-size census, O(#labels) rows."""
+    from big_data_audio_classification_spark.operators.graph import knn_edges
+
+    dedges = knn_edges(spark, sf_dir, node_cap=LP_NODE_CAP)
+    edges = (
+        dedges.select("src", "dst")
+        .union(dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < LP_NODE_CAP
+    )
+    labels = em.select("vec_id", F.col("vec_id").alias("label"))
+    for _ in range(LP_ROUNDS):
+        incoming = (
+            edges.join(
+                labels.select(
+                    F.col("vec_id").alias("src"), F.col("label").alias("nl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.min("nl").alias("min_in"))
+        )
+        labels = (
+            labels.join(incoming, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("label"), F.coalesce("min_in", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )

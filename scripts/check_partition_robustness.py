@@ -13,7 +13,13 @@ partition-order-dependent until moved to fixed-point sums).
 
 Usage: python scripts/check_partition_robustness.py [mode|names...]
   no args        -> check the current DRIVER_WINDOW
-  --all          -> check every SQL-oracled query in the registry
+  --all          -> check every SQL-oracled query, CHUNKED: 30 queries
+                    per fresh subprocess pair (a single long-lived JVM
+                    accumulates localCheckpoint/persist state across
+                    hundreds of plans and OOMs its default heap —
+                    observed at ~5200 stages, and again at a 60-query
+                    chunk containing the checkpoint-heavy graph ops,
+                    in r08)
   name [name...] -> check just those queries
 Env: ROBUST_SF overrides the sf dir (default /root/testdata/sf0.01).
 """
@@ -56,6 +62,13 @@ def run_all(names: list[str], shuffle_parts: int, parallelism: int) -> dict:
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # match the house session factory's heap: the default 1g driver
+        # OOMs on median-over-pairs plans (stats_theil_sen) and on
+        # checkpoint-heavy chunks
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .appName(f"robust-{shuffle_parts}")
         .getOrCreate()
     )
@@ -77,7 +90,43 @@ def run_all(names: list[str], shuffle_parts: int, parallelism: int) -> dict:
     return out
 
 
+CHUNK = 30  # 60 OOMs a default-heap JVM pair on checkpoint-heavy chunks
+
+
+def _run_chunked(names: list[str]) -> int:
+    import subprocess
+
+    total, bad_all = 0, {}
+    for i in range(0, len(names), CHUNK):
+        chunk = names[i : i + CHUNK]
+        out = subprocess.run(
+            [sys.executable, __file__, *chunk],
+            capture_output=True,
+            text=True,
+        )
+        # the verdict JSON is the last {...} block on stdout (Spark log
+        # noise precedes it); payloads never nest extra braces
+        start = out.stdout.find('{\n "mismatches"')
+        if start < 0:
+            raise RuntimeError(
+                f"chunk {i // CHUNK + 1} produced no verdict; stderr tail: "
+                + out.stderr[-500:]
+            )
+        payload = json.loads(out.stdout[start:])
+        bad_all.update(payload["mismatches"])
+        total += payload["n_checked"]
+        print(
+            f"chunk {i // CHUNK + 1}: {payload['n_checked']} checked, "
+            f"{len(payload['mismatches'])} mismatches",
+            flush=True,
+        )
+    print(json.dumps({"mismatches": bad_all, "n_checked": total}, indent=1))
+    return 1 if bad_all else 0
+
+
 def main() -> int:
+    if sys.argv[1:] == ["--all"]:
+        return _run_chunked(_pick_names())
     names = _pick_names()
     a = run_all(names, 7, 5)
     b = run_all(names, 32, 32)

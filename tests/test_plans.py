@@ -698,3 +698,64 @@ def test_pq_codebook_trains_all_subspaces_in_one_plan(spark, sf_dir):
     plan = introspect.formatted_plan(df)
     assert introspect.uses_broadcast_join(df)
     assert "CartesianProduct" not in plan
+
+
+def test_amplification_curve_pairs_form_only_via_token_equijoin(spark, sf_dir):
+    """The S-curve's pair formation must be the linear-output token
+    intersection equi-join — a cartesian/nested-loop over sampled docs
+    would defeat the whole design."""
+    from big_data_audio_classification_spark.operators.stock_r8_tranche2 import (
+        dedup_lsh_amplification_curve,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(dedup_lsh_amplification_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_probe_broadcasts_bits(spark, sf_dir):
+    """The bit table is bounded by m=16384 rows — the probe join must
+    broadcast it, never shuffle the probe side against it."""
+    from big_data_audio_classification_spark.operators.stock_r8_tranche2 import (
+        sketch_bloom_filter_portable,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(sketch_bloom_filter_portable(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_aggregate_is_bounded(spark, sf_dir):
+    """The HLL sketch state is the 256-row register table; the final
+    estimate must come from one aggregate over it (no per-key state
+    survives past the register groupBy) and the spine join must
+    broadcast."""
+    from big_data_audio_classification_spark.operators.stock_r8_tranche2 import (
+        sketch_hll_portable,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(sketch_hll_portable(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_rounds_are_equijoins(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.stock_r8_tranche2 import (
+        graph_label_propagation_sync,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(graph_label_propagation_sync(spark, sf_dir))
+    # the checkpointed label frame joins edges by key every round; the
+    # only non-equi join in the lineage is the bounded kNN build, and
+    # THAT is checkpointed away before the rounds run
+    assert "CartesianProduct" not in plan

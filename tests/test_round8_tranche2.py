@@ -525,3 +525,48 @@ def test_named_window_clause_running_sum(spark, sf_dir):
             b.running_cents - a.running_cents for a, b in zip(rs, rs[1:])
         ]
         assert all(d >= 0 for d in diffs)
+
+
+def test_hll_portable_replay(spark, sf_dir):
+    import hashlib
+
+    from big_data_audio_classification_spark.operators.stock_r8_tranche2 import (
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+        sketch_hll_portable,
+    )
+
+    [row] = sketch_hll_portable(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    toks = {t for d in docs for t in d.text.split(" ") if t}
+    regs = [0] * HLL_M
+    for t in toks:
+        hv = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        bucket, w = hv >> HLL_WBITS, hv & ((1 << HLL_WBITS) - 1)
+        rank = HLL_WBITS + 1 - w.bit_length()
+        regs[bucket] = max(regs[bucket], rank)
+    n_zero = regs.count(0)
+    assert row.n_exact == len(toks)
+    assert row.n_zero == n_zero
+    # HLL with m=256 has ~6.5% std error; measured error must be sane
+    assert abs(row.rel_error) < 0.35
+
+
+def test_label_propagation_conserves_nodes_and_minima(spark, sf_dir):
+    from big_data_audio_classification_spark.operators.stock_r8_tranche2 import (
+        LP_NODE_CAP,
+        graph_label_propagation_sync,
+    )
+
+    rows = graph_label_propagation_sync(spark, sf_dir).collect()
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < LP_NODE_CAP
+    )
+    n_nodes = em.count()
+    assert sum(r.n_members for r in rows) == n_nodes  # partition of nodes
+    labels = [r.label for r in rows]
+    assert len(set(labels)) == len(labels)
+    # every surviving label is a real node id and a local minimum seed
+    assert all(0 <= l < n_nodes for l in labels)
+    assert 0 in labels  # node 0 can never adopt a smaller label
