@@ -2853,3 +2853,96 @@ def graph_label_propagation_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").cast("bigint").alias("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml/text: CountVectorizer vocabulary contract (MLlib internals vs SQL)
+# ---------------------------------------------------------------------------
+
+VOCAB_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "is", "are", "was", "be", "with", "as", "at", "by", "it", "this",
+)
+
+
+def _vocab_contract_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in VOCAB_STOPWORDS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok,
+                   CAST(generate_subscripts(
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> ''), 1) AS BIGINT) AS pos
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS kpos
+            FROM toks WHERE tok NOT IN ({stop_list})
+        ),
+        bigrams AS (
+            SELECT DISTINCT a.tok || ' ' || b.tok AS bigram
+            FROM kept a JOIN kept b
+              ON a.doc_id = b.doc_id AND b.kpos = a.kpos + 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               md5(string_agg(bigram, '|' ORDER BY bigram)) AS vocab_md5
+        FROM bigrams
+    """
+
+
+@query(
+    "text_pipeline_vocab_contract",
+    oracle=_vocab_contract_sql(),
+    tags=("text", "ml", "mllib", "documents"),
+)
+def text_pipeline_vocab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib FEATURE-PIPELINE VOCABULARY CONTRACT — the SQL-oracled
+    face of ``text_mllib_pipeline`` (rows-only because vocabulary
+    INDEX order is an MLlib internal; the vocabulary SET is not):
+    fit RegexTokenizer(\\s+, lowercase) → StopWordsRemover(explicit
+    20-word list, shared with the oracle as a literal) → NGram(2) →
+    CountVectorizer with vocabSize ABOVE the corpus's bigram-type
+    count, so the fitted vocabulary must equal EXACTLY the distinct
+    kept-bigram set — which the oracle derives relationally (tokenize,
+    stop-filter with re-ranked positions, pos+1 self-join, DISTINCT).
+    The comparison ships as (count, md5 of the sorted '|'-joined set):
+    any MLlib tokenization/stopword/ngram/fit divergence flips the
+    hash → driver red row. The fit is one distributed term-count agg;
+    the driver-side vocabulary is bounded by the bigram-type count
+    (vocab lists are the one legitimately driver-sized object in an
+    MLlib fit — same stance as ``ml_pipeline_metadata_contract``)."""
+    import hashlib
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (
+        CountVectorizer,
+        NGram,
+        RegexTokenizer,
+        StopWordsRemover,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="toks", pattern="\\s+"),
+            StopWordsRemover(
+                inputCol="toks",
+                outputCol="kept",
+                stopWords=list(VOCAB_STOPWORDS),
+            ),
+            NGram(n=2, inputCol="kept", outputCol="bigrams"),
+            CountVectorizer(
+                inputCol="bigrams", outputCol="features", vocabSize=1 << 20
+            ),
+        ]
+    )
+    model = pipe.fit(d)
+    vocab = model.stages[-1].vocabulary
+    digest = hashlib.md5("|".join(sorted(vocab)).encode()).hexdigest()
+    return spark.createDataFrame(
+        [(len(vocab), digest)], "n_vocab long, vocab_md5 string"
+    )

@@ -570,3 +570,23 @@ def test_label_propagation_conserves_nodes_and_minima(spark, sf_dir):
     # every surviving label is a real node id and a local minimum seed
     assert all(0 <= l < n_nodes for l in labels)
     assert 0 in labels  # node 0 can never adopt a smaller label
+
+
+def test_vocab_contract_matches_python_replay(spark, sf_dir):
+    import hashlib
+
+    from big_data_audio_classification_spark.operators.stock_r8_tranche2 import (
+        VOCAB_STOPWORDS,
+        text_pipeline_vocab_contract,
+    )
+
+    [row] = text_pipeline_vocab_contract(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    bigrams = set()
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        kept = [t for t in toks if t not in VOCAB_STOPWORDS]
+        bigrams.update(f"{a} {b}" for a, b in zip(kept, kept[1:]))
+    assert row.n_vocab == len(bigrams)
+    want = hashlib.md5("|".join(sorted(bigrams)).encode()).hexdigest()
+    assert row.vocab_md5 == want
