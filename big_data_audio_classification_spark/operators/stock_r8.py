@@ -142,9 +142,16 @@ ADLER_MOD = 65521  # largest prime below 2^16 (the zlib constant)
             FROM ch WHERE c <> '' AND ascii(c) < 128
             GROUP BY doc_id
         )
-        SELECT doc_id, n AS n_bytes,
-               CAST(s2 * 65536 + s1 AS BIGINT) AS adler32
-        FROM s
+        -- LEFT JOIN from documents: an EMPTY payload must still emit a
+        -- row with adler32(b'') = 1 (s1=1, s2=0), exactly as zlib does
+        -- on the Spark side — the WHERE c <> '' filter would otherwise
+        -- drop the doc entirely and diverge silently (r08 review;
+        -- string_split_regex('','') yields [''])
+        SELECT d.doc_id,
+               COALESCE(s.n, 0)                      AS n_bytes,
+               CAST(COALESCE(s.s2, 0) * 65536
+                    + COALESCE(s.s1, 1) AS BIGINT)   AS adler32
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     """,
     tags=("multimodal", "mapInPandas", "documents"),
 )

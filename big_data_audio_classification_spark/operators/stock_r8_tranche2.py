@@ -144,8 +144,11 @@ def scalar_math_rounding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_id, k,
                json_extract_string(events.props, '$.' || k)   AS v_text,
-               TRY_CAST(json_extract_string(events.props, '$.' || k)
-                        AS BIGINT) IS NOT NULL                 AS v_is_int
+               -- explicit integer regex on BOTH sides: TRY_CAST vs
+               -- Spark CAST disagree on '12.5'/'1e3'-shaped strings
+               -- (DuckDB rounds/parses them, Spark rejects) — r08 review
+               regexp_matches(json_extract_string(events.props, '$.' || k),
+                              '^-?[0-9]+$')                    AS v_is_int
         FROM kv JOIN events USING (event_id)
     """,
     tags=("scalar", "json", "events"),
@@ -166,7 +169,9 @@ def scalar_json_flatten_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "k",
             "v_text",
-            F.col("v_text").cast("bigint").isNotNull().alias("v_is_int"),
+            # explicit integer regex, shared with the oracle: engine
+            # string->int cast semantics diverge on '12.5'/'1e3'
+            F.col("v_text").rlike("^-?[0-9]+$").alias("v_is_int"),
         )
     )
 
@@ -2122,8 +2127,10 @@ def audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM x GROUP BY user_id
         )
         SELECT user_id, n,
+               -- + 0 normalizes DuckDB ROUND's -0.0 (slopes are
+               -- centered on 0 by construction; r08 review)
                ROUND((n * sty - st * sy) / (n * stt - st * st) / 100.0, 6)
-                   AS trend_slope,
+                   + 0 AS trend_slope,
                ROUND(((n * sty - st * sy) * (n * sty - st * sy))
                      / ((n * stt - st * st) * (n * syy - sy * sy)), 6) + 0
                    AS var_explained
@@ -2659,10 +2666,12 @@ def _bitlen_case_sql(col: str, bits: int) -> str:
                ROUND(CASE WHEN e_raw <= 2.5 * {HLL_M} AND n_zero > 0
                           THEN {HLL_M} * LN({HLL_M} / CAST(n_zero AS DOUBLE))
                           ELSE e_raw END, 4) AS corrected_estimate,
+               -- + 0 normalizes DuckDB ROUND's -0.0 (rel_error is
+               -- negative whenever HLL underestimates; r08 review)
                ROUND((CASE WHEN e_raw <= 2.5 * {HLL_M} AND n_zero > 0
                            THEN {HLL_M} * LN({HLL_M} / CAST(n_zero AS DOUBLE))
                            ELSE e_raw END - n_exact)
-                     / n_exact, 4) AS rel_error
+                     / n_exact, 4) + 0 AS rel_error
         FROM x
     """,
     tags=("aggregate", "sketch", "dedup", "documents"),

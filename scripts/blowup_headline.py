@@ -74,10 +74,14 @@ KEY_OFFSET = 100_000_000
 
 def materialize(spark, k: int) -> str:
     out = os.path.join(SCRATCH, f"k{k}")
-    if os.path.isdir(out):
+    done_marker = os.path.join(out, "_MATERIALIZED")
+    # a bare isdir() check would reuse a partially-written corpus left
+    # by a hard-killed run (the finally rmtree doesn't run on SIGKILL)
+    # and silently time the wrong data — require the completion marker
+    if os.path.exists(done_marker):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    from big_data_audio_classification_spark.sources.catalog import load_table
 
     for table, (keys, text_col) in REPL_RULES.items():
         base = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
@@ -96,6 +100,8 @@ def materialize(spark, k: int) -> str:
         for cp in copies[1:]:
             df = df.unionByName(cp)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
     return out
 
 

@@ -130,7 +130,15 @@ def main() -> int:
     names = _pick_names()
     a = run_all(names, 7, 5)
     b = run_all(names, 32, 32)
-    bad = {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+    # an ERR on either side is a FAILURE even when both sides raise the
+    # same message: the query was never actually compared, and counting
+    # it as checked would launder a deterministic crash into a pass
+    # (r08 review)
+    bad = {
+        k: (a[k], b[k])
+        for k in a
+        if a[k] != b[k] or a[k][0] == "ERR" or b[k][0] == "ERR"
+    }
     print(json.dumps({"mismatches": bad, "n_checked": len(a)}, indent=1))
     return 1 if bad else 0
 
