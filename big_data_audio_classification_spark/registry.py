@@ -62,77 +62,85 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # displaced from an earlier window stays registered and tri-SF green
 # in the local gate (scripts/check_oracle.py).
 #
-# Round-8 rotation: round 7 came back 50/50 GREEN (CORRECTNESS_r07 —
-# the first clean round; zero retries needed). All 50 slots here are
-# FIRST-TIME entries drawn from the never-certified backlog (224
-# SQL-oracled queries at r08 open). Selection: a greedy tag cover so
-# the window samples every REQUIRED_FAMILY_TAG (29 queries), the five
-# carriers whose contracts were hardened by the round-7 ADVICE items
-# (agg_pandas_udaf_decile_ratio — shared exact-integer decile
-# interpolation; mm_payload_byte_histogram — explicit ASCII guard;
-# window_rolling_skew_kurt + ml_mrmr_feature_rank +
-# dedup_lsh_bucket_profile/dedup_simhash_prefix_schedule —
-# DECIMAL(38,0) overflow headroom) so the driver certifies the FIXED
-# contracts, and 18 fills chosen to drain abundant-tag stock while
-# keeping every family tag >= 2-deep in never-certified spares (the
-# three tags the musts depleted — rolling/mapInPandas/lm — are
-# restocked by the round-8 stock tranche). Every entry passed the
+# Round-9 rotation: round 8 came back 50/50 GREEN (CORRECTNESS_r08 —
+# second consecutive clean round; zero retries needed). All 50 slots
+# here are FIRST-TIME entries drawn from the never-certified backlog
+# (213 SQL-oracled queries at r09 open). Selection follows the judge's
+# r08 directive: 17 must-enters covering the riskiest never-certified
+# hazard classes — the two r08 late additions whose -0.0 guards the
+# driver has never seen (sketch_hll_portable,
+# graph_label_propagation_sync), the four r08 bench flagships
+# (mm_payload_adler_checksum, dedup_lsh_amplification_curve,
+# window_rolling_drawdown, text_lm_dirichlet_prior), the two r08
+# close-review contract fixes (analytics_detrend_linear_resid -0.0
+# slope guard, scalar_json_flatten_kv shared int-regex), the five
+# DECIMAL(38)/HUGEINT-headroom carriers not yet windowed
+# (ml_wls_closed_form, ml_bias_variance, scalar_decimal_exact,
+# agg_grouping_id_subtotals, dedup_simhash_rotation_profile), and the
+# full remaining mapInPandas/Arrow (mm_tts_synthesize_stats,
+# ml_cnn_loss_contract) and LM-smoothing (text_lm_good_turing,
+# text_lm_kneser_ney_unigram) families — plus a greedy tag cover so
+# the window samples every REQUIRED_FAMILY_TAG, and fills that drain
+# abundant-tag stock (events/aggregate/ml/window) while keeping every
+# family tag >= 2-deep in never-certified spares (the two tags the
+# musts depleted — lm, mapInPandas — are restocked by the round-9
+# stock tranche, operators/stock_r9.py). Every entry passed the
 # tri-SF BIT-EXACT local gate (scripts/check_oracle.py), the
 # scripts/check_dtypes.py typed-hash gate, and the two-config
 # partition-robustness gate before rotation.
-# 300 distinct queries came back GREEN across r01-r07 (300 entered,
+# 350 distinct queries came back GREEN across r01-r08 (350 entered,
 # zero outstanding red rows).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "skew_key_frequency_profile",
-    "agg_pandas_udaf_decile_ratio",
-    "join_range_week_containment",
-    "dedup_lsh_bucket_profile",
-    "window_rolling_time_stats",
-    "text_tfidf_source_cosine",
-    "set_semi_anti_census",
-    "sql_pivot_status_matrix",
-    "stats_stratified_ate",
-    "mm_scene_segments",
-    "sink_csv_quote_all_roundtrip",
-    "ml_ols_normal_equations",
-    "scalar_variant_object_tree",
-    "agg_theta_sketch_setops",
-    "dedup_simhash_prefix_schedule",
-    "join_asof_forward_tolerance",
-    "sim_ivf_nprobe_cost_model",
-    "ref_dedup_keep_policy",
-    "scalar_map_user_type_histogram",
-    "scalar_json_object_shape",
-    "ml_ordinal_freq_encoding",
-    "audio_zero_crossing_rate",
-    "text_lm_absolute_discount",
-    "udtf_word_bigrams",
-    "scalar_base64_roundtrip",
-    "scalar_math_inverse_trig",
-    "array_quarter_split_sums",
-    "ml_mrmr_feature_rank",
-    "analytics_multiplicative_decomp",
-    "mm_payload_byte_histogram",
-    "text_lm_jelinek_mercer",
-    "window_rolling_skew_kurt",
-    "profile_dq_rules",
-    "profile_functional_dependencies",
-    "retrieval_rrf_hybrid",
-    "warehouse_compaction_binpack",
-    "er_golden_record",
-    "stats_permutation_test",
-    "curation_weighted_sample_aes",
-    "curation_token_weighted_median",
-    "stats_gini_concentration",
-    "stats_spearman_corr",
-    "stats_overdispersion",
-    "analytics_mom_growth",
-    "analytics_abc_pareto",
-    "retrieval_phrase_positions",
-    "graph_pagerank_oracle",
-    "ml_fpgrowth_baskets",
-    "winsorize_order_prices",
-    "stats_jackknife_ratio",
+    "sketch_hll_portable",
+    "graph_label_propagation_sync",
+    "mm_payload_adler_checksum",
+    "dedup_lsh_amplification_curve",
+    "window_rolling_drawdown",
+    "text_lm_dirichlet_prior",
+    "analytics_detrend_linear_resid",
+    "scalar_json_flatten_kv",
+    "ml_wls_closed_form",
+    "ml_bias_variance",
+    "scalar_decimal_exact",
+    "agg_grouping_id_subtotals",
+    "dedup_simhash_rotation_profile",
+    "mm_tts_synthesize_stats",
+    "ml_cnn_loss_contract",
+    "text_lm_good_turing",
+    "text_lm_kneser_ney_unigram",
+    "join_asof_backward_tolerance",
+    "agg_pandas_udaf_iqr",
+    "stats_rdd_local_means",
+    "text_bm25_rank",
+    "skew_salt_factor_plan",
+    "sink_csv_tsv_dialect_roundtrip",
+    "ref_running_concat",
+    "udtf_run_length_encode",
+    "sql_lateral_column_alias",
+    "set_union_vs_union_all",
+    "events_sliding_window",
+    "join_range_log_bands_overlap",
+    "scalar_math_factorial_bits",
+    "scalar_variant_nested_hops",
+    "scalar_map_keys_values_fold",
+    "sim_ivf_centroid_update",
+    "ml_variance_ratio_selection",
+    "tpch_q22_sales_opportunity",
+    "array_sequence_set_algebra",
+    "ml_count_encoding_smoothed",
+    "audio_crest_factor",
+    "events_session_funnel",
+    "events_top_paths",
+    "stats_ab_proportion_test",
+    "window_rolling_corr",
+    "ml_prefixspan_sequences",
+    "events_markov_transitions",
+    "tpch_q8_market_share",
+    "events_interval_coverage",
+    "events_cumulative_distinct_users",
+    "tpch_q12_priority_by_linestatus",
+    "stats_bh_fdr",
+    "scalar_timezone_functions",
 )
 
 
