@@ -547,14 +547,23 @@ def dedup_lsh_amplification_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     exact-Jaccard decile against the THEORETICAL amplification
     1−(1−J^r)^b at the bin midpoint — the calibration plot (Leskovec/
     Rajaraman/Ullman fig.) that justifies a (bands=4, rows=4) config
-    before running it on 100 TB. Pair formation is the linear-output
-    token-intersection join (never all-pairs; zero-overlap pairs have
-    J=0 and theoretical rate 0 — excluded by construction, stated
-    identically in both engines); the Jaccard decile is computed in
-    EXACT integers ((10·ci) // union, clamped to 9); collision truth
-    is a pure integer signature comparison; the only floats are the
-    two final rate expressions, written identically in both dialects.
-    Output ≤ 10 rows at any SF."""
+    before running it on 100 TB. Pair formation is the
+    token-intersection equi-join (never all-pairs; zero-overlap pairs
+    have J=0 and theoretical rate 0 — excluded by construction, stated
+    identically in both engines) — its cost is the SAMPLED PAIR MASS,
+    which is corpus-dependent: under the template-similar blow-up
+    model it grows ~K² (measured r09: 34x wall at K=10 on a flat
+    10-row output, scripts/blowup_headline.py → PLANS.md). That is
+    inherent to any calibration that verifies pairs; the knob is
+    AMP_SAMPLE_MOD — calibration quality depends on pairs RETAINED,
+    not corpus coverage, so a pair-mass-heavy corpus raises the
+    modulus (the bucket profile's pair_mass column prices this before
+    running, same discipline as the r06 CONT_DF_CAP knob). The
+    Jaccard decile is computed in EXACT integers ((10·ci) // union,
+    clamped to 9); collision truth is a pure integer signature
+    comparison; the only floats are the two final rate expressions,
+    written identically in both dialects. Output ≤ 10 rows at any
+    SF."""
     from big_data_audio_classification_spark.operators.dedup import (
         LSH_BANDS,
         LSH_ROWS,
