@@ -121,6 +121,13 @@ HEADLINE = [
     "mm_payload_adler_checksum",
     "text_lm_dirichlet_prior",
     "dedup_lsh_amplification_curve",
+    # round-9 flagship additions (the r09 stock tranches; the 54-query
+    # shared subset above stays frozen for round-over-round
+    # comparability — report the shared-54 ratio vs BENCH_r08)
+    "dedup_lsh_bucket_entropy",
+    "dedup_simhash_multiprobe16",
+    "ml_point_biserial_selection",
+    "text_topk_salient_terms",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a

@@ -2027,9 +2027,15 @@ JK_BUCKETS = 20
                    ROUND((t.st - b.s) / 100.0 / (t.nt - b.n), 6) AS theta_g
             FROM buckets b CROSS JOIN tot t
         ),
+        -- s1/s2 via the SEQUENTIAL g-ordered fold: a cross-row float
+        -- SUM is order-dependent in the last ULP, and the jackknife
+        -- variance subtracts two ~1e12 moments to get ~1e6 — a 1-ULP
+        -- fold difference flips jk_se's 6th decimal (first seen at
+        -- sf0.1 magnitudes, r09; the audio_energy_flatness class)
         jk AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS gn,
-                   SUM(theta_g) AS s1, SUM(theta_g * theta_g) AS s2
+                   list_sum(list(theta_g ORDER BY g)) AS s1,
+                   list_sum(list(theta_g * theta_g ORDER BY g)) AS s2
             FROM loo
         )
         SELECT gn AS n_buckets,
@@ -2076,6 +2082,7 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = buckets.agg(F.sum("s").alias("st"), F.sum("n").alias("nt"))
     loo = buckets.crossJoin(F.broadcast(tot)).select(
+        "g",
         F.round(
             (F.col("st") - F.col("s")) / 100.0 / (F.col("nt") - F.col("n")),
             6,
@@ -2083,10 +2090,17 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st",
         "nt",
     )
+    # s1/s2 via the SEQUENTIAL g-ordered fold (see oracle comment): the
+    # variance is a catastrophic cancellation of ~1e12 moments, so fold
+    # order must be pinned on both engines.
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("g", "theta_g"))),
+        lambda s: s["theta_g"],
+    )
     jk = loo.agg(
         F.count("*").cast("bigint").alias("gn"),
-        F.sum("theta_g").alias("s1"),
-        F.sum(F.col("theta_g") * F.col("theta_g")).alias("s2"),
+        F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x).alias("s1"),
+        F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x * x).alias("s2"),
         F.first("st").alias("st"),
         F.first("nt").alias("nt"),
     )

@@ -759,3 +759,64 @@ def test_label_propagation_rounds_are_equijoins(spark, sf_dir):
     # only non-equi join in the lineage is the bounded kNN build, and
     # THAT is checkpointed away before the rounds run
     assert "CartesianProduct" not in plan
+
+
+def test_exists_census_decorrelates_to_hash_joins(spark, sf_dir):
+    """Each correlated EXISTS must rewrite to a semi/anti hash join
+    keyed on custkey — a per-row subquery re-execution would be the
+    100 TB disaster the operator exists to rule out."""
+    from big_data_audio_classification_spark.operators.stock_r9_tranche2 import (
+        subquery_exists_census,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(subquery_exists_census(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # decorrelated into joins, not re-executed
+
+
+def test_simhash_multiprobe_joins_on_probe_key(spark, sf_dir):
+    """The Hamming-1 census must equi-join XOR probes against the
+    fingerprint table — never an all-pairs Hamming scan."""
+    from big_data_audio_classification_spark.operators.stock_r9_tranche2 import (
+        dedup_simhash_multiprobe16,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(dedup_simhash_multiprobe16(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_is_single_user_shuffle_no_range_join(spark, sf_dir):
+    """The nearest as-of must be the unioned-stream double-carry (one
+    shuffle keyed by user), never a time-range join."""
+    from big_data_audio_classification_spark.operators.stock_r9_tranche2 import (
+        join_asof_nearest_abs,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(join_asof_nearest_abs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the plan is windows over one exchange — no join operator at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pca_contract_moment_pass_is_dim_keyed(spark, sf_dir):
+    """The PCA contract's value side is one aggregate keyed by dim —
+    no cartesian, no per-dimension replan."""
+    from big_data_audio_classification_spark.operators.stock_r9 import (
+        ml_pca_variance_contract,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(ml_pca_variance_contract(spark, sf_dir))
+    assert "CartesianProduct" not in plan
