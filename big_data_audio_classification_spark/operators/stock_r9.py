@@ -64,11 +64,12 @@ def _witten_bell_sql() -> str:
         for i, t in enumerate(WB_TERMS, 1)
     )
     cf_cols = ", ".join(
-        f"CAST(SUM(tf{i}) AS DOUBLE) AS cf{i}" for i in range(1, 4)
+        f"CAST(SUM(tf{i}) AS DOUBLE) AS cf{i}"
+        for i in range(1, len(WB_TERMS) + 1)
     )
     ll = " + ".join(
         f"LN((tf{i} + u_types * cf{i} / clen) / (dl + u_types))"
-        for i in range(1, 4)
+        for i in range(1, len(WB_TERMS) + 1)
     )
     return f"""
         WITH toks AS (
@@ -86,7 +87,8 @@ def _witten_bell_sql() -> str:
         corpus AS (
             SELECT CAST(SUM(dl) AS DOUBLE) AS clen, {cf_cols} FROM pd
         )
-        SELECT doc_id, dl, u_types, tf1, tf2, tf3,
+        SELECT doc_id, dl, u_types,
+               {", ".join(f"tf{i}" for i in range(1, len(WB_TERMS) + 1))},
                ROUND({ll}, 6) AS query_loglik
         FROM pd, corpus
     """
@@ -131,17 +133,23 @@ def text_lm_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = per_doc.agg(
         F.sum("dl").cast("double").alias("clen"),
-        *[F.sum(f"tf{i}").cast("double").alias(f"cf{i}") for i in range(1, 4)],
+        *[
+            F.sum(f"tf{i}").cast("double").alias(f"cf{i}")
+            for i in range(1, len(WB_TERMS) + 1)
+        ],
     )
     ll = None
-    for i in range(1, 4):
+    for i in range(1, len(WB_TERMS) + 1):
         term = F.log(
             (F.col(f"tf{i}") + F.col("u_types") * F.col(f"cf{i}") / F.col("clen"))
             / (F.col("dl") + F.col("u_types"))
         )
         ll = term if ll is None else ll + term
     return per_doc.crossJoin(F.broadcast(corpus)).select(
-        "doc_id", "dl", "u_types", "tf1", "tf2", "tf3",
+        "doc_id",
+        "dl",
+        "u_types",
+        *[f"tf{i}" for i in range(1, len(WB_TERMS) + 1)],
         F.round(ll, 6).alias("query_loglik"),
     )
 
@@ -520,11 +528,15 @@ def ml_pca_variance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
         lambda s: s["v"],
     )
+    # persist: the gate summary collect() below and the returned frame
+    # both read this 64-row aggregate — without the persist the heavy
+    # posexplode + per-dim ordered-fold pass would execute twice
+    # (round-9 close review).
     moments = ex.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x).alias("s1"),
         F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x * x).alias("s2"),
-    )
+    ).persist()
     nd = F.col("n_vecs").cast("double")
     var_expr = (F.col("s2") - F.col("s1") * F.col("s1") / nd) / nd
 

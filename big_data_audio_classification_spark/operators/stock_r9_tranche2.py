@@ -700,7 +700,7 @@ def _lsh_entropy_sql() -> str:
             SELECT band_id,
                    CAST(SUM(n) AS BIGINT)      AS n_docs,
                    CAST(COUNT(*) AS BIGINT)    AS n_buckets,
-                   CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pair_mass,
+                   CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pair_mass,
                    CAST(MAX(n) AS BIGINT)      AS max_bucket,
                    list_sum(list(-p * LOG2(p) ORDER BY band_hash)) AS h
             FROM probs GROUP BY band_id
