@@ -44,3 +44,4 @@ import big_data_audio_classification_spark.operators.stock_r8  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r8_tranche2  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r9  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r9_tranche2  # noqa: F401
+import big_data_audio_classification_spark.operators.stock_r9_tranche3  # noqa: F401
