@@ -143,13 +143,19 @@ def join_range_overlap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d1"
         ),
     )
-    wk_of = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    # candidate weeks via sequence(week(d0), week(d1), 7 days) — the
+    # general ceil(window/7)+1 form (a hardcoded endpoint pair would
+    # silently drop middle weeks if ORDER_WINDOW_DAYS grew past 8;
+    # r09 close review)
     exploded = o.select(
         "o_orderkey",
         "d0",
         "d1",
         F.explode(
-            F.array_distinct(F.array(wk_of(F.col("d0")), wk_of(F.col("d1"))))
+            F.expr(
+                "sequence(to_date(date_trunc('week', d0)),"
+                " to_date(date_trunc('week', d1)), interval 7 days)"
+            )
         ).alias("wk"),
     )
     days = (
@@ -161,7 +167,6 @@ def join_range_overlap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exploded.select(F.col("wk"), days.alias("days"))
-        .filter(F.col("days") > 0)
         .groupBy("wk")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -368,7 +373,7 @@ def events_session_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - CAST(st AS DOUBLE) / nt / 100, 6) + 0 AS effect,
                ROUND((ss_group - CAST(st AS DOUBLE) * st / nt)
                      / (CAST(s2t AS DOUBLE)
-                        - CAST(st AS DOUBLE) * st / nt), 6) AS eta_sq
+                        - CAST(st AS DOUBLE) * st / nt), 6) + 0 AS eta_sq
         FROM per_h, tot
     """,
     tags=("analytics", "decomposition", "events"),
@@ -494,10 +499,9 @@ def skew_salt_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     hot = counts.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(1)
-    salt = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
-               16, 10).cast("bigint") % SALT_N
-    )
+    from big_data_audio_classification_spark.operators.dedup import token_hash
+
+    salt = token_hash(F.col("event_id").cast("string")) % SALT_N
     salted = (
         e.join(F.broadcast(hot.select("user_id")), "user_id")
         .select(salt.alias("salt"))
@@ -534,12 +538,15 @@ def skew_salt_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND((quantile_cont(o_totalprice, 0.25)
-                      + quantile_cont(o_totalprice, 0.75)
-                      - 2 * quantile_cont(o_totalprice, 0.5))
-                     / (quantile_cont(o_totalprice, 0.75)
-                        - quantile_cont(o_totalprice, 0.25)), 6) + 0
-                   AS bowley_skew
+               CASE WHEN quantile_cont(o_totalprice, 0.75)
+                         > quantile_cont(o_totalprice, 0.25)
+                    THEN ROUND((quantile_cont(o_totalprice, 0.25)
+                                + quantile_cont(o_totalprice, 0.75)
+                                - 2 * quantile_cont(o_totalprice, 0.5))
+                               / (quantile_cont(o_totalprice, 0.75)
+                                  - quantile_cont(o_totalprice, 0.25)), 6)
+                         + 0
+               END AS bowley_skew
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -565,6 +572,8 @@ def agg_pandas_udaf_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame
     def bowley(v: pd.Series) -> float:
         arr = v.to_numpy(dtype=np.float64)
         q1, q2, q3 = np.percentile(arr, [25, 50, 75], method="linear")
+        if q3 <= q1:  # degenerate spread: NULL, matching the oracle's
+            return None  # CASE (numpy would emit NaN/inf, DuckDB NULL)
         return float((q1 + q3 - 2 * q2) / (q3 - q1))
 
     @pandas_udf("long")
@@ -957,13 +966,18 @@ HELDOUT_FOLDS = 5  # md5(doc_id) % 5 == 0 -> held-out (20%)
             FROM vocab
         ),
         held_tok AS (
-            SELECT doc_id, source, UNNEST(l) AS tok
+            SELECT doc_id, source, UNNEST(l) AS tok,
+                   CAST(generate_subscripts(l, 1) AS BIGINT) AS pos
             FROM d WHERE held_out AND len(l) > 0
         ),
+        -- per-doc mean via the SEQUENTIAL pos-ordered fold: rounding
+        -- an engine-side cross-row AVG of logs is the r06 red-row
+        -- class (plan/thread order flips the last ULP under ROUND)
         per_doc AS (
             SELECT doc_id, source,
                    CAST(COUNT(*) AS BIGINT) AS dl,
-                   ROUND(AVG(LOG2(COALESCE(v.cnt, 0) + 1))
+                   ROUND(list_sum(list(LOG2(COALESCE(v.cnt, 0) + 1)
+                                       ORDER BY pos)) / COUNT(*)
                          - LOG2((SELECT n_train + v_train + 1 FROM consts)),
                          6) AS avg_log2p
             FROM held_tok h LEFT JOIN vocab v ON v.tok = h.tok
@@ -992,42 +1006,57 @@ def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-curation loop runs per source. Unseen tokens get the
     add-one floor (COALESCE to 0 via LEFT JOIN — the join MUST be
     outer or unseen-token docs silently lose tokens). Per-doc mean
-    log-prob splits as AVG(log2(c+1)) − log2(N+V+1) so the constant
-    joins once per doc; the per-SOURCE mean reduces via the
-    doc_id-ordered fold (big groups — the cross-row float-sum
-    hazard); signed → ``+ 0``. Two counting aggregations + one
-    broadcast probe join; at 100 TB the vocab probe co-partitions
-    with the count."""
-    from big_data_audio_classification_spark.operators.dedup import tokens_col
+    log-prob splits as Σlog2(c+1)/dl − log2(N+V+1) so the constant
+    joins once per doc, with the Σ reduced via the POS-ordered fold
+    and the per-SOURCE mean via the doc_id-ordered fold (both are
+    cross-row float sums — the r06 ROUND-flip hazard); signed →
+    ``+ 0``. Two counting aggregations + one broadcast probe join
+    (the vocab pass persisted — it feeds both the probe and the
+    denominator); at 100 TB the probe co-partitions with the count."""
+    from big_data_audio_classification_spark.operators.dedup import (
+        token_hash,
+        tokens_col,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         tokens_col(F.col("text")).alias("l"),
         (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                   16, 10).cast("bigint") % HELDOUT_FOLDS == 0
+            token_hash(F.col("doc_id").cast("string")) % HELDOUT_FOLDS == 0
         ).alias("held_out"),
     )
     train_tok = d.filter(~F.col("held_out")).select(
         F.explode("l").alias("tok")
     )
+    # persist: the broadcast probe join AND the denom aggregate both
+    # read this heaviest pass (full tokenize + token-count shuffle) —
+    # the ml_pca_variance_contract double-execution precedent.
     vocab = train_tok.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    ).persist()
     consts = vocab.agg(
         (F.sum("cnt") + F.count(F.lit(1)) + 1).cast("bigint").alias("denom")
     )
     held_tok = d.filter(F.col("held_out") & (F.size("l") > 0)).select(
-        "doc_id", "source", F.explode("l").alias("tok")
+        "doc_id", "source", F.posexplode("l").alias("pos0", "tok")
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    # per-doc mean via the pos-ordered fold (see oracle comment)
+    log2v = F.log2(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+    ordered_logs = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "lv"))),
+        lambda s: s["lv"],
     )
     per_doc = (
         held_tok.join(F.broadcast(vocab), "tok", "left")
+        .select("doc_id", "source", "pos", log2v.alias("lv"))
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("dl"),
-            F.avg(F.log2(F.coalesce(F.col("cnt"), F.lit(0)) + 1)).alias(
-                "mean_log2_cnt"
+            F.aggregate(ordered_logs, F.lit(0.0), lambda a, x: a + x).alias(
+                "lsum"
             ),
         )
         .crossJoin(F.broadcast(consts))
@@ -1035,7 +1064,7 @@ def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.round(
-                F.col("mean_log2_cnt") - F.log2(F.col("denom")), 6
+                F.col("lsum") / F.col("dl") - F.log2(F.col("denom")), 6
             ).alias("avg_log2p"),
         )
     )

@@ -61,7 +61,8 @@ def test_char_trigrams_replay(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").collect()
     for d in docs:
         if d.doc_id % TRIGRAM_DOC_MOD != 0 or len(d.text) < 3:
-            assert d.doc_id not in got or d.doc_id % TRIGRAM_DOC_MOD == 0
+            # unsampled docs AND sampled-but-too-short docs emit no rows
+            assert d.doc_id not in got
             continue
         tri = got[d.doc_id]
         n = min(len(d.text) - 2, TRIGRAM_PREFIX)
