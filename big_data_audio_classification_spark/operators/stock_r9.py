@@ -67,8 +67,15 @@ def _witten_bell_sql() -> str:
         f"CAST(SUM(tf{i}) AS DOUBLE) AS cf{i}"
         for i in range(1, len(WB_TERMS) + 1)
     )
+    # cf{i} > 0 guard (r09 ADVICE): if a probe term ever had zero corpus
+    # frequency the LN argument is 0 — DuckDB raises Out of Range while
+    # Spark yields NULL. tf > 0 implies cf > 0 (cf = Σ tf), so guarding
+    # on cf alone covers the argument; a vocabulary shift now degrades
+    # to a NULL-vs-NULL match instead of an oracle crash.
     ll = " + ".join(
-        f"LN((tf{i} + u_types * cf{i} / clen) / (dl + u_types))"
+        f"CASE WHEN cf{i} > 0"
+        f" THEN LN((tf{i} + u_types * cf{i} / clen) / (dl + u_types))"
+        f" ELSE NULL END"
         for i in range(1, len(WB_TERMS) + 1)
     )
     return f"""
@@ -140,9 +147,17 @@ def text_lm_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ll = None
     for i in range(1, len(WB_TERMS) + 1):
-        term = F.log(
-            (F.col(f"tf{i}") + F.col("u_types") * F.col(f"cf{i}") / F.col("clen"))
-            / (F.col("dl") + F.col("u_types"))
+        # Same cf > 0 guard as the oracle: an unseen corpus term yields
+        # NULL on both engines rather than Spark-NULL vs DuckDB-crash.
+        term = F.when(
+            F.col(f"cf{i}") > 0,
+            F.log(
+                (
+                    F.col(f"tf{i}")
+                    + F.col("u_types") * F.col(f"cf{i}") / F.col("clen")
+                )
+                / (F.col("dl") + F.col("u_types"))
+            ),
         )
         ll = term if ll is None else ll + term
     return per_doc.crossJoin(F.broadcast(corpus)).select(
@@ -179,10 +194,17 @@ def _stupid_backoff_sql() -> str:
                     i -> l[i + 1] = '{w1}' AND l[i + 2] = '{w2}'))
                 ELSE 0 END AS BIGINT) AS tf12_{i}"""
         )
+    # cf2 > 0 guard on the backoff branch (r09 ADVICE): a zero corpus
+    # frequency would make LOG2 raise Out of Range on DuckDB but yield
+    # NULL on Spark; guarded, both engines degrade to NULL. tf12 > 0
+    # implies tf1 > 0 (the bigram contains w1), so the in-document
+    # branch needs no guard.
     score = " + ".join(
         f"""CASE WHEN tf12_{i} > 0
                  THEN LOG2(CAST(tf12_{i} AS DOUBLE) / tf1_{i})
-                 ELSE LOG2({SB_ALPHA} * cf2_{i} / clen) END"""
+                 WHEN cf2_{i} > 0
+                 THEN LOG2({SB_ALPHA} * cf2_{i} / clen)
+                 ELSE NULL END"""
         for i in range(1, len(SB_BIGRAMS) + 1)
     )
     cf_cols = ", ".join(
@@ -258,10 +280,15 @@ def text_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = None
     for i in range(1, len(SB_BIGRAMS) + 1):
+        # Mirrors the oracle's guarded CASE: backoff only when cf2 > 0,
+        # NULL otherwise (see the guard rationale in the SQL builder).
         term = F.when(
             F.col(f"tf12_{i}") > 0,
             F.log2(F.col(f"tf12_{i}").cast("double") / F.col(f"tf1_{i}")),
-        ).otherwise(F.log2(SB_ALPHA * F.col(f"cf2_{i}") / F.col("clen")))
+        ).when(
+            F.col(f"cf2_{i}") > 0,
+            F.log2(SB_ALPHA * F.col(f"cf2_{i}") / F.col("clen")),
+        )
         score = term if score is None else score + term
     return per_doc.crossJoin(F.broadcast(corpus)).select(
         "doc_id", "tf12_1", "tf1_1", "tf12_2", "tf1_2",
@@ -528,15 +555,19 @@ def ml_pca_variance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
         lambda s: s["v"],
     )
-    # persist: the gate summary collect() below and the returned frame
-    # both read this 64-row aggregate — without the persist the heavy
+    # localCheckpoint: the gate summary collect() below and the returned
+    # frame both read this 64-row aggregate — without it the heavy
     # posexplode + per-dim ordered-fold pass would execute twice
-    # (round-9 close review).
+    # (round-9 close review). eager=True materializes now; unlike a bare
+    # persist() the checkpointed blocks are released by the context
+    # cleaner when the frame is GC'd, so a 600-query sweep doesn't
+    # accumulate them in executor storage (r09 ADVICE; house pattern
+    # analytics.py:1507).
     moments = ex.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x).alias("s1"),
         F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x * x).alias("s2"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     nd = F.col("n_vecs").cast("double")
     var_expr = (F.col("s2") - F.col("s1") * F.col("s1") / nd) / nd
 

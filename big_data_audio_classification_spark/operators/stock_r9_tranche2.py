@@ -700,7 +700,8 @@ def _lsh_entropy_sql() -> str:
             SELECT band_id,
                    CAST(SUM(n) AS BIGINT)      AS n_docs,
                    CAST(COUNT(*) AS BIGINT)    AS n_buckets,
-                   CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pair_mass,
+                   CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) // 2
+                        AS BIGINT) AS pair_mass,
                    CAST(MAX(n) AS BIGINT)      AS max_bucket,
                    list_sum(list(-p * LOG2(p) ORDER BY band_hash)) AS h
             FROM probs GROUP BY band_id
@@ -753,7 +754,13 @@ def dedup_lsh_bucket_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per_bucket.groupBy("band_id").agg(
         F.sum("n").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("pair_mass"),
+        # decimal accumulator (r09 ADVICE): per-bucket n·(n−1) and its
+        # sum stay int64 otherwise, wrapping silently past ~3e9-doc
+        # buckets while DuckDB promotes to HUGEINT; Σ n·(n−1) is even,
+        # so the decimal / 2 is exact (house idiom: stock_r7.py:912).
+        (F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)) / 2)
+        .cast("bigint")
+        .alias("pair_mass"),
         F.max("n").cast("bigint").alias("max_bucket"),
         F.aggregate(ordered_terms, F.lit(0.0), lambda a, x: a + x).alias("h"),
     )
@@ -913,16 +920,21 @@ def ml_quadratic_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame
         x.alias("x"),
         y.alias("y"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Per-row terms cast to DECIMAL(38,0) BEFORE the sum (r09 ADVICE):
+    # t2 = Σx²·y averages ~5e9 per row, so an int64 accumulator wraps
+    # silently past ~1e9 rows per group while DuckDB's SUM(BIGINT)
+    # promotes to HUGEINT — the accumulator itself needs the headroom,
+    # not just the post-aggregation value (house idiom: stock_r7.py).
+    dsum = lambda e: F.sum(F.expr(f"CAST({e} AS DECIMAL(38,0))"))  # noqa: E731
     m = base.groupBy("priority").agg(
-        dec(F.count(F.lit(1))).alias("n"),
-        dec(F.sum("x")).alias("s1"),
-        dec(F.sum(F.expr("x*x"))).alias("s2"),
-        dec(F.sum(F.expr("x*x*x"))).alias("s3"),
-        dec(F.sum(F.expr("x*x*x*x"))).alias("s4"),
-        dec(F.sum("y")).alias("t0"),
-        dec(F.sum(F.expr("x*y"))).alias("t1"),
-        dec(F.sum(F.expr("x*x*y"))).alias("t2"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        dsum("x").alias("s1"),
+        dsum("x*x").alias("s2"),
+        dsum("x*x*x").alias("s3"),
+        dsum("x*x*x*x").alias("s4"),
+        dsum("y").alias("t0"),
+        dsum("x*y").alias("t1"),
+        dsum("x*x*y").alias("t2"),
     )
     return m.select(
         "priority",

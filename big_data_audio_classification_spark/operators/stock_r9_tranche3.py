@@ -1029,12 +1029,15 @@ def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_tok = d.filter(~F.col("held_out")).select(
         F.explode("l").alias("tok")
     )
-    # persist: the broadcast probe join AND the denom aggregate both
-    # read this heaviest pass (full tokenize + token-count shuffle) —
-    # the ml_pca_variance_contract double-execution precedent.
+    # localCheckpoint: the broadcast probe join AND the denom aggregate
+    # both read this heaviest pass (full tokenize + token-count
+    # shuffle) — the ml_pca_variance_contract double-execution
+    # precedent. eager=True instead of a bare persist() so the blocks
+    # are released by the context cleaner on GC rather than pinned in
+    # executor storage for the rest of a 600-query sweep (r09 ADVICE).
     vocab = train_tok.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).persist()
+    ).localCheckpoint(eager=True)
     consts = vocab.agg(
         (F.sum("cnt") + F.count(F.lit(1)) + 1).cast("bigint").alias("denom")
     )

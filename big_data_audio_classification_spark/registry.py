@@ -62,86 +62,102 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # displaced from an earlier window stays registered and tri-SF green
 # in the local gate (scripts/check_oracle.py).
 #
-# Round-9 rotation: round 8 came back 50/50 GREEN (CORRECTNESS_r08 —
-# second consecutive clean round; zero retries needed). All 50 slots
-# here are FIRST-TIME entries drawn from the never-certified backlog
-# (213 SQL-oracled queries at r09 open). Selection follows the judge's
-# r08 directive: 17 must-enters covering the riskiest never-certified
-# hazard classes — the two r08 late additions whose -0.0 guards the
-# driver has never seen (sketch_hll_portable,
-# graph_label_propagation_sync), the four r08 bench flagships
-# (mm_payload_adler_checksum, dedup_lsh_amplification_curve,
-# window_rolling_drawdown, text_lm_dirichlet_prior), the two r08
-# close-review contract fixes (analytics_detrend_linear_resid -0.0
-# slope guard, scalar_json_flatten_kv shared int-regex), the five
-# DECIMAL(38)/HUGEINT-headroom carriers not yet windowed
-# (ml_wls_closed_form, ml_bias_variance, scalar_decimal_exact,
-# agg_grouping_id_subtotals, dedup_simhash_rotation_profile), and the
-# full remaining mapInPandas/Arrow (mm_tts_synthesize_stats,
-# ml_cnn_loss_contract) and LM-smoothing (text_lm_good_turing,
-# text_lm_kneser_ney_unigram) families — plus a greedy tag cover so
-# the window samples every REQUIRED_FAMILY_TAG, and fills that drain
-# abundant-tag stock (events/aggregate/ml/window) while keeping every
-# family tag >= 2-deep in never-certified spares (the two tags the
-# musts depleted — lm, mapInPandas — are restocked by the round-9
-# stock tranche, operators/stock_r9.py). Every entry passed the
-# tri-SF BIT-EXACT local gate (scripts/check_oracle.py), the
-# scripts/check_dtypes.py typed-hash gate, and the two-config
+# Round-10 rotation: round 9 came back 50/50 GREEN (CORRECTNESS_r09 —
+# third consecutive clean round; zero retries needed). 49 slots are
+# FIRST-TIME entries from the never-certified backlog (197 SQL-oracled
+# queries at r10 open); slot 1 is the judge-directed RE-certification
+# of stats_jackknife_ratio — the only query whose code changed after
+# its last green driver row (r08 green; its fold was rewritten in r09
+# commit e5ccecd to fix the sf0.1 catastrophic-cancellation ULP flip),
+# re-entering under the standing dirty-since-certification rule
+# (RECERTIFY below; enforced by scripts/check_dirty.py +
+# tests/test_registry.py against cert_fingerprints.json).
+# Must-enters per the r09 verdict: (a) the five carriers fixed by the
+# r09 second round-close review pass, whose fixed forms no driver has
+# seen (text_lm_heldout_perplexity, agg_pandas_udaf_quartile_skew,
+# analytics_hod_effect_profile, join_range_overlap_days,
+# mm_payload_fletcher16); (b) the r09 rows-only conversion's contract
+# face (ml_pca_variance_contract); (c) the restocked lm/mapInPandas
+# carriers, all four additionally hardened by the r09 ADVICE items
+# this round — log-zero guards, decimal accumulators, localCheckpoint
+# (text_lm_witten_bell, text_lm_stupid_backoff, mm_payload_rle_runs,
+# mm_payload_bit_density); (d) the four r09 bench flagships
+# (dedup_lsh_bucket_entropy, dedup_simhash_multiprobe16,
+# ml_point_biserial_selection, text_topk_salient_terms); plus the
+# remaining ADVICE-hardened carrier ml_quadratic_normal_equations —
+# then a greedy tag cover so the window samples every
+# REQUIRED_FAMILY_TAG, and fills that drain abundant-tag stock
+# (events/stats/aggregate) while keeping family tags >= 2-deep in
+# never-certified spares (the two tags the musts drained to 0 — lm,
+# mapInPandas — are restocked by operators/stock_r10.py). Every entry
+# passed the tri-SF BIT-EXACT local gate (scripts/check_oracle.py),
+# the scripts/check_dtypes.py typed-hash gate, and the two-config
 # partition-robustness gate before rotation.
-# 350 distinct queries came back GREEN across r01-r08 (350 entered,
+# 400 distinct queries came back GREEN across r01-r09 (400 entered,
 # zero outstanding red rows).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "sketch_hll_portable",
-    "graph_label_propagation_sync",
-    "mm_payload_adler_checksum",
-    "dedup_lsh_amplification_curve",
-    "window_rolling_drawdown",
-    "text_lm_dirichlet_prior",
-    "analytics_detrend_linear_resid",
-    "scalar_json_flatten_kv",
-    "ml_wls_closed_form",
-    "ml_bias_variance",
-    "scalar_decimal_exact",
-    "agg_grouping_id_subtotals",
-    "dedup_simhash_rotation_profile",
-    "mm_tts_synthesize_stats",
-    "ml_cnn_loss_contract",
-    "text_lm_good_turing",
-    "text_lm_kneser_ney_unigram",
-    "join_asof_backward_tolerance",
-    "agg_pandas_udaf_iqr",
-    "stats_rdd_local_means",
-    "text_bm25_rank",
-    "skew_salt_factor_plan",
-    "sink_csv_tsv_dialect_roundtrip",
-    "ref_running_concat",
-    "udtf_run_length_encode",
-    "sql_lateral_column_alias",
-    "set_union_vs_union_all",
-    "events_sliding_window",
-    "join_range_log_bands_overlap",
-    "scalar_math_factorial_bits",
-    "scalar_variant_nested_hops",
-    "scalar_map_keys_values_fold",
-    "sim_ivf_centroid_update",
-    "ml_variance_ratio_selection",
-    "tpch_q22_sales_opportunity",
-    "array_sequence_set_algebra",
-    "ml_count_encoding_smoothed",
-    "audio_crest_factor",
-    "events_session_funnel",
-    "events_top_paths",
-    "stats_ab_proportion_test",
-    "window_rolling_corr",
-    "ml_prefixspan_sequences",
-    "events_markov_transitions",
-    "tpch_q8_market_share",
-    "events_interval_coverage",
-    "events_cumulative_distinct_users",
-    "tpch_q12_priority_by_linestatus",
-    "stats_bh_fdr",
-    "scalar_timezone_functions",
+    "stats_jackknife_ratio",
+    "text_lm_heldout_perplexity",
+    "agg_pandas_udaf_quartile_skew",
+    "analytics_hod_effect_profile",
+    "join_range_overlap_days",
+    "mm_payload_fletcher16",
+    "ml_pca_variance_contract",
+    "text_lm_witten_bell",
+    "text_lm_stupid_backoff",
+    "mm_payload_rle_runs",
+    "mm_payload_bit_density",
+    "dedup_lsh_bucket_entropy",
+    "dedup_simhash_multiprobe16",
+    "ml_point_biserial_selection",
+    "text_topk_salient_terms",
+    "ml_quadratic_normal_equations",
+    "subquery_exists_census",
+    "window_rolling_sum_ratio",
+    "stats_placebo_did",
+    "skew_topk_threshold_sweep",
+    "sink_csv_quoted_fields_roundtrip",
+    "sim_ivf_split_merge_plan",
+    "scalar_variant_typeof_map",
+    "agg_rollup_time_hierarchy",
+    "udtf_prefix_running_stats",
+    "timeseries_paa_sax",
+    "set_symmetric_diff_census",
+    "scalar_url_functions",
+    "scalar_math_rounding_battery",
+    "scalar_map_transform_arith",
+    "scalar_json_struct_array_agg",
+    "ref_parity_duration_shares",
+    "ml_leave_one_out_encoding",
+    "join_asof_second_prior",
+    "events_session_first_touch",
+    "audio_spectral_centroid",
+    "array_value_histogram",
+    "profile_column_entropy",
+    "graph_degree_assortativity",
+    "curation_importance_resample",
+    "baskets_association_rules",
+    "basket_item_pairs",
+    "agg_correlation_matrix",
+    "agg_chi_squared_independence",
+    "stats_welch_ttest",
+    "stats_effect_sizes",
+    "stats_bandit_posteriors",
+    "events_time_weighted_avg",
+    "events_time_to_convert",
+    "events_sequence_pattern",
 )
+
+# Standing dirty-since-certification rule (r09 verdict item 1): any
+# query whose Spark fn source or oracle SQL changes after its last
+# green driver row goes back into the NEXT window. Mechanism:
+# cert_fingerprints.json snapshots sha256(fn source + oracle) for
+# every driver-certified query as of the code the driver last ran;
+# scripts/check_dirty.py (also run by tests/test_registry.py)
+# recomputes fingerprints and fails unless every drifted certified
+# query is listed here AND present in DRIVER_WINDOW. Docstring-only
+# edits count as drift — conservatively re-certify.
+RECERTIFY: tuple[str, ...] = ("stats_jackknife_ratio",)
 
 
 def all_queries() -> dict[str, EngineQuery]:

@@ -96,6 +96,28 @@ def test_no_duplicate_registrations():
     assert len(names) == len(set(names))
 
 
+def test_dirty_since_certification_rule():
+    """Standing r09-verdict rule: any query whose fn source or oracle
+    SQL drifted since its last green driver row must be listed in
+    registry.RECERTIFY AND sit in the next DRIVER_WINDOW (enforced
+    against the cert_fingerprints.json snapshot; see
+    scripts/check_dirty.py — re-snapshot at round close)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_dirty",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_dirty.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main() == 0
+
+
 def test_no_array_or_map_outputs_in_sql_oracled_queries(spark, sf_dir):
     """The driver's pandas canonicalizer sorts/hashes object cells and
     dies on unhashable array/map values (CORRECTNESS_r03: the only two
