@@ -2634,3 +2634,135 @@ def stats_dr_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dr_ate_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# iterative -> SQL contract: bounded-round CC cluster-size histogram
+# ---------------------------------------------------------------------------
+
+CC_BOUNDED_ROUNDS = 6
+
+
+def _cc_bounded_hist_sql() -> str:
+    from big_data_audio_classification_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        _minhash_sql,
+    )
+
+    band_exprs = ", ".join(
+        "CONCAT_WS('_', "
+        + ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    unions = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM sig_bands"
+        for b in range(LSH_BANDS)
+    )
+    rounds = []
+    prev = "r0"
+    for k in range(1, CC_BOUNDED_ROUNDS + 1):
+        rounds.append(
+            f"""b{k} AS (
+            SELECT bands.band_id, bands.band_hash, MIN({prev}.rep) AS b_rep
+            FROM bands JOIN {prev} ON bands.doc_id = {prev}.doc_id
+            GROUP BY bands.band_id, bands.band_hash
+        ),
+        p{k} AS (
+            SELECT bands.doc_id, MIN(b{k}.b_rep) AS p_rep
+            FROM bands JOIN b{k}
+              ON bands.band_id = b{k}.band_id
+             AND bands.band_hash = b{k}.band_hash
+            GROUP BY bands.doc_id
+        ),
+        r{k} AS (
+            SELECT r.doc_id,
+                   LEAST(r.rep, COALESCE(p{k}.p_rep, r.rep)) AS rep
+            FROM {prev} r LEFT JOIN p{k} ON r.doc_id = p{k}.doc_id
+        )"""
+        )
+        prev = f"r{k}"
+    return f"""
+        WITH sig AS ({_minhash_sql()}),
+        sig_bands AS (SELECT doc_id, {band_exprs} FROM sig),
+        bands AS (
+            {unions}
+        ),
+        r0 AS (SELECT DISTINCT doc_id, doc_id AS rep FROM bands),
+        {",".join(rounds)},
+        sizes AS (
+            SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM {prev} GROUP BY rep
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """
+
+
+@query(
+    "dedup_cc_bounded_histogram",
+    oracle=_cc_bounded_hist_sql(),
+    tags=("dedup", "minhash", "lsh", "iterative", "report", "documents"),
+)
+def dedup_cc_bounded_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS connected-components CLUSTER-SIZE HISTOGRAM under a
+    BOUNDED round count — the r09-verdict item-7 conversion: the
+    fixpoint CC (``dedup_connected_components``) is genuinely
+    iterative and stays rows-only, but 'labels after EXACTLY K
+    min-label rounds' is a deterministic, data-independent recursion
+    depth — so it unrolls into K chained CTE pairs (bucket-min then
+    doc-min per round, the identical semantics of ``_cc_min_label``)
+    and becomes SQL-oracled over the WHOLE corpus, no doc-slice cap.
+    (The capped sibling ``dedup_cc_transitive_oracle`` cross-checks
+    true transitive closure but cannot scale its O(Σk²) reach
+    materialization: the corpus carries a giant component — 3884 of
+    5000 docs at sf0.1 — so full closure is quadratic by measurement,
+    while K bounded rounds are 2K keyed aggregates regardless of
+    component shape.) The histogram face (cluster_size → n_clusters,
+    n_docs) is the dedup-planning artifact anyway: it prices the
+    keep-first sweep and flags the giant component. All exact
+    integers. 100 TB: 2K shuffles over the (doc, band) edge table —
+    the bounded-sweep production pattern when full convergence isn't
+    worth the tail rounds."""
+    from big_data_audio_classification_spark.operators.dedup import (
+        _lsh_band_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = _lsh_band_table(d).localCheckpoint(eager=True)
+    reps = bands.select("doc_id").distinct().select(
+        "doc_id", F.col("doc_id").alias("rep")
+    )
+    for _ in range(CC_BOUNDED_ROUNDS):
+        bucket_rep = (
+            bands.join(reps, "doc_id")
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("rep").alias("b_rep"))
+        )
+        proposed = (
+            bands.join(bucket_rep, ["band_id", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.min("b_rep").alias("p_rep"))
+        )
+        reps = (
+            reps.join(proposed, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep"), F.coalesce("p_rep", F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = reps.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

@@ -641,3 +641,30 @@ def test_dr_ate_replay_and_degenerate_guard(spark, sf_dir):
                 for u in users
             ]
             assert abs(r.dr_ate_cents - sum(terms) / len(terms)) < 1e-3
+
+
+# ------------------------------------------------- bounded-CC contract --
+
+
+def test_cc_bounded_matches_fixpoint_when_converged(spark, sf_dir):
+    from collections import Counter as _C
+
+    from big_data_audio_classification_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+    from big_data_audio_classification_spark.operators.stock_r10 import (
+        dedup_cc_bounded_histogram,
+    )
+
+    fix = dedup_connected_components(spark, sf_dir).collect()
+    fix_hist = _C(_C(r.component for r in fix).values())
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in dedup_cc_bounded_histogram(spark, sf_dir).collect()
+    }
+    # sf0.001 graph converges well inside the round budget, so the
+    # bounded-K histogram must equal the fixpoint histogram exactly.
+    assert got == dict(fix_hist)
+    n_docs = sum(s * c for s, c in got.items())
+    toks = _doc_tokens(spark, sf_dir)
+    assert n_docs == sum(1 for l in toks.values() if l)
