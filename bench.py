@@ -132,6 +132,14 @@ HEADLINE = [
     "dedup_simhash_multiprobe16",
     "ml_point_biserial_selection",
     "text_topk_salient_terms",
+    # round-10 flagship additions (the r10 stock tranche + the bounded-
+    # round CC conversion; the 58-query shared subset above stays frozen
+    # for round-over-round comparability — report the shared-58 ratio vs
+    # BENCH_r09 / its committed quiet-window run)
+    "dedup_cc_bounded_histogram",
+    "sketch_countmin_heavy_hitters",
+    "text_lm_bigram_oov_rate",
+    "udtf_session_paths",
 ]
 
 # Timed once (eager MLlib fit inside — there is no "warm rerun" of a
