@@ -820,3 +820,65 @@ def test_pca_contract_moment_pass_is_dim_keyed(spark, sf_dir):
 
     plan = formatted_plan(ml_pca_variance_contract(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_census_decorrelates(spark, sf_dir):
+    """The correlated MAX must rewrite to an aggregate + join and the
+    uncorrelated global average to a broadcast scalar — never a
+    per-customer re-execution."""
+    from big_data_audio_classification_spark.operators.stock_r10 import (
+        subquery_scalar_correlated_census,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(subquery_scalar_correlated_census(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_dual_band_join_is_broadcast_nlj(spark, sf_dir):
+    """With a 7-row literal dimension, the compound range predicate
+    should compile to a broadcast nested-loop — the right plan at this
+    dimension size (and never a shuffled cartesian)."""
+    from big_data_audio_classification_spark.operators.stock_r10 import (
+        join_range_dual_band,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(join_range_dual_band(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_probe_joins_stay_bounded(spark, sf_dir):
+    """The CM heavy-hitter probe must equi-join (j, bucket) against
+    the 256-cell grid — no cartesian anywhere in the sketch path."""
+    from big_data_audio_classification_spark.operators.stock_r10 import (
+        sketch_countmin_heavy_hitters,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(sketch_countmin_heavy_hitters(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_cc_bounded_rounds_are_equijoins(spark, sf_dir):
+    """Every bounded-CC round is a pair of keyed aggregates over
+    equi-joins on (doc) and (band_id, band_hash) — the label never
+    moves through anything wider."""
+    from big_data_audio_classification_spark.operators.stock_r10 import (
+        dedup_cc_bounded_histogram,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(dedup_cc_bounded_histogram(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
