@@ -406,9 +406,11 @@ def mm_payload_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2(n) − s/n as ONE fixed-order float expression (the algebraic
     restatement of −Σp·log2 p that keeps every intermediate exact-int
     derived; a np.sum pairwise reduction would be ULP-divergent from
-    the SQL fold). ``+ 0``-guarded on BOTH sides: a single-byte-value
-    payload gives log2(n) − n·log2(n)/n, which can land a half-ULP
-    below zero. ASCII contract asserted per document (byte ==
+    the SQL fold). The kernel emits FULL precision and the ROUND runs
+    JVM-side (Python round() is half-even, engine ROUND half-away —
+    the bit_density divergence class); the oracle's ``+ 0`` guards the
+    single-byte-value payload, where log2(n) − n·log2(n)/n can land a
+    half-ULP below zero. ASCII contract asserted per document (byte ==
     codepoint); empty payloads survive as NULL via the LEFT JOIN. One
     Arrow row per document; at 100 TB the kernel rides the decode
     scan, nothing shuffles."""
@@ -433,7 +435,10 @@ def mm_payload_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in present:  # ascending byte order: bincount
                         c = float(int(c))
                         s += c * math.log2(c)
-                    h = round(math.log2(n) - s / n, 6) + 0
+                    # full precision out of the kernel; ROUND happens
+                    # JVM-side below (Python round() is half-EVEN, the
+                    # engines round half-away — the bit_density class)
+                    h = math.log2(n) - s / n
                     rows.append((int(doc_id), n, int(present.size), h))
                 else:
                     rows.append((int(doc_id), 0, 0, None))
@@ -444,9 +449,15 @@ def mm_payload_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(
+    raw = d.mapInPandas(
         batches,
         "doc_id long, n_bytes long, n_distinct long, entropy_bits double",
+    )
+    return raw.select(
+        "doc_id",
+        "n_bytes",
+        "n_distinct",
+        F.round("entropy_bits", 6).alias("entropy_bits"),
     )
 
 
@@ -712,13 +723,21 @@ def agg_pandas_udaf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             if c > 0:
                 c = float(int(c))
                 s += c * math.log2(c)
-        return round(math.log2(n) - s / n, 6) + 0
+        # full precision out of the kernel; ROUND runs JVM-side below
+        # (Python round() is half-even, engine ROUND half-away)
+        return math.log2(n) - s / n
 
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         n_rows("value").alias("n"),
         n_digits("value").alias("n_digits"),
-        digit_entropy("value").alias("digit_entropy_bits"),
+        digit_entropy("value").alias("h_raw"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_digits",
+        F.round("h_raw", 6).alias("digit_entropy_bits"),
     )
 
 
