@@ -46,3 +46,4 @@ import big_data_audio_classification_spark.operators.stock_r9  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r9_tranche2  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r9_tranche3  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r10  # noqa: F401
+import big_data_audio_classification_spark.operators.stock_r10_tranche2  # noqa: F401
