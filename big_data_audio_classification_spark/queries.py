@@ -47,3 +47,4 @@ import big_data_audio_classification_spark.operators.stock_r9_tranche2  # noqa: 
 import big_data_audio_classification_spark.operators.stock_r9_tranche3  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r10  # noqa: F401
 import big_data_audio_classification_spark.operators.stock_r10_tranche2  # noqa: F401
+import big_data_audio_classification_spark.operators.stock_r10_tranche3  # noqa: F401
