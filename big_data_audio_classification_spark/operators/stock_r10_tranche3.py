@@ -971,6 +971,7 @@ def events_session_gap_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DIGIT_MAX_POS = 8
+DIGIT_SAMPLE_MOD = 11  # systematic 1-in-11 sample: o_orderkey % 11 = 5
 
 
 @query(
@@ -979,7 +980,7 @@ DIGIT_MAX_POS = 8
         WITH c AS (
             SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
                    AS s
-            FROM orders
+            FROM orders WHERE o_orderkey % {DIGIT_SAMPLE_MOD} = 5
         ),
         d AS (
             SELECT CAST(generate_subscripts(string_split_regex(s, ''), 1)
@@ -1000,13 +1001,18 @@ def udtf_value_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward small digits on organic monetary data; a uniform leading
     digit is the classic fabricated-data tell): a table function
     walks the decimal-cents string of each total and yields (pos,
-    digit) rows, aggregated to a ≤ 8×10-row census. The oracle
-    restates the emission with generate_subscripts over a character
-    split — two independent formulations of positional digit
-    extraction. Cents are exact; counts exact. UDTF siblings:
-    ``udtf_char_trigrams``, ``udtf_array_deltas``,
-    ``udtf_session_paths``. 100 TB: the UDTF is Arrow-batched
-    map-side fan-out; the census map-side combines."""
+    digit) rows, aggregated to a ≤ 8×10-row census over a SYSTEMATIC
+    1-in-11 sample (o_orderkey%11=5 — deterministic,
+    scale-proportional, and key-stride-free for sequential orderkeys;
+    the cap exists because the Python UDTF's per-row emission is the
+    scan cost, measured 4.6× wall at 10× rows unsampled, and the
+    Arrow UDTF variant benched 6× SLOWER still — batch overhead
+    dwarfs these 2-tuple yields). The oracle restates the emission
+    with generate_subscripts over a character split — two independent
+    formulations of positional digit extraction. Cents are exact;
+    counts exact. UDTF siblings: ``udtf_char_trigrams``,
+    ``udtf_array_deltas``, ``udtf_session_paths``. 100 TB: the sample
+    predicate pushes to the scan; the census map-side combines."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos long, digit long")
@@ -1018,7 +1024,9 @@ def udtf_value_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i + 1, ord(ch) - 48
 
     spark.udtf.register("value_digits", ValueDigits)
-    load_table(spark, sf_dir, "orders").select(
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % DIGIT_SAMPLE_MOD == 5
+    ).select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     ).createOrReplaceTempView("udtf_digit_orders_in")
     return spark.sql(

@@ -392,7 +392,17 @@ def test_value_digits_replay(spark, sf_dir):
         udtf_value_digits,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    from big_data_audio_classification_spark.operators.stock_r10_tranche3 import (
+        DIGIT_SAMPLE_MOD,
+    )
+
+    orders = [
+        r
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+        if r.o_orderkey % DIGIT_SAMPLE_MOD == 5
+    ]
     exp = Counter()
     for r in orders:
         for i, ch in enumerate(str(_cents(r.o_totalprice))[:DIGIT_MAX_POS]):
@@ -401,7 +411,7 @@ def test_value_digits_replay(spark, sf_dir):
         (r.pos, r.digit): r.n for r in udtf_value_digits(spark, sf_dir).collect()
     }
     assert got == dict(exp)
-    # position 1 always covers every order, and never holds a zero digit
+    # position 1 covers every sampled order, and never holds a zero digit
     assert sum(n for (p, _), n in got.items() if p == 1) == len(orders)
     assert (1, 0) not in got
 
