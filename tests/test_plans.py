@@ -882,3 +882,102 @@ def test_cc_bounded_rounds_are_equijoins(spark, sf_dir):
     plan = formatted_plan(dedup_cc_bounded_histogram(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- r10 continuation ----
+
+
+def test_bm25_stats_frame_broadcasts(spark, sf_dir):
+    """The 1-row corpus-stats frame must reach every doc row via a
+    broadcast — never a shuffled or cartesian join against dt."""
+    from big_data_audio_classification_spark.operators.stock_r10_tranche3 import (
+        text_tfidf_bm25_probe_ranking,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(text_tfidf_bm25_probe_ranking(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_nesting_depth_join_carries_equikey(spark, sf_dir):
+    """The containment self-join must ride the o_custkey equi-key
+    (hash/sort-merge), with the interval predicates as post-filters —
+    never a cartesian or nested-loop over the whole table."""
+    from big_data_audio_classification_spark.operators.stock_r10_tranche3 import (
+        join_range_nesting_depth,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(join_range_nesting_depth(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_asof_signup_carry_is_joinless(spark, sf_dir):
+    """The backward carry is ONE union + ONE running window — the
+    as-of must never compile to a range join or cartesian."""
+    from big_data_audio_classification_spark.operators.stock_r10_tranche3 import (
+        join_asof_prior_signup_lag,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(join_asof_prior_signup_lag(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure union + window carry
+    assert "Window" in plan
+
+
+def test_value_digits_scan_prunes_and_samples_first(spark, sf_dir):
+    """The orders scan must read only the two needed columns, and the
+    systematic sample must filter BEFORE the Python UDTF fan-out."""
+    from big_data_audio_classification_spark.operators.stock_r10_tranche3 import (
+        udtf_value_digits,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+        pruned_columns,
+    )
+
+    df = udtf_value_digits(spark, sf_dir)
+    cols = set(pruned_columns(df))
+    assert cols <= {"o_orderkey", "o_totalprice"}
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_geometry_pushes_the_cell_filter(spark, sf_dir):
+    """vec_id < 8 must reach the parquet scan — the O(cells) report
+    never reads the full embedding corpus."""
+    from big_data_audio_classification_spark.operators.stock_r10_tranche3 import (
+        sim_ivf_centroid_geometry,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        has_pushed_filters,
+    )
+
+    assert has_pushed_filters(sim_ivf_centroid_geometry(spark, sf_dir))
+
+
+def test_frequency_encoding_code_table_broadcasts(spark, sf_dir):
+    """The |categories|-row code table must broadcast back onto the
+    fact stream — the applied-encoding join never shuffles events."""
+    from big_data_audio_classification_spark.operators.stock_r10_tranche3 import (
+        ml_frequency_rank_encoding,
+    )
+    from big_data_audio_classification_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(ml_frequency_rank_encoding(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
