@@ -898,10 +898,12 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
             FROM gaps GROUP BY user_id, sess_idx
         )
         SELECT user_id, sess_idx, n_gaps, sg AS total_gap_us,
-               ROUND(SQRT(GREATEST(
-                         CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
-                         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0))
-                     / CAST(sg AS DOUBLE), 6) + 0 AS gap_cv
+               CASE WHEN sg > 0
+                    THEN ROUND(SQRT(GREATEST(
+                              CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0))
+                          / CAST(sg AS DOUBLE), 6) + 0
+                    ELSE NULL END AS gap_cv
         FROM m WHERE n_gaps >= 2
     """,
     tags=("events", "session", "window-time", "window"),
@@ -918,7 +920,11 @@ def events_session_gap_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the square accumulates in DECIMAL(38,0)/HUGEINT — the r09-advice
     wrap class caught at design time. GREATEST(…, 0) absorbs the
     equal-gaps catastrophic cancellation (a tiny negative under
-    float rounding must not feed SQRT). Only ≥3-event sessions emit.
+    float rounding must not feed SQRT); an all-zero-gap session
+    (every event at one timestamp) degrades to NULL via the sg > 0
+    CASE on BOTH engines — never an engine-specific 0/0 (the r09
+    log-zero advice class, guarded at design time). Only ≥3-event
+    sessions emit.
     100 TB: one shuffle on user_id reused by every window; the
     moment aggregate map-side combines."""
     e = load_table(spark, sf_dir, "events")
@@ -962,7 +968,7 @@ def events_session_gap_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sess_idx",
         "n_gaps",
         F.col("sg").alias("total_gap_us"),
-        F.round(cv, 6).alias("gap_cv"),
+        F.when(F.col("sg") > 0, F.round(cv, 6)).alias("gap_cv"),
     )
 
 

@@ -371,7 +371,11 @@ def test_session_gap_cv_replay(spark, sf_dir):
             if len(gaps) >= 2:
                 n, sg = len(gaps), sum(gaps)
                 sgg = sum(g * g for g in gaps)
-                cv = math.sqrt(max(n * sgg - sg * sg, 0)) / sg
+                cv = (
+                    math.sqrt(max(n * sgg - sg * sg, 0)) / sg
+                    if sg > 0
+                    else None  # all-zero-gap session pins NULL
+                )
                 exp[(uid, idx)] = (n, sg, cv)
     rows = events_session_gap_cv(spark, sf_dir).collect()
     got = {(r.user_id, r.sess_idx): r for r in rows}
@@ -379,8 +383,11 @@ def test_session_gap_cv_replay(spark, sf_dir):
     for k, (n, sg, cv) in exp.items():
         r = got[k]
         assert (r.n_gaps, r.total_gap_us) == (n, sg)
-        assert abs(r.gap_cv - cv) < 1e-5
-        assert r.gap_cv >= 0.0
+        if cv is None:
+            assert r.gap_cv is None
+        else:
+            assert abs(r.gap_cv - cv) < 1e-5
+            assert r.gap_cv >= 0.0
 
 
 # ----------------------------------------------------------------- udtf ----
