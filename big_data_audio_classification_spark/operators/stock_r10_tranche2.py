@@ -245,9 +245,11 @@ def mm_payload_chunk_sum_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     component that catches chunk REORDERING, which a plain root sum
     cannot), and the max chunk sum (the hot-chunk pointer). The
     oracle rebuilds the tree by integer-division bucketing over
-    generate_subscripts positions. All exact integers; weighted sums
-    stay well inside int64 for any payload under ~10⁹ chunks (the
-    per-doc bound — documented, not DECIMAL'd). Empty payloads pin
+    generate_subscripts positions. All exact integers; the weighted
+    root grows ~max_csum·C²/2 with C chunks, so int64 holds to
+    C ≈ 3×10⁷ chunks ≈ a 2 GiB single payload (the per-doc bound —
+    documented; past it, escalate the weighted term to
+    DECIMAL(38,0)/HUGEINT per the house idiom). Empty payloads pin
     zeros via the LEFT JOIN. One Arrow row per document."""
     import numpy as np
 
