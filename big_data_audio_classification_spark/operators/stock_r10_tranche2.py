@@ -937,10 +937,14 @@ def _halfword_corr_sql() -> str:
             FROM xy
         )
         SELECT n, sx, sy,
-               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                               / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-                                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE))),
+               CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                     AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                    THEN ROUND((CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / (SQRT(CAST(n AS DOUBLE) * sxx
+                                       - CAST(sx AS DOUBLE) * sx)
+                                  * SQRT(CAST(n AS DOUBLE) * syy
+                                         - CAST(sy AS DOUBLE) * sy)),
                                6) + 0
                     ELSE NULL END AS pearson_r
         FROM m
@@ -962,7 +966,11 @@ def dedup_simhash_halfword_correlation(spark: SparkSession, sf_dir: str) -> Data
     Σx, Σy, Σxy, Σx², Σy² — popcounts are ≤16, every moment exact in
     int64 to ~3e16 docs) with ONE fixed-order float expression at the
     end — never an engine-side corr() aggregate (cross-row float
-    accumulation, the r06 class). Degenerate variance degrades to
+    accumulation, the r06 class). The n·Σx² variance PRODUCTS are
+    computed in DOUBLE (per-moment casts) — in int64 they wrap at
+    ~1.9e8 docs, and asymmetrically (Spark wraps silently, DuckDB
+    raises); identical double arithmetic is deterministic
+    cross-engine at any n. Degenerate variance degrades to
     NULL on both engines; ``+ 0`` guards the uncorrelated-rounds-to-
     zero case. 100 TB: one map-side-combinable moment aggregate; one
     output row."""
@@ -983,19 +991,18 @@ def dedup_simhash_halfword_correlation(spark: SparkSession, sf_dir: str) -> Data
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    vx = nd * F.col("sxx") - sxd * F.col("sx")
+    vy = nd * F.col("syy") - syd * F.col("sy")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
     return m.select(
         "n",
         "sx",
         "sy",
         F.when(
             (vx > 0) & (vy > 0),
-            F.round(
-                num.cast("double")
-                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
-                6,
-            ),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("pearson_r"),
     )
