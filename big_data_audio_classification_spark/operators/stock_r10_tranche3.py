@@ -352,16 +352,18 @@ def _piecewise_sql() -> str:
         )
         SELECT event_type, segment, n, sx,
                CAST(sy AS BIGINT) AS sy,
-               CASE WHEN n * sxx - sx * sx > 0
+               CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
                     THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)
                                / 100.0, 6) + 0
                     ELSE NULL END AS slope_per_day,
-               CASE WHEN n * sxx - sx * sx > 0
+               CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
                     THEN ROUND((CAST(sxx AS DOUBLE) * CAST(sy AS DOUBLE)
                                 - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)
                                / 100.0, 6) + 0
                     ELSE NULL END AS intercept_value
         FROM m
@@ -385,9 +387,12 @@ def ml_piecewise_linear_knot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σxx·Σy−Σx·Σxy)/den — no running float anywhere; y-moments
     accumulate in DECIMAL(38,0)/HUGEINT (Σxy adds a ×31 on cents —
     the r09-advice int64-wrap class), x-moments stay int64 (x ≤ 31).
-    The final division casts the exact moments to double inside ONE
-    expression written identically on both engines; degenerate
-    single-day segments degrade to NULL via the den > 0 CASE.
+    The final division casts the exact moments to double PER-MOMENT
+    inside ONE expression written identically on both engines —
+    including den = n·Σx²−(Σx)², whose int64 product form would wrap
+    asymmetrically at ~3×10⁹ rows per group (Spark silent, DuckDB
+    raising); degenerate single-day segments degrade to NULL via the
+    den > 0 CASE.
     100 TB: one map-side-combinable moment aggregate."""
     e = load_table(spark, sf_dir, "events")
     x = F.dayofmonth("ts").cast("bigint")
@@ -408,15 +413,18 @@ def ml_piecewise_linear_knot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("y"))).alias("sy_dec"),
         F.sum(dec(F.col("x") * F.col("y"))).alias("sxy_dec"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den = (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
     slope = (
         F.col("n").cast("double") * F.col("sxy_dec").cast("double")
         - F.col("sx").cast("double") * F.col("sy_dec").cast("double")
-    ) / den.cast("double") / 100.0
+    ) / den / 100.0
     intercept = (
         F.col("sxx").cast("double") * F.col("sy_dec").cast("double")
         - F.col("sx").cast("double") * F.col("sxy_dec").cast("double")
-    ) / den.cast("double") / 100.0
+    ) / den / 100.0
     return m.select(
         "event_type",
         "segment",
