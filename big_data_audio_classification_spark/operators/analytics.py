@@ -959,41 +959,43 @@ def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ABC_A = 0.8   # cumulative-revenue share boundary for class A
-ABC_B = 0.95  # class B boundary; the tail is class C
+ABC_A = 0.8   # cumulative-revenue share boundary for class A (= 4/5)
+ABC_B = 0.95  # class B boundary (= 19/20); the tail is class C
 
 
 @query(
     "analytics_abc_pareto",
-    oracle=f"""
+    oracle="""
         WITH rev AS (
             SELECT p.p_brand, l.l_partkey,
-                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                       AS r_cc
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY p.p_brand, l.l_partkey
         ),
         ranked AS (
-            SELECT p_brand, r,
-                   SUM(r) OVER (PARTITION BY p_brand
-                                ORDER BY r DESC, l_partkey
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS cum_r,
-                   SUM(r) OVER (PARTITION BY p_brand) AS tot
+            SELECT p_brand, r_cc,
+                   SUM(r_cc) OVER (PARTITION BY p_brand
+                                   ORDER BY r_cc DESC, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_cc,
+                   SUM(r_cc) OVER (PARTITION BY p_brand) AS tot_cc
             FROM rev
         ),
         classed AS (
-            SELECT p_brand, r,
-                   CASE WHEN cum_r / tot <= {ABC_A} THEN 'A'
-                        WHEN cum_r / tot <= {ABC_B} THEN 'B'
+            SELECT p_brand, r_cc, tot_cc,
+                   CASE WHEN 5 * cum_cc <= 4 * tot_cc THEN 'A'
+                        WHEN 20 * cum_cc <= 19 * tot_cc THEN 'B'
                         ELSE 'C' END AS abc
             FROM ranked
         )
         SELECT p_brand, abc,
-               CAST(COUNT(*) AS BIGINT)              AS n_parts,
-               ROUND(SUM(r), 2)                      AS revenue,
-               ROUND(SUM(r) / MAX(tot2), 6)          AS revenue_share
-        FROM (SELECT c.*, SUM(r) OVER (PARTITION BY p_brand) AS tot2
-              FROM classed c)
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(CAST(SUM(r_cc) AS DOUBLE) / 10000.0, 2) AS revenue,
+               ROUND(CAST(SUM(r_cc) AS DOUBLE)
+                     / CAST(MAX(tot_cc) AS DOUBLE), 6) + 0 AS revenue_share
+        FROM classed
         GROUP BY p_brand, abc
     """,
     tags=("analytics", "pareto", "abc", "lineitem"),
@@ -1005,46 +1007,65 @@ def analytics_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     and structurally the same running-share cut a corpus token-budget
     pass makes (curation_token_budget_select).
 
+    EXACT-INTEGER discipline throughout (re-armored after an r10
+    continuation sweep caught a load-dependent 1-in-N ULP flip under
+    the old engine-side float SUM + ROUND — the r06 class, invisible
+    until a thread schedule reorders the sum): per-row revenue is the
+    exact integer cents·(100−disc_cents) in centi-cents (both factors
+    have 2 decimals, so the product is EXACT — no float multiply),
+    every running/total sum accumulates integers
+    (DECIMAL(38,0)/HUGEINT — centi-cents ×1e12 rows clears int64),
+    the ordering key is an exact integer (the float key could
+    ULP-reorder cross-engine), and the A/B cuts are exact integer
+    comparisons 5·cum ≤ 4·tot and 20·cum ≤ 19·tot. The ONLY floats
+    are the two display divisions off exact integers. Certified r08
+    on the float form → re-enters the driver window under the
+    dirty-since-certification rule.
+
     One fact shuffle to the (brand, part) grain; the running-share
     window is PARTITIONED BY brand (never global) and ordered by the
     deterministic (revenue DESC, partkey) key; the final rollup is
     <= |brands| x 3 rows."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
     rev = (
         li.join(F.broadcast(p.select("p_partkey", "p_brand")),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand", "l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "r"
+            F.sum((cents * (100 - disc_c)).cast("decimal(38,0)")).alias(
+                "r_cc"
             )
         )
     )
     wcum = (
         Window.partitionBy("p_brand")
-        .orderBy(F.desc("r"), "l_partkey")
+        .orderBy(F.desc("r_cc"), "l_partkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wtot = Window.partitionBy("p_brand")
     classed = rev.select(
         "p_brand",
-        "r",
-        F.sum("r").over(wtot).alias("tot"),
-        (F.sum("r").over(wcum) / F.sum("r").over(wtot)).alias("share"),
+        "r_cc",
+        F.sum("r_cc").over(wcum).alias("cum_cc"),
+        F.sum("r_cc").over(wtot).alias("tot_cc"),
     ).select(
         "p_brand",
-        "r",
-        "tot",
-        F.when(F.col("share") <= ABC_A, "A")
-        .when(F.col("share") <= ABC_B, "B")
+        "r_cc",
+        "tot_cc",
+        F.when(5 * F.col("cum_cc") <= 4 * F.col("tot_cc"), "A")
+        .when(20 * F.col("cum_cc") <= 19 * F.col("tot_cc"), "B")
         .otherwise("C")
         .alias("abc"),
     )
     return classed.groupBy("p_brand", "abc").agg(
         F.count("*").cast("bigint").alias("n_parts"),
-        F.round(F.sum("r"), 2).alias("revenue"),
-        F.round(F.sum("r") / F.max("tot"), 6).alias("revenue_share"),
+        F.round(F.sum("r_cc").cast("double") / 10000.0, 2).alias("revenue"),
+        F.round(
+            F.sum("r_cc").cast("double") / F.max("tot_cc").cast("double"), 6
+        ).alias("revenue_share"),
     )
 
 

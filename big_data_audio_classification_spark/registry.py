@@ -95,6 +95,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # partition-robustness gate before rotation.
 # 400 distinct queries came back GREEN across r01-r09 (400 entered,
 # zero outstanding red rows).
+# r10-continuation amendment (pre-driver-run): slot 50 swapped from
+# the events_sequence_pattern fill to the RE-certification of
+# analytics_abc_pareto, whose r08-certified float-sum form flipped a
+# ULP under load in this session's full sf0.1 sweep and was rewritten
+# to exact centi-cent integers (see RECERTIFY below).
 DRIVER_WINDOW: tuple[str, ...] = (
     "stats_jackknife_ratio",
     "text_lm_heldout_perplexity",
@@ -145,7 +150,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stats_bandit_posteriors",
     "events_time_weighted_avg",
     "events_time_to_convert",
-    "events_sequence_pattern",
+    "analytics_abc_pareto",
 )
 
 # Standing dirty-since-certification rule (r09 verdict item 1): any
@@ -157,7 +162,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # recomputes fingerprints and fails unless every drifted certified
 # query is listed here AND present in DRIVER_WINDOW. Docstring-only
 # edits count as drift — conservatively re-certify.
-RECERTIFY: tuple[str, ...] = ("stats_jackknife_ratio",)
+RECERTIFY: tuple[str, ...] = (
+    "stats_jackknife_ratio",
+    # r10-continuation rewrite: the r08-certified float-sum form flipped
+    # a ULP under load in a full-sweep run (engine-side SUM+ROUND, the
+    # r06 class); now exact centi-cent integers end-to-end. Swapped in
+    # for the events_sequence_pattern fill (events stock is 40+-deep).
+    "analytics_abc_pareto",
+)
 
 
 def all_queries() -> dict[str, EngineQuery]:
