@@ -363,7 +363,8 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_time_weighted_avg",
     oracle="""
         WITH o AS (
-            SELECT user_id, value,
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
                    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
                        - epoch_us(ts) AS dt_us
@@ -371,7 +372,10 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT)                        AS n_obs,
-               ROUND(SUM(value * dt_us) / SUM(dt_us), 6)       AS twap
+               CASE WHEN SUM(dt_us) > 0
+                    THEN ROUND(CAST(SUM(cents * dt_us) AS DOUBLE)
+                               / CAST(SUM(dt_us) AS DOUBLE) / 100.0, 6) + 0
+                    ELSE NULL END                              AS twap
         FROM o WHERE dt_us IS NOT NULL
         GROUP BY user_id
     """,
@@ -383,6 +387,15 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     event), the correct average for irregularly sampled series where
     the plain mean over-weights bursts.
 
+    Both the numerator Σ cents·Δt and denominator Σ Δt are EXACT
+    integers (cents·micros products in DECIMAL(38,0)/HUGEINT — the
+    old float Σ value·Δt was combine-order-sensitive, the flake class
+    the r10-continuation sweep caught in ``analytics_abc_pareto``);
+    the TWAP is ONE float expression off the two exact sums. A
+    user whose kept observations all have Δt = 0 (equal-timestamp
+    runs at the stream tail) degrades to NULL on both engines — never
+    an engine-specific 0/0.
+
     Scale: one lead() window and the aggregate share a single user_id
     hash-partitioning — one shuffle; durations are exact micros
     bigints, only the final ratio is floating point."""
@@ -391,15 +404,30 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
     o = e.select(
         "user_id",
-        "value",
+        cents.alias("cents"),
         (F.lead(us).over(w) - us).alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
-    return o.groupBy("user_id").agg(
+    g = o.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_obs"),
-        F.round(
-            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        F.sum((F.col("cents") * F.col("dt_us")).cast("decimal(38,0)")).alias(
+            "num"
+        ),
+        F.sum("dt_us").cast("bigint").alias("den"),
+    )
+    return g.select(
+        "user_id",
+        "n_obs",
+        F.when(
+            F.col("den") > 0,
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / 100.0,
+                6,
+            ),
         ).alias("twap"),
     )
 

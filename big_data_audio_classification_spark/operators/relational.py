@@ -1612,10 +1612,10 @@ def set_union_vs_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(CAST(qtr AS VARCHAR), '<all>') AS quarter,
                CAST(GROUPING(yr) * 2 + GROUPING(qtr) AS BIGINT) AS gid,
                CAST(COUNT(*) AS BIGINT)                AS n,
-               ROUND(SUM(o_totalprice), 2)             AS total
+               ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total
         FROM (SELECT year(o_orderdate) AS yr,
                      quarter(o_orderdate) AS qtr,
-                     o_totalprice
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
               FROM orders)
         GROUP BY ROLLUP (yr, qtr)
     """,
@@ -1628,18 +1628,27 @@ def agg_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     '<all>' placeholder (lattice sibling: ``agg_cube_share_of_total``;
     non-lattice: ``agg_groupingsets_mixed``). Hierarchical rollups are
     the cheap grouping-sets case: each level nests, so map-side
-    partials combine across levels."""
+    partials combine across levels. Totals accumulate EXACT cents
+    (DECIMAL(38,0)/HUGEINT — the grand-total cell spans the whole
+    table, exactly where a float SUM's combine order varies with
+    shuffle arrival and can flip a ROUND boundary, the flake class
+    the r10-continuation sweep caught live in
+    ``analytics_abc_pareto``); the only float is the final /100
+    display division."""
     o = load_table(spark, sf_dir, "orders").select(
         F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
         F.quarter(F.col("o_orderdate").cast("timestamp")).alias("qtr"),
-        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+        .alias("cents"),
     )
     return (
         o.rollup("yr", "qtr")
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("total"),
         )
         .select(
             F.coalesce(F.col("yr").cast("string"), F.lit("<all>")).alias(
