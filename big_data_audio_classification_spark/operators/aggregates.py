@@ -422,16 +422,22 @@ def agg_percentiles_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
     )
 
-    # Phase 1: per-(group, bin) histogram + running offset.
+    # Phase 1: per-(group, bin) histogram + running offset. binned
+    # feeds BOTH the histogram and the phase-2 resolve, and hist feeds
+    # BOTH the rank->bin location and the offset attach: materialize
+    # each once (r10) instead of re-running the scan+bin (resp. the
+    # fact-sized aggregate) per consumer.
     binned = li.join(F.broadcast(stats), g).select(
         g, "v",
         F.when(F.col("mx") == F.col("mn"), F.lit(0))
         .otherwise(F.least(F.floor((F.col("v") - F.col("mn")) / width), F.lit(B - 1)))
         .cast("long").alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     hist = binned.groupBy(g, "b").agg(F.count(F.lit(1)).alias("cnt"))
     wcum = Window.partitionBy(g).orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    hist = hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    ).localCheckpoint(eager=False)
     rank_bins = ranks.join(
         F.broadcast(hist),
         (ranks[g] == hist[g])
@@ -450,13 +456,24 @@ def agg_percentiles_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(g, "r", "v")
     )
 
-    out = targets.alias("t")
+    # Assembly: ONE broadcast join + a conditional aggregation (r10 —
+    # was 2 broadcast joins PER percentile, i.e. 4 exchanges and 4
+    # codegen'd join stages for the same <=4 picked rows per group).
+    # max(when(r == lo/hi, v)) selects exactly the value the former
+    # inner joins attached; frac is constant per group.
+    pk = targets.join(F.broadcast(picked), g)
+    aggs = []
     for name, _ in ps:
-        lo_v = picked.select(g, F.col("r").alias(f"lo_{name}"), F.col("v").alias(f"vlo_{name}"))
-        hi_v = picked.select(g, F.col("r").alias(f"hi_{name}"), F.col("v").alias(f"vhi_{name}"))
-        out = out.join(F.broadcast(lo_v), [g, f"lo_{name}"]).join(
-            F.broadcast(hi_v), [g, f"hi_{name}"]
+        aggs.append(
+            F.max(F.when(F.col("r") == F.col(f"lo_{name}"), F.col("v")))
+            .alias(f"vlo_{name}")
         )
+        aggs.append(
+            F.max(F.when(F.col("r") == F.col(f"hi_{name}"), F.col("v")))
+            .alias(f"vhi_{name}")
+        )
+        aggs.append(F.max(f"frac_{name}").alias(f"frac_{name}"))
+    out = pk.groupBy(g).agg(*aggs)
     return out.select(
         g,
         *[

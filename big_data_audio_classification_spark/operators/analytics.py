@@ -1575,32 +1575,48 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    n_i = p.agg(F.max("i")).first()[0]
-    # DP layers (each ≤ JENKS_BINS rows — the collect()s below are
-    # dimension-sized backtrack lookups, never data-sized)
-    layers = []
+    # ONE dimension-sized collect for the bin map AND n_i (r10 — was a
+    # separate max(i) job plus a second p collect)
+    idx2bin = {r["i"]: r["bin"] for r in p.select("i", "bin").collect()}
+    n_i = max(idx2bin)
+    # DP layers (each ≤ JENKS_BINS rows). The backtrack chain rides an
+    # accumulated `path` array (argmin per layer appends its chosen
+    # previous-segment end), so the whole 4-layer min-plus recursion is
+    # ONE lazy plan over the checkpointed cost frame with ONE final
+    # 1-row collect — r10: was an eager localCheckpoint + a collect per
+    # layer (7 extra driver-blocking jobs). Per-layer argmin keeps the
+    # identical (cost, j) ordering, so the chosen splits and every
+    # accumulated double are bit-identical.
     dp_l = cost.filter(F.col("j") == 1).select(
-        "i", F.col("c").alias("cost"), F.lit(0).alias("j")
+        "i",
+        F.col("c").alias("cost"),
+        F.lit(0).alias("j"),
+        F.array().cast("array<bigint>").alias("path"),
     )
-    layers.append({r["i"]: r["j"] for r in dp_l.collect()})
     for k in range(2, JENKS_K + 1):
-        prev = dp_l.select(F.col("i").alias("pi"), F.col("cost").alias("pcost"))
+        prev = dp_l.select(
+            F.col("i").alias("pi"),
+            F.col("cost").alias("pcost"),
+            F.col("path").alias("ppath"),
+        )
         wmin = Window.partitionBy("i").orderBy(F.col("cost"), F.col("j"))
         dp_l = (
             cost.join(prev, F.col("pi") == F.col("j") - 1)
-            .select("i", (F.col("pcost") + F.col("c")).alias("cost"), (F.col("j") - 1).alias("j"))
+            .select(
+                "i",
+                (F.col("pcost") + F.col("c")).alias("cost"),
+                (F.col("j") - 1).alias("j"),
+                F.concat(
+                    "ppath", F.array((F.col("j") - 1).cast("bigint"))
+                ).alias("path"),
+            )
             .select("*", F.row_number().over(wmin).alias("rn"))
             .filter(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint(eager=True)
         )
-        layers.append({r["i"]: r["j"] for r in dp_l.collect()})
-    total_sse = [r["cost"] for r in dp_l.collect() if r["i"] == n_i][0]
-    bounds = [n_i]
-    for k in range(JENKS_K, 1, -1):
-        bounds.append(layers[k - 1][bounds[-1]])
-    bounds = bounds[::-1]  # [e1, e2, ..., eK=n]
-    idx2bin = {r["i"]: r["bin"] for r in p.select("i", "bin").collect()}
+    final = dp_l.filter(F.col("i") == n_i).collect()[0]
+    total_sse = final["cost"]
+    bounds = [int(e) for e in final["path"]] + [n_i]  # [e1, ..., eK=n]
     seg_rows = []
     prev_end = 0
     for k, e in enumerate(bounds, start=1):
@@ -1610,8 +1626,11 @@ def analytics_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_rows, "segment int, lo_bin long, hi_bin long"
     )
     return (
+        # join against the CHECKPOINTED prefix frame p (r10): joining b
+        # here re-ran the whole orders scan + bin aggregate a second
+        # time; p carries the same (bin, w, s, ss) rows, materialized
         segs.join(
-            b, (F.col("bin") >= F.col("lo_bin")) & (F.col("bin") <= F.col("hi_bin"))
+            p, (F.col("bin") >= F.col("lo_bin")) & (F.col("bin") <= F.col("hi_bin"))
         )
         .groupBy("segment", "lo_bin", "hi_bin")
         .agg(

@@ -701,7 +701,16 @@ def prefix_filter_pairs(w: DataFrame, theta: float, n: int) -> DataFrame:
                 )
             ).alias("gram"),
         )
-        .select("doc_id", shingle_hash60(F.col("gram")).alias("h"))
+        # engine-side xxhash64 shingle keys (r10): the hash is INTERNAL
+        # here — the oracle is the brute-force all-pairs definition over
+        # shingle STRINGS and never sees a hash, and prefix filtering is
+        # correct under ANY consistent global order (df, h), so the
+        # emitted pair set is hash-invariant (up to ~n^2/2^64 collisions,
+        # strictly better than the former 60-bit md5 slice). One
+        # codegen'd hash replaces md5->hex->substr->conv per shingle —
+        # the same md5-tax removal measured at ~2x on the containment
+        # twin (dedup_containment_join_xxhash, r05).
+        .select("doc_id", F.xxhash64(F.col("gram")).alias("h"))
         .distinct()
         # the posting table feeds FOUR consumers (sizes, doc-frequency,
         # prefix ranking, both verify sides): materialize it once
@@ -1557,6 +1566,12 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
         for j in range(MINHASH_K)
     )
+    # cand feeds two consumers (the exact-intersection join and the
+    # final assembly); materializing it was MEASURED AND REJECTED in
+    # r10 — localCheckpoint traded warm for the disk write (2.97→3.47s
+    # warm), persist() flipped downstream join strategies and nearly
+    # doubled the cold run (3.96→6.6s) — so the lazy re-run of the
+    # band self-join off the persisted sig stays.
     cand = a.join(b, band_cond).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),

@@ -728,7 +728,10 @@ def ml_gbt_residual_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (count, sum-of-cents) histograms — residuals are never
     materialized per row, which is what makes a boosting round on
     100 TB cost one map-side-combined histogram aggregate plus a
-    window over <=61 bins, independent of row count.
+    window over <=61 bins, independent of row count. The fact is
+    scanned ONCE (r10): both rounds' histograms — and the round-2
+    in-left counts, which depend only on (qb, db) — regroup a single
+    checkpointed (qb, db) grid of exact integer partials.
 
     Determinism: both engines see identical integer histograms, apply
     the identical IEEE double expression tree for gains/leaves, and
@@ -744,19 +747,34 @@ def ml_gbt_residual_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qb"),
         F.round(F.col("l_discount") * 100).cast("bigint").alias("db"),
     )
-    u = base.select(
-        F.lit("qty").alias("f"), F.col("qb").alias("bin"), "y", "qb", "db"
+    # ONE fact scan (r10 optimization): the fact collapses map-side to
+    # the <=|qty|x|disc| (qb, db) grid of exact integer (count, cents)
+    # partials; tot, both round-1 feature histograms AND the round-2
+    # histograms (including the in-left counts, which depend only on
+    # (qb, db)) are regroupings of that grid — sums of bigint partials
+    # regroup associatively, so every downstream integer is unchanged.
+    # Previously the fact was scanned 4x (tot + the 2-leg union twice).
+    grid = (
+        base.groupBy("qb", "db")
+        .agg(
+            F.count(F.lit(1)).alias("gn"),
+            F.sum("y").alias("gs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    u = grid.select(
+        F.lit("qty").alias("f"), F.col("qb").alias("bin"), "gn", "gs", "qb", "db"
     ).unionAll(
-        base.select(
-            F.lit("disc").alias("f"), F.col("db").alias("bin"), "y", "qb", "db"
+        grid.select(
+            F.lit("disc").alias("f"), F.col("db").alias("bin"), "gn", "gs", "qb", "db"
         )
     )
-    tot = base.agg(
-        F.count(F.lit(1)).cast("double").alias("nt"),
-        F.sum("y").cast("double").alias("st"),
+    tot = grid.agg(
+        F.sum("gn").cast("double").alias("nt"),
+        F.sum("gs").cast("double").alias("st"),
     )
     hist1 = u.groupBy("f", "bin").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+        F.sum("gn").alias("n"), F.sum("gs").alias("s")
     )
     w = (
         Window.partitionBy("f")
@@ -804,9 +822,9 @@ def ml_gbt_residual_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.crossJoin(F.broadcast(r1))
         .groupBy("f", "bin")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("y").alias("s"),
-            F.sum(F.when(in_left, 1).otherwise(0)).alias("na"),
+            F.sum("gn").alias("n"),
+            F.sum("gs").alias("s"),
+            F.sum(F.when(in_left, F.col("gn")).otherwise(0)).alias("na"),
         )
     )
     cum2 = hist2.select(

@@ -1414,6 +1414,14 @@ def sim_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = [(0, first.vec_id, first.label, 0.0)]
     seed_emb = list(first.emb)
 
+    # Each round MATERIALIZES the running min-distance column (r10):
+    # without the checkpoint, round i's lazy plan re-derives mind from
+    # scratch — i distance expressions re-evaluated from the parquet
+    # scan, O(k^2 * n * d) total work and a quadratically growing plan
+    # to re-analyze per round. Checkpointed, each round is ONE pass
+    # computing the distance to the new seed fused with least(mind) —
+    # the O(k * n * d) the docstring promises. Values are identical:
+    # the checkpoint only materializes the same per-round rounded mind.
     cur = em.select(
         "vec_id",
         "emb",
@@ -1424,7 +1432,7 @@ def sim_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("mind"),
-    )
+    ).localCheckpoint(eager=True)
     for i in range(1, KCENTER_K):
         far = (
             cur.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[0]
@@ -1440,7 +1448,7 @@ def sim_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("mind"),
                     F.round(l2_dist_sq(F.col("emb"), lit), 6),
                 ).alias("mind"),
-            )
+            ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         seeds, "seed_no long, vec_id long, label long, sep double"
     ).select(

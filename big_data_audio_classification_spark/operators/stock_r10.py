@@ -309,9 +309,11 @@ def text_lm_bigram_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; oov_rate is one float division, ``+ 0``-guarded (a fully
     covered document rounds to exactly 0). Documents with < 2 tokens
     survive with n_bigrams=0 / NULL rate via the outer join — a
-    coverage oracle must never drop rows. 100 TB: bigram strings
-    shuffle once for the vocab aggregate and once for the probe join —
-    both keyed on the bigram, AQE-coalesced."""
+    coverage oracle must never drop rows. 100 TB: the occurrence
+    stream collapses map-side to (doc, bigram, cnt) in one combined
+    aggregate (checkpointed, shared by vocab + probe); only collapsed
+    rows shuffle — once keyed on the bigram for the vocab, once for
+    the probe join, AQE-coalesced."""
     d = load_table(spark, sf_dir, "documents")
     from big_data_audio_classification_spark.operators.dedup import tokens_col
 
@@ -327,18 +329,32 @@ def text_lm_bigram_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
+    # Collapse the occurrence stream to per-(doc, bigram) counts ONCE
+    # (r10): the map-side-combined groupBy shrinks both downstream
+    # shuffles (duplicate in-document bigrams stop shuffling), the
+    # vocab distinct-doc count becomes a plain count(*) (rows are
+    # (doc, bigram)-distinct by construction — no distinct-agg state),
+    # and the checkpoint lets the vocab aggregate AND the probe join
+    # share one materialization instead of re-running scan+explode.
+    # n_bigrams = sum(cnt) and n_covered = sum(cnt * covered) regroup
+    # the same exact integers the per-occurrence form counted.
+    bgc = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
-        bg.groupBy("bigram")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        bgc.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
         .filter(F.col("ndocs") >= OOV_MIN_DOCS)
         .select("bigram")
     )
     per_doc = (
-        bg.join(vocab.withColumn("hit", F.lit(1)), "bigram", "left")
+        bgc.join(vocab.withColumn("hit", F.lit(1)), "bigram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1))
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(F.col("cnt")))
             .cast("bigint")
             .alias("n_covered"),
         )
@@ -1096,7 +1112,12 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
-    h = e.select(F.col("user_id"), hv.alias("hv"))
+    # one materialization of the md5-derived row hashes: the grid AND
+    # the exact counts both consume h (r10 — was two full scans, each
+    # re-computing md5 per row)
+    h = e.select(F.col("user_id"), hv.alias("hv")).localCheckpoint(
+        eager=False
+    )
     bucket_cols = [
         ((F.col("hv") * _CMHH_A[j] + _CMHH_B[j]) % _CMHH_M % CMHH_WIDTH).alias(
             f"b{j}"
@@ -1116,11 +1137,19 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("hv").alias("hv"),
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt"),
     )
+    # top-10 via TakeOrderedAndProject (per-partition heaps merged on
+    # the driver), NOT a row_number window over every distinct user —
+    # that window moves ALL users into one partition at 100 TB (r10).
+    # The rank re-attaches by a window over the <=10 surviving rows;
+    # the total order (exact_cnt DESC, user_id) is identical, so
+    # limit-10 + rank == the former rank-then-filter.
     rk = F.row_number().over(
         Window.orderBy(F.col("exact_cnt").desc(), "user_id")
     )
-    top = exact.select("*", rk.cast("bigint").alias("rk")).filter(
-        F.col("rk") <= CMHH_TOPK
+    top = (
+        exact.orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(CMHH_TOPK)
+        .select("*", rk.cast("bigint").alias("rk"))
     )
     probe = top.select(
         "rk",
@@ -2282,14 +2311,18 @@ def udtf_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram of event types at a 30-min gap, then a census ranks the
     triples — the behavioral-motif table funnels and Markov models
     read. The UDTF carries O(1) state (last two types + last epoch);
-    gaps compare exact integer microseconds (timedelta fields, the
-    udtf_table_arg_sessions discipline). The oracle restates it as
+    gaps compare exact integer microseconds computed JVM-side
+    (unix_micros on the UTC-pinned ts — bijective, so the (e,
+    event_id) order equals (ts, event_id); the Python body stays
+    integer-only, r10). The oracle restates it as
     gap-islands + double LEAD inside (user, session) windows — an
     independent formulation of both the session boundary AND the
     triple windowing (a triple must not straddle sessions; the UDTF
     resets its buffer, the oracle checks LEAD(sess_id,2)). 100 TB:
     one user-keyed shuffle+sort, census on <= |types|³ rows."""
     from pyspark.sql.functions import udtf
+
+    GAP_US = PATHS_GAP_S * 1_000_000
 
     @udtf(returnType="user_id bigint, path3 string")
     class PathTriples:
@@ -2299,17 +2332,21 @@ def udtf_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.buf = []
 
         def eval(self, row):
-            import datetime as _dt
-
-            self.user = row["user_id"]
-            td = row["ts"] - _dt.datetime(1970, 1, 1)
-            e = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            # Epoch micros arrive PRECOMPUTED from the JVM (r10): the
+            # former per-row datetime subtraction in Python was pure
+            # boundary tax (guide §4 — ship only what the function
+            # needs, keep the Python body integer-only). Gap compare
+            # and ordering are identical: unix_micros is bijective on
+            # the UTC-pinned ts, so ORDER BY (e, event_id) is the same
+            # total order as (ts, event_id).
+            e = row["e"]
             if (
                 self.last_epoch is not None
-                and e - self.last_epoch > PATHS_GAP_S * 1_000_000
+                and e - self.last_epoch > GAP_US
             ):
                 self.buf = []  # session break: triples never straddle
             self.last_epoch = e
+            self.user = row["user_id"]
             self.buf.append(row["event_type"])
             if len(self.buf) > 3:
                 self.buf.pop(0)
@@ -2322,9 +2359,9 @@ def udtf_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = spark.sql(
         """
         SELECT * FROM session_paths_udtf(
-            TABLE(SELECT user_id, ts, event_type, event_id
+            TABLE(SELECT user_id, unix_micros(ts) AS e, event_type, event_id
                   FROM events_for_paths_udtf)
-            PARTITION BY user_id ORDER BY (ts, event_id)
+            PARTITION BY user_id ORDER BY (e, event_id)
         )
         """
     )
@@ -2761,19 +2798,17 @@ def dedup_cc_bounded_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("band_id", "band_hash")
             .agg(F.min("rep").alias("b_rep"))
         )
-        proposed = (
+        # The oracle's LEFT JOIN + LEAST(rep, COALESCE(p_rep, rep)) is
+        # the IDENTITY here, dropped on the Spark side (r10): every doc
+        # in reps came from bands (r0 = distinct doc_id FROM bands), so
+        # the proposed min always exists, and a doc's own bucket
+        # contains its own rep, so p_rep = min over its buckets'
+        # mins <= rep — LEAST always resolves to p_rep. One join per
+        # round removed; labels after round k are bit-identical.
+        reps = (
             bands.join(bucket_rep, ["band_id", "band_hash"])
             .groupBy("doc_id")
-            .agg(F.min("b_rep").alias("p_rep"))
-        )
-        reps = (
-            reps.join(proposed, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("rep"), F.coalesce("p_rep", F.col("rep"))
-                ).alias("rep"),
-            )
+            .agg(F.min("b_rep").alias("rep"))
             .localCheckpoint(eager=True)
         )
     sizes = reps.groupBy("rep").agg(
