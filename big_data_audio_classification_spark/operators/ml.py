@@ -1701,8 +1701,10 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     an EXACT order statistic over residuals ROUNDED to 6 before
     ranking (so a ~1e-12 cross-engine drift in the fitted coefficients
     cannot reorder ties), and coverage compares the same rounded
-    values. Plan: one moment aggregate (train) + one rank window over
-    the calibration slice + one test scan — no refit, no iteration.
+    values. Plan: one moment aggregate (train) + one per-partition
+    top-(n−k+1) heap over the calibration slice (TakeOrdered, never a
+    single-partition rank window) + one test scan — no refit, no
+    iteration.
     Output: split sizes, coefficients, qhat, and the empirical test
     coverage (≈ 0.9)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1765,10 +1767,17 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _m
 
     k = int(_m.ceil((n_calib + 1) * (1.0 - CONF_ALPHA)))
+    # qhat = the k-th SMALLEST rounded residual, extracted WITHOUT the
+    # former single-partition row_number window over the whole
+    # calibration slice (r10 — that window moved every calibration
+    # residual into one task at any scale). Value-at-rank is
+    # tie-invariant, so the k-th smallest equals the MIN of the
+    # (n-k+1) LARGEST — a TakeOrderedAndProject per-partition heap of
+    # only n-k+1 ≈ alpha*n elements, merged on the driver.
     qhat = (
-        calib.select("r", F.row_number().over(Window.orderBy("r")).alias("rk"))
-        .filter(F.col("rk") == k)
-        .select(F.col("r").alias("q"))
+        calib.orderBy(F.col("r").desc())
+        .limit(n_calib - k + 1)
+        .agg(F.min("r").alias("q"))
     )
     test = (
         base.filter(F.col("b") >= 8)

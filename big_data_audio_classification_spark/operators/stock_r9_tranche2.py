@@ -825,9 +825,13 @@ def dedup_simhash_multiprobe16(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_simhash,
     )
 
+    # one materialization of the fingerprint pass (r10): probes AND the
+    # probe-target side both consume fp — unpersisted, the full simhash
+    # computation (token explode + portable hash + 32-bit vote fold)
+    # ran twice
     fp = dedup_simhash(spark, sf_dir).select(
         "doc_id", F.shiftright("simhash", 16).alias("fp16")
-    )
+    ).localCheckpoint(eager=False)
     ks = spark.range(16).select(F.col("id").cast("bigint").alias("k"))
     probes = fp.crossJoin(F.broadcast(ks)).select(
         "doc_id",

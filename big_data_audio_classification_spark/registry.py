@@ -138,19 +138,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_session_first_touch",
     "audio_spectral_centroid",
     "array_value_histogram",
-    "profile_column_entropy",
     "graph_degree_assortativity",
     "curation_importance_resample",
     "baskets_association_rules",
-    "basket_item_pairs",
-    "agg_correlation_matrix",
-    "agg_chi_squared_independence",
-    "stats_welch_ttest",
-    "stats_effect_sizes",
-    "stats_bandit_posteriors",
-    "events_time_weighted_avg",
-    "events_time_to_convert",
     "analytics_abc_pareto",
+    # r10 OPTIMIZATION-round re-certifications (dirty-since-
+    # certification rule): these nine certified queries' fn sources
+    # (or a shared helper they call) changed in the r10 performance
+    # work — every one re-gated tri-SF bit-exact locally before
+    # re-entering. Displaced fills (stats_welch_ttest,
+    # stats_effect_sizes, stats_bandit_posteriors,
+    # events_time_weighted_avg, events_time_to_convert,
+    # agg_correlation_matrix, agg_chi_squared_independence,
+    # basket_item_pairs, profile_column_entropy) return to the
+    # never-certified backlog, all still tri-SF green locally.
+    "ml_gbt_residual_rounds",
+    "sim_kcenter_seeds",
+    "agg_percentiles_twophase",
+    "analytics_jenks_breaks",
+    "dedup_minhash_jaccard_estimate",
+    "ml_conformal_interval",
+    "dedup_prefix_filter_join",
+    "dedup_containment_join",
+    "dedup_containment_join_xxhash",
 )
 
 # Standing dirty-since-certification rule (r09 verdict item 1): any
@@ -164,6 +174,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # edits count as drift — conservatively re-certify.
 RECERTIFY: tuple[str, ...] = (
     "stats_jackknife_ratio",
+    # r10 optimization-round drift (see DRIVER_WINDOW comment): six fn
+    # rewrites (one-scan gbt grid, checkpointed k-center rounds,
+    # checkpoint+conditional-agg percentiles, single-collect jenks DP,
+    # TakeOrdered conformal qhat, a measured-and-rejected note in
+    # jaccard_estimate) plus three shared-helper edits (xxhash64
+    # prefix-filter keys; persisted containment posting table feeding
+    # both containment variants).
+    "ml_gbt_residual_rounds",
+    "sim_kcenter_seeds",
+    "agg_percentiles_twophase",
+    "analytics_jenks_breaks",
+    "dedup_minhash_jaccard_estimate",
+    "ml_conformal_interval",
+    "dedup_prefix_filter_join",
+    "dedup_containment_join",
+    "dedup_containment_join_xxhash",
     # r10-continuation rewrite: the r08-certified float-sum form flipped
     # a ULP under load in a full-sweep run (engine-side SUM+ROUND, the
     # r06 class); now exact centi-cent integers end-to-end. Swapped in
