@@ -1,10 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-TWO JSON lines — first {"queries": {name: sec, ...}} (2-decimal cold
-times), then a short fixed-size summary line {"metric": ...,
-"value": total_sec, "unit": "sec", "value_warm": ..., "sf": ...,
-"n_queries": N, "detail": "BENCH_LOCAL.json"} as the LAST line so the
-driver's bounded tail capture always parses it in full.
+ONE JSON line — {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "value_warm": ..., "sf": ...} — with
+compact separators and 2-decimal per-query times so the full line
+(≈1.9 kB at 62 queries) stays inside the driver's 2000-char tail
+capture; value_warm is dropped first if the line ever outgrows it.
 
 Methodology: per-query cost at sf0.1 is dominated by one-time plan/
 codegen compile (~0.3-0.6 s; warm reruns are 2-7x faster), so each query
@@ -194,31 +194,28 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    # BENCH_r09 came back parsed:null — the 58-query one-line JSON
-    # outgrew the driver's 2000-char tail capture, clipping the line
-    # START. Per the r09 verdict (item 6): per-query times go on their
-    # OWN line first (2-decimal, compact separators), and the LAST line
-    # is a short fixed-size summary the tail capture always contains in
-    # full; full-precision detail stays in BENCH_LOCAL.json.
-    print(
-        json.dumps(
-            {"queries": {k: round(v, 2) for k, v in cold.items()}},
-            separators=(",", ":"),
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "value_warm": round(sum(warm.values()), 3),
-                "sf": sf_val,
-                "n_queries": len(cold),
-                "detail": "BENCH_LOCAL.json",
-            }
-        )
-    )
+    # BENCH_r09 came back parsed:null — the 58-query one-line JSON at
+    # full precision with spaced separators outgrew the driver's
+    # 2000-char tail capture, clipping the line START. The driver
+    # contract wants ONE JSON line carrying metric/value/unit/queries/
+    # sf, so the LAST line is exactly that, kept inside the capture by
+    # compact separators + 2-decimal per-query times (62 queries ≈
+    # 1900 chars; measured against the 2000-char tail). Full-precision
+    # cold/warm detail stays in BENCH_LOCAL.json, and value_warm is
+    # only appended when the line still fits.
+    line_obj = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in cold.items()},
+        "value_warm": round(sum(warm.values()), 3),
+        "sf": sf_val,
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1990:  # keep the full line inside the tail capture
+        del line_obj["value_warm"]
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
