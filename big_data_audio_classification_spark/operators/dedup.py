@@ -1549,11 +1549,14 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     candidate pairs, the signature-agreement rate (matches/16) against
     the EXACT token Jaccard, with the absolute estimation error — the
     calibration table that justifies a chosen (bands, rows) config.
-    Candidates only ever form through the band equi-join (no all-pairs)
-    and the exact side runs on candidates × distinct tokens, both
-    linear-output; the doc_id % 5 sample keeps the verify frame
-    bounded at any SF (the production knob a 100 TB calibration pass
-    would use)."""
+    Candidates only ever form through the band equi-join (no all-pairs);
+    the exact side attaches each sampled doc's distinct-token array by
+    broadcast and computes ONE array_intersect per candidate pair
+    (r10 — replacing a token-keyed double join that pushed ~100
+    intermediate rows per pair; arrays are bounded by document length,
+    the same bound the minhash explode pays). The doc_id % 5 sample
+    keeps the verify frame bounded at any SF (the production knob a
+    100 TB calibration pass would use)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % MHEST_SAMPLE_MOD == 0
     )
@@ -1569,38 +1572,57 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
         for j in range(MINHASH_K)
     )
-    # cand feeds two consumers (the exact-intersection join and the
-    # final assembly); materializing it was MEASURED AND REJECTED in
-    # r10 — localCheckpoint traded warm for the disk write (2.97→3.47s
-    # warm), persist() flipped downstream join strategies and nearly
-    # doubled the cold run (3.96→6.6s) — so the lazy re-run of the
-    # band self-join off the persisted sig stays.
+    # cand flows straight into the broadcast verify joins below (one
+    # consumer since the r10 array-intersect rewrite); materializing it
+    # was measured and rejected back when it had two (localCheckpoint
+    # traded warm for the disk write, persist flipped downstream join
+    # strategies and nearly doubled cold).
     cand = a.join(b, band_cond).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
         (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
     )
-    tok = d.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).distinct().persist()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("ci"))
+    # Exact verify via per-doc DISTINCT TOKEN ARRAYS + array_intersect
+    # (r10): the former formulation exploded every (doc, token) pair
+    # and pushed the candidate frame through TWO token-keyed joins and
+    # a pair groupBy — at sf0.1 that is ~15M intermediate rows for
+    # 148k pairs. Each sampled doc's distinct tokens are bounded by
+    # document length (the bound every minhash explode already pays),
+    # so the token sets attach as two BROADCAST array columns and the
+    # intersection is one codegen'd array_intersect per pair.
+    # |array_intersect| over distinct sorted sets = the exact ci the
+    # pair join counted; the ci >= 1 filter reproduces the former
+    # INNER join on the intersection frame (both engines drop
+    # zero-overlap collisions identically).
+    tokarr = (
+        d.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(tokens_col(F.col("text")))
+            ).alias("arr"),
+        )
+        .select("doc_id", "arr", F.size("arr").alias("n"))
+        .persist()
     )
+    aa = tokarr.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    bb = tokarr.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    ci = F.size(F.array_intersect("arr_a", "arr_b"))
     exact = F.col("ci").cast("double") / (
         F.col("na") + F.col("nb") - F.col("ci")
     )
     return (
-        cand.join(inter, ["id_a", "id_b"])
-        .join(sizes.select(F.col("doc_id").alias("id_a"),
-                           F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"),
-                           F.col("n").alias("nb")), "id_b")
+        cand.join(F.broadcast(aa), "id_a")
+        .join(F.broadcast(bb), "id_b")
+        .select("id_a", "id_b", "est_jaccard", "na", "nb", ci.alias("ci"))
+        .where(F.col("ci") >= 1)
         .select(
             "id_a",
             "id_b",
