@@ -147,6 +147,42 @@ HEADLINE = [
 RUN_ONCE = ["ref_e2e_train"]
 
 
+def final_line(total: float, cold: dict, warm_total: float, sf_val,
+               cap: int = 1990) -> str:
+    """Build the driver-contract stdout line: ONE compact JSON object
+    kept within ``cap`` chars of the driver's 2000-char tail capture.
+
+    Fallback ladder (r11, ADVICE r10: one fallback was one flagship
+    away from re-triggering the r09 parsed:null clip): (1) the full
+    line with 2-decimal per-query times and value_warm; (2) drop
+    value_warm (~21 chars, the r10 behavior); (3) round per-query
+    times to 1 decimal; (4) totals-only with an empty queries map —
+    degraded but parseable, never a clipped line."""
+    base = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in cold.items()},
+        "value_warm": warm_total,
+        "sf": sf_val,
+    }
+    candidates = [base]
+    no_warm = dict(base)
+    del no_warm["value_warm"]
+    candidates.append(no_warm)
+    one_dec = dict(no_warm)
+    one_dec["queries"] = {k: round(v, 1) for k, v in cold.items()}
+    candidates.append(one_dec)
+    totals_only = dict(one_dec)
+    totals_only["queries"] = {}
+    candidates.append(totals_only)
+    for obj in candidates:
+        line = json.dumps(obj, separators=(",", ":"))
+        if len(line) <= cap:
+            return line
+    return line  # totals-only always fits in practice
+
+
 def _run(qs, name, spark, sf_dir) -> float:
     t0 = time.time()
     df = qs[name].fn(spark, sf_dir)
@@ -203,19 +239,7 @@ def main() -> None:
     # 1900 chars; measured against the 2000-char tail). Full-precision
     # cold/warm detail stays in BENCH_LOCAL.json, and value_warm is
     # only appended when the line still fits.
-    line_obj = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in cold.items()},
-        "value_warm": round(sum(warm.values()), 3),
-        "sf": sf_val,
-    }
-    line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1990:  # keep the full line inside the tail capture
-        del line_obj["value_warm"]
-        line = json.dumps(line_obj, separators=(",", ":"))
-    print(line)
+    print(final_line(total, cold, round(sum(warm.values()), 3), sf_val))
     spark.stop()
 
 

@@ -674,7 +674,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition; at sf0.01 both isolate the 25 planted near-dup pairs.
 
     Shuffles: distinct shingles (doc-keyed), doc-frequency
-    (shingle-keyed), candidate equi-join on the 60-bit shingle hash,
+    (shingle-keyed), candidate equi-join on the 64-bit xxhash64
+    shingle key (r10 — one codegen'd hash; pair set hash-invariant),
     verify joins keyed on doc_id — all equi-joins; no cross join
     anywhere (asserted in tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents")
@@ -1550,13 +1551,16 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     the EXACT token Jaccard, with the absolute estimation error — the
     calibration table that justifies a chosen (bands, rows) config.
     Candidates only ever form through the band equi-join (no all-pairs);
-    the exact side attaches each sampled doc's distinct-token array by
-    broadcast and computes ONE array_intersect per candidate pair
-    (r10 — replacing a token-keyed double join that pushed ~100
-    intermediate rows per pair; arrays are bounded by document length,
-    the same bound the minhash explode pays). The doc_id % 5 sample
-    keeps the verify frame bounded at any SF (the production knob a
-    100 TB calibration pass would use)."""
+    the exact side attaches each sampled doc's distinct-token array
+    with plain equi-joins and computes ONE array_intersect per
+    candidate pair (r10 — replacing a token-keyed double join that
+    pushed ~100 intermediate rows per pair; arrays are bounded by
+    document length, the same bound the minhash explode pays). The
+    doc_id % 5 sample is a constant FRACTION of the corpus, so the
+    token-array frame is never broadcast-hinted (r11 — the r10 form
+    forced F.broadcast on it, which grows linearly with the corpus and
+    cannot fit at 100 TB): AQE/autoBroadcastJoinThreshold picks
+    broadcast only when the runtime size actually allows it."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % MHEST_SAMPLE_MOD == 0
     )
@@ -1593,7 +1597,12 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     # |array_intersect| over distinct sorted sets = the exact ci the
     # pair join counted; the ci >= 1 filter reproduces the former
     # INNER join on the intersection frame (both engines drop
-    # zero-overlap collisions identically).
+    # zero-overlap collisions identically). No broadcast HINT on the
+    # token-array sides (r11): doc_id % 5 samples a constant fraction,
+    # not a constant size, so a forced broadcast is a linear-in-corpus
+    # OOM at scale — the planner/AQE broadcasts only when the measured
+    # size fits the threshold, and falls back to a shuffled join
+    # otherwise (guide §3.1: broadcast only when the small side fits).
     tokarr = (
         d.select(
             "doc_id",
@@ -1619,8 +1628,8 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("na") + F.col("nb") - F.col("ci")
     )
     return (
-        cand.join(F.broadcast(aa), "id_a")
-        .join(F.broadcast(bb), "id_b")
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
         .select("id_a", "id_b", "est_jaccard", "na", "nb", ci.alias("ci"))
         .where(F.col("ci") >= 1)
         .select(

@@ -128,12 +128,21 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every node has out-degree KNN_K (no dangling mass). Per iteration:
     join ranks onto edges by src (edge partitioning reused), aggregate
     contributions by dst (the one shuffle), left-join back onto the
-    node set so in-degree-0 nodes keep the teleport term."""
-    edges = knn_edges(spark, sf_dir, node_cap=PR_NODE_CAP)
-    nodes = edges.select(F.col("src").alias("vec_id")).distinct()
+    node set so in-degree-0 nodes keep the teleport term.
+
+    The edge list is checkpointed BEFORE the node set is derived from
+    it (r11 — ``nodes`` previously referenced the UN-checkpointed
+    knn_edges frame, so every round's left join re-ran the whole
+    all-pairs cosine top-k: the sim_kcenter_seeds re-planning
+    pathology, ~12× the kNN cost for 12 rounds); ``nodes`` is also
+    persisted for its one-join-per-round reuse. Same rows, same
+    doubles — only the recomputation is gone."""
+    edges = knn_edges(spark, sf_dir, node_cap=PR_NODE_CAP).localCheckpoint(
+        eager=True
+    )
+    nodes = edges.select(F.col("src").alias("vec_id")).distinct().persist()
     n = nodes.count()
     ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank"))
-    edges = edges.localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
         contribs = (
             edges.join(ranks, edges["src"] == ranks["vec_id"])
@@ -333,7 +342,9 @@ def graph_pagerank_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("vec_id")).distinct()
+    # persisted: the node set is re-joined every round (r11 — the lazy
+    # form re-ran the distinct per round; same rows, recompute gone)
+    nodes = edges.select(F.col("src").alias("vec_id")).distinct().persist()
     n = nodes.count()
     ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank"))
     for _ in range(PR_ITERS):

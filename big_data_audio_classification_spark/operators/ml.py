@@ -1641,6 +1641,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round-5: split-conformal prediction intervals -------------------
 
 CONF_ALPHA = 0.1  # target miscoverage -> 90% intervals
+CONF_RANK_BINS = 1024  # two-phase order-statistic histogram bins
 
 
 @query(
@@ -1701,10 +1702,14 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     an EXACT order statistic over residuals ROUNDED to 6 before
     ranking (so a ~1e-12 cross-engine drift in the fitted coefficients
     cannot reorder ties), and coverage compares the same rounded
-    values. Plan: one moment aggregate (train) + one per-partition
-    top-(n−k+1) heap over the calibration slice (TakeOrdered, never a
-    single-partition rank window) + one test scan — no refit, no
-    iteration.
+    values. qhat is extracted with the house TWO-PHASE bucketed-rank
+    idiom (``stats_median_ci`` / ``agg_percentiles_twophase``): one
+    count/min/max pass, a 1024-bin histogram whose ≤1024-row ledger
+    locates rank k's bucket, then ranking ONLY inside that ~n/1024-row
+    bucket (r11 — replacing the r10 TakeOrdered form whose
+    limit(n−k+1) ≈ α·n was DATA-sized: per-partition heaps of 10% of
+    the calibration slice merging through one point). No refit, no
+    iteration, nothing data-sized in one task.
     Output: split sizes, coefficients, qhat, and the empirical test
     coverage (≈ 0.9)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1763,21 +1768,59 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(fit))
         .select(resid.alias("r"))
     )
-    n_calib = calib.count()
+    st = calib.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.min("r").alias("mn"),
+        F.max("r").alias("mx"),
+    ).collect()[0]
+    n_calib, mn, mx = int(st["nc"]), st["mn"], st["mx"]
     import math as _m
 
     k = int(_m.ceil((n_calib + 1) * (1.0 - CONF_ALPHA)))
-    # qhat = the k-th SMALLEST rounded residual, extracted WITHOUT the
-    # former single-partition row_number window over the whole
-    # calibration slice (r10 — that window moved every calibration
-    # residual into one task at any scale). Value-at-rank is
-    # tie-invariant, so the k-th smallest equals the MIN of the
-    # (n-k+1) LARGEST — a TakeOrderedAndProject per-partition heap of
-    # only n-k+1 ≈ alpha*n elements, merged on the driver.
+    # Degenerate calibration slices fail LOUDLY (r10 advice): the old
+    # rank-window form returned an empty frame when k > n, and a
+    # limit(0)+MIN form would silently emit a NULL-qhat row instead.
+    if not 1 <= k <= n_calib:
+        raise ValueError(
+            f"conformal rank k={k} outside calibration size n={n_calib}"
+        )
+    # qhat = the k-th SMALLEST rounded residual via the two-phase
+    # bucketed rank (r11; replaces the r10 TakeOrdered whose
+    # limit(n-k+1) ~ alpha*n grew with the data): bucket residuals
+    # against the collected [mn, mx] span, cumulate the <=1024-row
+    # bucket LEDGER (the only unpartitioned window, ledger-sized),
+    # locate rank k's bucket, and rank ONLY that bucket's ~n/1024
+    # rows. Global rank = ledger prefix + in-bucket row_number, and
+    # value-at-rank is tie-invariant (equal residuals share a value),
+    # so the picked value is exactly the oracle's ROW_NUMBER k-th.
+    width = (mx - mn) / CONF_RANK_BINS if mx > mn else 1.0
+    binned = calib.select(
+        "r",
+        F.when(F.lit(mx) == F.lit(mn), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("r") - F.lit(mn)) / F.lit(width)),
+                F.lit(CONF_RANK_BINS - 1),
+            )
+        )
+        .cast("long")
+        .alias("qb"),
+    ).persist()
+    hist = binned.groupBy("qb").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)
+    led = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    )
+    tgt = led.where(
+        (F.lit(k - 1) >= F.col("cum_before"))
+        & (F.lit(k - 1) < F.col("cum_before") + F.col("cnt"))
+    ).select("qb", "cum_before")
+    wbin = Window.partitionBy("qb").orderBy("r")
     qhat = (
-        calib.orderBy(F.col("r").desc())
-        .limit(n_calib - k + 1)
-        .agg(F.min("r").alias("q"))
+        binned.join(F.broadcast(tgt), "qb")
+        .withColumn("rk", F.row_number().over(wbin) - 1 + F.col("cum_before"))
+        .where(F.col("rk") == F.lit(k - 1))
+        .select(F.col("r").alias("q"))
     )
     test = (
         base.filter(F.col("b") >= 8)

@@ -723,6 +723,7 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QBIN_N = 10
+QBIN_HIST_B = 1024  # two-phase order-statistic histogram bins
 
 
 @query(
@@ -745,28 +746,104 @@ QBIN_N = 10
 )
 def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency (quantile) binning — the discretization step of
-    ML feature preprocessing: NTILE over a deterministic ordering
-    (value + unique key tiebreak, so equal values split identically in
-    any engine), then per-bin population stats.
+    ML feature preprocessing. The oracle states the textbook NTILE
+    over a deterministic ordering (value + unique key tiebreak, so
+    equal values split identically in any engine), then per-bin
+    population stats.
 
-    Scale: NTILE needs a global order — same cost class as exact
-    percentiles; the 100 TB form computes approx-quantile cut points
-    first and bins map-only against the broadcast cuts (the
-    ``winsorize_order_prices`` pattern)."""
+    The engine side computes the SAME table without the global sort
+    (r11 — the former single-partition NTILE window moved every order
+    into one task): NTILE bucket sizes are a closed form of n alone
+    (the first n mod 10 buckets get ⌈n/10⌉ rows, the rest ⌊n/10⌋), so
+    each bin's count and its [start, end] GLOBAL RANKS come from one
+    count/min/max aggregate; and because the ordering is primarily by
+    value, bin lo/hi are exactly the values AT those 20 ranks —
+    extracted with the house two-phase bucketed-rank idiom
+    (``stats_median_ci``): 1024-bin histogram pass, ≤1024-row ledger
+    cumulation (the only unpartitioned window), then ranking only
+    inside the ≤20 candidate buckets (~n/1024 rows each).
+    Value-at-rank is tie-invariant, so ties rearranged inside a bucket
+    cannot change any picked value."""
     o = load_table(spark, sf_dir, "orders")
-    b = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(QBIN_N)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+    x = o.select(F.col("o_totalprice").alias("v"))
+    # st and binned each feed two consumers (bucket spans + the binning
+    # projection; histogram + candidate-bucket ranking) — persisted so
+    # the orders scan runs twice, not once per consumer subtree
+    st = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).persist()
+    i = F.col("i")
+    q_ = F.floor(F.col("n") / QBIN_N)
+    rem = F.col("n") % QBIN_N
+    # 1-based rank span [s, e] of NTILE bucket i, straight from the
+    # NTILE definition; e >= s guards the degenerate n < QBIN_N case
+    # (NTILE emits no row for an empty bucket).
+    bins = (
+        spark.range(1, QBIN_N + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "i",
+            ((i - 1) * q_ + F.least(i - 1, rem) + 1).alias("s"),
+            (i * q_ + F.least(i, rem)).alias("e"),
+        )
+        .where(F.col("e") >= F.col("s"))
+    )
+    ranks = bins.select(
+        F.explode(F.array(F.col("s") - 1, F.col("e") - 1)).alias("r")
+    ).distinct()
+    width = (F.col("mx") - F.col("mn")) / F.lit(QBIN_HIST_B)
+    binned = x.crossJoin(F.broadcast(st)).select(
+        "v",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("mn")) / width),
+                F.lit(QBIN_HIST_B - 1),
+            )
+        )
+        .cast("long")
+        .alias("b"),
+    ).persist()
+    hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    ).persist()
+    rank_bins = ranks.join(
+        F.broadcast(hist),
+        (F.col("r") >= F.col("cum_before"))
+        & (F.col("r") < F.col("cum_before") + F.col("cnt")),
+    ).select("r", "b")
+    cand = rank_bins.select("b").distinct()
+    wbin = Window.partitionBy("b").orderBy("v")
+    picked = (
+        binned.join(F.broadcast(cand), "b", "left_semi")
+        .join(F.broadcast(hist.select("b", "cum_before")), "b")
+        .withColumn("r", F.row_number().over(wbin) - 1 + F.col("cum_before"))
+        .join(F.broadcast(rank_bins.select("r")), "r", "left_semi")
+        .select("r", "v")
     )
     return (
-        b.groupBy("bin")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        bins.join(
+            F.broadcast(
+                picked.select(F.col("r").alias("rlo"), F.col("v").alias("lo_v"))
+            ),
+            F.col("s") - 1 == F.col("rlo"),
+        )
+        .join(
+            F.broadcast(
+                picked.select(F.col("r").alias("rhi"), F.col("v").alias("hi_v"))
+            ),
+            F.col("e") - 1 == F.col("rhi"),
+        )
+        .select(
+            i.cast("int").alias("bin"),
+            (F.col("e") - F.col("s") + 1).cast("bigint").alias("n"),
+            F.round("lo_v", 2).alias("lo"),
+            F.round("hi_v", 2).alias("hi"),
         )
         .orderBy("bin")
     )
@@ -1436,11 +1513,16 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle uses, without any unpartitioned N-row window.
     """
     o = load_table(spark, sf_dir, "orders")
+    # daily feeds THREE consumers (both Walsh join sides + the plain
+    # mean/median aggregate): persist the calendar-bounded spine so the
+    # orders scan+aggregate runs once, not three times (r11 — the lazy
+    # form re-planned the subtree per consumer: 18 parquet scans in the
+    # final plan).
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("c")
-    )
+    ).persist()
     a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
     b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
     walsh = a.join(b, F.col("da") <= F.col("db")).select(

@@ -1820,11 +1820,15 @@ def events_session_duration_deciles(spark: SparkSession, sf_dir: str) -> DataFra
     in whole seconds → the d1..d9 decile table read by EXACT order
     statistic (value at rank ⌈n·q⌉ — type-1 quantile, integer in,
     integer out, no interpolation, bit-stable by construction). The
-    rank pass runs over the SESSION frame (thousands of rows per
-    million events), not the event frame, so the unpartitioned rank
-    window costs nothing at scale; at 100 TB swap it for the
-    two-phase histogram rank (``agg_percentiles_twophase``) if
-    sessions themselves explode. Output = 9 rows."""
+    oracle states the textbook global ROW_NUMBER; the engine reads
+    each rank off the DURATION-VALUE LEDGER instead (r11 — the former
+    rank window moved every session row into one task): durations are
+    whole seconds, so grouping by value gives a ledger bounded by the
+    CLOCK (max session length in seconds), not by data; one
+    ledger-sized cumulative window locates the unique value whose
+    [cum_before, cum_before+cnt) span contains each rank. Value at
+    rank is tie-invariant, so the ledger read equals the oracle's
+    ROW_NUMBER pick exactly. Output = 9 rows."""
     e = load_table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     x = e.select(
@@ -1851,18 +1855,26 @@ def events_session_duration_deciles(spark: SparkSession, sf_dir: str) -> DataFra
     durs = s.groupBy("user_id", "session_no").agg(
         ((F.max("t") - F.min("t")) / 1_000_000).cast("bigint").alias("dur_s")
     )
-    wr = Window.orderBy("dur_s")
-    ranked = durs.select(
-        "dur_s",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    led = durs.groupBy("dur_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("dur_s").rowsBetween(Window.unboundedPreceding, -1)
+    led = led.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
     )
-    decs = F.broadcast(spark.range(1, 10).select(F.col("id").alias("dec")))
+    tot = led.agg(F.sum("cnt").alias("n"))
+    ranks = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("dec"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dec",
+            F.ceil(F.col("n") * F.col("dec") / 10.0).cast("bigint").alias("rk"),
+        )
+    )
     return (
-        ranked.crossJoin(decs)
-        .filter(
-            F.col("rk")
-            == F.ceil(F.col("n") * F.col("dec") / 10.0).cast("bigint")
+        ranks.join(
+            F.broadcast(led),
+            (F.col("rk") > F.col("cum_before"))
+            & (F.col("rk") <= F.col("cum_before") + F.col("cnt")),
         )
         .groupBy(F.col("dec").cast("bigint").alias("decile"))
         .agg(F.max("dur_s").cast("bigint").alias("dur_s"))

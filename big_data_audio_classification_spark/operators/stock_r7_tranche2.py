@@ -202,7 +202,12 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic (counts and one floored division), and
     small unions fall back to exact mode — bit-stable by construction.
     One distinct-hash pass per stream + one rank over the union's
-    k-head."""
+    k-head. fk/uk/un each feed two consumers (the union AND the k-head
+    semi-joins; the count AND both rank reads), so all three persist
+    (r11 — the lazy forms re-ran every distinct pass: 16 parquet scans
+    in the final plan, now 2); the global row_number is planned as
+    TakeOrderedAndProject(64) + a ≤64-row window by Spark's
+    rank-filter rewrite, never a data-sized sort."""
     from big_data_audio_classification_spark.operators.dedup import token_hash
 
     o = load_table(spark, sf_dir, "orders")
@@ -210,13 +215,15 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderstatus") == "F")
         .select(token_hash(F.col("o_custkey").cast("string")).alias("hv"))
         .distinct()
+        .persist()
     )
     uk = (
         o.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(token_hash(F.col("o_custkey").cast("string")).alias("hv"))
         .distinct()
+        .persist()
     )
-    un = fk.union(uk).distinct()
+    un = fk.union(uk).distinct().persist()
     bk = un.select(
         "hv", F.row_number().over(Window.orderBy("hv")).alias("rk")
     )
@@ -1581,32 +1588,40 @@ def skew_key_gini_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 = perfectly level shuffle, →1 = one hot key owns the stage (the
     scalar summary behind the per-key plan:
     ``skew_salt_factor_plan``; census: ``skew_key_frequency_profile``).
-    The numerator is EXACT integer arithmetic over the ranked key
-    frame (ties broken by key id identically in both engines), one
-    float division at the end — bit-stable. Key frame is O(keys),
-    tiny at any SF."""
+    The numerator is EXACT integer arithmetic, one float division at
+    the end — bit-stable. The oracle states the textbook ranked-key
+    form; the engine reads the SAME sum off the FREQUENCY LEDGER
+    instead of ranking every key in one task (r11): keys tied at
+    frequency v occupy c consecutive ranks after p lower-frequency
+    keys, and the rank-sum over the tie group is invariant to the
+    user_id tiebreak — Σ over the group of 2i·f = f·c·(2p+c+1) — so
+    Σ(2i−n−1)·f = Σ f·c·(2p+c+1) − (n+1)·Σf, every term a per-ledger-
+    row integer. The only unpartitioned window is the cumulative count
+    over the ledger, whose size is bounded by DISTINCT frequency
+    values (≤ max events per key), not by the key count."""
     e = load_table(spark, sf_dir, "events")
     f = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq")
     )
-    wr = Window.orderBy("freq", "user_id")
-    wall = Window.partitionBy()
-    r = f.select(
-        "freq",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("freq").over(wall).alias("tot"),
-    )
-    return r.agg(
-        F.max("n").cast("bigint").alias("n_keys"),
-        F.max("tot").cast("bigint").alias("n_rows"),
-        (F.max("tot") - F.min("freq") * F.max("n"))
+    g = f.groupBy("freq").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("freq").rowsBetween(Window.unboundedPreceding, -1)
+    led = g.withColumn("p", F.coalesce(F.sum("c").over(wcum), F.lit(0)))
+    return led.agg(
+        F.sum("c").alias("_n"),
+        F.sum(F.col("freq") * F.col("c")).alias("_tot"),
+        F.sum(
+            F.col("freq") * F.col("c") * (2 * F.col("p") + F.col("c") + 1)
+        ).alias("_s2"),
+        F.min("freq").alias("_mn"),
+    ).select(
+        F.col("_n").cast("bigint").alias("n_keys"),
+        F.col("_tot").cast("bigint").alias("n_rows"),
+        (F.col("_tot") - F.col("_mn") * F.col("_n"))
         .cast("bigint")
         .alias("excess_mass"),
         F.round(
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("freq"))
-            .cast("double")
-            / (F.max("n").cast("double") * F.max("tot")),
+            (F.col("_s2") - (F.col("_n") + 1) * F.col("_tot")).cast("double")
+            / (F.col("_n").cast("double") * F.col("_tot")),
             6,
         ).alias("gini"),
     )

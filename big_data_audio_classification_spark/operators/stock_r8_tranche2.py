@@ -476,7 +476,15 @@ def dedup_minhash_oneperm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup/lsh: the S-curve — empirical vs theoretical band-collision rate
 # ---------------------------------------------------------------------------
 
-AMP_SAMPLE_MOD = 5  # same sample as dedup_minhash_jaccard_estimate
+# r11 (VERDICT r10 item 7): the S-curve diagnostic's cost is its
+# SAMPLED PAIR MASS, and mod-5 priced it as the most expensive bench
+# query (10.5 s in the contended driver run). Calibration quality
+# depends on pairs RETAINED, not corpus coverage — mod-10 keeps
+# thousands of positive-Jaccard pairs per decile at sf0.1 (ample for a
+# 10-point curve) at ~quarter the pair mass. The oracle is generated
+# from this SAME constant, so both engines state the identical sample
+# and the gate re-certifies the changed result set (RECERTIFY r11).
+AMP_SAMPLE_MOD = 10
 
 
 def _amp_curve_sql() -> str:

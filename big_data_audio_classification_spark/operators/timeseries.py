@@ -400,6 +400,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIGRATION_SPLIT = "1998-07-01"
+MIGR_HIST_B = 1024  # two-phase order-statistic histogram bins
 
 
 @query(
@@ -446,22 +447,72 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the event-type Markov matrix) — P(move to segment j | was in
     segment i) for customers active in both halves.
 
-    Two per-customer collapses (one scan each half), two NTILE windows
-    over the customer-spend aggregates, one equi-join on custkey, and
-    the normalization window runs over the 25-row matrix. Spend is
-    rounded to cents before ranking so float sum order can't flip a
-    quintile boundary; (spend, custkey) ordering makes NTILE
-    deterministic under ties."""
+    Two per-customer collapses (one scan each half), one equi-join on
+    custkey, and the normalization window runs over the 25-row matrix.
+    Spend is rounded to cents before ranking so float sum order can't
+    flip a quintile boundary; (spend, custkey) ordering makes NTILE
+    deterministic under ties.
+
+    The oracle states the textbook NTILE; the engine assigns quintiles
+    WITHOUT ranking the customer frame in one task (r11 — the former
+    form ran two single-partition NTILE windows over customer-grain
+    frames): each row's exact GLOBAL rank in the total (spend, custkey)
+    order is bucket-prefix + in-bucket row_number (1024-bin histogram
+    pass, ≤1024-row ledger cumulation — the only unpartitioned window —
+    then a window PARTITIONED by bucket, ~n/1024 rows per task), and
+    NTILE(5) of a rank is a closed form of n alone: 1 + #{i in 1..4 :
+    rank > i·⌊n/5⌋ + min(i, n mod 5)} — four integer comparisons, no
+    global sort anywhere."""
     o = load_table(spark, sf_dir, "orders")
     split = F.lit(MIGRATION_SPLIT).cast("date")
-    w_rank = Window.orderBy("spend", "o_custkey")
 
     def half(cond, seg_alias: str) -> DataFrame:
-        return (
+        h = (
             o.where(cond)
             .groupBy("o_custkey")
             .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
-            .select("o_custkey", F.ntile(5).over(w_rank).alias(seg_alias))
+        )
+        st = h.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("spend").alias("mn"),
+            F.max("spend").alias("mx"),
+        )
+        width = (F.col("mx") - F.col("mn")) / F.lit(MIGR_HIST_B)
+        binned = (
+            h.crossJoin(F.broadcast(st))
+            .select(
+                "o_custkey",
+                "spend",
+                "n",
+                F.when(F.col("mx") == F.col("mn"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.floor((F.col("spend") - F.col("mn")) / width),
+                        F.lit(MIGR_HIST_B - 1),
+                    )
+                )
+                .cast("long")
+                .alias("b"),
+            )
+            .persist()
+        )
+        hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+        wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        led = hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+        ).select("b", "cum_before")
+        wbin = Window.partitionBy("b").orderBy("spend", "o_custkey")
+        q_ = F.floor(F.col("n") / 5)
+        rem = F.col("n") % 5
+        seg = F.lit(1)
+        for i in range(1, 5):
+            seg = seg + F.when(
+                F.col("rk") > i * q_ + F.least(F.lit(i), rem), 1
+            ).otherwise(0)
+        return (
+            binned.join(F.broadcast(led), "b")
+            .withColumn("rk", F.row_number().over(wbin) + F.col("cum_before"))
+            .select("o_custkey", seg.cast("int").alias(seg_alias))
         )
 
     q1 = half(F.col("o_orderdate").cast("date") < split, "seg_before")

@@ -15,10 +15,22 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    # Ask the JVM for the explain string directly instead of capturing
+    # df.explain()'s print via redirect_stdout: the redirect is
+    # process-global (NOT thread-safe — concurrent captures interleave),
+    # and the direct call is what lets tests sweep hundreds of plans on
+    # a thread pool (tests/test_plans.py).
+    try:
+        jqe = df._jdf.queryExecution()
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return jqe.explainString(mode)
+    except Exception:  # pragma: no cover - non-classic sessions
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
@@ -45,7 +57,8 @@ def pruned_columns(df: DataFrame) -> list[str]:
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def has_python_udf(df: DataFrame) -> bool:

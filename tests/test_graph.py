@@ -4,8 +4,17 @@ power-iteration replica built from the same k-NN edge list."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from big_data_audio_classification_spark.operators import graph
+
+
+@pytest.fixture(scope="module")
+def pagerank_rows(spark, sf_dir):
+    """graph_pagerank_knn is the suite's single most expensive replay
+    (PR_ITERS distributed rounds); collect it ONCE for the two tests
+    that read it instead of re-running the whole iteration per test."""
+    return graph.graph_pagerank_knn(spark, sf_dir).collect()
 
 
 def _numpy_pagerank(edges, n_nodes, ids):
@@ -19,21 +28,18 @@ def _numpy_pagerank(edges, n_nodes, ids):
     return {v: r[idx[v]] for v in ids}
 
 
-def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir, pagerank_rows):
     edges = [(r["src"], r["dst"]) for r in graph.knn_edges(spark, sf_dir).collect()]
     ids = sorted({s for s, _ in edges})
     expected = _numpy_pagerank(edges, len(ids), ids)
-    got = {
-        r["vec_id"]: r["pagerank"]
-        for r in graph.graph_pagerank_knn(spark, sf_dir).collect()
-    }
+    got = {r["vec_id"]: r["pagerank"] for r in pagerank_rows}
     assert set(got) == set(expected)
     for v in expected:
         assert abs(got[v] - expected[v]) < 1e-6, f"node {v}"
 
 
-def test_pagerank_is_a_distribution_over_reachable_mass(spark, sf_dir):
-    rows = graph.graph_pagerank_knn(spark, sf_dir).collect()
+def test_pagerank_is_a_distribution_over_reachable_mass(pagerank_rows):
+    rows = pagerank_rows
     total = sum(r["pagerank"] for r in rows)
     # no dangling nodes -> total mass stays 1 (up to rounding)
     assert abs(total - 1.0) < 1e-4

@@ -41,15 +41,27 @@ def test_no_python_udf_in_any_sql_oracled_plan(spark, sf_dir):
     row-at-a-time Python UDF (BatchEvalPython) or unplanned Arrow eval —
     the whole relational/scalar/dedup/text/similarity surface is
     JVM-side whole-stage-codegen territory."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from big_data_audio_classification_spark.registry import all_queries
 
-    offenders = []
-    for name, q in all_queries().items():
-        if q.oracle is None or (_PYTHON_API_TAGS & set(q.tags)):
-            continue
-        df = q.fn(spark, sf_dir)
-        if introspect.has_python_udf(df):
-            offenders.append(name)
+    items = [
+        (name, q)
+        for name, q in all_queries().items()
+        if q.oracle is not None and not (_PYTHON_API_TAGS & set(q.tags))
+    ]
+
+    # Plan-building is driver/JVM work; sweeping ~650 queries serially
+    # costs minutes of wall clock. introspect.formatted_plan asks the
+    # JVM for the explain string directly (no process-global stdout
+    # capture), so the sweep is safe to fan out on threads — py4j gives
+    # each thread its own gateway connection.
+    def check(item):
+        name, q = item
+        return name if introspect.has_python_udf(q.fn(spark, sf_dir)) else None
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        offenders = [n for n in pool.map(check, items) if n]
     assert not offenders, f"queries fell back to Python execution: {offenders}"
 
 

@@ -123,18 +123,25 @@ def test_no_array_or_map_outputs_in_sql_oracled_queries(spark, sf_dir):
     dies on unhashable array/map values (CORRECTNESS_r03: the only two
     `err` rows). Every SQL-oracled query must serialize such columns
     (array_join / to_json) before returning."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.types import ArrayType, MapType
 
-    offenders = {}
-    for name, q in all_queries().items():
-        if q.oracle is None:
-            continue
+    items = [(n, q) for n, q in all_queries().items() if q.oracle is not None]
+
+    # schema resolution is driver/JVM analysis work per query; sweep the
+    # ~650 queries on threads (same shape as the plans sweep in
+    # tests/test_plans.py — py4j gives each thread its own connection)
+    def check(item):
+        name, q = item
         df = q.fn(spark, sf_dir)
         bad = [
             f.name
             for f in df.schema.fields
             if isinstance(f.dataType, (ArrayType, MapType))
         ]
-        if bad:
-            offenders[name] = bad
+        return (name, bad) if bad else None
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        offenders = dict(r for r in pool.map(check, items) if r)
     assert not offenders, f"array/map output columns in SQL-oracled queries: {offenders}"
