@@ -60,20 +60,36 @@ def test_no_python_udf_in_any_sql_oracled_plan(spark, sf_dir):
         name, q = item
         return name if introspect.has_python_udf(q.fn(spark, sf_dir)) else None
 
+    # Python-datasource exemplars register a session-level data source
+    # inside their fn and race under concurrency (DATA_SOURCE_NOT_FOUND
+    # seen once in ~650); collect errors and re-run those few serially.
+    def safe_check(item):
+        try:
+            return check(item), None
+        except Exception:
+            return None, item
+
     with ThreadPoolExecutor(max_workers=16) as pool:
-        offenders = [n for n in pool.map(check, items) if n]
+        results = list(pool.map(safe_check, items))
+    offenders = [r for r, _ in results if r]
+    offenders += [check(item) for _, item in results if item is not None]
+    offenders = [n for n in offenders if n]
     assert not offenders, f"queries fell back to Python execution: {offenders}"
 
 
 def test_flagship_stays_in_codegen(spark, sf_dir):
     # AQE re-plans at runtime and reports 0 codegen subtrees statically;
     # inspect the non-adaptive plan to assert the codegen pipeline shape.
+    # (The test session disables whole-stage codegen globally for speed
+    # — conftest.py — so re-enable it for this shape assertion.)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     try:
         df = relational.pricing_summary(spark, sf_dir)
         assert introspect.codegen_stage_count(df) >= 2  # scan+partial agg, final agg
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
 
 def test_asof_join_single_shuffle(spark, sf_dir):

@@ -142,6 +142,19 @@ def test_no_array_or_map_outputs_in_sql_oracled_queries(spark, sf_dir):
         ]
         return (name, bad) if bad else None
 
+    # Python-datasource exemplars register a session-level data source
+    # inside their fn and race under concurrency; re-run failures
+    # serially (same protocol as the plans sweep).
+    def safe_check(item):
+        try:
+            return check(item), None
+        except Exception:
+            return None, item
+
     with ThreadPoolExecutor(max_workers=16) as pool:
-        offenders = dict(r for r in pool.map(check, items) if r)
+        results = list(pool.map(safe_check, items))
+    offenders = dict(r for r, _ in results if r)
+    offenders.update(
+        r for r in (check(item) for _, item in results if item is not None) if r
+    )
     assert not offenders, f"array/map output columns in SQL-oracled queries: {offenders}"
