@@ -204,8 +204,9 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     One distinct-hash pass per stream + one rank over the union's
     k-head. fk/uk/un each feed two consumers (the union AND the k-head
     semi-joins; the count AND both rank reads), so all three persist
-    (r11 — the lazy forms re-ran every distinct pass: 16 parquet scans
-    in the final plan, now 2); the global row_number is planned as
+    (r11 — the lazy forms re-ran every distinct pass: 8 executed
+    parquet-scan operators in the final plan, now 2); the global
+    row_number is planned as
     TakeOrderedAndProject(64) + a ≤64-row window by Spark's
     rank-filter rewrite, never a data-sized sort."""
     from big_data_audio_classification_spark.operators.dedup import token_hash
