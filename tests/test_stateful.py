@@ -31,20 +31,37 @@ def test_running_user_counters(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    for _ in range(60):
-        if not q.isActive:
-            break
-        time.sleep(1)
-
-    out = spark.sql(
-        "select user_id, max(n_events) as n, max(sum_value) as s from stateful_sink group by user_id"
-    ).collect()
-    got = {r.user_id: (r.n, r.s) for r in out}
     expected = {}
     for i in range(30):
         n, s = expected.get(i % 3, (0, 0.0))
         expected[i % 3] = (n + 1, s + float(i))
+
+    def snapshot():
+        out = spark.sql(
+            "select user_id, max(n_events) as n, max(sum_value) as s "
+            "from stateful_sink group by user_id"
+        ).collect()
+        return {r.user_id: (r.n, r.s) for r in out}
+
+    # The operator registers ProcessingTimeTimeouts, so even under
+    # trigger(availableNow) the query stays ACTIVE after draining the
+    # input (pending timeout batches) — the old awaitTermination(120)
+    # + 60x1s poll burned the full 180 s every run. Poll the memory
+    # sink for the expected final counters instead (one availableNow
+    # batch emits every group's final update), then stop the query —
+    # same assertion, seconds instead of minutes, and no orphaned
+    # stream left running for the rest of the suite.
+    got = {}
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        got = snapshot()
+        if got == expected:
+            break
+        if not q.isActive:
+            got = snapshot()
+            break
+        time.sleep(0.5)
+    q.stop()
     assert got == expected
 
 
